@@ -1,0 +1,19 @@
+"""goodreads_pyspark_spark — a PySpark-native analytics engine.
+
+A from-scratch, Spark-first re-expression of the query and data-processing
+capabilities of the reference notebook ``daryagah/goodreads-pyspark``
+(see SURVEY.md), extended with large-scale training-data pipeline
+operators (dedup, similarity search, text analysis, multimodal columns).
+
+Design principles (SURVEY.md §7):
+  * DataFrame/SQL API everywhere — Catalyst/Tungsten own optimization and
+    physical execution; we never hand-schedule.
+  * Built-in ``pyspark.sql.functions`` in hot paths; Pandas UDFs only where
+    built-ins genuinely cannot express the semantics.
+  * Every operator designed for 100 TB: broadcastable dims, partial
+    aggregation, pushed-down filters, no driver-side collects in hot paths.
+"""
+
+__version__ = "0.1.0"
+
+from goodreads_pyspark_spark.session import get_spark  # noqa: F401

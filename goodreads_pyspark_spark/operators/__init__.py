@@ -1,0 +1,9 @@
+from goodreads_pyspark_spark.operators.relational import (  # noqa: F401
+    anti_join,
+    argmax_per_group,
+    dedup_latest,
+    lookup,
+    semi_join,
+    top_k,
+    top_k_per_group,
+)

@@ -1,0 +1,92 @@
+"""Relational operator library (SURVEY.md §2.2-2.7, §2.10).
+
+Thin, composable, deterministic wrappers over Spark primitives. Each fixes
+one of the reference notebook's anti-patterns (SURVEY.md §4) or names a
+recurring composite so pipelines read declaratively. All of these stay
+entirely inside Catalyst/Tungsten — no Python-side row processing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedup_latest(df: DataFrame, keys: Sequence[str], order_by: Sequence[Column]) -> DataFrame:
+    """Keep exactly one row per key group: the first under ``order_by``.
+
+    Replaces the reference's ``orderBy(...).dropDuplicates(keys)`` idiom
+    (reference: goodreads.py:83), which does NOT guarantee which row
+    survives in Spark. A window + ``row_number`` is deterministic given a
+    total order, shuffles once on ``keys``, and scales: each group is
+    processed within its shuffle partition (use salting upstream if one
+    key dominates).
+
+    ``order_by`` should be a total order (append a unique key as tiebreak).
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def top_k(df: DataFrame, k: int, order_by: Sequence[Column]) -> DataFrame:
+    """Global deterministic top-k. Catalyst rewrites sort+limit to
+    ``TakeOrderedAndProject`` — per-partition heaps, no full sort
+    (the plan every ``order by ... limit n`` in the reference relies on,
+    e.g. goodreads.py:168)."""
+    return df.orderBy(*order_by).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame, keys: Sequence[str], k: int, order_by: Sequence[Column]
+) -> DataFrame:
+    """Top-k rows within each key group (single shuffle on ``keys``)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def semi_join(df: DataFrame, other: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """Rows of ``df`` with a match in ``other`` (EXISTS). The reference
+    emulates this with an inner join on a projected key column
+    (goodreads.py:151); ``left_semi`` never duplicates rows and lets
+    Catalyst broadcast the filter side."""
+    return df.join(other, on, "left_semi")
+
+
+def anti_join(df: DataFrame, other: DataFrame, on: Sequence[str] | Column) -> DataFrame:
+    """Rows of ``df`` with no match in ``other`` (NOT EXISTS)."""
+    return df.join(other, on, "left_anti")
+
+
+def argmax_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    tiebreak: Sequence[Column] = (),
+) -> DataFrame:
+    """Per group, the row maximizing ``value`` (then ``tiebreak`` asc).
+
+    Generalizes the reference's row-wise Python-UDF argmax
+    (goodreads.py:55-57) into a native windowed form — stays in
+    whole-stage codegen, no Python worker round trip.
+    """
+    order = [value.desc(), *tiebreak]
+    return dedup_latest(df, keys, order)
+
+
+def lookup(df: DataFrame, key: str, value) -> DataFrame:
+    """Point lookup as a DataFrame (the engine's version of the
+    reference's ``filter().collect()[0][0]`` helpers, goodreads.py:145-146).
+    Returns a DataFrame so bulk callers can join instead of looping;
+    on partitioned/bucketed storage the predicate prunes to one file group.
+    """
+    return df.filter(F.col(key) == F.lit(value))

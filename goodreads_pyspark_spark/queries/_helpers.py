@@ -1,0 +1,62 @@
+"""Shared helpers for oracle-parity queries."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC on every load: the driver's session tz is not ours to assume,
+    # and timestamp literals/date extraction must match the naive-UTC oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``events`` with its TIMESTAMP(NANOS) column normalized to micros.
+
+    Spark has no nanosecond timestamp type; ``nanosAsLong`` reads the
+    column as raw nanos which we floor-divide to micros — exactly what
+    DuckDB does when it narrows TIMESTAMP_NS to TIMESTAMP, so both engines
+    see identical instants.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = tbl(spark, sf_dir, "events")
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def dsum(col: str | Column, scale: int = 2, alias: str | None = None) -> Column:
+    """Exact (decimal) sum of a double column, returned as DOUBLE.
+
+    Float sums depend on accumulation order, which differs between Spark's
+    partial/final hash aggregation and DuckDB — and even between Spark runs
+    (partitioning). Casting each value to DECIMAL first makes the sum exact
+    and order-independent; both engines then produce bit-identical doubles.
+    At 100 TB scale this costs ~nothing (decimal adds are JVM-native inside
+    codegen) and buys deterministic, auditable aggregates.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(f"decimal(30,{scale})")).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: str | Column, scale: int = 2, alias: str | None = None) -> Column:
+    """Order-independent average: exact decimal sum / count, as DOUBLE."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(f"decimal(30,{scale})")).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out
+
+
+def sql_dsum(expr: str, scale: int = 2) -> str:
+    """DuckDB mirror of ``dsum``."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE)"
+
+
+def sql_davg(expr: str, scale: int = 2) -> str:
+    """DuckDB mirror of ``davg``."""
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(30,{scale}))) AS DOUBLE) / COUNT({expr})"

@@ -1,0 +1,1 @@
+"""Text-analysis & dedup queries over ``documents`` (filled in next)."""

@@ -1,0 +1,468 @@
+"""Relational operator queries (SURVEY.md §2.2-2.8) over the TPC-H-ish
+driver testdata, each with a DuckDB oracle.
+
+Each query is the oracle-checkable face of an engine operator: the Spark
+side goes through the DataFrame API / operator library (so Catalyst sees a
+declarative plan — pushdown, broadcast, partial agg all apply), the oracle
+is plain ANSI SQL. Aggregates on doubles use the decimal-exact helpers
+(see queries/__init__ docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.operators import (
+    anti_join,
+    argmax_per_group,
+    dedup_latest,
+    lookup,
+    semi_join,
+    top_k,
+    top_k_per_group,
+)
+from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries._helpers import davg, dsum, sql_davg, sql_dsum, tbl
+
+
+# --- A1/A2/A8/P4/P7/F3/O4: TPC-H Q1-style pricing summary -------------------
+@query(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS sum_disc_price,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Grouped multi-aggregate with filter; the reference's rating histogram "
+    "(goodreads.py:162) generalized to TPC-H Q1 shape.",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", alias="sum_qty"),
+            dsum("l_extendedprice", alias="sum_base_price"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, "sum_disc_price"),
+            davg("l_quantity", alias="avg_qty"),
+            davg("l_extendedprice", alias="avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- A1/O2: top-k heavy hitters (reference top reviewers, goodreads.py:168) --
+@query(
+    "q02_top_customers",
+    oracle=f"""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS order_count,
+           {sql_dsum('o_totalprice')} AS total_spend
+    FROM orders GROUP BY o_custkey
+    ORDER BY order_count DESC, o_custkey LIMIT 10
+    """,
+    doc="groupBy+count then deterministic top-k (TakeOrderedAndProject).",
+)
+def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    agg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("order_count"),
+        dsum("o_totalprice", alias="total_spend"),
+    )
+    return top_k(agg, 10, [F.col("order_count").desc(), F.col("o_custkey")])
+
+
+# --- A2/A3: avg + count distinct per group ----------------------------------
+@query(
+    "q03_segment_stats",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_davg('c_acctbal')} AS avg_acctbal,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def q03_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        davg("c_acctbal", alias="avg_acctbal"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+# --- F5: deterministic dedup-latest (fixes goodreads.py:83 anti-pattern) ----
+@query(
+    "q04_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey AS latest_orderkey,
+           CAST(o_orderdate AS DATE) AS latest_date
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders) WHERE rn = 1
+    """,
+    doc="Window row_number dedup — the deterministic replacement for "
+    "orderBy+dropDuplicates (goodreads.py:83).",
+)
+def q04_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    latest = dedup_latest(
+        orders, ["o_custkey"], [F.col("o_orderdate").desc(), F.col("o_orderkey").desc()]
+    )
+    return latest.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("latest_orderkey"),
+        F.to_date("o_orderdate").alias("latest_date"),
+    )
+
+
+# --- A5/J1: array agg over a broadcast join (collect_set, goodreads.py:94) --
+@query(
+    "q05_nations_per_region",
+    oracle="""
+    SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q05_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    joined = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
+    )
+    return joined.groupBy("r_name").agg(
+        F.array_sort(F.collect_set("n_name")).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )
+
+
+# --- F7: semi join ----------------------------------------------------------
+@query(
+    "q06_segments_with_pending_orders",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    GROUP BY c_mktsegment
+    """,
+    doc="left_semi join — the explicit form of the reference's inner-join "
+    "filter (goodreads.py:151).",
+)
+def q06_segments_with_pending_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    pending = orders.filter(F.col("o_orderstatus") == "P")
+    kept = semi_join(cust, pending, cust.c_custkey == pending.o_custkey)
+    return kept.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --- anti join --------------------------------------------------------------
+@query(
+    "q07_customers_without_orders",
+    oracle="""
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    """,
+)
+def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    nation = tbl(spark, sf_dir, "nation")
+    no_orders = anti_join(cust, orders, cust.c_custkey == orders.o_custkey)
+    joined = no_orders.join(
+        F.broadcast(nation), no_orders.c_nationkey == nation.n_nationkey
+    )
+    return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --- J1/J2 chain: 3-way join through broadcast dims -------------------------
+@query(
+    "q08_customers_per_region",
+    oracle=f"""
+    SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {sql_davg('c_acctbal')} AS avg_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def q08_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        davg("c_acctbal", alias="avg_acctbal"),
+    )
+
+
+# --- J2/P11: left join with null handling -----------------------------------
+@query(
+    "q09_suppliers_per_nation",
+    oracle=f"""
+    SELECT n_name, CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
+           COALESCE({sql_dsum('s_acctbal')}, 0.0) AS total_acctbal
+    FROM nation LEFT JOIN supplier ON n_nationkey = s_nationkey
+    GROUP BY n_name
+    """,
+)
+def q09_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = tbl(spark, sf_dir, "nation")
+    supp = tbl(spark, sf_dir, "supplier")
+    joined = nation.join(supp, nation.n_nationkey == supp.s_nationkey, "left")
+    return joined.groupBy("n_name").agg(
+        F.count("s_suppkey").alias("n_suppliers"),
+        F.coalesce(dsum("s_acctbal"), F.lit(0.0)).alias("total_acctbal"),
+    )
+
+
+# --- F2/F4: IN-list + LIKE predicates (goodreads.py:84,217) -----------------
+@query(
+    "q10_part_filters",
+    oracle=f"""
+    SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {sql_davg('p_retailprice')} AS avg_price
+    FROM part
+    WHERE p_type IN ('ECONOMY', 'PROMO') AND p_name LIKE '%bolt%'
+    GROUP BY p_brand
+    """,
+)
+def q10_part_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tbl(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_type").isin("ECONOMY", "PROMO"))
+        .filter(F.col("p_name").like("%bolt%"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            davg("p_retailprice", alias="avg_price"),
+        )
+    )
+
+
+# --- top-k per group (window) ------------------------------------------------
+@query(
+    "q11_top_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, o_totalprice
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY o_orderpriority
+        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def q11_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    top = top_k_per_group(
+        orders,
+        ["o_orderpriority"],
+        3,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+    )
+    return top.select("o_orderpriority", "o_orderkey", "o_totalprice")
+
+
+# --- U1/F6: union + distinct (goodreads.py:487,473) -------------------------
+@query(
+    "q12_active_nationkeys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q12_active_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = tbl(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.unionByName(supp).distinct()
+
+
+# --- rollup (beyond the reference's flat GROUP BYs) -------------------------
+@query(
+    "q13_rollup_region_nation",
+    oracle="""
+    SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q13_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# --- pivot ------------------------------------------------------------------
+@query(
+    "q14_qty_pivot_by_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F",
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q14_qty_pivot_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(dsum("l_quantity"))
+    )
+
+
+# --- P4/P5 derived + CASE bucketing -----------------------------------------
+@query(
+    "q15_order_tiers",
+    oracle=f"""
+    SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
+                WHEN o_totalprice < 300000 THEN 'mid'
+                ELSE 'large' END AS tier,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY 1
+    """,
+)
+def q15_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") < 100000, "small")
+        .when(F.col("o_totalprice") < 300000, "mid")
+        .otherwise("large")
+    )
+    return (
+        orders.withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", alias="total"),
+        )
+    )
+
+
+# --- P8/P10: string split + array index (goodreads.py:99,217) ---------------
+@query(
+    "q16_part_color_words",
+    oracle="""
+    SELECT string_split(p_name, ' ')[1] AS color,
+           CAST(COUNT(*) AS BIGINT) AS n_parts
+    FROM part GROUP BY 1
+    """,
+)
+def q16_part_color_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tbl(spark, sf_dir, "part")
+    return (
+        part.withColumn("color", F.split(F.col("p_name"), " ")[0])
+        .groupBy("color")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# --- UD1 analog: argmax per group, native (no Python UDF) -------------------
+@query(
+    "q17_dominant_segment_per_nation",
+    oracle="""
+    SELECT n_name, c_mktsegment AS top_segment, cnt AS n_customers
+    FROM (
+      SELECT n_name, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+                                ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name, c_mktsegment)
+    WHERE rn = 1
+    """,
+    doc="Per-group argmax with first-in-order tie-break — the native "
+    "replacement for the reference's Python-UDF genre argmax "
+    "(goodreads.py:55-57).",
+)
+def q17_dominant_segment_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    counts = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    best = argmax_per_group(
+        counts, ["n_name"], F.col("cnt"), [F.col("c_mktsegment")]
+    )
+    return best.select(
+        "n_name",
+        F.col("c_mktsegment").alias("top_segment"),
+        F.col("cnt").alias("n_customers"),
+    )
+
+
+# --- F6: full-row distinct on a projection ----------------------------------
+@query(
+    "q18_status_priority_combos",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+)
+def q18_status_priority_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tbl(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# --- O5 analog: point lookup as DataFrame -----------------------------------
+@query(
+    "q19_customer_lookup",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+    FROM customer WHERE c_custkey = 42
+    """,
+)
+def q19_customer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    return lookup(cust, "c_custkey", 42).select(
+        "c_custkey", "c_name", "c_mktsegment", "c_acctbal"
+    )
+
+
+# --- multi-column sort with mixed direction (O1) + limit (O3) ---------------
+@query(
+    "q20_order_scan_sorted",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+)
+def q20_order_scan_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy(
+            F.col("o_orderstatus").asc(),
+            F.col("o_totalprice").desc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(50)
+    )

@@ -1,0 +1,185 @@
+"""Event/time-series queries over the ``events`` table.
+
+The reference is batch-only (SURVEY.md §1 "Not exercised"); these cover the
+timestamp/window operator surface a production engine needs: time
+bucketing, window functions, sessionization, JSON extraction. The
+streaming versions of the same aggregations live in
+``goodreads_pyspark_spark/streaming`` — one logical definition, batch
+oracle here.
+
+Timestamp outputs are rendered as strings/dates so Spark (session tz UTC)
+and DuckDB (naive UTC) hash identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries._helpers import davg, dsum, events_tbl, sql_davg, sql_dsum
+from goodreads_pyspark_spark.session import configure_for_oracle
+
+
+# --- time bucketing (tumbling day) ------------------------------------------
+@query(
+    "t01_daily_rollup",
+    oracle=f"""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 6)} AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    """,
+)
+def t01_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    return ev.groupBy(F.to_date(F.date_trunc("day", "ts")).alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", 6, "total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# --- tumbling window via F.window (streaming-compatible form) ---------------
+@query(
+    "t02_hourly_by_type",
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_davg('value', 6)} AS avg_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Tumbling-window aggregate written with F.window — the exact shape "
+    "reused by the streaming module with a watermark.",
+)
+def t02_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            davg("value", 6, "avg_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+# --- window functions: running sum / rank / lag -----------------------------
+@query(
+    "t03_user_running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_value,
+           CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                AS BIGINT) AS seq
+    FROM events WHERE user_id < 100
+    """,
+    doc="Cumulative window aggregate; decimal accumulation so Spark's "
+    "incremental fold and DuckDB's segment tree agree bit-for-bit.",
+)
+def t03_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(30,6)"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_value"),
+        F.row_number().over(w).cast("bigint").alias("seq"),
+    )
+
+
+# --- sessionization (lag + gap threshold + cumulative flag) -----------------
+@query(
+    "t04_user_sessions",
+    oracle="""
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events)
+    GROUP BY user_id
+    """,
+    doc="Sessionization with a 30-minute inactivity gap — lag + flag + sum; "
+    "single shuffle on user_id, no Python.",
+)
+def t04_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("double") - prev_ts.cast("double")) > 1800),
+        1,
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# --- share-of-total (window over aggregate) ---------------------------------
+@query(
+    "t05_event_type_share",
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS share
+    FROM events GROUP BY event_type
+    """,
+)
+def t05_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    return counts.select(
+        "event_type",
+        "n_events",
+        (
+            F.col("n_events").cast("double")
+            / F.sum("n_events").over(Window.partitionBy()).cast("double")
+        ).alias("share"),
+    )
+
+
+# --- semi-structured: JSON field extraction ---------------------------------
+@query(
+    "t06_json_prop_stats",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_total,
+           CAST(MAX(CAST(props->>'k' AS INTEGER)) AS INTEGER) AS k_max
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON string column → typed field (get_json_object); the pattern for "
+    "props-bag schemas at scale (parse once, project early).",
+)
+def t06_json_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.sum(k).cast("bigint").alias("k_total"),
+        F.max(k).cast("int").alias("k_max"),
+    )

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+The reference notebook (reference: goodreads.py, Databricks runtime) never
+configures Spark; we centralize session construction so every entry point
+(tests, bench, pipelines) gets the same AQE/shuffle/Arrow posture.
+
+Local mode is a correctness harness only — the config keys chosen here are
+the ones that matter on a real multi-executor cluster too (AQE, adaptive
+skew join, shuffle partition count, Arrow transfer for the few Pandas-UDF
+paths).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "goodreads_pyspark_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``cpus`` defaults to ``$SPARK_GRAFT_CPUS`` (driver contract) or all cores.
+    """
+    if cpus is None:
+        n = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{n}]" if n else "local[*]"
+        shuffle = int(n) if n else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cpus}]"
+        shuffle = cpus
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # ~cores, not the 200 default: local shuffles are driver-disk bound.
+        # On a real cluster this would be sized to cluster cores × 2-3.
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def configure_for_oracle(spark: SparkSession) -> SparkSession:
+    """Runtime-settable configs needed for DuckDB-oracle comparability.
+
+    The driver hands us an externally built session; these keys are safe to
+    set post-construction. UTC pins timestamp semantics so parquet instants
+    group/truncate identically to DuckDB's naive-UTC reads.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

@@ -1,0 +1,7 @@
+from goodreads_pyspark_spark.sources.readers import (  # noqa: F401
+    load_tables,
+    read_csv,
+    read_json,
+    read_parquet,
+)
+from goodreads_pyspark_spark.sources.sinks import write_parquet_table  # noqa: F401

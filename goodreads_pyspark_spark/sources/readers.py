@@ -1,0 +1,67 @@
+"""Source readers (SURVEY.md §2.1 S1-S3).
+
+The reference loads JSON with inferred schema (reference: goodreads.py:33,35),
+CSV with header+inferSchema (goodreads.py:34,36,37), and parquet re-reads
+(goodreads.py:133-141). We expose the same three scans with an explicit-schema
+mode — schema inference is a full extra pass over the data and is wrong at
+100 TB, so callers on the hot path must pass a schema.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+#: Tables the driver's testdata provides (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_json(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """JSON-lines scan; inferred schema only when ``schema`` is omitted."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+) -> DataFrame:
+    """CSV scan. Without an explicit schema, falls back to inference (the
+    reference's mode — goodreads.py:34); inference reads the file twice."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    """Load driver testdata tables as a dict of DataFrames.
+
+    Parquet scans: column pruning + predicate pushdown apply to every
+    downstream query for free.
+    """
+    use = names or TESTDATA_TABLES
+    return {n: spark.read.parquet(os.path.join(sf_dir, f"{n}.parquet")) for n in use}

@@ -1,0 +1,37 @@
+"""Sinks (SURVEY.md §2.1 S4).
+
+The reference persists curated tables as parquet managed tables
+(reference: goodreads.py:121,125,129) to make its ``%sql`` cells work. We
+expose the same catalog boundary plus scale options the notebook lacks:
+``partition_by`` for partition pruning and ``bucket_by`` so later joins on
+the bucket key co-locate without a shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet_table(
+    df: DataFrame,
+    name: str,
+    mode: str = "overwrite",
+    partition_by: Sequence[str] | None = None,
+    bucket_by: tuple[int, Sequence[str]] | None = None,
+) -> None:
+    """Persist ``df`` as a parquet table registered in the session catalog."""
+    writer = df.write.format("parquet").mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols).sortBy(*cols)
+    writer.saveAsTable(name)
+
+
+def register_temp_views(tables: dict[str, DataFrame]) -> None:
+    """Register DataFrames as temp views — the SQL facade's entry point."""
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,61 @@
+"""Unit tests for the relational operator library (SURVEY.md §5 item 1)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.operators import (
+    anti_join,
+    argmax_per_group,
+    dedup_latest,
+    semi_join,
+    top_k,
+    top_k_per_group,
+)
+
+
+def test_dedup_latest_keeps_max_order_key(spark):
+    df = spark.createDataFrame(
+        [(1, 2000, "a"), (1, 2010, "b"), (2, 1990, "c")], ["k", "year", "v"]
+    )
+    out = dedup_latest(df, ["k"], [F.col("year").desc()]).orderBy("k").collect()
+    assert [(r.k, r.v) for r in out] == [(1, "b"), (2, "c")]
+
+
+def test_dedup_latest_deterministic_tiebreak(spark):
+    df = spark.createDataFrame([(1, 5, "x"), (1, 5, "y")], ["k", "year", "v"])
+    out = dedup_latest(df, ["k"], [F.col("year").desc(), F.col("v")]).collect()
+    assert [(r.k, r.v) for r in out] == [(1, "x")]
+
+
+def test_top_k(spark):
+    df = spark.createDataFrame([(i,) for i in range(20)], ["x"])
+    out = top_k(df, 3, [F.col("x").desc()]).collect()
+    assert [r.x for r in out] == [19, 18, 17]
+
+
+def test_top_k_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 3), ("b", 9)], ["g", "x"]
+    )
+    out = top_k_per_group(df, ["g"], 2, [F.col("x").desc()])
+    got = sorted((r.g, r.x) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 9)]
+
+
+def test_semi_and_anti_join(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2,), (3,), (4,)], ["k"])
+    assert sorted(r.k for r in semi_join(left, right, "k").collect()) == [2, 3]
+    assert [r.k for r in anti_join(left, right, "k").collect()] == [1]
+
+
+def test_argmax_per_group_first_max_wins(spark):
+    # Mirrors the reference UDF's tie-break: first maximum in order
+    # (goodreads.py:55-57) — here the tiebreak column decides.
+    df = spark.createDataFrame(
+        [("g", "alpha", 10), ("g", "beta", 10), ("g", "gamma", 3)],
+        ["grp", "name", "cnt"],
+    )
+    out = argmax_per_group(df, ["grp"], F.col("cnt"), [F.col("name")]).collect()
+    assert [(r.grp, r.name) for r in out] == [("g", "alpha")]
