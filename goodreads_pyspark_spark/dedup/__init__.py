@@ -1,0 +1,7 @@
+from goodreads_pyspark_spark.dedup.exact import dup_group_stats, exact_dedup  # noqa: F401
+from goodreads_pyspark_spark.dedup.minhash import (  # noqa: F401
+    lsh_candidate_pairs,
+    minhash_signatures,
+)
+from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs  # noqa: F401
+from goodreads_pyspark_spark.dedup.simhash import simhash_signatures  # noqa: F401

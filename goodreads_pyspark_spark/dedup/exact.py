@@ -1,0 +1,35 @@
+"""Exact deduplication by content hash.
+
+The 100 TB workhorse: hash each document's canonical form to a short key,
+then a single hash-partitioned groupBy picks one survivor per key. The
+shuffle moves only (hash, id) pairs — never the documents themselves —
+so the cost is O(|ids|), not O(|corpus bytes|).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.functions.text import norm_text
+from goodreads_pyspark_spark.operators.relational import dedup_latest
+
+
+def content_key(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("content_hash", F.md5(norm_text(text_col)))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per identical (normalized) content."""
+    keyed = content_key(df, text_col)
+    return dedup_latest(keyed, ["content_hash"], [F.col(id_col).asc()]).drop("content_hash")
+
+
+def dup_group_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per content-hash: group size and surviving (min) id. One row per
+    distinct content — the audit view of :func:`exact_dedup`."""
+    keyed = content_key(df, text_col)
+    return keyed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(id_col).alias("keep_id"),
+    )

@@ -1,0 +1,90 @@
+"""MinHash + LSH near-duplicate candidate generation.
+
+Pipeline (all DataFrame ops, one pass over shingles):
+  shingle → K salted min-hashes per doc → B bands of R hashes →
+  band-key equi-join → candidate pairs.
+
+Scale notes:
+  * The only data that shuffles is (doc_id, band, 16-byte key) — B rows
+    per document regardless of document size.
+  * The band join is a plain equi-join on (band, key): AQE handles skew;
+    a degenerate hot bucket (boilerplate text) can be capped with a
+    per-key count filter before the self-join (``max_bucket`` arg).
+  * Salted-md5 min-hashing is deterministic across engines and runs —
+    no RNG state to ship. md5 is uniform enough for Jaccard estimation;
+    the salt family {s0_, s1_, ...} gives K independent permutations.
+
+Reference basis: standard MinHash/LSH banding (Broder; Leskovec et al.,
+Mining of Massive Datasets ch.3) — public-domain technique.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.functions.text import tokens, word_shingles
+
+
+def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    sh = word_shingles(tokens(text_col), shingle_n)
+    return df.select(F.col(id_col), F.explode(sh).alias("sh"))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per doc: ``mh0..mh{K-1}`` salted min-hash columns.
+
+    Documents with fewer than ``shingle_n`` tokens produce no shingles and
+    drop out (nothing to compare) — same convention as the oracle.
+    """
+    ex = _shingle_rows(df, id_col, text_col, shingle_n)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}_"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy(id_col).agg(*mins)
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band bucket."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_keys = [
+        F.md5(F.concat(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]))
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+    if max_bucket is not None:
+        # Guard against degenerate buckets (e.g. boilerplate-heavy corpora):
+        # a bucket of size m yields m^2 join rows.
+        counts = banded.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+        banded = banded.join(
+            counts.filter(F.col("__n") <= max_bucket).drop("__n"), ["band", "key"]
+        )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )

@@ -1,0 +1,56 @@
+"""Exact n-gram Jaccard similarity between documents.
+
+Inverted-index formulation: explode distinct shingles, self-join on the
+shingle, count intersections per pair, then |A∪B| = |A|+|B|−|A∩B|.
+Only pairs sharing ≥1 shingle ever materialize — the classic sparse
+similarity join. At 100 TB the indispensable extra is document-frequency
+filtering (``max_df``): a shingle appearing in m docs contributes m² join
+rows, and boilerplate shingles dominate cost while carrying no signal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.functions.text import tokens, word_shingles
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a < doc_b, jaccard) for pairs with Jaccard ≥ ``threshold``."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
+    )
+    if max_df is not None:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(dfreq.filter(F.col("__df") <= max_df).drop("__df"), "sh")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= threshold).select(
+        "doc_a", "doc_b", "jaccard"
+    )

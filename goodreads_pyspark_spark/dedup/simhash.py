@@ -1,0 +1,49 @@
+"""SimHash document signatures (Charikar's random-hyperplane sketch over
+token features — public technique, cf. Manku et al., WWW'07).
+
+Each distinct token votes ±1 on each signature bit; the bit is 1 when the
+vote sum is positive. Near-duplicate docs differ in few bits (compare by
+Hamming distance). Bit j's vote for a token is derived from hex digit j
+of md5(token) — deterministic, engine-portable, no RNG.
+
+Scale: one explode + one groupBy per corpus; the aggregate carries
+``bits`` small integer columns per doc. For 64-bit production signatures
+raise ``bits`` and store as two longs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.functions.text import tokens
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 16,
+) -> DataFrame:
+    """One row per doc: ``simhash`` (bigint, ``bits`` wide)."""
+    assert bits <= 32, "md5 hex digits drive the votes; 32 max"
+    ex = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+    ).withColumn("h", F.md5("tok"))
+    votes = [
+        F.sum(
+            F.when(F.ascii(F.substring("h", j + 1, 1)) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(bits)
+    ]
+    agg = ex.groupBy(id_col).agg(*votes)
+    sig = None
+    for j in range(bits):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return agg.select(F.col(id_col), sig.cast("bigint").alias("simhash"))
+
+
+def hamming_distance(a, b):
+    """Hamming distance between two simhash columns (bigint)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,13 @@
+from goodreads_pyspark_spark.functions.text import (  # noqa: F401
+    EN_STOPWORDS,
+    doc_fingerprint,
+    norm_text,
+    quality_punct_count,
+    stopword_count,
+    tokens,
+    word_shingles,
+)
+from goodreads_pyspark_spark.functions.vectors import (  # noqa: F401
+    cosine_components,
+    explode_vector,
+)

@@ -1,0 +1,64 @@
+"""Text-analysis expressions — pure Catalyst column builders.
+
+Everything here returns a ``Column`` built from ``pyspark.sql.functions``
+(JVM-side, whole-stage-codegen'd). No Python/Pandas UDFs: at 100 TB the
+tokenizer is the hottest expression in the pipeline and must stay inside
+codegen. Tokenization is intentionally simple (lowercase, alnum runs) so
+the DuckDB oracle can mirror it exactly; swap in a BPE-ish regex via
+``token_pattern`` when fidelity to a real tokenizer matters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Minimal English function-word list for the language-ID / quality heuristics.
+EN_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "that", "for")
+
+#: Default token pattern: runs of non-alphanumerics split words.
+TOKEN_SPLIT = "[^a-z0-9]+"
+
+
+def norm_text(col: Column | str) -> Column:
+    """Canonical text form for exact-dup hashing: lowercased, trimmed."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(c))
+
+
+def tokens(col: Column | str, pattern: str = TOKEN_SPLIT) -> Column:
+    """Lowercased word tokens as ``array<string>`` (empties removed)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.lower(c), pattern), lambda x: x != "")
+
+
+def stopword_count(toks: Column, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Number of tokens that are stopwords (repeats counted)."""
+    return F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+
+
+def quality_punct_count(col: Column | str) -> Column:
+    """Count of non-alphanumeric, non-space characters (punctuation-ish)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(r"[^A-Za-z0-9\s]"))
+
+
+def doc_fingerprint(toks: Column) -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token list — collapses word-order and duplication noise, the classic
+    'fingerprint' key for near-canonical dedup."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " "))
+
+
+def word_shingles(toks: Column, n: int = 3) -> Column:
+    """Distinct ``n``-word shingles as ``array<string>`` (space-joined).
+
+    Empty array when the document has fewer than ``n`` tokens — the
+    guard matters because ``sequence(1, k)`` with k < 1 would produce a
+    *descending* sequence in Spark.
+    """
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    mk = lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)])  # noqa: E731
+    return F.when(F.size(toks) >= n, F.array_distinct(F.transform(idx, mk))).otherwise(
+        F.array().cast("array<string>")
+    )

@@ -1,0 +1,39 @@
+"""Vector-column expressions for similarity search.
+
+Embeddings are ``array<float>`` columns. The hot path (dot products,
+norms) is expressed with posexplode + grouped decimal-exact sums rather
+than a Python UDF: it stays in codegen, parallelizes per-row-group, and —
+because float addition is not associative — the decimal accumulation makes
+results independent of partitioning, which both the DuckDB oracle and any
+re-run at different parallelism require.
+
+For dense brute-force at larger scale, a Pandas-UDF BLAS path would be
+faster per-core; see ``similarity/ann.py`` for where that trade-off is
+taken and why the LSH route is the real 100 TB answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Decimal type wide enough for sums of |v|<~1e3 products at 12 dp.
+_ACC = "decimal(38,12)"
+
+
+def explode_vector(df: DataFrame, id_col: str, vec_col: str = "embedding") -> DataFrame:
+    """(id, pos, v:double) long-form view of a vector column."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("pos", "v"),
+    ).withColumn("v", F.col("v").cast("double"))
+
+
+def cosine_components(dot: Column, norm_a: Column, norm_b: Column) -> Column:
+    """cosine from decimal-exact components, computed in double."""
+    return dot / (F.sqrt(norm_a) * F.sqrt(norm_b))
+
+
+def acc_sum(prod: Column) -> Column:
+    """Order-independent sum of a product column (see module docstring)."""
+    return F.sum(prod.cast(_ACC)).cast("double")

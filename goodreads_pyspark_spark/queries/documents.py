@@ -1,1 +1,275 @@
-"""Text-analysis & dedup queries over ``documents`` (filled in next)."""
+"""Text-analysis & dedup queries over ``documents`` — the LLM-data-pipeline
+operator surface (BASELINE.json north star), each with a DuckDB oracle.
+
+Tokenization must be mirrored exactly between engines; the canonical
+definition lives in ``functions/text.py`` (Spark) and ``_TOKS`` below
+(DuckDB). Both are: lowercase, split on non-alphanumeric runs, drop
+empties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.dedup import (
+    dup_group_stats,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    simhash_signatures,
+)
+from goodreads_pyspark_spark.functions.text import (
+    EN_STOPWORDS,
+    doc_fingerprint,
+    quality_punct_count,
+    stopword_count,
+    tokens,
+)
+from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries._helpers import tbl
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+# Shared oracle CTEs: tokens and distinct 3-word shingles.
+_SHINGLE_CTES = f"""
+    tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i
+            FROM tk WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+           FROM idx)
+"""
+
+
+# --- token counting ---------------------------------------------------------
+@query(
+    "d01_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct({_TOKS})) AS INTEGER) AS n_uniq_tokens,
+           CAST(length(text) AS INTEGER) AS n_chars_calc,
+           lang, source
+    FROM documents
+    """,
+    doc="Whitespace/alnum token counting per document — all inside codegen.",
+)
+def d01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    t = tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_uniq_tokens"),
+        F.length("text").cast("int").alias("n_chars_calc"),
+        "lang",
+        "source",
+    )
+
+
+# --- exact dedup audit ------------------------------------------------------
+@query(
+    "d02_exact_dup_groups",
+    oracle="""
+    SELECT md5(lower(trim(text))) AS content_hash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup by content hash: group sizes + survivor id "
+    "(dedup/exact.py). Only ids shuffle, never document bytes.",
+)
+def d02_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return dup_group_stats(docs)
+
+
+# --- fingerprint dedup ------------------------------------------------------
+@query(
+    "d03_fingerprints",
+    oracle=f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+             AS fingerprint
+    FROM documents
+    """,
+    doc="Order-insensitive content fingerprint (sorted distinct tokens → "
+    "md5): catches shuffled/duplicated-word near-copies exactly.",
+)
+def d03_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(tokens("text")).alias("fingerprint"))
+
+
+# --- language-ID heuristic --------------------------------------------------
+@query(
+    "d04_lang_heuristic",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN {EN_STOPWORDS!r})) AS INTEGER)
+             AS n_stopwords,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CASE WHEN len(toks) > 0
+                 AND len(list_filter(toks, x -> x IN {EN_STOPWORDS!r})) * 20
+                     >= len(toks)
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM t
+    """,
+    doc="N-gram/stopword-ratio language ID: share of English function words "
+    "≥5% → 'en' (integer form n_stop*20 >= n_tokens: exact at the "
+    "boundary, no float/decimal division divergence).",
+)
+def d04_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    t = tokens("text")
+    d = docs.select(
+        "doc_id",
+        stopword_count(t).alias("n_stopwords"),
+        F.size(t).alias("n_tokens"),
+    )
+    return d.withColumn(
+        "pred_lang",
+        F.when(
+            (F.col("n_tokens") > 0)
+            & (F.col("n_stopwords") * 20 >= F.col("n_tokens")),
+            "en",
+        ).otherwise("other"),
+    )
+
+
+# --- quality scoring --------------------------------------------------------
+@query(
+    "d05_quality_scores",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, text, {_TOKS} AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+      FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS n_chars,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(n_punct AS INTEGER) AS n_punct,
+           CAST(n_punct AS DOUBLE) / length(text) AS punct_ratio,
+           CAST(len(list_distinct(toks)) AS DOUBLE)
+             / greatest(len(toks), 1) AS uniq_ratio,
+           CASE WHEN len(toks) >= 20
+                 AND CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / greatest(len(toks), 1) >= 0.3
+                THEN 'keep' ELSE 'flag' END AS quality
+    FROM t
+    """,
+    doc="Document quality features (length, punctuation ratio, lexical "
+    "diversity) + keep/flag gate — the pre-training filter archetype.",
+)
+def d05_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    t = tokens("text")
+    d = docs.select(
+        "doc_id",
+        F.length("text").cast("int").alias("n_chars"),
+        F.size(t).alias("n_tokens"),
+        quality_punct_count("text").cast("int").alias("n_punct"),
+        F.size(F.array_distinct(t)).alias("n_uniq"),
+    )
+    uniq_ratio = F.col("n_uniq").cast("double") / F.greatest(F.col("n_tokens"), F.lit(1))
+    return d.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_punct",
+        (F.col("n_punct").cast("double") / F.col("n_chars")).alias("punct_ratio"),
+        uniq_ratio.alias("uniq_ratio"),
+        F.when((F.col("n_tokens") >= 20) & (uniq_ratio >= 0.3), "keep")
+        .otherwise("flag")
+        .alias("quality"),
+    )
+
+
+# --- n-gram Jaccard near-dup pairs ------------------------------------------
+@query(
+    "d06_jaccard_neardup_pairs",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
+    """,
+    doc="Exact 3-gram Jaccard ≥0.5 via inverted-index self-join "
+    "(dedup/ngram.py); only shingle-sharing pairs materialize.",
+)
+def d06_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, threshold=0.5)
+
+
+# --- MinHash LSH candidates -------------------------------------------------
+def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    r = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * r + k}' for k in range(r))}) AS key FROM mh"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    mh AS (SELECT doc_id,
+           {mins}
+           FROM sh GROUP BY doc_id),
+    bands AS (
+{band_rows})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b USING (band, key)
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+@query(
+    "d07_minhash_lsh_candidates",
+    oracle=_minhash_oracle(),
+    doc="MinHash(8)+LSH(4 bands) candidate pairs (dedup/minhash.py): only "
+    "(doc_id, band, key) rows shuffle; candidates ∝ true near-dups.",
+)
+def d07_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+
+
+# --- SimHash signatures -----------------------------------------------------
+def _simhash_oracle(bits: int = 16) -> str:
+    votes = ",\n           ".join(
+        f"SUM(CASE WHEN ascii(substr(md5(tok), {j + 1}, 1)) % 2 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(bits)
+    )
+    sig = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM tk),
+    v AS (SELECT doc_id,
+           {votes}
+           FROM ex GROUP BY doc_id)
+    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+    """
+
+
+@query(
+    "d08_simhash_signatures",
+    oracle=_simhash_oracle(),
+    doc="16-bit SimHash per doc (dedup/simhash.py): near-dups differ in "
+    "few bits; compare with bit_count(xor).",
+)
+def d08_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return simhash_signatures(docs, bits=16)

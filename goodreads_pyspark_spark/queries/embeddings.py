@@ -1,1 +1,157 @@
-"""Similarity-search queries over ``embeddings`` (filled in next)."""
+"""Similarity-search queries over ``embeddings`` (array<float>, 64-dim).
+
+Cosine math is mirrored between engines via long-form (position, value)
+joins and decimal-exact component sums — see ``similarity/ann.py``. The
+oracle's ``generate_subscripts`` is 1-based while Spark's ``posexplode``
+is 0-based; position is only a join key except in the LSH plane hash,
+where the oracle subtracts 1 to match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries._helpers import tbl
+from goodreads_pyspark_spark.similarity import (
+    brute_force_knn,
+    cosine_neardup_pairs,
+    sign_lsh_buckets,
+)
+
+_LONG = """
+    e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings)
+"""
+
+_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+
+
+# --- exact brute-force k-NN -------------------------------------------------
+@query(
+    "e01_knn_vec0",
+    oracle=f"""
+    WITH {_LONG},
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    comps AS (
+      SELECT vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos) WHERE vec_id <> 0
+      GROUP BY vec_id)
+    SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(q2)), 9) AS cosine
+    FROM comps ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    doc="Exact cosine top-10 of vec 0 — the ANN correctness baseline "
+    "(similarity/ann.py brute_force_knn).",
+)
+def e01_knn_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return brute_force_knn(emb, query_id=0, k=10)
+
+
+# --- exact near-dup pairs ---------------------------------------------------
+@query(
+    "e02_cosine_neardup_pairs",
+    oracle=f"""
+    WITH {_LONG},
+    norms AS (SELECT vec_id, {_DSUM.format(expr='v * v')} AS n2
+              FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DSUM.format(expr='a.v * b.v')} AS dot
+      FROM e a JOIN e b USING (pos) WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b,
+           ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 9) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 9) >= 0.4
+    """,
+    doc="All-pairs cosine ≥0.4 (embedding near-dup). Exact form; at scale "
+    "this runs within LSH buckets only.",
+)
+def e02_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return cosine_neardup_pairs(emb, threshold=0.4)
+
+
+# --- sign-LSH bucketing (the ANN scale path) --------------------------------
+def _bucket_cte(planes: int = 8) -> str:
+    votes = ",\n           ".join(
+        f"{_DSUM.format(expr=f_case)} AS s{p}"
+        for p, f_case in (
+            (
+                p,
+                f"CASE WHEN ascii(substr(md5('p{p}_' || CAST(pos - 1 AS VARCHAR)), 1, 1)) % 2 = 1 "
+                f"THEN v ELSE -v END",
+            )
+            for p in range(planes)
+        )
+    )
+    bucket = " + ".join(f"CASE WHEN s{p} > 0 THEN {1 << p} ELSE 0 END" for p in range(planes))
+    return f"""
+    v AS (SELECT vec_id,
+           {votes}
+           FROM e GROUP BY vec_id),
+    buckets AS (SELECT vec_id, CAST({bucket} AS INTEGER) AS bucket FROM v)
+    """
+
+
+@query(
+    "e03_lsh_buckets",
+    oracle=f"""
+    WITH {_LONG},
+    {_bucket_cte()}
+    SELECT vec_id, bucket FROM buckets
+    """,
+    doc="8-plane sign-LSH bucket per vector (similarity/ann.py): the "
+    "shuffle-light candidate generator for ANN at scale.",
+)
+def e03_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = tbl(spark, sf_dir, "embeddings")
+    return sign_lsh_buckets(emb, planes=8)
+
+
+# --- ANN: exact rerank within the query's bucket ----------------------------
+@query(
+    "e04_ann_topk_vec0",
+    oracle=f"""
+    WITH {_LONG},
+    {_bucket_cte()},
+    cand AS (
+      SELECT e.vec_id, pos, v FROM e
+      JOIN buckets USING (vec_id)
+      WHERE bucket = (SELECT bucket FROM buckets WHERE vec_id = 0)
+        AND vec_id <> 0),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    comps AS (
+      SELECT vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM cand JOIN q USING (pos)
+      GROUP BY vec_id)
+    SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(q2)), 9) AS cosine
+    FROM comps ORDER BY cosine DESC, vec_id LIMIT 5
+    """,
+    doc="ANN query: LSH bucket as candidate set, exact cosine rerank, "
+    "top-5. Recall vs e01 is the bucketing quality measure.",
+)
+def e04_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    buckets = sign_lsh_buckets(emb, planes=8)
+    qb = buckets.filter(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
+    cand = (
+        emb.join(buckets, "vec_id")
+        .join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+    )
+    with_query = cand.unionByName(emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding"))
+    return brute_force_knn(with_query, query_id=0, k=5)

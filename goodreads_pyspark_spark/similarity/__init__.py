@@ -1,0 +1,5 @@
+from goodreads_pyspark_spark.similarity.ann import (  # noqa: F401
+    brute_force_knn,
+    cosine_neardup_pairs,
+    sign_lsh_buckets,
+)

@@ -1,0 +1,143 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, in increasing scale-readiness:
+
+1. ``brute_force_knn`` — exact cosine top-k against one query vector.
+   Long-form (posexplode) formulation: the 1-row query side is broadcast,
+   dot/norm components are decimal-exact grouped sums, and the final
+   top-k is a ``TakeOrderedAndProject``. Exact answer; O(N·d) work —
+   the correctness baseline every ANN variant is judged against.
+
+2. ``cosine_neardup_pairs`` — exact all-pairs cosine ≥ threshold. O(N²·d);
+   fine for a partition-sized block, not for a corpus. At 100 TB this is
+   what you run WITHIN an LSH bucket, never globally.
+
+3. ``sign_lsh_buckets`` — random-hyperplane (sign) LSH bucketing
+   (Charikar SimHash family for cosine — public technique). Hyperplane
+   signs are derived from md5(plane, dim): deterministic, no RNG state,
+   reproducible across engines and runs. Candidates = same bucket;
+   probing multiple band tables raises recall. The bucket id computation
+   is one explode + grouped decimal sums — shuffle carries (id, bucket)
+   only. For production dims (≥768), precompute the ±1 plane matrix and
+   broadcast it into a Pandas-UDF matmul instead of per-element md5 —
+   same semantics, BLAS throughput.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.functions.vectors import explode_vector
+
+_ACC = "decimal(38,12)"
+
+
+def _long_form(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return explode_vector(df, id_col, vec_col)
+
+
+def brute_force_knn(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 9,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of ``query_id``'s vector.
+
+    Returns (vec_id, cosine) with cosine rounded to ``round_to`` digits —
+    the rounding defines a deterministic total order for the cut.
+    """
+    e = _long_form(df, id_col, vec_col)
+    q = (
+        e.filter(F.col(id_col) == query_id)
+        .select(F.col("pos"), F.col("v").alias("qv"))
+    )
+    joined = e.filter(F.col(id_col) != query_id).join(F.broadcast(q), "pos")
+    comps = joined.groupBy(id_col).agg(
+        F.sum((F.col("v") * F.col("qv")).cast(_ACC)).cast("double").alias("dot"),
+        F.sum((F.col("v") * F.col("v")).cast(_ACC)).cast("double").alias("n2"),
+        F.sum((F.col("qv") * F.col("qv")).cast(_ACC)).cast("double").alias("q2"),
+    )
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("q2"))), round_to
+    )
+    return (
+        comps.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 9,
+) -> DataFrame:
+    """Exact (id_a < id_b, cosine) pairs with cosine ≥ threshold."""
+    e = _long_form(df, id_col, vec_col)
+    norms = e.groupBy(id_col).agg(
+        F.sum((F.col("v") * F.col("v")).cast(_ACC)).cast("double").alias("n2")
+    )
+    a = e.select(F.col(id_col).alias("id_a"), "pos", F.col("v").alias("va"))
+    b = e.select(F.col(id_col).alias("id_b"), "pos", F.col("v").alias("vb"))
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum((F.col("va") * F.col("vb")).cast(_ACC)).cast("double").alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb"))
+    cos = F.round(F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), round_to)
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def sign_lsh_buckets(
+    df: DataFrame,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, bucket) — ``planes``-bit sign-LSH bucket per vector.
+
+    Plane p's sign for dimension d is the parity of the first hex digit
+    of md5('p{p}_{d}') — a fixed ±1 hyperplane, identical in any engine.
+    """
+    e = _long_form(df, id_col, vec_col)
+    signed = [
+        F.sum(
+            F.when(
+                F.ascii(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"p{p}_"), F.col("pos").cast("string"))),
+                        1,
+                        1,
+                    )
+                )
+                % 2
+                == 1,
+                F.col("v"),
+            )
+            .otherwise(-F.col("v"))
+            .cast(_ACC)
+        )
+        .cast("double")
+        .alias(f"s{p}")
+        for p in range(planes)
+    ]
+    agg = e.groupBy(id_col).agg(*signed)
+    bucket = None
+    for p in range(planes):
+        term = F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    return agg.select(F.col(id_col), bucket.cast("int").alias("bucket"))
