@@ -24,11 +24,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.functions.text import tokens, word_shingles
+from goodreads_pyspark_spark.operators.partitioning import fan_out
 
 
 def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
     sh = word_shingles(tokens(text_col), shingle_n)
-    return df.select(F.col(id_col), F.explode(sh).alias("sh"))
+    return fan_out(df).select(F.col(id_col), F.explode(sh).alias("sh"))
 
 
 def minhash_signatures(

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.functions.text import tokens, word_shingles
+from goodreads_pyspark_spark.operators.partitioning import fan_out
 
 
 def jaccard_pairs(
@@ -25,13 +26,16 @@ def jaccard_pairs(
     max_df: int | None = None,
 ) -> DataFrame:
     """(doc_a < doc_b, jaccard) for pairs with Jaccard ≥ ``threshold``."""
-    sh = df.select(
+    sh = fan_out(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
     )
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(dfreq.filter(F.col("__df") <= max_df).drop("__df"), "sh")
+    # The shingle table feeds three consumers (sizes, both join sides);
+    # without caching the tokenize+shingle explode runs three times.
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.functions.text import tokens
+from goodreads_pyspark_spark.operators.partitioning import fan_out
 
 
 def simhash_signatures(
@@ -27,7 +28,7 @@ def simhash_signatures(
 ) -> DataFrame:
     """One row per doc: ``simhash`` (bigint, ``bits`` wide)."""
     assert bits <= 32, "md5 hex digits drive the votes; 32 max"
-    ex = df.select(
+    ex = fan_out(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
     ).withColumn("h", F.md5("tok"))
     votes = [

@@ -1,0 +1,27 @@
+"""Partitioning utilities.
+
+``fan_out`` widens under-partitioned inputs before compute-heavy stages
+(explodes, pair joins, per-element hashing). On a real cluster a 100 TB
+scan arrives as tens of thousands of splits and this is a no-op; locally a
+single small parquet file arrives as ONE split, and without the widening
+an explode-heavy stage runs on one core. The guard (only repartition when
+below the session's shuffle parallelism) keeps it from ever *adding* a
+shuffle at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition up to the session's shuffle parallelism, only if needed."""
+    spark = df.sparkSession
+    if target is None:
+        try:
+            target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:  # noqa: BLE001 — e.g. "auto" under some AQE configs
+            target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df

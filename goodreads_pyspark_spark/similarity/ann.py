@@ -25,16 +25,17 @@ Three tiers, in increasing scale-readiness:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.functions.vectors import explode_vector
+from goodreads_pyspark_spark.operators.partitioning import fan_out
 
 _ACC = "decimal(38,12)"
 
 
 def _long_form(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
-    return explode_vector(df, id_col, vec_col)
+    return explode_vector(fan_out(df), id_col, vec_col)
 
 
 def brute_force_knn(
@@ -71,6 +72,52 @@ def brute_force_knn(
     )
 
 
+def _dot_decimal(a: Column, b: Column) -> Column:
+    """Decimal-exact dot product of two array<double> columns, as DOUBLE.
+
+    ``zip_with`` + ``aggregate`` fold entirely inside whole-stage codegen —
+    no explode, no shuffle. Decimal accumulation keeps the result equal to
+    any other summation order (the long-form/grouped formulation included),
+    so physical strategy and logical answer stay decoupled.
+    """
+    # decimal(18,12): long-backed in Spark (precision<=18 avoids BigDecimal
+    # object math), wide enough for |sum|<1e6 here, and the re-cast in the
+    # merge lambda is scale-preserving so no step ever rounds.
+    acc_t = "decimal(18,12)"
+    prods = F.zip_with(a, b, lambda x, y: (x * y).cast(acc_t))
+    return F.aggregate(
+        prods, F.lit(0).cast(acc_t), lambda acc, x: (acc + x).cast(acc_t)
+    ).cast("double")
+
+
+def _dot_double(a: Column, b: Column) -> Column:
+    """Plain double dot product — fast screen for the two-phase exact path."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _dot_double_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product as a flat ``dim``-term expression.
+
+    Higher-order functions (zip_with/aggregate) materialize an intermediate
+    array per invocation and stay outside whole-stage codegen — on an
+    O(N²) pair stream that allocation dominates. An unrolled
+    element_at-product chain is pure codegen: no allocation, just fused
+    multiply-adds. Only viable when ``dim`` is known and modest (≤ a few
+    hundred terms); the screen path qualifies.
+    """
+    terms = [
+        F.element_at(a, i + 1) * F.element_at(b, i + 1) for i in range(dim)
+    ]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float,
@@ -78,26 +125,54 @@ def cosine_neardup_pairs(
     vec_col: str = "embedding",
     round_to: int = 9,
 ) -> DataFrame:
-    """Exact (id_a < id_b, cosine) pairs with cosine ≥ threshold."""
-    e = _long_form(df, id_col, vec_col)
-    norms = e.groupBy(id_col).agg(
-        F.sum((F.col("v") * F.col("v")).cast(_ACC)).cast("double").alias("n2")
+    """Exact (id_a < id_b, cosine) pairs with cosine ≥ threshold.
+
+    Physical shape: pair the *vectors* (compact arrays), not exploded
+    elements — an O(N²) pair stream where each pair's dot product is a
+    64-wide codegen fold. ~65× less shuffled data than the long-form
+    join. Still quadratic: at corpus scale run this per LSH bucket
+    (``sign_lsh_buckets``), never globally.
+    """
+    dbl = fan_out(df).select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vec"),
+    ).cache()
+    norms = dbl.select(
+        F.col(id_col), _dot_decimal(F.col("vec"), F.col("vec")).alias("n2")
     )
-    a = e.select(F.col(id_col).alias("id_a"), "pos", F.col("v").alias("va"))
-    b = e.select(F.col(id_col).alias("id_b"), "pos", F.col("v").alias("vb"))
-    dots = (
-        a.join(b, "pos")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.sum((F.col("va") * F.col("vb")).cast(_ACC)).cast("double").alias("dot"))
+    a = dbl.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"))
+    b = dbl.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    # Two-phase exactness: a plain double fold scores all O(N²) pairs at
+    # codegen speed; only pairs within 1e-6 of the threshold (double-fold
+    # error here is ≤ ~4e-12) are rescored decimal-exactly, so the output
+    # is bit-identical to the all-decimal formulation at ~2 decimal ops
+    # per *surviving* pair instead of per pair.
+    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+    fast = pairs.select(
+        "id_a",
+        "id_b",
+        "va",
+        "vb",
+        _dot_double_unrolled(F.col("va"), F.col("vb"), dim).alias("fdot"),
     )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb"))
-    cos = F.round(F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), round_to)
+    cand = (
+        fast.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .filter(
+            F.col("fdot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+            >= threshold - 1e-6
+        )
+    )
+    cos = F.round(
+        _dot_decimal(F.col("va"), F.col("vb"))
+        / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
+        round_to,
+    )
     return (
-        dots.join(na, "id_a")
-        .join(nb, "id_b")
-        .select("id_a", "id_b", cos.alias("cosine"))
+        cand.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
 
