@@ -1,0 +1,101 @@
+"""Property graph as two DataFrames — the engine's GraphFrames-free graph
+layer (SURVEY.md §2.12 G1-G5).
+
+The reference's non-iterative graph ops are all 1-2 line DataFrame
+compositions (the notebook itself demonstrates degrees ≡ groupBy().count(),
+goodreads.py:547/552) — so the "graph" here is just a named pair of
+DataFrames plus those compositions, keeping Catalyst in charge. Iterative
+algorithms (BFS/PageRank/label propagation) live in ``graph/pregel.py``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.operators.relational import semi_join
+from goodreads_pyspark_spark.pipelines.goodreads import GoodreadsTables
+
+
+@dataclass
+class PropertyGraph:
+    """vertices(id, ...) + edges(src, dst, ...)."""
+
+    vertices: DataFrame
+    edges: DataFrame
+
+    # -- degrees (G2; reference: goodreads.py:552,563) -----------------------
+    def out_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("src").alias("id")).agg(
+            F.count(F.lit(1)).alias("outDegree")
+        )
+
+    def in_degrees(self) -> DataFrame:
+        return self.edges.groupBy(F.col("dst").alias("id")).agg(
+            F.count(F.lit(1)).alias("inDegree")
+        )
+
+    def degrees(self) -> DataFrame:
+        both = self.edges.select(F.col("src").alias("id")).unionAll(
+            self.edges.select(F.col("dst").alias("id"))
+        )
+        return both.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+    # -- subgraphs (G3/G4; reference: goodreads.py:569,541,575) --------------
+    def filter_vertices(self, cond: Column) -> "PropertyGraph":
+        """Keep vertices matching ``cond`` and edges whose BOTH endpoints
+        survive (GraphFrames filterVertices semantics). Edge filtering is
+        two semi-joins against the (typically much smaller) vertex set."""
+        v = self.vertices.filter(cond)
+        ids = v.select("id")
+        e = semi_join(self.edges, ids.withColumnRenamed("id", "src"), "src")
+        e = semi_join(e, ids.withColumnRenamed("id", "dst"), "dst")
+        return PropertyGraph(v, e)
+
+    def filter_edges(self, cond: Column) -> "PropertyGraph":
+        """Keep all vertices, restrict edges (GraphFrames filterEdges)."""
+        return PropertyGraph(self.vertices, self.edges.filter(cond))
+
+    # -- motif: k sources sharing a destination (G5) -------------------------
+    def common_dst_motif(self, k: int = 3) -> DataFrame:
+        """All ordered k-tuples of edges sharing a destination — the native
+        form of ``find("(u1)-[r1]->(b); ...; (uk)-[rk]->(b)")``
+        (reference: goodreads.py:582). Like GraphFrames, tuples may repeat
+        a vertex; the notebook's follow-up ``r1 == r2`` filter (keeping
+        *identical* edges, ipynb cell 77) is reproducible by equating the
+        u columns."""
+        out = self.edges.select(F.col("src").alias("u1"), F.col("dst").alias("b"))
+        for i in range(2, k + 1):
+            ei = self.edges.select(
+                F.col("src").alias(f"u{i}"), F.col("dst").alias("b")
+            )
+            out = out.join(ei, "b")
+        return out.select(*[f"u{i}" for i in range(1, k + 1)], "b")
+
+
+def build_ratings_graph(tables: GoodreadsTables) -> PropertyGraph:
+    """users ∪ books vertices + rating edges (reference: goodreads.py:473-489).
+
+    The reference pads each side with 13 chained ``withColumn(lit(None))``
+    calls; here one ``unionByName(allowMissingColumns=True)`` does the
+    null-padding in a single projection (SURVEY.md §4 fix).
+    """
+    users_v = (
+        tables.users.withColumnRenamed("user_id", "id")
+        .withColumn("type", F.lit("User"))
+        .distinct()
+    )
+    books_v = (
+        tables.books.withColumnRenamed("book_id", "id")
+        .withColumn("type", F.lit("Book"))
+        .distinct()
+    )
+    vertices = users_v.unionByName(books_v, allowMissingColumns=True)
+    edges = tables.ratings_small.select(
+        F.col("user_id").alias("src"),
+        F.col("book_id").alias("dst"),
+        "rating",
+    )
+    return PropertyGraph(vertices, edges)

@@ -1,0 +1,199 @@
+"""Iterative graph algorithms as DataFrame Pregel loops (SURVEY.md §2.12
+G6-G8) — PageRank, label propagation, BFS without the GraphFrames jar.
+
+Each superstep is one join (messages along edges) + one aggregation
+(combine at the destination) — the exact shuffle pattern GraphX's Pregel
+produces, expressed declaratively. Scale guards built in:
+
+* vertex state is only (id, value): shuffles carry no payload columns;
+* state is cached per superstep and the previous iteration unpersisted —
+  without this the lineage doubles per iteration and stage planning
+  blows up long before data size matters;
+* ``checkpoint_every`` truncates lineage via localCheckpoint for long
+  runs (tol-driven PageRank on adversarial graphs).
+
+Algorithm bases are the public formulations: PageRank (Page et al.;
+GraphX's resetProb form), LPA (Raghavan et al.), BFS frontier expansion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.graph.frames import PropertyGraph
+
+
+def _out_degrees(edges: DataFrame) -> DataFrame:
+    return edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+
+
+def pagerank(
+    graph: PropertyGraph,
+    reset_probability: float = 0.15,
+    tol: float = 0.01,
+    max_iter: int = 40,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """GraphX-style PageRank: PR(v) = ρ + (1−ρ)·Σ PR(u)/outdeg(u).
+
+    Matches GraphFrames ``pageRank(resetProbability, tol)`` semantics
+    (reference: goodreads.py:618): un-normalized scores (sinks keep ρ, no
+    dangling-mass redistribution), iterated until the largest per-vertex
+    delta falls below ``tol``. ``tol <= 0`` switches to fixed-iteration
+    mode (GraphFrames ``maxIter`` form) which runs fully lazily — no
+    per-round driver action. Returns vertices + ``pagerank``.
+    """
+    spark = graph.edges.sparkSession
+    edges = graph.edges.select("src", "dst").cache()
+    deg = _out_degrees(edges).cache()
+    ranks = graph.vertices.select("id").withColumn("pr", F.lit(1.0)).cache()
+
+    for i in range(max_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("msg"))
+        )
+        new_ranks = (
+            ranks.select("id")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(reset_probability)
+                    + F.lit(1 - reset_probability) * F.coalesce("msg", F.lit(0.0))
+                ).alias("pr"),
+            )
+        )
+        if tol <= 0:
+            # Fixed-iteration mode: no per-round action at all — the loop
+            # stays lazy, with eager checkpoints truncating lineage. One
+            # driver round-trip per checkpoint instead of two per round.
+            if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
+                new_ranks = new_ranks.localCheckpoint(eager=True)
+            ranks = new_ranks
+            continue
+        if (i + 1) % checkpoint_every == 0:
+            new_ranks = new_ranks.localCheckpoint(eager=False)
+        new_ranks = new_ranks.cache()
+        delta = (
+            new_ranks.join(ranks.withColumnRenamed("pr", "prev"), "id")
+            .select(F.max(F.abs(F.col("pr") - F.col("prev"))).alias("d"))
+            .first()["d"]
+        )
+        ranks.unpersist()
+        ranks = new_ranks
+        if delta is not None and delta < tol:
+            break
+
+    out = graph.vertices.join(ranks.withColumnRenamed("pr", "pagerank"), "id", "left")
+    edges.unpersist()
+    deg.unpersist()
+    return out
+
+
+def label_propagation(
+    graph: PropertyGraph, max_iter: int = 4, checkpoint_every: int = 8
+) -> DataFrame:
+    """Community detection by label propagation (GraphFrames
+    ``labelPropagation``, reference: goodreads.py:594). Synchronous LPA
+    over the undirected view: each vertex adopts the most frequent
+    neighbor label; ties break to the smallest label (GraphX breaks ties
+    by map iteration order — we pin a deterministic rule instead).
+    Returns vertices + ``label``.
+    """
+    both = graph.edges.select("src", "dst").unionAll(
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    both = both.cache()
+    labels = graph.vertices.select("id").withColumn("label", F.col("id")).cache()
+
+    for i in range(max_iter):
+        neighbor_labels = (
+            both.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"), "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        w = F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("label").asc())
+        )
+        best = (
+            neighbor_labels.withColumn("rn", w).filter(F.col("rn") == 1).select("id", "label")
+        )
+        new_labels = (
+            labels.select("id")
+            .join(best, "id", "left")
+            .select("id", F.coalesce("label", "id").alias("label"))
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=False)
+        new_labels = new_labels.cache()
+        new_labels.count()  # materialize before dropping the parent
+        labels.unpersist()
+        labels = new_labels
+
+    out = graph.vertices.join(labels, "id", "left")
+    both.unpersist()
+    return out
+
+
+def bfs(
+    graph: PropertyGraph,
+    from_expr: str,
+    to_expr: str,
+    max_path_length: int = 10,
+) -> DataFrame:
+    """Shortest paths from vertices matching ``from_expr`` to vertices
+    matching ``to_expr`` (GraphFrames ``bfs``; reference: goodreads.py:588).
+
+    Frontier expansion: each round joins the frontier against edges and
+    prunes already-visited vertices per start. Returns
+    (start, end, length, path array<id>) for the first (shortest) level at
+    which any target is reached — all equal-length paths are returned.
+    """
+    starts = graph.vertices.filter(from_expr).select(
+        F.col("id").alias("start"),
+        F.col("id").alias("frontier"),
+        F.array(F.col("id")).alias("path"),
+    )
+    targets = graph.vertices.filter(to_expr).select(F.col("id").alias("frontier"))
+
+    # Level 0: a start may itself satisfy the target predicate.
+    hits = starts.join(targets, "frontier").select(
+        "start", F.col("frontier").alias("end"), F.lit(0).alias("length"), "path"
+    )
+    if hits.take(1):
+        return hits
+
+    frontier = starts.cache()
+    for depth in range(1, max_path_length + 1):
+        frontier = (
+            frontier.join(
+                graph.edges.select(
+                    F.col("src").alias("frontier"), F.col("dst").alias("next")
+                ),
+                "frontier",
+            )
+            .filter(~F.array_contains(F.col("path"), F.col("next")))
+            .select(
+                "start",
+                F.col("next").alias("frontier"),
+                F.concat("path", F.array("next")).alias("path"),
+            )
+            .cache()
+        )
+        hits = frontier.join(targets, "frontier").select(
+            "start",
+            F.col("frontier").alias("end"),
+            F.lit(depth).alias("length"),
+            "path",
+        )
+        if hits.take(1):
+            return hits
+        if not frontier.take(1):
+            break
+    return hits.limit(0)

@@ -1,0 +1,16 @@
+from goodreads_pyspark_spark.ml.recommend import (  # noqa: F401
+    als_grid_cv,
+    explode_recommendations,
+    fit_als,
+    rmse,
+    train_test_split,
+)
+from goodreads_pyspark_spark.ml.features import (  # noqa: F401
+    book_feature_pipeline,
+    description_topics_lda,
+    description_vector_pipeline,
+    kmeans_cluster,
+    lsh_nearest_books,
+    power_iteration_clusters,
+    silhouette,
+)

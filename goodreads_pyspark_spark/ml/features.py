@@ -1,0 +1,152 @@
+"""Content-based feature/clustering pipelines (SURVEY.md §2.11 M5-M18;
+reference: goodreads.py:296-459,594-665).
+
+All stages are pyspark.ml estimators composed with ``Pipeline`` — seeded
+wherever the reference left seeds implicit. Each builder mirrors one
+notebook section:
+
+  * ``description_vector_pipeline`` — Tokenizer → StopWordsRemover →
+    HashingTF(20) → IDF → PCA(5)           (goodreads.py:315-335)
+  * ``kmeans_cluster`` + ``silhouette``    (goodreads.py:346-353, k=20 seed=1)
+  * ``description_topics_lda`` — CountVectorizer → LDA(k=20)
+                                           (goodreads.py:388-400)
+  * ``book_feature_pipeline`` — StringIndexer(genre, author) +
+    VectorAssembler                        (goodreads.py:423-429)
+  * ``lsh_nearest_books`` — BucketedRandomProjectionLSH approx-NN
+                                           (goodreads.py:370-381,450-459)
+  * ``power_iteration_clusters``           (goodreads.py:632-635)
+"""
+
+from __future__ import annotations
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.clustering import LDA, KMeans, PowerIterationClustering
+from pyspark.ml.evaluation import ClusteringEvaluator
+from pyspark.ml.feature import (
+    IDF,
+    PCA,
+    BucketedRandomProjectionLSH,
+    CountVectorizer,
+    HashingTF,
+    StopWordsRemover,
+    StringIndexer,
+    Tokenizer,
+    VectorAssembler,
+)
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def description_vector_pipeline(
+    num_features: int = 20, pca_k: int = 5, text_col: str = "description"
+) -> Pipeline:
+    """TF-IDF + PCA document vectors (reference: goodreads.py:315-335)."""
+    return Pipeline(
+        stages=[
+            Tokenizer(inputCol=text_col, outputCol="words"),
+            StopWordsRemover(inputCol="words", outputCol="filtered"),
+            HashingTF(inputCol="filtered", outputCol="rawFeatures", numFeatures=num_features),
+            IDF(inputCol="rawFeatures", outputCol="tfidf"),
+            PCA(k=pca_k, inputCol="tfidf", outputCol="features"),
+        ]
+    )
+
+
+def kmeans_cluster(
+    data: DataFrame, k: int = 20, seed: int = 1, features_col: str = "features"
+) -> DataFrame:
+    """KMeans(k, seed) → data + ``prediction`` (goodreads.py:346-349)."""
+    km = KMeans(k=k, seed=seed, featuresCol=features_col)
+    return km.fit(data).transform(data)
+
+
+def silhouette(data: DataFrame, prediction_col: str = "prediction") -> float:
+    """Squared-euclidean silhouette (goodreads.py:351-353)."""
+    ev = ClusteringEvaluator(predictionCol=prediction_col)
+    return ev.evaluate(data)
+
+
+def description_topics_lda(
+    docs: DataFrame,
+    k: int = 20,
+    max_iter: int = 10,
+    seed: int = 1,
+    words_col: str = "filtered",
+) -> tuple[DataFrame, DataFrame]:
+    """CountVectorizer → LDA topics (reference: goodreads.py:388-400).
+    Returns (docs + topicDistribution, describeTopics(3))."""
+    cv = CountVectorizer(inputCol=words_col, outputCol="cv_features")
+    cv_model = cv.fit(docs)
+    vectorized = cv_model.transform(docs)
+    lda = LDA(k=k, maxIter=max_iter, seed=seed, featuresCol="cv_features")
+    model = lda.fit(vectorized)
+    return model.transform(vectorized), model.describeTopics(3)
+
+
+def book_feature_pipeline() -> Pipeline:
+    """Genre/author/year/rating feature vector (goodreads.py:423-429).
+    handleInvalid='skip' mirrors the reference's StringIndexer config."""
+    return Pipeline(
+        stages=[
+            StringIndexer(
+                inputCol="genre", outputCol="genre_idx", handleInvalid="skip"
+            ),
+            StringIndexer(
+                inputCol="first_author", outputCol="author_idx", handleInvalid="skip"
+            ),
+            VectorAssembler(
+                inputCols=[
+                    "genre_idx",
+                    "author_idx",
+                    "original_publication_year",
+                    "average_rating",
+                ],
+                outputCol="features",
+            ),
+        ]
+    )
+
+
+def prepare_book_features(books: DataFrame) -> DataFrame:
+    """reference: goodreads.py:423 — first author + dropna."""
+    return books.withColumn("first_author", F.col("authors")[0]).dropna(
+        subset=["genre", "first_author", "original_publication_year", "average_rating"]
+    )
+
+
+def lsh_nearest_books(
+    data: DataFrame,
+    key_vector,
+    num_neighbors: int = 5,
+    bucket_length: float = 5.0,
+    num_hash_tables: int = 10,
+    features_col: str = "features",
+    seed: int = 42,
+) -> DataFrame:
+    """BucketedRandomProjectionLSH approx nearest neighbors
+    (reference: goodreads.py:370-381). The model hyperplanes are seeded —
+    the reference relied on default JVM seeding."""
+    lsh = BucketedRandomProjectionLSH(
+        inputCol=features_col,
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(data)
+    return model.approxNearestNeighbors(data, key_vector, num_neighbors)
+
+
+def power_iteration_clusters(
+    edges: DataFrame, k: int = 30, max_iter: int = 10, weight_col: str = "rating"
+) -> DataFrame:
+    """PIC over rating edges (reference: goodreads.py:632-635). Expects
+    (src, dst, weight) columns."""
+    pic = PowerIterationClustering(k=k, maxIter=max_iter, weightCol=weight_col)
+    return pic.assignClusters(
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+            F.col(weight_col),
+        )
+    )

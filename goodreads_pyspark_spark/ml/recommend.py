@@ -1,0 +1,120 @@
+"""Collaborative filtering (SURVEY.md §2.11 M1-M4; reference:
+goodreads.py:228-294).
+
+Differences from the notebook, on purpose (SURVEY.md §4):
+  * every random operation is seeded — the reference's unseeded
+    ``randomSplit`` makes its RMSE irreproducible;
+  * the 64-model grid + 5-fold CV the notebook builds but never fits
+    (goodreads.py:244-263) is exposed as a real, runnable builder;
+  * per-user recommendation expansion is a broadcast-joined batch op,
+    not a driver loop of point lookups (goodreads.py:280-285).
+
+ALS itself is Spark MLlib's distributed implicit/explicit factorizer —
+blocked alternating least squares; at 100 TB the knobs that matter are
+``numUserBlocks``/``numItemBlocks`` (shuffle width) and checkpointing
+(lineage across sweeps), both exposed here.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.evaluation import RegressionEvaluator
+from pyspark.ml.recommendation import ALS, ALSModel
+from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def train_test_split(
+    ratings: DataFrame, weights=(0.8, 0.2), seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Seeded 80/20 split (reference: goodreads.py:239 — unseeded there)."""
+    train, test = ratings.randomSplit(list(weights), seed=seed)
+    return train, test
+
+
+def fit_als(
+    train: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "book_id",
+    rating_col: str = "rating",
+    seed: int = 42,
+    num_blocks: int | None = None,
+    **params,
+) -> ALSModel:
+    """Explicit-feedback ALS, nonnegative, coldStartStrategy=drop
+    (reference: goodreads.py:236-237,263)."""
+    als = ALS(
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        nonnegative=True,
+        coldStartStrategy="drop",
+        seed=seed,
+        **params,
+    )
+    if num_blocks is not None:
+        als.setNumUserBlocks(num_blocks).setNumItemBlocks(num_blocks)
+    return als.fit(train)
+
+
+def rmse(model: ALSModel, test: DataFrame, rating_col: str = "rating") -> float:
+    """reference: goodreads.py:250-252,269."""
+    preds = model.transform(test)
+    ev = RegressionEvaluator(
+        metricName="rmse", labelCol=rating_col, predictionCol="prediction"
+    )
+    return ev.evaluate(preds)
+
+
+def als_grid_cv(
+    train: DataFrame,
+    user_col: str = "user_id",
+    item_col: str = "book_id",
+    rating_col: str = "rating",
+    ranks=(10, 50, 100, 150),
+    max_iters=(5, 50, 100, 200),
+    reg_params=(0.01, 0.05, 0.1, 0.15),
+    num_folds: int = 5,
+    seed: int = 42,
+):
+    """The notebook's 4×4×4 grid + 5-fold CV (goodreads.py:244-262 — built
+    but never fit there; fit it here only with a deliberately small grid)."""
+    als = ALS(
+        userCol=user_col,
+        itemCol=item_col,
+        ratingCol=rating_col,
+        nonnegative=True,
+        coldStartStrategy="drop",
+        seed=seed,
+    )
+    grid = (
+        ParamGridBuilder()
+        .addGrid(als.rank, list(ranks))
+        .addGrid(als.maxIter, list(max_iters))
+        .addGrid(als.regParam, list(reg_params))
+        .build()
+    )
+    ev = RegressionEvaluator(
+        metricName="rmse", labelCol=rating_col, predictionCol="prediction"
+    )
+    return CrossValidator(
+        estimator=als,
+        estimatorParamMaps=grid,
+        evaluator=ev,
+        numFolds=num_folds,
+        seed=seed,
+    )
+
+
+def explode_recommendations(recs: DataFrame, user_col: str = "user_id") -> DataFrame:
+    """``recommendForAllUsers`` output → flat (user, book_id, score) rows
+    (reference explodes per-user in a Python loop, goodreads.py:280-285)."""
+    item_field = [f.name for f in recs.schema["recommendations"].dataType.elementType.fields][0]
+    return recs.select(
+        F.col(user_col),
+        F.explode("recommendations").alias("rec"),
+    ).select(
+        user_col,
+        F.col(f"rec.{item_field}").alias("book_id"),
+        F.col("rec.rating").alias("score"),
+    )

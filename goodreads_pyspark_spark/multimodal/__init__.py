@@ -1,0 +1,6 @@
+from goodreads_pyspark_spark.multimodal.binary import (  # noqa: F401
+    MEDIA_SCHEMA,
+    extract_image_features,
+    fake_image_decoder,
+    sample_video_frames,
+)

@@ -1,0 +1,130 @@
+"""Multimodal columns: media as opaque ``binary`` + typed metadata.
+
+The contract for image/audio/video at 100 TB: bytes live in a binary
+column (or object-store pointers for >row-group-sized blobs), typed
+metadata travels alongside, and every decode/feature step is an
+Arrow-batched ``mapInPandas`` stage — Spark handles partitioning,
+spill, and locality; Python sees zero-copy batches.
+
+The actual codec call is pluggable (``decoder=``). This container image
+has no PIL/ffmpeg, so the default decoder is a DETERMINISTIC FAKE that
+parses this module's synthetic 16-byte header — the Spark-side plumbing
+(schemas, batch iteration, explode shape) is real and tested; swap in a
+real decoder function in production:
+
+    extract_image_features(df, decoder=my_pillow_decoder)
+
+A decoder gets ``bytes`` and returns ``(width, height, mean_luma)`` —
+raising ``NotImplementedError`` marks codecs the deployment lacks.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Canonical media-table schema: opaque bytes + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("meta_duration_s", DoubleType(), True),  # audio/video
+        StructField("meta_fps", DoubleType(), True),  # video
+    ]
+)
+
+#: Synthetic header layout used by the fake decoder (and test fixtures):
+#: magic 'FIMG' + uint32 width + uint32 height + uint32 mean_luma(0-255).
+_FAKE_MAGIC = b"FIMG"
+
+
+def fake_image_decoder(content: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for a real image codec (see module docstring)."""
+    if content is None or len(content) < 16 or content[:4] != _FAKE_MAGIC:
+        raise ValueError("not a FIMG blob")
+    width, height, luma = struct.unpack("<III", content[4:16])
+    return width, height, float(luma)
+
+
+FEATURE_SCHEMA = (
+    "media_id long, width int, height int, mean_luma double, decode_error string"
+)
+
+
+def extract_image_features(
+    df: DataFrame,
+    decoder: Callable[[bytes], tuple[int, int, float]] = fake_image_decoder,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-image features via Arrow-batched ``mapInPandas``.
+
+    Bad/undecodable blobs yield a row with ``decode_error`` set instead of
+    failing the stage — at corpus scale a poison blob must never kill a
+    9-hour job. Columns are pruned to (id, content) before the Python
+    boundary so only the bytes actually needed cross Arrow.
+    """
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for mid, blob in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    w, h, luma = decoder(bytes(blob) if blob is not None else None)
+                    out.append((mid, w, h, luma, None))
+                except NotImplementedError:
+                    out.append((mid, None, None, None, "codec_unavailable"))
+                except Exception as e:  # noqa: BLE001
+                    out.append((mid, None, None, None, str(e)[:200]))
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "width", "height", "mean_luma", "decode_error"],
+            )
+
+    pruned = df.select(F.col(id_col), F.col(content_col))
+    return pruned.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_s: float = 1.0,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Frame-sampling plan for video rows: one output row per sampled
+    timestamp, computed from metadata only (duration, fps) — pure Catalyst,
+    no decode. The downstream frame *decode* would be another
+    ``mapInPandas`` stage consuming (media_id, frame_ts).
+    """
+    n = F.floor(F.col("meta_duration_s") / F.lit(every_s)).cast("int")
+    return (
+        df.filter(F.col("kind") == "video")
+        .select(
+            F.col(id_col),
+            F.col("meta_fps"),
+            F.posexplode(F.sequence(F.lit(0), n - 1)).alias("frame_idx", "_"),
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            (F.col("frame_idx") * F.lit(every_s)).alias("frame_ts"),
+            (F.col("frame_idx") * F.lit(every_s) * F.col("meta_fps"))
+            .cast("long")
+            .alias("frame_number"),
+        )
+    )

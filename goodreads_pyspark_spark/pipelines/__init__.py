@@ -1,0 +1,9 @@
+from goodreads_pyspark_spark.pipelines.goodreads import (  # noqa: F401
+    GoodreadsTables,
+    SQL_QUERIES,
+    build_books,
+    build_ratings_small,
+    build_users,
+    dominant_genre,
+    run_sql_suite,
+)

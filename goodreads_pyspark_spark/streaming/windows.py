@@ -1,0 +1,85 @@
+"""Structured Streaming surface (the reference is batch-only — SURVEY.md §1
+"Not exercised"; this is the engine's forward-looking stream path).
+
+Design rule: one logical aggregation definition, two execution modes. The
+windowed aggregation here is the same shape as the batch query
+``t02_hourly_by_type`` (queries/timeseries.py) — groupBy(window(ts), type)
+— so batch backfill and live streams produce comparable tables. The
+watermark bounds state: late rows beyond it are dropped and window state
+is evicted, which is what makes the aggregation runnable indefinitely on
+an unbounded source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events directory. Streams MUST declare a
+    schema — inference would race the incoming files."""
+    return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+
+
+def hourly_by_type(
+    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+) -> DataFrame:
+    """Windowed counts/sums per event type with late-data watermark.
+
+    Works on a batch DataFrame too (watermark is a no-op there) — the
+    batch/stream duality the engine promises.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_to_memory_sink(
+    agg: DataFrame, name: str, output_mode: str = "append"
+) -> None:
+    """Drive a streaming aggregation to completion against the currently
+    available files and stop — the synchronous smoke-test harness
+    (``processAllAvailable``), not a production sink. Production sinks:
+    ``foreachBatch`` into partitioned parquet/Delta with checkpointing.
+    """
+    q = (
+        agg.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()

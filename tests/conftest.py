@@ -20,6 +20,36 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def goodreads_paths(tmp_path_factory):
+    from tests.fixtures_goodreads import generate
+
+    return generate(tmp_path_factory.mktemp("goodreads"))
+
+
+@pytest.fixture(scope="session")
+def goodreads_tables(spark, goodreads_paths):
+    """Curated ETL outputs, built once per session via the source readers."""
+    from goodreads_pyspark_spark.pipelines.goodreads import (
+        GoodreadsTables,
+        build_books,
+        build_ratings_small,
+        build_users,
+    )
+    from goodreads_pyspark_spark.sources.readers import read_csv, read_json
+
+    books_small = read_csv(spark, goodreads_paths["books_small"])
+    books_full = read_json(spark, goodreads_paths["books"])
+    genres = read_json(spark, goodreads_paths["genres"])
+    ratings = read_csv(spark, goodreads_paths["ratings"])
+    to_read = read_csv(spark, goodreads_paths["to_read"])
+
+    books = build_books(books_small, books_full, genres).cache()
+    users = build_users(to_read).cache()
+    ratings_small = build_ratings_small(ratings, books).cache()
+    return GoodreadsTables(books=books, users=users, ratings_small=ratings_small)
+
+
+@pytest.fixture(scope="session")
 def duck():
     import duckdb
 

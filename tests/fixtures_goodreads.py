@@ -1,0 +1,176 @@
+"""Deterministic Goodreads-shaped fixtures (FIXTURES.md §A).
+
+Writes the five reference input tables in their native formats (CSV for
+books_small/ratings/to_read, JSON-lines for books/genres) so the ETL
+replay exercises the real source readers, schema inference included.
+Seeded; every constraint FIXTURES.md lists is planted (work_id dups,
+en-* share, Stephen King rows, user-1→book-4 edge, shared books).
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import random
+from pathlib import Path
+
+N_BOOKS_SMALL = 300
+N_BOOKS_FULL = 400
+N_USERS = 200
+N_RATINGS = 8000
+N_TO_READ = 1500
+
+GENRE_FIELDS = [
+    "children",
+    "comics, graphic",
+    "fantasy, paranormal",
+    "fiction",
+    "history, historical fiction, biography",
+    "mystery, thriller, crime",
+    "non-fiction",
+    "poetry",
+    "romance",
+    "young-adult",
+]
+
+AUTHORS = [
+    "Stephen King",
+    "Nora Roberts",
+    "J.K. Rowling, Mary GrandPre",
+    "Agatha Christie",
+    "Brandon Sanderson",
+    "Ursula K. Le Guin",
+    "Terry Pratchett, Neil Gaiman",
+    "Octavia Butler",
+]
+
+LANGS = ["eng", "en-US", "en-GB", "en-CA", "spa", "fre", "ger"]
+WORDS = (
+    "the quick brown fox jumps over a lazy dog while rain falls on green "
+    "hills and rivers run deep through ancient forests of stone and light"
+).split()
+
+
+def generate(root: Path) -> dict[str, str]:
+    rng = random.Random(42)
+    root.mkdir(parents=True, exist_ok=True)
+
+    # --- books_small.csv (23 cols; A1) --------------------------------------
+    bs_path = root / "books_small.csv"
+    header = [
+        "book_id", "goodreads_book_id", "best_book_id", "work_id",
+        "books_count", "isbn", "isbn13", "authors",
+        "original_publication_year", "original_title", "title",
+        "language_code", "average_rating", "ratings_count",
+        "work_ratings_count", "work_text_reviews_count",
+        "ratings_1", "ratings_2", "ratings_3", "ratings_4", "ratings_5",
+        "image_url", "small_image_url",
+    ]
+    with bs_path.open("w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(header)
+        work_ids = []
+        for i in range(1, N_BOOKS_SMALL + 1):
+            # ~10% duplicate work ids to exercise dedup (goodreads.py:83);
+            # books 1-10 are pinned English + unique-work so planted graph
+            # golden rows (BFS edge 1→4, motif trio on 7) survive curation.
+            if i > 10 and work_ids and rng.random() < 0.10:
+                work_id = rng.choice(work_ids)
+            else:
+                work_id = 5000 + i
+            if i > 10:
+                work_ids.append(work_id)
+            lang = LANGS[0] if (i <= 10 or i % 7) else rng.choice(LANGS)
+            author = AUTHORS[i % len(AUTHORS)]
+            year = rng.choice([1850 + rng.randint(0, 167), 1995, 2005, 2010])
+            w.writerow([
+                i, i, i, work_id,
+                rng.randint(1, 300), f"isbn{i:06d}", 9.78e12 + i, author,
+                year if rng.random() > 0.02 else "",
+                f"orig title {i}", f"Book Title {i}",
+                lang, f"{rng.uniform(1, 5):.2f}", rng.randint(100, 10000),
+                str(rng.randint(1000, 5000000)), rng.randint(10, 1000),
+                *[rng.randint(0, 1000) for _ in range(5)],
+                f"http://img/{i}", f"http://img/s{i}",
+            ])
+
+    # --- books.json (29 cols; A2) -------------------------------------------
+    books_path = root / "books.json"
+    with books_path.open("w") as fh:
+        for i in range(1, N_BOOKS_FULL + 1):
+            desc_words = [rng.choice(WORDS) for _ in range(rng.randint(0, 60))]
+            rec = {
+                "asin": "", "authors": [{"author_id": str(i)}],
+                "average_rating": f"{rng.uniform(1, 5):.2f}", "book_id": str(i),
+                "country_code": "US", "description": " ".join(desc_words),
+                "edition_information": "", "format": "Paperback",
+                "image_url": "", "is_ebook": "false", "isbn": "",
+                "isbn13": "", "kindle_asin": "", "language_code": "eng",
+                "link": "", "num_pages": str(rng.randint(50, 1500)) if rng.random() > 0.1 else "",
+                "popular_shelves": [
+                    {"count": str(rng.randint(1, 2000)), "name": rng.choice(["to-read", "fantasy", "owned"])}
+                    for _ in range(rng.randint(0, 4))
+                ],
+                "publication_day": "1", "publication_month": "1",
+                "publication_year": str(rng.randint(1850, 2017)) if rng.random() > 0.1 else "",
+                "publisher": "pub", "ratings_count": str(rng.randint(10, 100000)),
+                "series": [], "similar_books": [str(rng.randint(1, N_BOOKS_FULL)) for _ in range(rng.randint(0, 5))],
+                "text_reviews_count": str(rng.randint(1, 5000)),
+                "title": f"Book Title {i}", "title_without_series": f"Book Title {i}",
+                "url": "", "work_id": str(5000 + i),
+            }
+            fh.write(json.dumps(rec) + "\n")
+
+    # --- genres.json (A3) ----------------------------------------------------
+    genres_path = root / "genres.json"
+    with genres_path.open("w") as fh:
+        for i in range(1, N_BOOKS_FULL + 1):
+            n_set = rng.randint(0, 4)
+            fields = rng.sample(GENRE_FIELDS, n_set)
+            g = {name: (rng.randint(1, 2000) if name in fields else None) for name in GENRE_FIELDS}
+            if i % 25 == 0:  # planted ties to pin argmax tie-break (UD1)
+                g[GENRE_FIELDS[2]] = 500
+                g[GENRE_FIELDS[5]] = 500
+            fh.write(json.dumps({"book_id": str(i), "genres": g}) + "\n")
+
+    # --- ratings.csv (A4) ----------------------------------------------------
+    ratings_path = root / "ratings.csv"
+    seen: set[tuple[int, int]] = set()
+    with ratings_path.open("w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["user_id", "book_id", "rating"])
+        w.writerow([1, 4, 5])  # BFS golden edge (goodreads.py:588)
+        seen.add((1, 4))
+        for u in (2, 3, 4):  # motif: ≥3 users share book 7
+            w.writerow([u, 7, 4])
+            seen.add((u, 7))
+        while len(seen) < N_RATINGS:
+            u = min(int(rng.expovariate(1 / 40)) + 1, N_USERS)
+            b = min(int(rng.expovariate(1 / 60)) + 1, N_BOOKS_SMALL)
+            if (u, b) in seen:
+                continue
+            seen.add((u, b))
+            w.writerow([u, b, rng.randint(1, 5)])
+
+    # --- to_read.csv (A5) ----------------------------------------------------
+    to_read_path = root / "to_read.csv"
+    seen2: set[tuple[int, int]] = set()
+    with to_read_path.open("w", newline="") as fh:
+        w = csv.writer(fh)
+        w.writerow(["user_id", "book_id"])
+        w.writerow([1, 4])
+        seen2.add((1, 4))
+        while len(seen2) < N_TO_READ:
+            pair = (rng.randint(1, N_USERS + 20), rng.randint(1, N_BOOKS_SMALL))
+            if pair in seen2:
+                continue
+            seen2.add(pair)
+            w.writerow(list(pair))
+
+    return {
+        "books_small": str(bs_path),
+        "books": str(books_path),
+        "genres": str(genres_path),
+        "ratings": str(ratings_path),
+        "to_read": str(to_read_path),
+    }

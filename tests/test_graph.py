@@ -1,0 +1,137 @@
+"""Graph module tests (SURVEY.md §2.12) — including the reference's one
+genuine differential test (degrees two ways, ipynb cells 71-74) and a
+from-first-principles PageRank cross-check.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.graph import (
+    PropertyGraph,
+    bfs,
+    build_ratings_graph,
+    label_propagation,
+    pagerank,
+)
+from goodreads_pyspark_spark.pipelines.goodreads import BOOK_ID_OFFSET
+
+
+@pytest.fixture(scope="module")
+def graph(goodreads_tables):
+    g = build_ratings_graph(goodreads_tables)
+    g.edges.cache().count()
+    return g
+
+
+def test_degrees_differential(graph):
+    # groupBy().count() must equal outDegrees/inDegrees exactly
+    # (the reference's own cross-check, goodreads.py:547/552, 558/563).
+    via_group = {
+        (r["src"], r["count"]) for r in graph.edges.groupBy("src").count().collect()
+    }
+    via_degrees = {
+        (r["id"], r["outDegree"]) for r in graph.out_degrees().collect()
+    }
+    assert via_group == via_degrees
+    in_group = {
+        (r["dst"], r["count"]) for r in graph.edges.groupBy("dst").count().collect()
+    }
+    in_deg = {(r["id"], r["inDegree"]) for r in graph.in_degrees().collect()}
+    assert in_group == in_deg
+
+
+def test_filter_vertices_subgraph(graph):
+    sub = graph.filter_vertices(F.col("original_publication_year") > 2000)
+    assert sub.vertices.filter(F.col("original_publication_year") <= 2000).count() == 0
+    # every surviving edge has both endpoints in the surviving vertex set
+    ids = {r["id"] for r in sub.vertices.select("id").collect()}
+    for row in sub.edges.select("src", "dst").collect():
+        assert row["src"] in ids and row["dst"] in ids
+
+
+def test_filter_edges_subgraph(graph):
+    sub = graph.filter_edges(F.col("rating") == 1)
+    assert sub.edges.filter(F.col("rating") != 1).count() == 0
+    assert sub.vertices.count() == graph.vertices.count()
+
+
+def test_motif_common_dst(graph):
+    motifs = graph.common_dst_motif(k=3)
+    # the quirky reference filter (r1==r2==r3 → identical edges) must keep
+    # exactly one row per edge: u1=u2=u3
+    identical = motifs.filter(
+        (F.col("u1") == F.col("u2")) & (F.col("u2") == F.col("u3"))
+    )
+    assert identical.count() == graph.edges.count()
+    # and the planted trio (users 2,3,4 → book 7) appears
+    b7 = BOOK_ID_OFFSET + 7
+    trio = motifs.filter(
+        (F.col("u1") == 2) & (F.col("u2") == 3) & (F.col("u3") == 4) & (F.col("b") == b7)
+    )
+    assert trio.count() == 1
+
+
+def test_bfs_direct_edge(graph):
+    # planted: user 1 rated book 4 → 1-hop path (reference golden,
+    # BASELINE.md: BFS User 1 → Book 100004 is a direct edge)
+    res = bfs(graph, "id = 1", f"id = {BOOK_ID_OFFSET + 4}", max_path_length=10)
+    rows = res.collect()
+    assert len(rows) == 1
+    assert rows[0]["length"] == 1
+    assert rows[0]["path"] == [1, BOOK_ID_OFFSET + 4]
+
+
+def test_bfs_two_hops(spark):
+    v = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    e = spark.createDataFrame([(1, 2), (2, 3), (1, 4), (4, 5), (5, 3)], ["src", "dst"])
+    g = PropertyGraph(v, e)
+    res = bfs(g, "id = 1", "id = 3", max_path_length=10).collect()
+    assert {tuple(r["path"]) for r in res} == {(1, 2, 3)}  # shortest only
+
+
+def test_pagerank_against_reference_iteration(spark):
+    """Differential test: our Pregel loop vs a straight NumPy-free Python
+    iteration of the same recurrence on a small graph."""
+    edges = [(1, 3), (2, 3), (3, 4), (4, 1), (2, 4)]
+    v = spark.createDataFrame([(i,) for i in range(1, 5)], ["id"])
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    # fixed 25 iterations on both sides → identical trajectories
+    got = {
+        r["id"]: r["pagerank"]
+        for r in pagerank(PropertyGraph(v, e), 0.15, tol=0, max_iter=25).collect()
+    }
+
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    pr = {i: 1.0 for i in range(1, 5)}
+    for _ in range(25):
+        pr = {
+            i: 0.15 + 0.85 * sum(pr[u] / outdeg[u] for u, d in edges if d == i)
+            for i in range(1, 5)
+        }
+    for i in pr:
+        assert abs(got[i] - pr[i]) < 1e-9, (i, got[i], pr[i])
+
+
+def test_label_propagation_converges_on_two_cliques(spark):
+    # two 4-cliques joined by nothing → 2 communities
+    cliq1 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    cliq2 = [(a, b) for a in range(11, 15) for b in range(11, 15) if a < b]
+    v = spark.createDataFrame(
+        [(i,) for i in list(range(1, 5)) + list(range(11, 15))], ["id"]
+    )
+    e = spark.createDataFrame(cliq1 + cliq2, ["src", "dst"])
+    out = label_propagation(PropertyGraph(v, e), max_iter=4)
+    labels = {r["id"]: r["label"] for r in out.collect()}
+    assert len({labels[i] for i in range(1, 5)}) == 1
+    assert len({labels[i] for i in range(11, 15)}) == 1
+    assert labels[1] != labels[11]
+
+
+def test_label_propagation_community_count(graph):
+    out = label_propagation(graph, max_iter=2)
+    n = out.select(F.countDistinct("label")).first()[0]
+    assert 1 <= n <= graph.vertices.count()

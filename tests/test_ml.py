@@ -1,0 +1,110 @@
+"""ML module tests (SURVEY.md §2.11, §5 item 4): seeded determinism,
+metric sanity bands, and end-to-end pipeline composition on fixtures.
+Small k / maxIter everywhere — CI exercises the surface, not the quality.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.ml import (
+    als_grid_cv,
+    explode_recommendations,
+    fit_als,
+    rmse,
+    train_test_split,
+)
+from goodreads_pyspark_spark.ml.features import (
+    description_topics_lda,
+    description_vector_pipeline,
+    kmeans_cluster,
+    lsh_nearest_books,
+    power_iteration_clusters,
+    prepare_book_features,
+    book_feature_pipeline,
+    silhouette,
+)
+
+
+@pytest.fixture(scope="module")
+def split(goodreads_tables):
+    return train_test_split(goodreads_tables.ratings_small, seed=42)
+
+
+def test_seeded_split_reproducible(goodreads_tables):
+    a1, b1 = train_test_split(goodreads_tables.ratings_small, seed=42)
+    a2, b2 = train_test_split(goodreads_tables.ratings_small, seed=42)
+    assert a1.count() == a2.count() and b1.count() == b2.count()
+
+
+def test_als_fit_and_rmse(split):
+    train, test = split
+    model = fit_als(train, rank=4, maxIter=4, seed=42)
+    err = rmse(model, test)
+    assert 0.0 < err < 3.0  # sanity band on a 1-5 rating scale
+
+
+def test_als_recommendations_explode(split):
+    train, _ = split
+    model = fit_als(train, rank=4, maxIter=2, seed=42)
+    recs = model.recommendForAllUsers(3)
+    flat = explode_recommendations(recs)
+    assert set(flat.columns) == {"user_id", "book_id", "score"}
+    per_user = flat.groupBy("user_id").count().agg(F.max("count")).first()[0]
+    assert per_user <= 3
+
+
+def test_als_grid_cv_surface(split):
+    # the notebook builds a 4x4x4 grid (goodreads.py:244-262) but never fits
+    # it; we fit a deliberately tiny grid to prove the surface works.
+    train, test = split
+    cv = als_grid_cv(
+        train, ranks=(2,), max_iters=(2,), reg_params=(0.1, 0.5), num_folds=2
+    )
+    model = cv.fit(train)
+    assert len(model.avgMetrics) == 2
+    assert rmse(model.bestModel, test) > 0
+
+
+def test_description_vectors_and_kmeans(goodreads_tables):
+    docs = goodreads_tables.books.select("book_id", "description").dropna()
+    pipe = description_vector_pipeline(num_features=20, pca_k=5)
+    data = pipe.fit(docs).transform(docs)
+    first = data.select("features").first()["features"]
+    assert len(first) == 5  # PCA k
+    clustered = kmeans_cluster(data, k=5, seed=1)
+    s = silhouette(clustered)
+    assert -1.0 <= s <= 1.0
+    # seeded: same k/seed → same assignment counts
+    again = kmeans_cluster(data, k=5, seed=1)
+    c1 = sorted(r["count"] for r in clustered.groupBy("prediction").count().collect())
+    c2 = sorted(r["count"] for r in again.groupBy("prediction").count().collect())
+    assert c1 == c2
+
+
+def test_lda_topics(goodreads_tables):
+    docs = goodreads_tables.books.select("book_id", "description").dropna()
+    pipe = description_vector_pipeline(num_features=20, pca_k=5)
+    data = pipe.fit(docs).transform(docs)
+    with_topics, topics = description_topics_lda(data, k=4, max_iter=3, seed=1)
+    assert topics.count() == 4
+    assert "topicDistribution" in with_topics.columns
+
+
+def test_book_feature_pipeline_and_lsh(goodreads_tables):
+    prepped = prepare_book_features(goodreads_tables.books)
+    data = book_feature_pipeline().fit(prepped).transform(prepped)
+    key = data.select("features").first()["features"]
+    nn = lsh_nearest_books(data, key, num_neighbors=5, bucket_length=4.0, num_hash_tables=8)
+    assert nn.count() <= 5
+    assert "distCol" in nn.columns
+
+
+def test_power_iteration_clustering(goodreads_tables):
+    edges = goodreads_tables.ratings_small.select(
+        F.col("user_id").alias("src"), F.col("book_id").alias("dst"), "rating"
+    ).limit(2000)
+    clusters = power_iteration_clusters(edges, k=5, max_iter=4)
+    assert set(clusters.columns) == {"id", "cluster"}
+    assert clusters.select(F.countDistinct("cluster")).first()[0] <= 5

@@ -1,0 +1,92 @@
+"""Streaming + multimodal plumbing tests."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.multimodal import (
+    MEDIA_SCHEMA,
+    extract_image_features,
+    sample_video_frames,
+)
+from goodreads_pyspark_spark.streaming import (
+    hourly_by_type,
+    run_to_memory_sink,
+    stream_events_from_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    from goodreads_pyspark_spark.queries._helpers import events_tbl
+
+    events_tbl(spark, "/root/testdata/sf0.001").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_stream_matches_batch(spark, events_dir):
+    stream = stream_events_from_dir(spark, events_dir)
+    assert stream.isStreaming
+    run_to_memory_sink(hourly_by_type(stream), "hourly_smoke", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM hourly_smoke").collect()
+    }
+    batch = hourly_by_type(spark.read.parquet(events_dir))
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def _blob(w, h, luma):
+    return b"FIMG" + struct.pack("<III", w, h, luma)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (1, "image", _blob(640, 480, 100), "image/fimg", None, None),
+        (2, "image", _blob(1920, 1080, 30), "image/fimg", None, None),
+        (3, "image", b"garbage-bytes", "image/fimg", None, None),
+        (4, "video", None, "video/fake", 5.5, 24.0),
+        (5, "video", None, "video/fake", 2.0, 30.0),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_image_feature_extraction(media_df):
+    feats = {r["media_id"]: r for r in extract_image_features(media_df).collect()}
+    assert feats[1]["width"] == 640 and feats[1]["height"] == 480
+    assert feats[2]["mean_luma"] == 30.0
+    assert feats[1]["decode_error"] is None
+    # poison blob → error row, not a failed stage
+    assert feats[3]["width"] is None and feats[3]["decode_error"] is not None
+
+
+def test_codec_unavailable_stub(media_df):
+    def no_codec(_):
+        raise NotImplementedError("libjpeg not in image")
+
+    feats = extract_image_features(media_df, decoder=no_codec).collect()
+    assert all(r["decode_error"] == "codec_unavailable" for r in feats)
+
+
+def test_video_frame_sampling(media_df):
+    frames = sample_video_frames(media_df, every_s=1.0)
+    rows = frames.collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[4]) == 5  # floor(5.5 / 1.0)
+    assert len(by_id[5]) == 2
+    f = sorted(by_id[4], key=lambda r: r["frame_idx"])[2]
+    assert f["frame_ts"] == 2.0 and f["frame_number"] == 48  # 2s * 24fps
