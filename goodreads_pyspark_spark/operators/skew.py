@@ -1,0 +1,47 @@
+"""Skew-resilient aggregation via deterministic salting.
+
+A straight ``groupBy(key)`` over a key whose hottest value owns 30% of a
+100 TB table sends 30 TB through one reducer. Salting splits each key
+into ``buckets`` sub-keys for the partial aggregation, then combines the
+partials in a second (tiny) aggregation. Results are identical to the
+unsalted aggregation for any decomposable aggregate (count/sum/min/max).
+
+The salt is derived by hashing stable columns (no ``rand()``): runs are
+reproducible and re-runs of failed tasks can't double-count. AQE's skew
+handling covers *joins*; pre-aggregation salting is what covers skewed
+``groupBy`` keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_counts(
+    df: DataFrame,
+    keys: Sequence[str],
+    salt_cols: Sequence[str],
+    buckets: int = 16,
+    sum_col: str | None = None,
+) -> DataFrame:
+    """groupBy(keys) count (+ optional decimal-exact sum), two-stage.
+
+    ``salt_cols``: columns whose hash spreads the hot key (e.g. a unique
+    id). Output columns: keys + ``n`` (+ ``total`` when ``sum_col``).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in salt_cols]), F.lit(buckets))
+    partial_aggs: list[Column] = [F.count(F.lit(1)).alias("__n")]
+    if sum_col is not None:
+        partial_aggs.append(
+            F.sum(F.col(sum_col).cast("decimal(30,2)")).alias("__s")
+        )
+    partial = (
+        df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*partial_aggs)
+    )
+    final_aggs: list[Column] = [F.sum("__n").cast("bigint").alias("n")]
+    if sum_col is not None:
+        final_aggs.append(F.sum("__s").cast("double").alias("total"))
+    return partial.groupBy(*keys).agg(*final_aggs)

@@ -466,3 +466,47 @@ def q20_order_scan_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(50)
     )
+
+
+# --- exact median (beyond the reference's aggregate set) --------------------
+@query(
+    "q21_median_price_by_flag",
+    oracle="""
+    SELECT l_returnflag, MEDIAN(l_extendedprice) AS median_price,
+           MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact median per group. Spark computes it via sort-based "
+    "percentile; at 100 TB prefer approx_percentile with an error bound.",
+)
+def q21_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.median("l_extendedprice").alias("median_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+# --- skew-resilient salted aggregation (operators/skew.py) ------------------
+@query(
+    "q22_salted_status_counts",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+           {sql_dsum('o_totalprice')} AS total
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Two-stage salted aggregation — identical results to the plain "
+    "groupBy (the oracle), resilient to hot keys at scale.",
+)
+def q22_salted_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.skew import salted_counts
+
+    orders = tbl(spark, sf_dir, "orders")
+    return salted_counts(
+        orders,
+        keys=["o_orderstatus"],
+        salt_cols=["o_orderkey"],
+        buckets=16,
+        sum_col="o_totalprice",
+    )

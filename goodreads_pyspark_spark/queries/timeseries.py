@@ -183,3 +183,63 @@ def t06_json_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("bigint").alias("k_total"),
         F.max(k).cast("int").alias("k_max"),
     )
+
+
+# --- as-of join (operators/asof.py) -----------------------------------------
+@query(
+    "t07_asof_purchase_last_view",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts AS __ts, 0 AS is_right, event_id,
+             CAST(NULL AS BIGINT) AS view_event_id,
+             CAST(NULL AS TIMESTAMP) AS view_ts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, event_id, ts
+      FROM events WHERE event_type = 'view'),
+    filled AS (
+      SELECT *,
+             last_value(view_event_id IGNORE NULLS) OVER w AS f_id,
+             last_value(view_ts IGNORE NULLS) OVER w AS f_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY __ts, is_right DESC, view_event_id ASC NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           strftime(__ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           f_id AS view_event_id,
+           epoch(__ts) - epoch(f_ts) AS gap_s
+    FROM filled WHERE is_right = 0
+    """,
+    doc="As-of join: each purchase ← the user's most recent prior view "
+    "(operators/asof.py union-marker formulation; one shuffle, no range "
+    "explosion). The oracle mirrors the same forward-fill semantics.",
+)
+def t07_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.asof import as_of_join
+
+    ev = events_tbl(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    joined = as_of_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        payload=["view_event_id", "view_ts"],
+        tiebreak="view_event_id",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "view_event_id",
+        (F.col("ts").cast("double") - F.col("view_ts").cast("double")).alias("gap_s"),
+    )

@@ -59,3 +59,61 @@ def test_argmax_per_group_first_max_wins(spark):
     )
     out = argmax_per_group(df, ["grp"], F.col("cnt"), [F.col("name")]).collect()
     assert [(r.grp, r.name) for r in out] == [("g", "alpha")]
+
+
+def test_as_of_join_backward(spark):
+    from goodreads_pyspark_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, 10, "p1"), (1, 20, "p2"), (2, 5, "p3")], ["k", "t", "name"]
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 100), (1, 10, 101), (1, 15, 102), (2, 9, 103)],
+        ["k", "rt", "rid"],
+    )
+    out = as_of_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt",
+        payload=["rid", "rt"], tiebreak="rid",
+    )
+    got = {r["name"]: (r["rid"], r["rt"]) for r in out.collect()}
+    assert got["p1"] == (101, 10)   # equal ts is visible (inclusive)
+    assert got["p2"] == (102, 15)   # latest preceding
+    assert got["p3"] == (None, None)  # right row is later -> no match
+
+
+def test_as_of_join_tiebreak(spark):
+    from goodreads_pyspark_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 10, 7), (1, 10, 9), (1, 10, 8)], ["k", "rt", "rid"]
+    )
+    out = as_of_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt",
+        payload=["rid"], tiebreak="rid",
+    ).collect()
+    assert out[0]["rid"] == 9  # greatest tiebreak wins among equal ts
+
+
+def test_salted_counts_equals_plain_groupby(spark):
+    from goodreads_pyspark_spark.operators.skew import salted_counts
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(1000)],
+        ["id", "k", "v"],
+    )
+    salted = {
+        (r["k"], r["n"], r["total"])
+        for r in salted_counts(df, ["k"], ["id"], buckets=8, sum_col="v").collect()
+    }
+    plain = {
+        (r["k"], r["n"], r["total"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(30,2)")).cast("double").alias("total"),
+        )
+        .collect()
+    }
+    assert salted == plain

@@ -1,0 +1,89 @@
+"""Physical-plan audits — the 100 TB design assertions.
+
+Correct results are necessary, not sufficient: these tests pin the plans
+that make the queries viable at scale — filters reaching the parquet
+scan, dimension joins broadcasting, sort+limit folding to top-k, column
+pruning. If a refactor silently turns a broadcast join into a sort-merge
+or unpins a pushed filter, this module fails before any benchmark does.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+
+SF = "/root/testdata/sf0.001"
+
+_load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_dimension_joins_broadcast(spark):
+    plan = plan_of(spark, "q08_customers_per_region")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_becomes_take_ordered(spark):
+    plan = plan_of(spark, "q02_top_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark):
+    plan = plan_of(spark, "q06_segments_with_pending_orders")
+    assert "LeftSemi" in plan
+
+
+def test_column_pruning_in_scan(spark):
+    plan = plan_of(spark, "q16_part_color_words")
+    scan = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "p_name" in scan
+    # the 5 unused part columns must not be read
+    for col in ("p_retailprice", "p_size", "p_brand", "p_type"):
+        assert col not in scan
+
+
+def test_partial_aggregation_present(spark):
+    # partial (map-side) + final hash aggregate around the exchange
+    plan = plan_of(spark, "q03_segment_stats")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_covers_agg(spark):
+    # AQE's formatted mode omits codegen markers; ask for codegen explain.
+    df = REGISTRY["q01_pricing_summary"].spark_fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    out = buf.getvalue()
+    assert "Found" in out and "WholeStageCodegen" in out
+
+
+@pytest.mark.parametrize(
+    "name", ["d02_exact_dup_groups", "d07_minhash_lsh_candidates"]
+)
+def test_dedup_plans_shuffle_hashes_not_documents(spark, name):
+    # dedup shuffles must carry hashes/ids, never the text column
+    plan = plan_of(spark, name)
+    exchanges = [
+        seg.splitlines()[0] for seg in plan.split("Exchange hashpartitioning")[1:]
+    ]
+    for ex in exchanges:
+        assert "text#" not in ex, f"document text crosses a shuffle: {ex}"
