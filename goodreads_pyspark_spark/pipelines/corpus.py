@@ -1,0 +1,111 @@
+"""Training-corpus cleaning pipeline — the composed, end-to-end face of
+the dedup/quality operators (BASELINE.json north star).
+
+Stages (each a pure DataFrame transform, composable and individually
+testable):
+
+  1. quality gate     — length / lexical-diversity thresholds
+                        (functions/text.py features)
+  2. exact dedup      — content-hash, keep lowest id (dedup/exact.py)
+  3. near-dup removal — MinHash+LSH candidates → per-pair verification at
+                        ``jaccard_threshold`` → drop the higher id of each
+                        verified pair
+
+Near-dup verification recomputes true Jaccard ONLY for LSH candidates —
+the two-phase pattern again: cheap screen at corpus scale, exact check on
+the candidate set. Dropping the higher id per pair (rather than building
+connected components) is the standard single-pass policy; transitive
+near-dup chains may retain middle members — acceptable for corpus
+cleaning, and a Pregel connected-components pass can replace it when
+exact clustering matters.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.dedup.exact import exact_dedup
+from goodreads_pyspark_spark.dedup.minhash import lsh_candidate_pairs
+from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
+from goodreads_pyspark_spark.functions.text import tokens
+from goodreads_pyspark_spark.operators.relational import anti_join
+
+
+@dataclass
+class CorpusCleanStats:
+    n_input: int
+    n_after_quality: int
+    n_after_exact: int
+    n_after_neardup: int
+
+
+def quality_gate(
+    docs: DataFrame,
+    min_tokens: int = 20,
+    min_uniq_ratio: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    t = tokens(text_col)
+    n = F.size(t)
+    uniq = F.size(F.array_distinct(t))
+    return docs.filter(
+        (n >= min_tokens) & (uniq * 10 >= F.lit(int(min_uniq_ratio * 10)) * n)
+    )
+
+
+def drop_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    jaccard_threshold: float = 0.8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Remove the higher-id member of each verified near-dup pair.
+
+    LSH proposes candidates (linear); exact n-gram Jaccard verifies them;
+    the verified pair list is tiny and broadcast back as an anti-join.
+    """
+    candidates = lsh_candidate_pairs(
+        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
+    )
+    # Verify candidates exactly: restrict the Jaccard join to candidate docs
+    cand_ids = (
+        candidates.select(F.col("doc_a").alias(id_col))
+        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    cand_docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
+    verified = jaccard_pairs(
+        cand_docs,
+        id_col=id_col,
+        text_col=text_col,
+        shingle_n=shingle_n,
+        threshold=jaccard_threshold,
+    ).join(
+        candidates, ["doc_a", "doc_b"], "left_semi"
+    )
+    to_drop = verified.select(F.col("doc_b").alias(id_col)).distinct()
+    return anti_join(docs, F.broadcast(to_drop), id_col)
+
+
+def clean_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 20,
+    jaccard_threshold: float = 0.8,
+) -> tuple[DataFrame, CorpusCleanStats]:
+    """Full pipeline; returns (kept docs, per-stage counts)."""
+    n0 = docs.count()
+    gated = quality_gate(docs, min_tokens=min_tokens, text_col=text_col).cache()
+    n1 = gated.count()
+    exact = exact_dedup(gated, id_col=id_col, text_col=text_col).cache()
+    n2 = exact.count()
+    cleaned = drop_near_duplicates(
+        exact, id_col=id_col, text_col=text_col, jaccard_threshold=jaccard_threshold
+    ).cache()
+    n3 = cleaned.count()
+    return cleaned, CorpusCleanStats(n0, n1, n2, n3)

@@ -243,3 +243,31 @@ def t07_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_event_id",
         (F.col("ts").cast("double") - F.col("view_ts").cast("double")).alias("gap_s"),
     )
+
+
+# --- streaming (rows-only: no SQL-expressible oracle for a stream run) ------
+@query(
+    "s01_streaming_hourly_counts",
+    oracle=None,
+    doc="Structured Streaming end-to-end: events parquet → file-source "
+    "stream → watermarked 1h window agg → memory sink. Rows-only check; "
+    "the batch equivalence is tested in tests/test_streaming_multimodal.",
+)
+def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from goodreads_pyspark_spark.streaming import (
+        hourly_by_type,
+        run_to_memory_sink,
+        stream_events_from_dir,
+    )
+
+    # File-source streams need a dedicated directory of uniform-schema
+    # files; stage the (nanos-normalized) events there.
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    name = f"s01_sink_{uuid.uuid4().hex[:8]}"
+    stream = stream_events_from_dir(spark, stage)
+    run_to_memory_sink(hourly_by_type(stream), name, output_mode="complete")
+    return spark.table(name)

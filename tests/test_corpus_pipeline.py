@@ -1,0 +1,62 @@
+"""End-to-end corpus cleaning pipeline tests on the documents testdata
+plus planted synthetic duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.pipelines.corpus import (
+    clean_corpus,
+    drop_near_duplicates,
+    quality_gate,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def test_quality_gate_thresholds(spark):
+    rows = [
+        (1, "short text"),  # too few tokens
+        (2, " ".join(["word"] * 50)),  # no diversity (uniq ratio 1/50)
+        (3, " ".join(f"tok{i}" for i in range(50))),  # passes
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = [r["doc_id"] for r in quality_gate(df, min_tokens=20).collect()]
+    assert kept == [3]
+
+
+def test_exact_then_neardup_with_planted_dups(spark, docs):
+    base = docs.select("doc_id", "text")
+    # plant an exact dup of doc 0 and a near-dup (one word changed) of doc 1
+    d0 = base.filter(F.col("doc_id") == 0).select(
+        (F.lit(90000)).alias("doc_id"), "text"
+    )
+    d1 = base.filter(F.col("doc_id") == 1).select(
+        F.lit(90001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = base.unionByName(d0).unionByName(d1)
+    cleaned, stats = clean_corpus(corpus, min_tokens=5, jaccard_threshold=0.8)
+    kept = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
+    assert 90000 not in kept  # exact dup dropped (higher id)
+    assert 0 in kept
+    assert 90001 not in kept  # near dup dropped
+    assert 1 in kept
+    assert stats.n_after_exact == stats.n_after_quality - 1
+    assert stats.n_after_neardup <= stats.n_after_exact - 1
+
+
+def test_near_dup_removal_keeps_unrelated(spark):
+    rows = [
+        (1, " ".join(f"alpha{i}" for i in range(30))),
+        (2, " ".join(f"beta{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    kept = {r["doc_id"] for r in drop_near_duplicates(df).collect()}
+    assert kept == {1, 2}

@@ -117,3 +117,25 @@ def test_salted_counts_equals_plain_groupby(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_parquet_table_sink_roundtrip(spark, tmp_path):
+    from goodreads_pyspark_spark.sources.sinks import write_parquet_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)], ["id", "k", "v"]
+    )
+    write_parquet_table(df, "sink_check", mode="overwrite")
+    back = spark.table("sink_check")
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    spark.sql("DROP TABLE sink_check")
+
+
+def test_fan_out_noop_when_wide_enough(spark):
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    df = spark.range(1000).repartition(target)
+    assert fan_out(df) is df  # guard: never adds a shuffle at scale
