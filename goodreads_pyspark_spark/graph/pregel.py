@@ -197,3 +197,53 @@ def bfs(
         if not frontier.take(1):
             break
     return hits.limit(0)
+
+
+def connected_components(
+    graph: PropertyGraph, max_iter: int = 20, checkpoint_every: int = 5
+) -> DataFrame:
+    """Connected components by iterated min-id propagation (the classic
+    hash-min Pregel algorithm; GraphFrames exposes the same surface as
+    ``connectedComponents``). Undirected view; converges in O(diameter)
+    supersteps. Returns vertices + ``component`` (the minimum vertex id
+    reachable). Stops early when no vertex's component changed.
+    """
+    both = graph.edges.select("src", "dst").unionAll(
+        graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    both = both.cache()
+    comp = graph.vertices.select("id").withColumn("component", F.col("id")).cache()
+
+    for i in range(max_iter):
+        neighbor_min = (
+            both.join(comp.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.min("component").alias("nbr_min"))
+        )
+        new_comp = (
+            comp.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_comp = new_comp.localCheckpoint(eager=False)
+        new_comp = new_comp.cache()
+        changed = (
+            new_comp.join(
+                comp.withColumnRenamed("component", "prev"), "id"
+            )
+            .filter(F.col("component") != F.col("prev"))
+            .take(1)
+        )
+        comp.unpersist()
+        comp = new_comp
+        if not changed:
+            break
+
+    out = graph.vertices.join(comp, "id", "left")
+    both.unpersist()
+    return out

@@ -273,3 +273,35 @@ def _simhash_oracle(bits: int = 16) -> str:
 def d08_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     return simhash_signatures(docs, bits=16)
+
+
+# --- corpus vocabulary statistics -------------------------------------------
+@query(
+    "d09_vocabulary_top_terms",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS term FROM tk)
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS tf_total,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+    FROM ex GROUP BY term
+    ORDER BY tf_total DESC, term LIMIT 100
+    """,
+    doc="Corpus vocabulary: total term frequency + document frequency, "
+    "top-100 — the tokenizer-building / df-filtering primitive. Integer "
+    "outputs: no float drift possible.",
+)
+def d09_vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    return (
+        ex.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("tf_total"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("tf_total").desc(), F.col("term"))
+        .limit(100)
+    )

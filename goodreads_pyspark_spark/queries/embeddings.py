@@ -155,3 +155,39 @@ def e04_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with_query = cand.unionByName(emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding"))
     return brute_force_knn(with_query, query_id=0, k=5)
+
+
+# --- per-label centroids (long form) ----------------------------------------
+@query(
+    "e05_label_centroids",
+    oracle=f"""
+    WITH {_LONG}
+    SELECT label, pos,
+           ROUND({_DSUM.format(expr='v')} / COUNT(*), 6) AS centroid_val
+    FROM e JOIN embeddings USING (vec_id)
+    GROUP BY label, pos
+    """,
+    doc="Per-label centroid components (long form): the embedding-space "
+    "aggregation primitive behind IVF coarse quantizers and cluster "
+    "audits. Rounded to 6dp: Spark's double->decimal cast rounds via the "
+    "shortest string repr while DuckDB expands the exact binary value, so "
+    "raw 12dp sums can differ ~1e-14; the final rounding absorbs that.",
+)
+def e05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.functions.vectors import explode_vector
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    emb = fan_out(tbl(spark, sf_dir, "embeddings"))
+    # pos is an OUTPUT column here: shift posexplode's 0-based index to the
+    # oracle's 1-based generate_subscripts convention.
+    e = explode_vector(emb, "vec_id").withColumn("pos", F.col("pos") + 1)
+    joined = e.join(emb.select("vec_id", "label"), "vec_id")
+    return joined.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("centroid_val")
+    )

@@ -510,3 +510,65 @@ def q22_salted_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets=16,
         sum_col="o_totalprice",
     )
+
+
+# --- SQL facade: correlated EXISTS + scalar subquery ------------------------
+@query(
+    "q23_sql_facade_subqueries",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rich_active
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer)
+      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    doc="spark.sql facade with a scalar subquery + correlated EXISTS — "
+    "Catalyst decorrelates both into joins (the SQL/DataFrame duality, "
+    "SURVEY.md §3.2).",
+)
+def q23_sql_facade_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tbl(spark, sf_dir, "customer").createOrReplaceTempView("q23_customer")
+    tbl(spark, sf_dir, "orders").createOrReplaceTempView("q23_orders")
+    return spark.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_rich_active
+        FROM q23_customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM q23_customer)
+          AND EXISTS (SELECT 1 FROM q23_orders o
+                      WHERE o.o_custkey = c.c_custkey)
+        GROUP BY c_mktsegment
+    """)
+
+
+# --- cube (grouping sets superset) ------------------------------------------
+@query(
+    "q24_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q24_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# --- unpivot / melt ----------------------------------------------------------
+@query(
+    "q25_unpivot_part_measures",
+    oracle="""
+    SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_size', CAST(p_size AS DOUBLE) FROM part
+    """,
+)
+def q25_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = tbl(spark, sf_dir, "part")
+    return part.unpivot(
+        "p_partkey",
+        ["p_retailprice", "p_size"],
+        "measure",
+        "val",
+    ).withColumn("val", F.col("val").cast("double"))

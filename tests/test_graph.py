@@ -135,3 +135,16 @@ def test_label_propagation_community_count(graph):
     out = label_propagation(graph, max_iter=2)
     n = out.select(F.countDistinct("label")).first()[0]
     assert 1 <= n <= graph.vertices.count()
+
+
+def test_connected_components(spark):
+    from goodreads_pyspark_spark.graph.pregel import connected_components
+
+    # chain 1-2-3, chain 10-11, isolate 20
+    v = spark.createDataFrame([(i,) for i in [1, 2, 3, 10, 11, 20]], ["id"])
+    e = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
+    out = connected_components(PropertyGraph(v, e))
+    comp = {r["id"]: r["component"] for r in out.collect()}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == 20
