@@ -68,9 +68,11 @@ def lsh_candidate_pairs(
         F.md5(F.concat(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]))
         for b in range(bands)
     ]
+    # Cache: both sides of the self-join consume this subtree; uncached,
+    # the whole shingle→minhash computation runs twice.
     banded = sigs.select(
         F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "key")
-    )
+    ).cache()
     if max_bucket is not None:
         # Guard against degenerate buckets (e.g. boilerplate-heavy corpora):
         # a bucket of size m yields m^2 join rows.

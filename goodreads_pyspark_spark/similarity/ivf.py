@@ -1,0 +1,122 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The second scale path next to sign-LSH (``ann.py``): partition the
+corpus by nearest coarse centroid (seeded KMeans), then search only the
+``nprobe`` centroid lists closest to the query.
+
+Scale shape:
+  * training samples the corpus (KMeans on a bounded sample — MLlib's
+    distributed KMeans, seeded);
+  * the centroid set is tiny (k × d) → broadcast to assignment, which is
+    one long-form join + argmax per vector, shuffling (id, pos, v) once;
+  * at query time only ``nprobe``/k of the corpus is scored, reranked
+    exactly by ``brute_force_knn`` — with ``nprobe == k`` IVF degrades to
+    exhaustive search, which the tests exploit as an exact differential.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.operators.partitioning import fan_out
+from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+
+
+def build_ivf_centroids(
+    df: DataFrame,
+    k: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Train coarse centroids; returns long-form (cid, pos, cval) rows.
+
+    Long form keeps the downstream assignment a plain join — no UDF, no
+    vector-type coupling for callers.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
+    feats = train.select(array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        ["cid", "cvec"],
+    )
+    return cents.select(
+        "cid", F.posexplode("cvec").alias("pos", "cval")
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids_long: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid): nearest centroid per vector by cosine (ties → lowest cid)."""
+    e = fan_out(df).select(
+        F.col(id_col), F.posexplode(vec_col).alias("pos", "v")
+    ).withColumn("v", F.col("v").cast("double"))
+    scored = (
+        e.join(F.broadcast(centroids_long), "pos")
+        .groupBy(id_col, "cid")
+        .agg(
+            F.sum(F.col("v") * F.col("cval")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("n2"),
+            F.sum(F.col("cval") * F.col("cval")).alias("c2"),
+        )
+        .withColumn("cos", F.col("dot") / (F.sqrt("n2") * F.sqrt("c2")))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("cos").desc(), F.col("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "cid")
+    )
+
+
+def ivf_knn(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nprobe: int = 2,
+    centroids_long: DataFrame | None = None,
+    n_centroids: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k neighbors of ``query_id`` probing ``nprobe`` lists."""
+    if centroids_long is None:
+        centroids_long = build_ivf_centroids(
+            df, k=n_centroids, seed=seed, id_col=id_col, vec_col=vec_col
+        )
+    centroids_long = centroids_long.cache()
+    assign = ivf_assign(df, centroids_long, id_col, vec_col).cache()
+
+    # the query's nprobe closest centroids (same scoring as assignment)
+    q = df.filter(F.col(id_col) == query_id)
+    qe = q.select(F.posexplode(vec_col).alias("pos", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    q_scored = (
+        qe.join(F.broadcast(centroids_long), "pos")
+        .groupBy("cid")
+        .agg(
+            F.sum(F.col("v") * F.col("cval")).alias("dot"),
+            F.sum(F.col("v") * F.col("v")).alias("n2"),
+            F.sum(F.col("cval") * F.col("cval")).alias("c2"),
+        )
+        .withColumn("cos", F.col("dot") / (F.sqrt("n2") * F.sqrt("c2")))
+        .orderBy(F.col("cos").desc(), F.col("cid"))
+        .limit(nprobe)
+        .select("cid")
+    )
+    cand_ids = assign.join(F.broadcast(q_scored), "cid").select(id_col)
+    cand = df.join(cand_ids, id_col, "left_semi").unionByName(q).distinct()
+    return brute_force_knn(cand, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)

@@ -60,3 +60,33 @@ def test_near_dup_removal_keeps_unrelated(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     kept = {r["doc_id"] for r in drop_near_duplicates(df).collect()}
     assert kept == {1, 2}
+
+
+def test_ivf_full_probe_equals_brute_force(spark):
+    """nprobe == n_centroids degrades IVF to exhaustive search — results
+    must equal the brute-force baseline exactly."""
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+    from goodreads_pyspark_spark.similarity.ivf import ivf_knn
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = [tuple(r) for r in brute_force_knn(emb, query_id=0, k=10).collect()]
+    full_probe = [
+        tuple(r)
+        for r in ivf_knn(emb, query_id=0, k=10, nprobe=4, n_centroids=4).collect()
+    ]
+    assert full_probe == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+    from goodreads_pyspark_spark.similarity.ivf import ivf_knn
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = {r["vec_id"] for r in brute_force_knn(emb, query_id=0, k=10).collect()}
+    approx = {
+        r["vec_id"]
+        for r in ivf_knn(emb, query_id=0, k=10, nprobe=2, n_centroids=8).collect()
+    }
+    # seeded KMeans -> deterministic; near neighbors concentrate in the
+    # probed lists, so recall should be substantial
+    assert len(exact & approx) >= 5

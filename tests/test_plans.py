@@ -87,3 +87,31 @@ def test_dedup_plans_shuffle_hashes_not_documents(spark, name):
     ]
     for ex in exchanges:
         assert "text#" not in ex, f"document text crosses a shuffle: {ex}"
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Bucketing both sides on the join key co-locates the join: the plan
+    must contain NO Exchange (the 100 TB repeated-join strategy, S4)."""
+    from goodreads_pyspark_spark.sources.sinks import write_parquet_table
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    write_parquet_table(orders, "b_orders", bucket_by=(8, ["o_custkey"]))
+    write_parquet_table(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer",
+        bucket_by=(8, ["o_custkey"]),
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
