@@ -305,3 +305,63 @@ def d09_vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("tf_total").desc(), F.col("term"))
         .limit(100)
     )
+
+
+# --- the full corpus-cleaning pipeline, oracle-checked ----------------------
+def _clean_corpus_oracle(
+    min_tokens: int = 20, jaccard: float = 0.8, num_hashes: int = 8, bands: int = 4
+) -> str:
+    r = num_hashes // bands
+    mins = ", ".join(f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(num_hashes))
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * r + k}' for k in range(r))}) AS key FROM mh"
+        for b in range(bands)
+    )
+    return f"""
+    WITH tk0 AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    q AS (SELECT * FROM tk0
+          WHERE len(t) >= {min_tokens}
+            AND len(list_distinct(t)) * 10 >= 3 * len(t)),
+    surv AS (SELECT MIN(doc_id) AS doc_id
+             FROM q GROUP BY md5(lower(trim(text)))),
+    kept1 AS (SELECT q.* FROM q JOIN surv USING (doc_id)),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i
+            FROM kept1 WHERE len(t) >= 3),
+    sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+           FROM idx),
+    mh AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+    bands AS (
+{band_rows}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b USING (band, key)
+             WHERE a.doc_id < b.doc_id),
+    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
+              FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    verified AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i
+      JOIN cand USING (doc_a, doc_b)
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b
+      WHERE CAST(nc AS DOUBLE) / (sa.sz + sb.sz - nc) >= {jaccard})
+    SELECT doc_id FROM kept1
+    WHERE doc_id NOT IN (SELECT doc_b FROM verified)
+    """
+
+
+@query(
+    "c01_clean_corpus",
+    oracle=_clean_corpus_oracle(),
+    doc="The full training-corpus cleaning pipeline (pipelines/corpus.py): "
+    "quality gate -> exact dedup -> LSH-candidate near-dup removal with "
+    "exact Jaccard verification. Output: surviving doc ids.",
+)
+def c01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.pipelines.corpus import clean_corpus
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned, _stats = clean_corpus(docs, min_tokens=20, jaccard_threshold=0.8)
+    return cleaned.select("doc_id")

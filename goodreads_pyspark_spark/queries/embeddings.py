@@ -41,7 +41,7 @@ _DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
              {_DSUM.format(expr='qv * qv')} AS q2
       FROM e JOIN q USING (pos) WHERE vec_id <> 0
       GROUP BY vec_id)
-    SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(q2)), 9) AS cosine
+    SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) AS cosine
     FROM comps ORDER BY cosine DESC, vec_id LIMIT 10
     """,
     doc="Exact cosine top-10 of vec 0 — the ANN correctness baseline "
@@ -65,11 +65,11 @@ def e01_knn_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e a JOIN e b USING (pos) WHERE a.vec_id < b.vec_id
       GROUP BY 1, 2)
     SELECT id_a, id_b,
-           ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 9) AS cosine
+           ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) AS cosine
     FROM dots
     JOIN norms na ON na.vec_id = id_a
     JOIN norms nb ON nb.vec_id = id_b
-    WHERE ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 9) >= 0.4
+    WHERE ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) >= 0.4
     """,
     doc="All-pairs cosine ≥0.4 (embedding near-dup). Exact form; at scale "
     "this runs within LSH buckets only.",
@@ -135,7 +135,7 @@ def e03_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
              {_DSUM.format(expr='qv * qv')} AS q2
       FROM cand JOIN q USING (pos)
       GROUP BY vec_id)
-    SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(q2)), 9) AS cosine
+    SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) AS cosine
     FROM comps ORDER BY cosine DESC, vec_id LIMIT 5
     """,
     doc="ANN query: LSH bucket as candidate set, exact cosine rerank, "

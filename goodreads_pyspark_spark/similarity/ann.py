@@ -44,12 +44,14 @@ def brute_force_knn(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 9,
+    round_to: int = 6,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of ``query_id``'s vector.
 
     Returns (vec_id, cosine) with cosine rounded to ``round_to`` digits —
-    the rounding defines a deterministic total order for the cut.
+    the rounding defines a deterministic total order for the cut, and
+    6dp absorbs the ~1e-14 Spark-vs-DuckDB double->decimal divergence
+    (see e05's docstring) with negligible flip risk.
     """
     e = _long_form(df, id_col, vec_col)
     q = (
@@ -123,7 +125,7 @@ def cosine_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    round_to: int = 9,
+    round_to: int = 6,
 ) -> DataFrame:
     """Exact (id_a < id_b, cosine) pairs with cosine ≥ threshold.
 

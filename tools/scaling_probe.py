@@ -1,0 +1,82 @@
+"""Empirical scaling probe for the heavy operators.
+
+Synthesizes 2x/4x copies of the sf0.1 documents/embeddings tables (id
+offsets keep keys unique; texts/vectors perturbed per copy so replicas
+aren't trivial dups) and measures the heavy operators at each scale.
+Results feed SCALING.md — the measured basis for the 100 TB claims.
+
+Usage: python tools/scaling_probe.py [factors...]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.dedup import lsh_candidate_pairs, simhash_signatures
+from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
+from goodreads_pyspark_spark.session import get_spark
+from goodreads_pyspark_spark.similarity import (
+    cosine_neardup_pairs,
+    sign_lsh_buckets,
+)
+
+SRC = "/root/testdata/sf0.1"
+
+
+def replicate(spark, table: str, factor: int, id_col: str, out_dir: str) -> str:
+    base = spark.read.parquet(f"{SRC}/{table}.parquet")
+    n = base.agg(F.max(id_col)).first()[0] + 1
+    parts = []
+    for i in range(factor):
+        c = base.withColumn(id_col, F.col(id_col) + F.lit(i * n))
+        if table == "documents" and i > 0:
+            # suffix marks the copy so replicas aren't exact duplicates
+            c = c.withColumn("text", F.concat("text", F.lit(f" copymark{i}")))
+        parts.append(c)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    path = f"{out_dir}/{table}_x{factor}"
+    df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark("scaling_probe")
+    out_dir = tempfile.mkdtemp(prefix="scaling_")
+    print(f"# staging to {out_dir}", file=sys.stderr)
+
+    ops = {
+        "minhash_lsh": lambda d, e: lsh_candidate_pairs(d).count(),
+        "simhash": lambda d, e: simhash_signatures(d).count(),
+        "jaccard_capped": lambda d, e: jaccard_pairs(d, threshold=0.5, max_df=200).count(),
+        "lsh_buckets": lambda d, e: sign_lsh_buckets(e).count(),
+        "cosine_allpairs": lambda d, e: cosine_neardup_pairs(e, 0.4).count(),
+    }
+    rows = []
+    for f in factors:
+        dpath = replicate(spark, "documents", f, "doc_id", out_dir)
+        epath = replicate(spark, "embeddings", f, "vec_id", out_dir)
+        docs = spark.read.parquet(dpath)
+        emb = spark.read.parquet(epath)
+        for name, fn in ops.items():
+            t0 = time.perf_counter()
+            n = fn(docs, emb)
+            dt = time.perf_counter() - t0
+            rows.append((name, f, round(dt, 2), n))
+            print(f"{name}\tx{f}\t{dt:.2f}s\t{n} rows", flush=True)
+    print("\nop\tfactor\tsec\trows")
+    for r in rows:
+        print("\t".join(str(x) for x in r))
+
+
+if __name__ == "__main__":
+    main()
