@@ -41,6 +41,10 @@ def main() -> None:
         n = df.count()  # full execution; avoids driver-side result transfer cost
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # isolate queries: operators cache shared subtrees internally; left
+        # in place across 50 queries those blocks pile onto the block
+        # manager and skew later timings
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

@@ -572,3 +572,50 @@ def q25_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "val",
     ).withColumn("val", F.col("val").cast("double"))
+
+
+# --- fact-to-fact join + date arithmetic ------------------------------------
+@query(
+    "q26_late_shipments",
+    oracle=f"""
+    SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_late,
+           {sql_dsum('l_extendedprice')} AS late_value
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+    GROUP BY o_orderstatus
+    """,
+    doc="The big fact-to-fact join (lineitem x orders on the FK) with "
+    "interval arithmetic in the predicate. At scale this is the shuffle "
+    "join AQE owns; both sides bucketed on orderkey would eliminate it "
+    "(see test_bucketed_join_avoids_shuffle).",
+)
+def q26_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = joined.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return late.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_late"),
+        dsum("l_extendedprice", alias="late_value"),
+    )
+
+
+# --- approximate sketches (rows-only: sketch algorithms differ by engine) ---
+@query(
+    "q27_approx_sketches",
+    oracle=None,
+    doc="HyperLogLog distinct + t-digest quantiles per group — THE forms "
+    "actually used at 100 TB (bounded memory, one pass, mergeable "
+    "partials). Rows-only check: sketch internals differ across engines; "
+    "tests/test_operators pins error vs exact within tolerance.",
+)
+def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias(
+            "price_quantiles"
+        ),
+    )

@@ -139,3 +139,29 @@ def test_fan_out_noop_when_wide_enough(spark):
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     df = spark.range(1000).repartition(target)
     assert fan_out(df) is df  # guard: never adds a shuffle at scale
+
+
+def test_approx_sketches_within_tolerance(spark):
+    from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    approx = {
+        r["o_orderstatus"]: (r["approx_customers"], r["price_quantiles"])
+        for r in REGISTRY["q27_approx_sketches"]
+        .spark_fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    }
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    exact = {
+        r["o_orderstatus"]: (r["n"], r["med"])
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n"),
+            F.median("o_totalprice").alias("med"),
+        )
+        .collect()
+    }
+    for k, (n_exact, med_exact) in exact.items():
+        n_approx, quantiles = approx[k]
+        assert abs(n_approx - n_exact) / n_exact < 0.05
+        assert abs(quantiles[0] - med_exact) / med_exact < 0.05

@@ -115,3 +115,25 @@ def test_bucketed_join_avoids_shuffle(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_partition_pruning_on_partitioned_sink(spark):
+    """Writing partitioned parquet makes predicate filters prune whole
+    partitions — the scan must show PartitionFilters and touch only the
+    matching subdirectory (SURVEY §4: partition at scale)."""
+    from goodreads_pyspark_spark.sources.sinks import write_parquet_table
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    write_parquet_table(li, "p_lineitem", partition_by=["l_returnflag"])
+    try:
+        q = spark.table("p_lineitem").filter("l_returnflag = 'A'").select("l_orderkey")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain("formatted")
+        plan = buf.getvalue()
+        seg = plan.split("PartitionFilters")[1].splitlines()[0]
+        assert "l_returnflag" in seg
+        files = q.inputFiles()
+        assert files and all("l_returnflag=A" in f for f in files)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS p_lineitem")
