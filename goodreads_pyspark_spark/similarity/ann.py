@@ -120,20 +120,65 @@ def _dot_double_unrolled(a: Column, b: Column, dim: int) -> Column:
     return out
 
 
+def _screen_pairs_numpy(
+    df: DataFrame, threshold: float, margin: float, id_col: str, vec_col: str
+) -> DataFrame:
+    """Candidate (id_a < id_b) pairs with cosine ≥ threshold − margin.
+
+    Broadcast-matrix screen: the comparison side is collected once and
+    broadcast (legitimate ONLY for a bucket-sized side — the same
+    contract as any broadcast join); each Arrow batch of the streaming
+    side scores against it with one BLAS matmul. BLAS summation order is
+    unspecified, but its error (~1e-13 here) is far inside ``margin``, so
+    the candidate set provably contains every true pair — exactness comes
+    from the decimal rescore downstream.
+    """
+    import numpy as np
+
+    rows = df.select(id_col, vec_col).collect()
+    ids_b = np.array([r[0] for r in rows], dtype=np.int64)
+    m = np.array([r[1] for r in rows], dtype=np.float64)
+    nb = np.sqrt((m * m).sum(axis=1))
+    bc = df.sparkSession.sparkContext.broadcast((ids_b, m, nb))
+
+    def screen(batches):
+        import pandas as pd
+
+        b_ids, b_m, b_n = bc.value
+        for pdf in batches:
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            a_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            na = np.sqrt((a * a).sum(axis=1))
+            s = (a @ b_m.T) / np.outer(na, b_n)
+            ia, ib = np.nonzero(s >= threshold - margin)
+            keep = a_ids[ia] < b_ids[ib]
+            yield pd.DataFrame(
+                {"id_a": a_ids[ia][keep], "id_b": b_ids[ib][keep]}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(screen, "id_a long, id_b long")
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    use_numpy_screen: bool = True,
 ) -> DataFrame:
     """Exact (id_a < id_b, cosine) pairs with cosine ≥ threshold.
 
-    Physical shape: pair the *vectors* (compact arrays), not exploded
-    elements — an O(N²) pair stream where each pair's dot product is a
-    64-wide codegen fold. ~65× less shuffled data than the long-form
-    join. Still quadratic: at corpus scale run this per LSH bucket
-    (``sign_lsh_buckets``), never globally.
+    Two-phase exactness: a fast screen proposes candidates with a 1e-6
+    safety margin (screen error is ≤ ~1e-12), then ONLY candidates are
+    rescored with decimal-exact dot products — output is bit-identical to
+    the all-decimal formulation at a fraction of the cost.
+
+    Screens: ``use_numpy_screen`` (default) broadcasts the comparison
+    matrix into an Arrow-batched BLAS matmul — the production path for
+    real dims; the fallback is a pure-codegen unrolled expression over a
+    crossJoin (no Python workers). Both are quadratic: at corpus scale
+    run this per LSH bucket (``sign_lsh_buckets``), never globally.
     """
     dbl = fan_out(df).select(
         F.col(id_col),
@@ -142,32 +187,53 @@ def cosine_neardup_pairs(
     norms = dbl.select(
         F.col(id_col), _dot_decimal(F.col("vec"), F.col("vec")).alias("n2")
     )
-    a = dbl.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"))
-    b = dbl.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    # Two-phase exactness: a plain double fold scores all O(N²) pairs at
-    # codegen speed; only pairs within 1e-6 of the threshold (double-fold
-    # error here is ≤ ~4e-12) are rescored decimal-exactly, so the output
-    # is bit-identical to the all-decimal formulation at ~2 decimal ops
-    # per *surviving* pair instead of per pair.
-    dim = df.select(F.size(vec_col).alias("d")).first()["d"]
-    fast = pairs.select(
-        "id_a",
-        "id_b",
-        "va",
-        "vb",
-        _dot_double_unrolled(F.col("va"), F.col("vb"), dim).alias("fdot"),
-    )
-    na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na"))
-    nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb"))
-    cand = (
-        fast.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
-        .filter(
-            F.col("fdot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
-            >= threshold - 1e-6
+    margin = 1e-6
+    if use_numpy_screen:
+        cand_ids = _screen_pairs_numpy(dbl, threshold, margin, id_col, "vec")
+        cand = (
+            cand_ids.join(
+                dbl.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va")),
+                "id_a",
+            )
+            .join(
+                dbl.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb")),
+                "id_b",
+            )
+            .join(
+                F.broadcast(
+                    norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na"))
+                ),
+                "id_a",
+            )
+            .join(
+                F.broadcast(
+                    norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb"))
+                ),
+                "id_b",
+            )
         )
-    )
+    else:
+        a = dbl.select(F.col(id_col).alias("id_a"), F.col("vec").alias("va"))
+        b = dbl.select(F.col(id_col).alias("id_b"), F.col("vec").alias("vb"))
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+        dim = df.select(F.size(vec_col).alias("d")).first()["d"]
+        fast = pairs.select(
+            "id_a",
+            "id_b",
+            "va",
+            "vb",
+            _dot_double_unrolled(F.col("va"), F.col("vb"), dim).alias("fdot"),
+        )
+        na = norms.select(F.col(id_col).alias("id_a"), F.col("n2").alias("na"))
+        nb = norms.select(F.col(id_col).alias("id_b"), F.col("n2").alias("nb"))
+        cand = (
+            fast.join(F.broadcast(na), "id_a")
+            .join(F.broadcast(nb), "id_b")
+            .filter(
+                F.col("fdot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+                >= threshold - margin
+            )
+        )
     cos = F.round(
         _dot_decimal(F.col("va"), F.col("vb"))
         / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))),
