@@ -1,0 +1,49 @@
+"""Custom stateful streaming operators (``applyInPandasWithState``).
+
+Where windowed aggregation (windows.py) covers time-bucketed state with
+watermark eviction, this covers ARBITRARY per-key state machines: the
+state is an explicit schema, updates are Arrow-batched pandas, and the
+framework shards state by group key across executors and checkpoints it
+with the query. The example operator keeps running per-user totals across
+micro-batches — the building block for lifetime counters, fraud/session
+state machines, and incremental feature stores.
+
+Scale posture: state lives in the state store partitioned by key (RocksDB
+provider in production); per-batch work is one shuffle on the key plus an
+Arrow round-trip for GROUPS TOUCHED IN THE BATCH only. Unbounded key
+spaces need a timeout policy (pass ``timeout='ProcessingTimeTimeout'``
+and expire in the handler) or state grows monotonically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _update_totals(key, pdfs, state: GroupState):
+    import pandas as pd
+
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Per-user lifetime (count, value-sum), updated each micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -90,3 +90,60 @@ def test_video_frame_sampling(media_df):
     assert len(by_id[5]) == 2
     f = sorted(by_id[4], key=lambda r: r["frame_idx"])[2]
     assert f["frame_ts"] == 2.0 and f["frame_number"] == 48  # 2s * 24fps
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path_factory):
+    """applyInPandasWithState: state must accumulate across micro-batches
+    (maxFilesPerTrigger=1 forces one batch per staged file)."""
+    import pyspark.sql.functions as F
+
+    from goodreads_pyspark_spark.streaming.stateful import running_user_totals
+    from goodreads_pyspark_spark.streaming.windows import EVENT_SCHEMA
+
+    stage = str(tmp_path_factory.mktemp("stateful_events"))
+    from goodreads_pyspark_spark.queries._helpers import events_tbl
+
+    ev = events_tbl(spark, "/root/testdata/sf0.001").filter(F.col("user_id") < 20)
+    # two files -> two micro-batches
+    ev.filter(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{stage}/b0")
+    ev.filter(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{stage}/b1")
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{stage}/*")
+    )
+    q = (
+        running_user_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("stateful_totals")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n_batches = len(q.recentProgress)
+    finally:
+        q.stop()
+    assert n_batches >= 2  # state really crossed micro-batches
+
+    # memory sink in update mode appends one row per touched group per
+    # batch; n_events is monotone, so the max-count row per user is the
+    # final state (collect order is not guaranteed)
+    rows = spark.sql("SELECT * FROM stateful_totals").collect()
+    final = {}
+    for r in rows:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur[0]:
+            final[r["user_id"]] = (r["n_events"], r["total_value"])
+    expect = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .collect()
+    }
+    assert set(final) == set(expect)
+    for u, (n, t) in expect.items():
+        fn, ft = final[u]
+        assert fn == n
+        assert abs(ft - t) < 1e-6
