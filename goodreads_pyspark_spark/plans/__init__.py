@@ -1,0 +1,7 @@
+from goodreads_pyspark_spark.plans.audit import (  # noqa: F401
+    assert_no_exchange,
+    codegen_plan,
+    formatted_plan,
+    pushed_filters,
+    scan_read_schema,
+)

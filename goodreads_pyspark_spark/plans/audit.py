@@ -1,0 +1,53 @@
+"""Physical-plan introspection helpers.
+
+The engine's contract is not just correct answers but correct PLANS:
+filters pushed to scans, dimensions broadcast, top-k folded, shuffles
+carrying keys not payloads. These helpers extract the relevant plan
+facts so tests (tests/test_plans.py) and ad-hoc tuning sessions can
+assert them instead of eyeballing ``explain`` output.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    """``explain('formatted')`` as a string."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def codegen_plan(df: DataFrame) -> str:
+    """``explain('codegen')`` as a string — the only mode that reports
+    WholeStageCodegen subtrees once AQE wraps the plan."""
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """The PushedFilters lists of every scan in the plan."""
+    plan = formatted_plan(df)
+    return [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """The ReadSchema of every scan — what actually gets read (column
+    pruning shows up here, not in the projection)."""
+    plan = formatted_plan(df)
+    return [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+
+
+def assert_no_exchange(df: DataFrame) -> None:
+    """Raise if the plan contains any shuffle Exchange — the check for
+    co-located (bucketed / pre-partitioned) execution."""
+    plan = formatted_plan(df)
+    if "Exchange" in plan:
+        raise AssertionError(f"plan contains an Exchange:\n{plan}")

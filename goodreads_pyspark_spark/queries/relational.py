@@ -619,3 +619,52 @@ def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "price_quantiles"
         ),
     )
+
+
+# --- TPC-H Q3 shape: 3-way join, filtered both sides, top-k by revenue ------
+@query(
+    "q28_shipping_priority",
+    oracle=f"""
+    SELECT o_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY o_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderkey LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: selective dim filter -> fact join chain -> "
+    "grouped revenue -> top-k. Catalyst pushes both date filters to the "
+    "scans and broadcasts the filtered customer side.",
+)
+def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey).join(
+        li, F.col("o_orderkey") == F.col("l_orderkey")
+    )
+    return (
+        joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.to_date("o_orderdate").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )

@@ -137,3 +137,28 @@ def test_partition_pruning_on_partitioned_sink(spark):
         assert files and all("l_returnflag=A" in f for f in files)
     finally:
         spark.sql("DROP TABLE IF EXISTS p_lineitem")
+
+
+def test_plan_audit_helpers(spark):
+    from goodreads_pyspark_spark.plans import (
+        assert_no_exchange,
+        codegen_plan,
+        pushed_filters,
+        scan_read_schema,
+    )
+
+    df = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .filter("l_quantity > 10")
+        .select("l_orderkey")
+    )
+    assert any("l_quantity" in f for f in pushed_filters(df))
+    assert any("l_orderkey" in s for s in scan_read_schema(df))
+    assert "WholeStageCodegen" in codegen_plan(df)
+    assert_no_exchange(df)  # scan+filter+project: no shuffle
+    agg = df.groupBy("l_orderkey").count()
+    try:
+        assert_no_exchange(agg)
+        raise RuntimeError("expected AssertionError")
+    except AssertionError:
+        pass
