@@ -9,9 +9,21 @@ from pyspark.sql import functions as F
 
 
 def tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # Pin UTC on every load: the driver's session tz is not ours to assume,
-    # and timestamp literals/date extraction must match the naive-UTC oracle.
+    # Protective session posture on every load — the driver hands us an
+    # externally built session whose config is not ours to assume:
+    #  * UTC: timestamp literals/date extraction must match the naive-UTC
+    #    oracle;
+    #  * shuffle partitions ~cores + AQE: Spark's default of 200 turns
+    #    tiny correctness-run stages into pure scheduling overhead.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        current = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        if current == 200:  # untouched default — tune; respect any override
+            cores = spark.sparkContext.defaultParallelism
+            spark.conf.set("spark.sql.shuffle.partitions", str(max(cores, 8)))
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+    except Exception:  # noqa: BLE001 — e.g. non-numeric "auto"
+        pass
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
