@@ -90,3 +90,28 @@ def lookup(df: DataFrame, key: str, value) -> DataFrame:
     on partitioned/bucketed storage the predicate prunes to one file group.
     """
     return df.filter(F.col(key) == F.lit(value))
+
+
+def argmax_struct(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: Column,
+    payload: Sequence[str],
+) -> DataFrame:
+    """Per-group argmax via struct-max aggregation (no window, no sort).
+
+    ``max(struct(value, payload...))`` compares structs field-by-field, so
+    the max struct carries the payload of the max-value row (ties resolved
+    by the next struct fields — list payload columns in tiebreak order).
+    One partial+final hash aggregation instead of a window's
+    shuffle+sort: the cheaper plan when only the argmax row is needed.
+    The window form (``argmax_per_group``) remains for top-k>1 and for
+    first-max-in-column-order tie semantics.
+    """
+    s = F.max(F.struct(value.alias("__v"), *[F.col(c) for c in payload])).alias("__m")
+    agg = df.groupBy(*keys).agg(s)
+    return agg.select(
+        *keys,
+        F.col("__m.__v").alias("max_value"),
+        *[F.col(f"__m.{c}").alias(c) for c in payload],
+    )

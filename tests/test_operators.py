@@ -165,3 +165,18 @@ def test_approx_sketches_within_tolerance(spark):
         n_approx, quantiles = approx[k]
         assert abs(n_approx - n_exact) / n_exact < 0.05
         assert abs(quantiles[0] - med_exact) / med_exact < 0.05
+
+
+def test_argmax_struct_no_window(spark):
+    from goodreads_pyspark_spark.operators.relational import argmax_struct
+    from goodreads_pyspark_spark.plans import formatted_plan
+
+    df = spark.createDataFrame(
+        [("g1", 5, "a"), ("g1", 9, "b"), ("g2", 2, "c"), ("g2", 2, "d")],
+        ["grp", "cnt", "name"],
+    )
+    out = argmax_struct(df, ["grp"], F.col("cnt"), ["name"])
+    got = {(r["grp"], r["max_value"], r["name"]) for r in out.collect()}
+    # g2 tie on cnt=2 -> struct comparison falls through to name: max name
+    assert got == {("g1", 9, "b"), ("g2", 2, "d")}
+    assert "Window" not in formatted_plan(out)  # pure aggregation plan
