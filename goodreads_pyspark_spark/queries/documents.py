@@ -365,3 +365,30 @@ def c01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
     cleaned, _stats = clean_corpus(docs, min_tokens=20, jaccard_threshold=0.8)
     return cleaned.select("doc_id")
+
+
+# --- text normalization / scrubbing -----------------------------------------
+@query(
+    "d10_scrubbed_text",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[0-9]+', '<num>', 'g'),
+                 '\\s+', ' ', 'g'))) AS scrubbed_hash,
+           CAST(length(regexp_replace(lower(text), '[0-9]+', '<num>', 'g'))
+                AS INTEGER) AS scrubbed_len
+    FROM documents
+    """,
+    doc="Text normalization pass (digit masking + whitespace collapse) — "
+    "the scrub step before hashing/dedup in a cleaning pipeline; hashed "
+    "output keeps the oracle compact.",
+)
+def d10_scrubbed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    masked = F.regexp_replace(F.lower("text"), "[0-9]+", "<num>")
+    collapsed = F.trim(F.regexp_replace(masked, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(collapsed).alias("scrubbed_hash"),
+        F.length(masked).cast("int").alias("scrubbed_len"),
+    )

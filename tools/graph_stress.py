@@ -1,0 +1,66 @@
+"""Pregel stress probe: the iterative graph loops at ~600k edges.
+
+Builds a bipartite graph from sf0.1 lineitem (orderkey → partkey edges,
+~600k) — two orders of magnitude above the unit-test graphs and the same
+shape as the reference's user→book ratings graph — and runs PageRank
+(fixed 10 iterations, lazy mode), label propagation (2 rounds), and
+connected components. Reported in SCALING.md.
+
+Usage: python tools/graph_stress.py
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.graph import PropertyGraph, label_propagation, pagerank
+from goodreads_pyspark_spark.graph.pregel import connected_components
+from goodreads_pyspark_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main() -> None:
+    spark = get_spark("graph_stress")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    # disjoint id spaces, as in the reference's +100000 offset trick
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + 10_000_000).alias("dst"),
+    ).cache()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    n_e, n_v = edges.count(), vertices.count()
+    g = PropertyGraph(vertices, edges)
+    print(f"graph: {n_v} vertices, {n_e} edges")
+
+    t0 = time.perf_counter()
+    pr = pagerank(g, tol=0, max_iter=10)
+    top = pr.orderBy(F.col("pagerank").desc()).limit(3).collect()
+    print(f"pagerank 10 iters: {time.perf_counter()-t0:.1f}s, "
+          f"top: {[(r['id'], round(r['pagerank'], 2)) for r in top]}")
+
+    t0 = time.perf_counter()
+    lp = label_propagation(g, max_iter=2)
+    n_comm = lp.select(F.countDistinct("label")).first()[0]
+    print(f"label propagation 2 iters: {time.perf_counter()-t0:.1f}s, "
+          f"{n_comm} labels")
+
+    t0 = time.perf_counter()
+    cc = connected_components(g, max_iter=10)
+    n_cc = cc.select(F.countDistinct("component")).first()[0]
+    print(f"connected components: {time.perf_counter()-t0:.1f}s, {n_cc} components")
+
+
+if __name__ == "__main__":
+    main()
