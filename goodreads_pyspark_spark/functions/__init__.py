@@ -7,7 +7,4 @@ from goodreads_pyspark_spark.functions.text import (  # noqa: F401
     tokens,
     word_shingles,
 )
-from goodreads_pyspark_spark.functions.vectors import (  # noqa: F401
-    cosine_components,
-    explode_vector,
-)
+from goodreads_pyspark_spark.functions.vectors import explode_vector  # noqa: F401

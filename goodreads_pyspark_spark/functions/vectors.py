@@ -28,12 +28,3 @@ def explode_vector(df: DataFrame, id_col: str, vec_col: str = "embedding") -> Da
         F.posexplode(vec_col).alias("pos", "v"),
     ).withColumn("v", F.col("v").cast("double"))
 
-
-def cosine_components(dot: Column, norm_a: Column, norm_b: Column) -> Column:
-    """cosine from decimal-exact components, computed in double."""
-    return dot / (F.sqrt(norm_a) * F.sqrt(norm_b))
-
-
-def acc_sum(prod: Column) -> Column:
-    """Order-independent sum of a product column (see module docstring)."""
-    return F.sum(prod.cast(_ACC)).cast("double")

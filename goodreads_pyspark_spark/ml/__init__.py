@@ -12,5 +12,6 @@ from goodreads_pyspark_spark.ml.features import (  # noqa: F401
     kmeans_cluster,
     lsh_nearest_books,
     power_iteration_clusters,
+    prepare_book_features,
     silhouette,
 )

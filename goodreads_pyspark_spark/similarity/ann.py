@@ -92,15 +92,6 @@ def _dot_decimal(a: Column, b: Column) -> Column:
     ).cast("double")
 
 
-def _dot_double(a: Column, b: Column) -> Column:
-    """Plain double dot product — fast screen for the two-phase exact path."""
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _dot_double_unrolled(a: Column, b: Column, dim: int) -> Column:
     """Dot product as a flat ``dim``-term expression.
 

@@ -3,3 +3,4 @@ from goodreads_pyspark_spark.streaming.windows import (  # noqa: F401
     run_to_memory_sink,
     stream_events_from_dir,
 )
+from goodreads_pyspark_spark.streaming.stateful import running_user_totals  # noqa: F401
