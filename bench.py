@@ -36,7 +36,12 @@ def main() -> None:
 
     def run_once(q) -> tuple[float, int]:
         t0 = time.perf_counter()
-        n = q.spark_fn(spark, sf_dir).count()  # full execution
+        # collect(), not count(): count() lets Catalyst prune every output
+        # column, so per-row transform queries would be optimized to a
+        # row-count scan. collect() forces all result columns to compute
+        # (result sets are capped at tens of k rows, so the driver transfer
+        # is noise).
+        n = len(q.spark_fn(spark, sf_dir).collect())
         dt = time.perf_counter() - t0
         # isolate queries: operators cache shared subtrees internally; left
         # in place across 50 queries those blocks pile onto the block

@@ -1,7 +1,13 @@
 from goodreads_pyspark_spark.dedup.exact import dup_group_stats, exact_dedup  # noqa: F401
 from goodreads_pyspark_spark.dedup.minhash import (  # noqa: F401
     lsh_candidate_pairs,
+    lsh_candidate_pairs_from_shingles,
     minhash_signatures,
+    minhash_signatures_from_shingles,
 )
-from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs  # noqa: F401
+from goodreads_pyspark_spark.dedup.ngram import (  # noqa: F401
+    jaccard_pairs,
+    jaccard_pairs_from_shingles,
+)
+from goodreads_pyspark_spark.dedup.shingles import shingle_rows  # noqa: F401
 from goodreads_pyspark_spark.dedup.simhash import simhash_signatures  # noqa: F401

@@ -23,13 +23,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from goodreads_pyspark_spark.functions.text import tokens, word_shingles
-from goodreads_pyspark_spark.operators.partitioning import fan_out
+from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 
 
-def _shingle_rows(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
-    sh = word_shingles(tokens(text_col), shingle_n)
-    return fan_out(df).select(F.col(id_col), F.explode(sh).alias("sh"))
+def minhash_signatures_from_shingles(
+    sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8
+) -> DataFrame:
+    """Min-hash signatures from a prebuilt ``(id_col, sh)`` shingle table."""
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"s{i}_"), F.col("sh")))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*mins)
 
 
 def minhash_signatures(
@@ -44,26 +49,31 @@ def minhash_signatures(
     Documents with fewer than ``shingle_n`` tokens produce no shingles and
     drop out (nothing to compare) — same convention as the oracle.
     """
-    ex = _shingle_rows(df, id_col, text_col, shingle_n)
-    mins = [
-        F.min(F.md5(F.concat(F.lit(f"s{i}_"), F.col("sh")))).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    return ex.groupBy(id_col).agg(*mins)
+    ex = shingle_rows(df, id_col, text_col, shingle_n, out_id=id_col)
+    return minhash_signatures_from_shingles(ex, id_col, num_hashes)
 
 
-def lsh_candidate_pairs(
-    df: DataFrame,
+def lsh_candidate_pairs_from_shingles(
+    sh: DataFrame,
     id_col: str = "doc_id",
-    text_col: str = "text",
     num_hashes: int = 8,
     bands: int = 4,
-    shingle_n: int = 3,
     max_bucket: int | None = None,
 ) -> DataFrame:
-    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band bucket."""
+    """LSH candidate pairs from a prebuilt ``(id_col, sh)`` shingle table.
+
+    Pass an already-cached ``sh`` when other consumers (e.g. the Jaccard
+    verifier) share it — the signature aggregation then reads the cached
+    shingles instead of re-tokenizing the corpus.
+    """
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) evenly; "
+            "a non-divisible split would silently drop trailing hashes "
+            "from every band and change candidate recall"
+        )
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
     band_keys = [
         F.md5(F.concat(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]))
         for b in range(bands)
@@ -90,4 +100,20 @@ def lsh_candidate_pairs(
             F.col(f"b.{id_col}").alias("doc_b"),
         )
         .distinct()
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing ≥1 LSH band bucket."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n, out_id=id_col)
+    return lsh_candidate_pairs_from_shingles(
+        sh, id_col, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
     )

@@ -13,29 +13,27 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from goodreads_pyspark_spark.functions.text import tokens, word_shingles
-from goodreads_pyspark_spark.operators.partitioning import fan_out
+from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 
 
-def jaccard_pairs(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    shingle_n: int = 3,
+def jaccard_pairs_from_shingles(
+    sh: DataFrame,
     threshold: float = 0.2,
     max_df: int | None = None,
+    already_cached: bool = False,
 ) -> DataFrame:
-    """(doc_a < doc_b, jaccard) for pairs with Jaccard ≥ ``threshold``."""
-    sh = fan_out(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(tokens(text_col), shingle_n)).alias("sh"),
-    )
+    """(doc_a < doc_b, jaccard) from a prebuilt ``(id, sh)`` shingle table.
+
+    The shingle table feeds three consumers (sizes, both join sides); pass
+    ``already_cached=True`` when the caller has cached ``sh`` (e.g. the
+    corpus pipeline sharing it with MinHash) to avoid double-caching.
+    """
     if max_df is not None:
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(dfreq.filter(F.col("__df") <= max_df).drop("__df"), "sh")
-    # The shingle table feeds three consumers (sizes, both join sides);
-    # without caching the tokenize+shingle explode runs three times.
-    sh = sh.cache()
+        sh = sh.cache()
+    elif not already_cached:
+        sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -58,3 +56,16 @@ def jaccard_pairs(
     return jac.filter(F.col("jaccard") >= threshold).select(
         "doc_a", "doc_b", "jaccard"
     )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """(doc_a < doc_b, jaccard) for pairs with Jaccard ≥ ``threshold``."""
+    sh = shingle_rows(df, id_col, text_col, shingle_n, out_id="id")
+    return jaccard_pairs_from_shingles(sh, threshold=threshold, max_df=max_df)

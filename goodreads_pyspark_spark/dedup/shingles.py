@@ -1,0 +1,36 @@
+"""Shared shingle-table builder for the dedup family.
+
+MinHash banding and exact Jaccard verification both consume the same
+distinct ``(doc_id, shingle)`` rows. Building the table once (and caching
+it when multiple consumers exist) removes the duplicated
+tokenize -> shingle -> explode subtree that otherwise runs per consumer —
+at 100 TB the tokenizer pass over the corpus is the dominant linear cost,
+so it must run exactly once per pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.functions.text import tokens, word_shingles
+from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+
+def shingle_rows(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    out_id: str = "id",
+) -> DataFrame:
+    """Distinct ``(out_id, sh)`` rows — one per document x n-word shingle.
+
+    Documents with fewer than ``shingle_n`` tokens produce no rows (nothing
+    to compare) — same convention as the DuckDB oracles. ``word_shingles``
+    already dedups within a document, so no extra DISTINCT is needed.
+    """
+    sh = word_shingles(tokens(text_col), shingle_n)
+    return fan_out(df).select(
+        F.col(id_col).alias(out_id), F.explode(sh).alias("sh")
+    )

@@ -18,6 +18,12 @@ connected components) is the standard single-pass policy; transitive
 near-dup chains may retain middle members — acceptable for corpus
 cleaning, and a Pregel connected-components pass can replace it when
 exact clustering matters.
+
+Cost discipline: the tokenize→shingle pass over the corpus runs ONCE —
+one cached ``(id, shingle)`` table feeds both the MinHash banding and the
+Jaccard verifier — and the pipeline adds no driver actions of its own
+(per-stage counts are opt-in via ``collect_stats``, off in the registered
+query path).
 """
 
 from __future__ import annotations
@@ -28,8 +34,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.dedup.exact import exact_dedup
-from goodreads_pyspark_spark.dedup.minhash import lsh_candidate_pairs
-from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
+from goodreads_pyspark_spark.dedup.minhash import lsh_candidate_pairs_from_shingles
+from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs_from_shingles
+from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 from goodreads_pyspark_spark.functions.text import tokens
 from goodreads_pyspark_spark.operators.relational import anti_join
 
@@ -51,9 +58,11 @@ def quality_gate(
     t = tokens(text_col)
     n = F.size(t)
     uniq = F.size(F.array_distinct(t))
-    return docs.filter(
-        (n >= min_tokens) & (uniq * 10 >= F.lit(int(min_uniq_ratio * 10)) * n)
-    )
+    # Integer cross-multiplication at 1e-4 resolution: exact at the
+    # boundary, no float-division divergence vs the oracle, and ratios
+    # like 0.25 or 0.05 are preserved (not truncated to tenths).
+    scaled = int(round(min_uniq_ratio * 10_000))
+    return docs.filter((n >= min_tokens) & (uniq * 10_000 >= F.lit(scaled) * n))
 
 
 def drop_near_duplicates(
@@ -62,31 +71,35 @@ def drop_near_duplicates(
     text_col: str = "text",
     jaccard_threshold: float = 0.8,
     shingle_n: int = 3,
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Remove the higher-id member of each verified near-dup pair.
 
     LSH proposes candidates (linear); exact n-gram Jaccard verifies them;
     the verified pair list is tiny and broadcast back as an anti-join.
+    One cached shingle table feeds both phases — the corpus is tokenized
+    exactly once.
     """
-    candidates = lsh_candidate_pairs(
-        docs, id_col=id_col, text_col=text_col, shingle_n=shingle_n
-    )
+    sh = shingle_rows(docs, id_col, text_col, shingle_n, out_id="id").cache()
+    candidates = lsh_candidate_pairs_from_shingles(
+        sh.withColumnRenamed("id", id_col),
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        max_bucket=max_bucket,
+    ).cache()
     # Verify candidates exactly: restrict the Jaccard join to candidate docs
     cand_ids = (
-        candidates.select(F.col("doc_a").alias(id_col))
-        .unionByName(candidates.select(F.col("doc_b").alias(id_col)))
+        candidates.select(F.col("doc_a").alias("id"))
+        .unionByName(candidates.select(F.col("doc_b").alias("id")))
         .distinct()
     )
-    cand_docs = docs.join(F.broadcast(cand_ids), id_col, "left_semi")
-    verified = jaccard_pairs(
-        cand_docs,
-        id_col=id_col,
-        text_col=text_col,
-        shingle_n=shingle_n,
-        threshold=jaccard_threshold,
-    ).join(
-        candidates, ["doc_a", "doc_b"], "left_semi"
-    )
+    sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    verified = jaccard_pairs_from_shingles(
+        sh_cand, threshold=jaccard_threshold, already_cached=True
+    ).join(candidates, ["doc_a", "doc_b"], "left_semi")
     to_drop = verified.select(F.col("doc_b").alias(id_col)).distinct()
     return anti_join(docs, F.broadcast(to_drop), id_col)
 
@@ -97,15 +110,24 @@ def clean_corpus(
     text_col: str = "text",
     min_tokens: int = 20,
     jaccard_threshold: float = 0.8,
-) -> tuple[DataFrame, CorpusCleanStats]:
-    """Full pipeline; returns (kept docs, per-stage counts)."""
-    n0 = docs.count()
-    gated = quality_gate(docs, min_tokens=min_tokens, text_col=text_col).cache()
-    n1 = gated.count()
+    collect_stats: bool = False,
+) -> tuple[DataFrame, CorpusCleanStats | None]:
+    """Full pipeline; returns (kept docs, per-stage counts or ``None``).
+
+    ``collect_stats=True`` materializes every stage to count survivors —
+    four extra driver actions, diagnostics only. The default path is a
+    single lazy plan: no action runs until the caller consumes the result.
+    """
+    gated = quality_gate(docs, min_tokens=min_tokens, text_col=text_col)
+    # exact-dedup survivors feed both the shingle table and the final
+    # anti-join — cache once rather than recompute the gate+dedup twice.
     exact = exact_dedup(gated, id_col=id_col, text_col=text_col).cache()
-    n2 = exact.count()
     cleaned = drop_near_duplicates(
         exact, id_col=id_col, text_col=text_col, jaccard_threshold=jaccard_threshold
-    ).cache()
-    n3 = cleaned.count()
-    return cleaned, CorpusCleanStats(n0, n1, n2, n3)
+    )
+    if not collect_stats:
+        return cleaned, None
+    stats = CorpusCleanStats(
+        docs.count(), gated.count(), exact.count(), cleaned.count()
+    )
+    return cleaned, stats

@@ -187,14 +187,23 @@ def d05_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- n-gram Jaccard near-dup pairs ------------------------------------------
+#: Document-frequency cap for the registered Jaccard query: a shingle shared
+#: by m documents costs m² inverted-index join rows, so boilerplate shingles
+#: must be dropped before the self-join. 100 bounds any single shingle's
+#: contribution at 10⁴ rows while touching almost no discriminative shingles.
+D06_MAX_DF = 100
+
 @query(
     "d06_jaccard_neardup_pairs",
     oracle=f"""
     WITH {_SHINGLE_CTES},
-    sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    shf AS (SELECT s.doc_id, s.sh FROM sh s
+            JOIN dfreq USING (sh) WHERE df <= {D06_MAX_DF}),
+    sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+      FROM shf a JOIN shf b USING (sh) WHERE a.doc_id < b.doc_id
       GROUP BY 1, 2)
     SELECT doc_a, doc_b,
            CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) AS jaccard
@@ -204,15 +213,25 @@ def d05_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5
     """,
     doc="Exact 3-gram Jaccard ≥0.5 via inverted-index self-join "
-    "(dedup/ngram.py); only shingle-sharing pairs materialize.",
+    "(dedup/ngram.py); only shingle-sharing pairs materialize. The "
+    "max_df cap (mirrored in the oracle) is what bounds the join at "
+    "scale: Jaccard is then over the sub-universe of sub-boilerplate "
+    "shingles on BOTH engines.",
 )
 def d06_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    return jaccard_pairs(docs, threshold=0.5)
+    return jaccard_pairs(docs, threshold=0.5, max_df=D06_MAX_DF)
 
 
 # --- MinHash LSH candidates -------------------------------------------------
-def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+#: Band-bucket size cap for the registered LSH query: a bucket of m docs
+#: yields m² candidate rows; boilerplate corpora concentrate mass in a few
+#: buckets. Mirrored in the oracle so both engines drop the same buckets.
+D07_MAX_BUCKET = 100
+
+def _minhash_oracle(
+    num_hashes: int = 8, bands: int = 4, max_bucket: int | None = None
+) -> str:
     r = num_hashes // bands
     mins = ",\n           ".join(
         f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(num_hashes)
@@ -222,28 +241,38 @@ def _minhash_oracle(num_hashes: int = 8, bands: int = 4) -> str:
         f"md5({' || '.join(f'mh{b * r + k}' for k in range(r))}) AS key FROM mh"
         for b in range(bands)
     )
+    src = "bands"
+    cap_ctes = ""
+    if max_bucket is not None:
+        cap_ctes = f""",
+    bc AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+    bf AS (SELECT bands.* FROM bands JOIN bc USING (band, key)
+           WHERE n <= {max_bucket})"""
+        src = "bf"
     return f"""
     WITH {_SHINGLE_CTES},
     mh AS (SELECT doc_id,
            {mins}
            FROM sh GROUP BY doc_id),
     bands AS (
-{band_rows})
+{band_rows}){cap_ctes}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM bands a JOIN bands b USING (band, key)
+    FROM {src} a JOIN {src} b USING (band, key)
     WHERE a.doc_id < b.doc_id
     """
 
 
 @query(
     "d07_minhash_lsh_candidates",
-    oracle=_minhash_oracle(),
+    oracle=_minhash_oracle(max_bucket=D07_MAX_BUCKET),
     doc="MinHash(8)+LSH(4 bands) candidate pairs (dedup/minhash.py): only "
-    "(doc_id, band, key) rows shuffle; candidates ∝ true near-dups.",
+    "(doc_id, band, key) rows shuffle; candidates ∝ true near-dups. "
+    "max_bucket (mirrored in the oracle) drops degenerate hot buckets "
+    "before the self-join — the 100 TB skew guard.",
 )
 def d07_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
-    return lsh_candidate_pairs(docs, num_hashes=8, bands=4)
+    return lsh_candidate_pairs(docs, num_hashes=8, bands=4, max_bucket=D07_MAX_BUCKET)
 
 
 # --- SimHash signatures -----------------------------------------------------

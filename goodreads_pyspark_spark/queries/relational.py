@@ -130,11 +130,15 @@ def q04_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
 @query(
     "q05_nations_per_region",
     oracle="""
-    SELECT r_name, list_sort(list(DISTINCT n_name)) AS nations,
+    SELECT r_name,
+           array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
            CAST(COUNT(*) AS BIGINT) AS n_nations
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
     """,
+    doc="collect_set array agg rendered as a joined scalar string so the "
+    "driver's pandas canonicalization can hash the cell (arrays are "
+    "unhashable there).",
 )
 def q05_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = tbl(spark, sf_dir, "nation")
@@ -143,7 +147,7 @@ def q05_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner"
     )
     return joined.groupBy("r_name").agg(
-        F.array_sort(F.collect_set("n_name")).alias("nations"),
+        F.array_join(F.array_sort(F.collect_set("n_name")), ",").alias("nations"),
         F.count(F.lit(1)).alias("n_nations"),
     )
 
@@ -615,9 +619,8 @@ def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", [0.5, 0.95], 10000).alias(
-            "price_quantiles"
-        ),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("price_p50"),
+        F.percentile_approx("o_totalprice", 0.95, 10000).alias("price_p95"),
     )
 
 

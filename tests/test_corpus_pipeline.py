@@ -42,7 +42,9 @@ def test_exact_then_neardup_with_planted_dups(spark, docs):
         F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
     )
     corpus = base.unionByName(d0).unionByName(d1)
-    cleaned, stats = clean_corpus(corpus, min_tokens=5, jaccard_threshold=0.8)
+    cleaned, stats = clean_corpus(
+        corpus, min_tokens=5, jaccard_threshold=0.8, collect_stats=True
+    )
     kept = {r["doc_id"] for r in cleaned.select("doc_id").collect()}
     assert 90000 not in kept  # exact dup dropped (higher id)
     assert 0 in kept

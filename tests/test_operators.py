@@ -146,7 +146,7 @@ def test_approx_sketches_within_tolerance(spark):
 
     _load_all()
     approx = {
-        r["o_orderstatus"]: (r["approx_customers"], r["price_quantiles"])
+        r["o_orderstatus"]: (r["approx_customers"], r["price_p50"])
         for r in REGISTRY["q27_approx_sketches"]
         .spark_fn(spark, "/root/testdata/sf0.01")
         .collect()
@@ -162,9 +162,9 @@ def test_approx_sketches_within_tolerance(spark):
         .collect()
     }
     for k, (n_exact, med_exact) in exact.items():
-        n_approx, quantiles = approx[k]
+        n_approx, p50 = approx[k]
         assert abs(n_approx - n_exact) / n_exact < 0.05
-        assert abs(quantiles[0] - med_exact) / med_exact < 0.05
+        assert abs(p50 - med_exact) / med_exact < 0.05
 
 
 def test_argmax_struct_no_window(spark):
