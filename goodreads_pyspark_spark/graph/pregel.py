@@ -46,10 +46,10 @@ def pagerank(
     mode (GraphFrames ``maxIter`` form) which runs fully lazily — no
     per-round driver action. Returns vertices + ``pagerank``.
     """
-    spark = graph.edges.sparkSession
     edges = graph.edges.select("src", "dst").cache()
     deg = _out_degrees(edges).cache()
-    ranks = graph.vertices.select("id").withColumn("pr", F.lit(1.0)).cache()
+    seed = graph.vertices.select("id").withColumn("pr", F.lit(1.0)).cache()
+    ranks = seed
 
     for i in range(max_iter):
         contrib = (
@@ -93,7 +93,72 @@ def pagerank(
     out = graph.vertices.join(ranks.withColumnRenamed("pr", "pagerank"), "id", "left")
     edges.unpersist()
     deg.unpersist()
+    if ranks is not seed:
+        # tol-driven mode unpersists the seed on round 1; the fixed-iter
+        # (tol<=0) path never did — drop it once the final checkpoint has
+        # materialized so long runs don't leak the seed block.
+        seed.unpersist()
     return out
+
+
+def pagerank_scaled(
+    graph: PropertyGraph,
+    n_iter: int = 3,
+    scale: int = 10**12,
+    reset_num: int = 15,
+    reset_den: int = 100,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """PageRank in fixed-point integer arithmetic — bit-identical across
+    engines and runs.
+
+    Works on scores scaled by ``scale`` as BIGINTs: contributions are
+    ``pr div outdeg`` (integer division) and the damping step is
+    ``reset·scale/den + ((den−reset)·Σmsg) div den``. Integer addition is
+    exact and order-independent, so an external engine (the DuckDB oracle)
+    unrolling the same recurrence reproduces every score exactly — unlike
+    double accumulation, whose sum order differs per partitioning. Error
+    vs true PageRank is ≤ n_iter·outdeg/scale — irrelevant at 1e12.
+
+    Same lazy fixed-iteration shape as :func:`pagerank` (tol<=0): no
+    per-round driver action, eager localCheckpoint to truncate lineage.
+    Returns (id, pr_scaled) — divide by ``scale`` for real scores.
+    Overflow headroom: total mass ≈ |V|·scale must stay under 2^63/den;
+    with the default scale that's ~10^5 vertices — lower ``scale`` for
+    larger graphs (1e9 supports ~10^8 vertices).
+    """
+    edges = graph.edges.select("src", "dst").cache()
+    deg = _out_degrees(edges).cache()
+    reset_scaled = (reset_num * scale) // reset_den
+    keep_num = reset_den - reset_num
+    ranks = graph.vertices.select("id").withColumn(
+        "pr", F.lit(scale).cast("bigint")
+    )
+
+    for i in range(n_iter):
+        contrib = (
+            edges.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(deg.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.expr("pr div outdeg")).alias("msg"))
+        )
+        ranks = (
+            ranks.select("id")
+            .join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(reset_scaled)
+                    + F.expr(f"({keep_num} * coalesce(msg, 0L)) div {reset_den}")
+                ).cast("bigint").alias("pr"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            ranks = ranks.localCheckpoint(eager=True)
+
+    edges.unpersist()
+    deg.unpersist()
+    return ranks.select("id", F.col("pr").alias("pr_scaled"))
 
 
 def label_propagation(
@@ -171,8 +236,9 @@ def bfs(
 
     frontier = starts.cache()
     for depth in range(1, max_path_length + 1):
+        prev = frontier
         frontier = (
-            frontier.join(
+            prev.join(
                 graph.edges.select(
                     F.col("src").alias("frontier"), F.col("dst").alias("next")
                 ),
@@ -186,6 +252,12 @@ def bfs(
             )
             .cache()
         )
+        # Materialize fully before dropping the parent: take(1) alone fills
+        # only one partition, and unpersisting prev under a half-built cache
+        # would force recomputes from the root. Then the predecessor block
+        # can go — without this, cached frontiers pile up one per level.
+        n_frontier = frontier.count()
+        prev.unpersist()
         hits = frontier.join(targets, "frontier").select(
             "start",
             F.col("frontier").alias("end"),
@@ -194,7 +266,7 @@ def bfs(
         )
         if hits.take(1):
             return hits
-        if not frontier.take(1):
+        if n_frontier == 0:
             break
     return hits.limit(0)
 

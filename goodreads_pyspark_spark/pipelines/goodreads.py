@@ -240,6 +240,32 @@ def titles_for_ids(books: DataFrame, ids: DataFrame, id_col: str = "book_id") ->
     )
 
 
+def recommend_by_book(
+    clustered_books: DataFrame, book_id: int, n: int = 10
+) -> DataFrame:
+    """Content-based recommendation: other titles in ``book_id``'s cluster
+    (reference: goodreads.py:357-363 — looks up the book's KMeans
+    ``prediction`` then filters the clustered frame to it).
+
+    ``clustered_books`` is the output of ``ml.features.kmeans_cluster``
+    over the books dimension (columns ``book_id``, ``title``,
+    ``prediction``). One broadcast of the single-row cluster lookup; no
+    driver round-trip. Deterministic order: title then id tiebreak.
+    """
+    target = clustered_books.filter(F.col("book_id") == book_id).select(
+        F.col("prediction").alias("target_cluster")
+    )
+    return (
+        clustered_books.join(
+            F.broadcast(target), F.col("prediction") == F.col("target_cluster")
+        )
+        .filter(F.col("book_id") != book_id)
+        .select("book_id", "title")
+        .orderBy("title", "book_id")
+        .limit(n)
+    )
+
+
 def get_to_read_titles(
     books: DataFrame, users: DataFrame, user_id: int
 ) -> DataFrame:

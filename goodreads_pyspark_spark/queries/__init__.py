@@ -69,6 +69,8 @@ def _load_all() -> None:
     from goodreads_pyspark_spark.queries import (  # noqa: F401
         documents,
         embeddings,
+        graph,
+        ml,
         relational,
         timeseries,
     )

@@ -191,3 +191,33 @@ def e05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_val")
     )
+
+
+# --- IVF ANN, oracle'd via the full-probe == exhaustive differential --------
+@query(
+    "e06_ivf_knn_vec1",
+    oracle=f"""
+    WITH {_LONG},
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 1),
+    comps AS (
+      SELECT vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos) WHERE vec_id <> 1
+      GROUP BY vec_id)
+    SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) AS cosine
+    FROM comps ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    doc="IVF ANN (similarity/ivf.py): KMeans coarse quantizer, probe-list "
+    "candidate gen, exact rerank. Registered at nprobe == n_centroids, "
+    "where IVF provably degrades to exhaustive search — so the exact "
+    "brute-force SQL is a true oracle for the whole IVF path (centroid "
+    "build, assignment, probe selection, rerank). Partial-probe recall "
+    "is covered by tests/test_corpus_pipeline.py.",
+)
+def e06_ivf_knn_vec1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.ivf import ivf_knn
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ivf_knn(emb, query_id=1, k=10, nprobe=8, n_centroids=8)

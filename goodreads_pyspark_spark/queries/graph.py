@@ -1,0 +1,192 @@
+"""Driver-gated graph queries (SURVEY.md §2.12) — degrees, motifs, label
+propagation, PageRank over a testdata-derived graph, each with a DuckDB
+oracle.
+
+The graph is the bipartite order→part structure from ``lineitem``
+(``l_orderkey → l_partkey + 10_000_000``) — the same shape as the
+reference's user→book ratings graph (goodreads.py:473-489) at testdata
+scale, and the same construction tools/graph_stress.py measures at 600k
+edges.
+
+Oracle strategy for the iterative algorithms: both LPA and the scaled
+PageRank use only integer arithmetic (counts / fixed-point bigints), so a
+DuckDB CTE unrolling the same fixed number of supersteps reproduces every
+value bit-for-bit — no float-accumulation-order divergence possible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.graph.frames import PropertyGraph
+from goodreads_pyspark_spark.graph.pregel import label_propagation, pagerank_scaled
+from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries._helpers import tbl
+
+#: Part-vertex id offset — disjoint id spaces, the reference's +100000 trick.
+_OFFSET = 10_000_000
+
+_GRAPH_CTES = f"""
+    edges AS (SELECT l_orderkey AS src, l_partkey + {_OFFSET} AS dst
+              FROM lineitem),
+    vertices AS (SELECT src AS id FROM edges
+                 UNION
+                 SELECT dst AS id FROM edges)
+"""
+
+
+def _graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    li = tbl(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + _OFFSET).alias("dst"),
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return PropertyGraph(vertices, edges)
+
+
+# --- G2: degrees ------------------------------------------------------------
+@query(
+    "g01_degrees",
+    oracle=f"""
+    WITH {_GRAPH_CTES},
+    deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM (SELECT src AS id FROM edges
+                  UNION ALL SELECT dst FROM edges) GROUP BY id),
+    ind AS (SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS in_degree
+            FROM edges GROUP BY dst),
+    outd AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS out_degree
+             FROM edges GROUP BY src)
+    SELECT d.id, d.degree,
+           CAST(COALESCE(in_degree, 0) AS BIGINT) AS in_degree,
+           CAST(COALESCE(out_degree, 0) AS BIGINT) AS out_degree
+    FROM deg d LEFT JOIN ind USING (id) LEFT JOIN outd USING (id)
+    """,
+    doc="G2 degrees/inDegrees/outDegrees (graph/frames.py:30-44; reference "
+    "goodreads.py:547,552): three groupBy-counts joined per vertex — "
+    "degree counting IS aggregation, no graph machinery needed.",
+)
+def g01_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    d = g.degrees()
+    i = g.in_degrees().withColumnRenamed("inDegree", "in_degree")
+    o = g.out_degrees().withColumnRenamed("outDegree", "out_degree")
+    return (
+        d.join(i, "id", "left")
+        .join(o, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+        )
+    )
+
+
+# --- G5: motif find (k edges sharing a destination) -------------------------
+@query(
+    "g02_motif_common_dst",
+    oracle=f"""
+    WITH {_GRAPH_CTES},
+    pairs AS (SELECT a.src AS u1, b.src AS u2, a.dst AS b
+              FROM edges a JOIN edges b ON a.dst = b.dst)
+    SELECT b, CAST(COUNT(*) AS BIGINT) AS n_motifs
+    FROM pairs GROUP BY b
+    ORDER BY n_motifs DESC, b LIMIT 100
+    """,
+    doc="G5 motif find('(u1)-[]->(b); (u2)-[]->(b)') — ordered edge pairs "
+    "sharing a destination (graph/frames.py:62; reference "
+    "goodreads.py:582), aggregated per hub. GraphFrames semantics: "
+    "tuples may repeat vertices/edges, so a hub with in-degree m "
+    "contributes m² rows.",
+)
+def g02_motif_common_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    motifs = g.common_dst_motif(k=2)
+    return (
+        motifs.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n_motifs"))
+        .orderBy(F.col("n_motifs").desc(), F.col("b"))
+        .limit(100)
+    )
+
+
+# --- G7: label propagation (2 synchronous rounds, deterministic ties) -------
+def _lpa_oracle(rounds: int = 2) -> str:
+    steps = []
+    for r in range(1, rounds + 1):
+        steps.append(f"""
+    n{r} AS (SELECT b.src AS id, l.label, COUNT(*) AS n
+             FROM ue b JOIN l{r - 1} l ON l.id = b.dst
+             GROUP BY 1, 2),
+    b{r} AS (SELECT id, label FROM (
+               SELECT id, label,
+                      ROW_NUMBER() OVER (PARTITION BY id
+                        ORDER BY n DESC, label ASC) AS rn
+               FROM n{r}) WHERE rn = 1),
+    l{r} AS (SELECT v.id, COALESCE(b{r}.label, v.id) AS label
+             FROM l{r - 1} v LEFT JOIN b{r} USING (id))""")
+    return f"""
+    WITH {_GRAPH_CTES},
+    ue AS (SELECT src, dst FROM edges
+           UNION ALL SELECT dst, src FROM edges),
+    l0 AS (SELECT id, id AS label FROM vertices),{",".join(steps)}
+    SELECT id, CAST(label AS BIGINT) AS label FROM l{rounds}
+    """
+
+
+@query(
+    "g03_lpa_labels",
+    oracle=_lpa_oracle(rounds=2),
+    doc="G7 label propagation, 2 synchronous rounds (graph/pregel.py "
+    "label_propagation; reference goodreads.py:594-599). Ties break to "
+    "the smallest label — a deterministic pin GraphX leaves to map "
+    "order — so integer counts make the unrolled DuckDB CTE exact.",
+)
+def g03_lpa_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return label_propagation(g, max_iter=2).select(
+        "id", F.col("label").cast("bigint").alias("label")
+    )
+
+
+# --- G8: PageRank (fixed-point integer arithmetic, 3 supersteps) ------------
+def _pagerank_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
+    reset = (15 * scale) // 100
+    steps = []
+    for r in range(1, n_iter + 1):
+        steps.append(f"""
+    m{r} AS (SELECT e.dst AS id, SUM(p.pr // d.outdeg) AS msg
+             FROM edges e
+             JOIN p{r - 1} p ON p.id = e.src
+             JOIN outd d ON d.id = e.src
+             GROUP BY e.dst),
+    p{r} AS (SELECT v.id,
+                    CAST({reset} + (85 * COALESCE(m{r}.msg, 0)) // 100
+                         AS BIGINT) AS pr
+             FROM p{r - 1} v LEFT JOIN m{r} USING (id))""")
+    return f"""
+    WITH {_GRAPH_CTES},
+    outd AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    p0 AS (SELECT id, CAST({scale} AS BIGINT) AS pr FROM vertices),{",".join(steps)}
+    SELECT id, pr AS pr_scaled FROM p{n_iter}
+    """
+
+
+@query(
+    "g04_pagerank",
+    oracle=_pagerank_oracle(n_iter=3),
+    doc="G8 PageRank, 3 fixed supersteps in 1e12 fixed-point integers "
+    "(graph/pregel.py pagerank_scaled; reference goodreads.py:618-619). "
+    "Integer addition is exact and order-independent, so the unrolled "
+    "DuckDB recurrence matches every score bit-for-bit — the decimal-"
+    "accumulation answer to float PageRank's partition-order drift.",
+)
+def g04_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    return pagerank_scaled(g, n_iter=3)

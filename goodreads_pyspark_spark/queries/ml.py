@@ -1,0 +1,170 @@
+"""Driver-gated ML queries (SURVEY.md §2.11) — rows-only entries that put
+the MLlib surface (ALS, KMeans, LDA, PIC, the TF-IDF/PCA pipeline) under
+the driver's correctness gate.
+
+MLlib models are iterative numeric optimizers: their exact floats depend
+on partitioning, so no cross-engine SQL oracle exists. These queries are
+registered without ``oracle_sql`` (the driver records row count + schema)
+and carry *internal* assertions — seeded fits plus sanity bands on the
+metric (RMSE, silhouette bounds) — so a broken model errors the gate
+rather than silently passing. Sources are the testdata tables: ratings
+are (supplier, part, quantity) triples from ``lineitem``, text comes from
+``documents``, vectors from ``embeddings``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries._helpers import tbl
+
+
+def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, book_id, rating) triples from lineitem: supplier→part
+    with mean quantity as the score — the testdata stand-in for the
+    reference's user→book ratings (goodreads.py:228-236). Sampled by
+    orderkey so the registered query stays bench-sized at sf0.1."""
+    li = tbl(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_orderkey") % 10 == 0)
+        .groupBy(
+            F.col("l_suppkey").cast("int").alias("user_id"),
+            F.col("l_partkey").cast("int").alias("book_id"),
+        )
+        .agg(F.avg("l_quantity").alias("rating"))
+    )
+
+
+# --- M1-M3: ALS + RMSE ------------------------------------------------------
+@query(
+    "m01_als_rmse",
+    oracle=None,
+    doc="M1-M3: seeded 80/20 split, explicit-feedback ALS (rank 8, 5 "
+    "sweeps, nonnegative, coldStartStrategy=drop), RMSE on the holdout "
+    "(ml/recommend.py; reference goodreads.py:236-270, RMSE 0.8344 "
+    "there). Rows-only: asserts internally that the RMSE is finite and "
+    "inside (0, 25) — the quantity scale's sanity band.",
+)
+def m01_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.ml.recommend import fit_als, rmse, train_test_split
+
+    ratings = _ratings(spark, sf_dir).cache()
+    train, test = train_test_split(ratings, seed=42)
+    model = fit_als(train, rank=8, maxIter=5, regParam=0.1, seed=42)
+    err = rmse(model, test)
+    assert 0.0 < err < 25.0, f"ALS RMSE {err} outside sanity band"
+    n_train, n_test = train.count(), test.count()
+    ratings.unpersist()
+    return spark.createDataFrame(
+        [("als_rank8_iter5", n_train, n_test, round(err, 4))],
+        ["model", "n_train", "n_test", "rmse"],
+    )
+
+
+# --- M11-M12: seeded KMeans + silhouette ------------------------------------
+@query(
+    "m02_kmeans_silhouette",
+    oracle=None,
+    doc="M11-M12: seeded KMeans(k=8, seed=1) over the embeddings table + "
+    "squared-euclidean silhouette (ml/features.py kmeans_cluster/"
+    "silhouette; reference goodreads.py:346-353 with k=20 seed=1 on "
+    "book features). Asserts silhouette ∈ [-1, 1]. Returns per-cluster "
+    "sizes — the partition-stable summary of the assignment.",
+)
+def m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import array_to_vector
+
+    from goodreads_pyspark_spark.ml.features import kmeans_cluster, silhouette
+
+    emb = tbl(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    clustered = kmeans_cluster(emb, k=8, seed=1).cache()
+    sil = silhouette(clustered)
+    assert -1.0 <= sil <= 1.0, f"silhouette {sil} out of bounds"
+    return (
+        clustered.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .select(
+            F.col("prediction").alias("cluster"),
+            "n_vectors",
+            F.lit(round(sil, 4)).alias("silhouette"),
+        )
+    )
+
+
+# --- M5/M6/M9/M14: Tokenizer -> StopWordsRemover -> CountVectorizer -> LDA --
+@query(
+    "m03_lda_topics",
+    oracle=None,
+    doc="M5/M6/M9/M14: ML Tokenizer + StopWordsRemover feed "
+    "CountVectorizer -> seeded LDA(k=5), describeTopics(3) "
+    "(ml/features.py description_topics_lda; reference "
+    "goodreads.py:388-400). Array columns are flattened to joined "
+    "strings (driver canonicalization cannot hash list cells).",
+)
+def m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import StopWordsRemover, Tokenizer
+
+    from goodreads_pyspark_spark.ml.features import description_topics_lda
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = Tokenizer(inputCol="text", outputCol="words")
+    sw = StopWordsRemover(inputCol="words", outputCol="filtered")
+    prepped = sw.transform(tok.transform(docs))
+    _transformed, topics = description_topics_lda(
+        prepped, k=5, max_iter=5, seed=1, words_col="filtered"
+    )
+    return topics.select(
+        "topic",
+        F.array_join(F.col("termIndices").cast("array<string>"), ",").alias(
+            "top_term_indices"
+        ),
+    )
+
+
+# --- M18: PowerIterationClustering ------------------------------------------
+@query(
+    "m04_pic_clusters",
+    oracle=None,
+    doc="M18: PowerIterationClustering(k=4) over the supplier→part "
+    "quantity graph (ml/features.py power_iteration_clusters; reference "
+    "goodreads.py:632-635 over rating edges). Returns cluster sizes.",
+)
+def m04_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.ml.features import power_iteration_clusters
+
+    edges = _ratings(spark, sf_dir).select(
+        F.col("user_id").alias("src"),
+        (F.col("book_id") + 10_000_000).alias("dst"),
+        F.col("rating"),
+    )
+    assigned = power_iteration_clusters(edges, k=4, max_iter=8)
+    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+# --- M5-M8, M10, M17: the TF-IDF -> PCA pipeline -----------------------------
+@query(
+    "m05_tfidf_pca_norms",
+    oracle=None,
+    doc="M5-M8/M10/M17: the full Tokenizer -> StopWordsRemover -> "
+    "HashingTF(20) -> IDF -> PCA(5) Pipeline (ml/features.py "
+    "description_vector_pipeline; reference goodreads.py:315-335) over "
+    "document text. Emits each document's PCA-vector L2 norm (sign-"
+    "invariant, so stable under PCA basis-sign flips), rounded to 4dp.",
+)
+def m05_tfidf_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+
+    from goodreads_pyspark_spark.ml.features import description_vector_pipeline
+
+    docs = tbl(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("description")
+    )
+    model = description_vector_pipeline(num_features=20, pca_k=5).fit(docs)
+    out = model.transform(docs)
+    arr = vector_to_array(F.col("features"))
+    norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
+    return out.select("doc_id", F.round(norm, 4).alias("pca_norm"))

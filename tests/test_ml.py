@@ -108,3 +108,26 @@ def test_power_iteration_clustering(goodreads_tables):
     clusters = power_iteration_clusters(edges, k=5, max_iter=4)
     assert set(clusters.columns) == {"id", "cluster"}
     assert clusters.select(F.countDistinct("cluster")).first()[0] <= 5
+
+
+def test_recommend_by_book(goodreads_tables):
+    from goodreads_pyspark_spark.pipelines.goodreads import recommend_by_book
+
+    docs = goodreads_tables.books.select("book_id", "title", "description").dropna()
+    pipe = description_vector_pipeline(num_features=20, pca_k=5)
+    data = pipe.fit(docs).transform(docs)
+    clustered = kmeans_cluster(data, k=3, seed=1)
+    some_id = clustered.select("book_id").first()["book_id"]
+    recs = recommend_by_book(clustered, some_id, n=5).collect()
+    assert len(recs) <= 5
+    assert all(r["book_id"] != some_id for r in recs)
+    # every recommendation shares the target's cluster
+    target_cluster = (
+        clustered.filter(F.col("book_id") == some_id).first()["prediction"]
+    )
+    rec_ids = [r["book_id"] for r in recs]
+    rec_clusters = {
+        r["prediction"]
+        for r in clustered.filter(F.col("book_id").isin(rec_ids)).collect()
+    }
+    assert rec_clusters <= {target_cluster}
