@@ -23,6 +23,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 
 def as_of_join(
@@ -42,26 +43,35 @@ def as_of_join(
     payload = list(payload)
     left_cols = left.columns
 
+    # The whole payload travels as ONE struct: the struct is non-null for
+    # every right row (even if all its fields are null), so the forward
+    # fill picks the entire payload of a single matched right row. Filling
+    # columns independently would mix fields from different right rows
+    # whenever the newest one has a null field.
+    r_fields = {f.name: f.dataType for f in right.schema.fields}
+    carried = payload + ([tiebreak] if tiebreak and tiebreak not in payload else [])
+    p_type = StructType([StructField(c, r_fields[c]) for c in carried])
+
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(0).alias("__is_right"),
         *[F.col(c) for c in left_cols if c not in on],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__p_{c}") for c in payload],
+        F.lit(None).cast(p_type).alias("__p"),
     )
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(1).alias("__is_right"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in left_cols if c not in on],
-        *[F.col(c).alias(f"__p_{c}") for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in carried]).alias("__p"),
     )
     # Right rows sort BEFORE left rows at the same timestamp (inclusive
     # visibility); among equal-ts right rows the greatest tiebreak sorts
     # last, so the forward fill picks it.
     order: list[Column] = [F.col("__ts"), F.col("__is_right").desc()]
     if tiebreak is not None:
-        order.append(F.col(f"__p_{tiebreak}").asc_nulls_first())
+        order.append(F.col("__p").getField(tiebreak).asc_nulls_first())
     w = (
         Window.partitionBy(*on)
         .orderBy(*order)
@@ -69,16 +79,12 @@ def as_of_join(
     )
     merged = l_tag.unionByName(r_tag)
     filled = merged.select(
-        "*",
-        *[
-            F.last(F.col(f"__p_{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in payload
-        ],
+        "*", F.last(F.col("__p"), ignorenulls=True).over(w).alias("__f")
     )
     out = filled.filter(F.col("__is_right") == 0).select(
         *on,
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in left_cols if c not in on and c != left_ts],
-        *[F.col(f"__f_{c}").alias(c) for c in payload],
+        *[F.col("__f").getField(c).alias(c) for c in payload],
     )
     return out

@@ -111,22 +111,42 @@ def _dot_double_unrolled(a: Column, b: Column, dim: int) -> Column:
     return out
 
 
+#: Hard cap on the broadcast comparison side of the numpy screen. 200k
+#: 128-dim double vectors ≈ 200 MB — the edge of sane broadcast. The cap
+#: is enforced, not advisory: beyond it the caller MUST shard the corpus
+#: (``sign_lsh_buckets`` → per-bucket screen) instead of scaling this up.
+MAX_SCREEN_ROWS = 200_000
+
+
 def _screen_pairs_numpy(
-    df: DataFrame, threshold: float, margin: float, id_col: str, vec_col: str
+    df: DataFrame,
+    threshold: float,
+    margin: float,
+    id_col: str,
+    vec_col: str,
+    max_rows: int = MAX_SCREEN_ROWS,
 ) -> DataFrame:
     """Candidate (id_a < id_b) pairs with cosine ≥ threshold − margin.
 
     Broadcast-matrix screen: the comparison side is collected once and
     broadcast (legitimate ONLY for a bucket-sized side — the same
-    contract as any broadcast join); each Arrow batch of the streaming
-    side scores against it with one BLAS matmul. BLAS summation order is
-    unspecified, but its error (~1e-13 here) is far inside ``margin``, so
-    the candidate set provably contains every true pair — exactness comes
-    from the decimal rescore downstream.
+    contract as any broadcast join, and enforced by ``max_rows``); each
+    Arrow batch of the streaming side scores against it with one BLAS
+    matmul. BLAS summation order is unspecified, but its error (~1e-13
+    here) is far inside ``margin``, so the candidate set provably
+    contains every true pair — exactness comes from the decimal rescore
+    downstream.
     """
     import numpy as np
 
-    rows = df.select(id_col, vec_col).collect()
+    rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"cosine screen: comparison side exceeds {max_rows} rows — a "
+            "driver broadcast this size is the scale-killer. Shard the "
+            "corpus first (similarity.ann.sign_lsh_buckets, then screen "
+            "per bucket) instead of raising the cap."
+        )
     ids_b = np.array([r[0] for r in rows], dtype=np.int64)
     m = np.array([r[1] for r in rows], dtype=np.float64)
     nb = np.sqrt((m * m).sum(axis=1))

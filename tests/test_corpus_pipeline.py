@@ -64,6 +64,20 @@ def test_near_dup_removal_keeps_unrelated(spark):
     assert kept == {1, 2}
 
 
+def test_cosine_screen_size_cap_enforced(spark):
+    """The broadcast screen must refuse, loudly, to collect more than its
+    cap — the bucket-sized contract is enforced, not advisory."""
+    import pytest
+
+    from goodreads_pyspark_spark.similarity.ann import _screen_pairs_numpy
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    with pytest.raises(ValueError, match="Shard the corpus"):
+        _screen_pairs_numpy(
+            emb, 0.5, 1e-6, "vec_id", "embedding", max_rows=10
+        ).collect()
+
+
 def test_ivf_full_probe_equals_brute_force(spark):
     """nprobe == n_centroids degrades IVF to exhaustive search — results
     must equal the brute-force baseline exactly."""

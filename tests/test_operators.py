@@ -95,6 +95,25 @@ def test_as_of_join_tiebreak(spark):
     assert out[0]["rid"] == 9  # greatest tiebreak wins among equal ts
 
 
+def test_as_of_join_null_payload_not_mixed(spark):
+    # merge_asof semantics: the WHOLE payload comes from the one matched
+    # right row — a null field in the newest right row must stay null, not
+    # be back-filled from an older right row (per-column fill would mix).
+    from goodreads_pyspark_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 30)], ["k", "t"])
+    right = spark.createDataFrame(
+        [(1, 10, "old", 5.0), (1, 20, None, 6.0)],
+        "k int, rt int, label string, score double",
+    )
+    out = as_of_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt",
+        payload=["label", "score"], tiebreak="rt",
+    ).collect()
+    assert out[0]["score"] == 6.0
+    assert out[0]["label"] is None  # from the rt=20 row, NOT "old"
+
+
 def test_salted_counts_equals_plain_groupby(spark):
     from goodreads_pyspark_spark.operators.skew import salted_counts
     from pyspark.sql import functions as F
