@@ -1,2 +1,7 @@
 from goodreads_pyspark_spark.graph.frames import PropertyGraph, build_ratings_graph  # noqa: F401
-from goodreads_pyspark_spark.graph.pregel import bfs, label_propagation, pagerank  # noqa: F401
+from goodreads_pyspark_spark.graph.pregel import (  # noqa: F401
+    bfs,
+    bfs_paths,
+    label_propagation,
+    pagerank,
+)

@@ -271,6 +271,56 @@ def bfs(
     return hits.limit(0)
 
 
+def bfs_paths(
+    graph: PropertyGraph,
+    from_expr: str,
+    to_expr: str,
+    max_path_length: int = 10,
+) -> DataFrame:
+    """:func:`bfs` re-shaped to GraphFrames' column layout — ``from``,
+    ``e0``, ``v1``, ``e1``, …, ``to`` structs (reference goodreads.py:588
+    displays exactly this shape).
+
+    One driver action reads the shortest-path length (all returned paths
+    share it — bfs stops at the first hit level), then the path id array
+    is expanded by joining vertices per position and edges per hop, the
+    same per-level join construction GraphFrames itself builds. Parallel
+    edges between one (src, dst) pair multiply rows, matching GraphFrames'
+    semantics. No path found → empty frame with ``from``/``to`` structs.
+    """
+    res = bfs(graph, from_expr, to_expr, max_path_length)
+    head = res.select("length").take(1)
+    v, e = graph.vertices, graph.edges
+    v_struct = F.struct(*[F.col(c) for c in v.columns])
+    if not head:
+        return v.limit(0).select(v_struct.alias("from"), v_struct.alias("to"))
+    length = head[0]["length"]
+
+    out = res
+    names: list[str] = []
+    for i in range(length + 1):
+        name = "from" if i == 0 else ("to" if i == length else f"v{i}")
+        names.append(name)
+        side = v.select(v_struct.alias(name), F.col("id").alias(f"__id{i}"))
+        out = out.join(
+            side, F.element_at(F.col("path"), i + 1) == F.col(f"__id{i}")
+        ).drop(f"__id{i}")
+        if i < length:
+            names.append(f"e{i}")
+            e_struct = F.struct(*[F.col(c) for c in e.columns])
+            hop = e.select(
+                e_struct.alias(f"e{i}"),
+                F.col("src").alias(f"__s{i}"),
+                F.col("dst").alias(f"__d{i}"),
+            )
+            out = out.join(
+                hop,
+                (F.element_at(F.col("path"), i + 1) == F.col(f"__s{i}"))
+                & (F.element_at(F.col("path"), i + 2) == F.col(f"__d{i}")),
+            ).drop(f"__s{i}", f"__d{i}")
+    return out.select(*names)
+
+
 def connected_components(
     graph: PropertyGraph, max_iter: int = 20, checkpoint_every: int = 5
 ) -> DataFrame:

@@ -69,6 +69,7 @@ def _load_all() -> None:
     from goodreads_pyspark_spark.queries import (  # noqa: F401
         documents,
         embeddings,
+        goodreads_sql,
         graph,
         ml,
         relational,

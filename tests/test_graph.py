@@ -91,6 +91,31 @@ def test_bfs_two_hops(spark):
     assert {tuple(r["path"]) for r in res} == {(1, 2, 3)}  # shortest only
 
 
+def test_bfs_paths_graphframes_shape(spark):
+    # the reference displays bfs output as from/e0/v1/e1/to structs
+    # (goodreads.py:588) — bfs_paths reproduces that layout
+    from goodreads_pyspark_spark.graph.pregel import bfs_paths
+
+    v = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(1, 6)], ["id", "name"]
+    )
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 2.0), (1, 4, 3.0), (4, 5, 4.0), (5, 3, 5.0)],
+        ["src", "dst", "w"],
+    )
+    g = PropertyGraph(v, e)
+    out = bfs_paths(g, "id = 1", "id = 3", max_path_length=10)
+    assert out.columns == ["from", "e0", "v1", "e1", "to"]
+    row = out.collect()[0]
+    assert (row["from"]["id"], row["v1"]["id"], row["to"]["id"]) == (1, 2, 3)
+    assert row["from"]["name"] == "n1"
+    assert (row["e0"]["src"], row["e0"]["dst"], row["e0"]["w"]) == (1, 2, 1.0)
+    assert (row["e1"]["src"], row["e1"]["dst"]) == (2, 3)
+    # no path → empty frame with from/to structs
+    none = bfs_paths(g, "id = 3", "id = 1", max_path_length=3)
+    assert none.columns == ["from", "to"] and none.count() == 0
+
+
 def test_pagerank_against_reference_iteration(spark):
     """Differential test: our Pregel loop vs a straight NumPy-free Python
     iteration of the same recurrence on a small graph."""
