@@ -154,13 +154,17 @@ def t04_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def t05_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_tbl(spark, sf_dir)
     counts = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_events"))
-    return counts.select(
+    # grand total as a broadcast scalar, not a global window: an
+    # unpartitioned WindowExec funnels its whole input through one task,
+    # which dies at high key cardinality; a scalar agg + broadcast
+    # cross join stays distributed at any cardinality.
+    total = counts.agg(F.sum("n_events").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
         "event_type",
         "n_events",
-        (
-            F.col("n_events").cast("double")
-            / F.sum("n_events").over(Window.partitionBy()).cast("double")
-        ).alias("share"),
+        (F.col("n_events").cast("double") / F.col("__total").cast("double")).alias(
+            "share"
+        ),
     )
 
 

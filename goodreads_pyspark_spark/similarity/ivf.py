@@ -40,7 +40,12 @@ def build_ivf_centroids(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     train = df if sample_fraction is None else df.sample(sample_fraction, seed=seed)
-    feats = train.select(array_to_vector(F.col(vec_col)).alias("features"))
+    # The coarse-quantizer fit runs ~20 Lloyd iterations, each a job over
+    # the training partitioning — on a sampled/small training set spread
+    # across many partitions the per-task scheduling overhead dwarfs the
+    # math. 8 partitions keeps the fit parallel but cheap; at corpus scale
+    # callers bound the input via sample_fraction first.
+    feats = train.select(array_to_vector(F.col(vec_col)).alias("features")).coalesce(8)
     model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
     spark = df.sparkSession
     cents = spark.createDataFrame(
@@ -117,6 +122,15 @@ def ivf_knn(
         .limit(nprobe)
         .select("cid")
     )
-    cand_ids = assign.join(F.broadcast(q_scored), "cid").select(id_col)
-    cand = df.join(cand_ids, id_col, "left_semi").unionByName(q).distinct()
+    # Dedup on ids BEFORE rejoining the vectors: distinct() over full rows
+    # would shuffle every embedding array; ids are 8 bytes. The query's own
+    # id is added explicitly — its cluster may not be among the probed
+    # lists, but the rerank needs the query vector present.
+    cand_ids = (
+        assign.join(F.broadcast(q_scored), "cid")
+        .select(id_col)
+        .union(q.select(id_col))
+        .distinct()
+    )
+    cand = df.join(cand_ids, id_col, "left_semi")
     return brute_force_knn(cand, query_id=query_id, k=k, id_col=id_col, vec_col=vec_col)
