@@ -2,6 +2,8 @@ from goodreads_pyspark_spark.graph.frames import PropertyGraph, build_ratings_gr
 from goodreads_pyspark_spark.graph.pregel import (  # noqa: F401
     bfs,
     bfs_paths,
+    connected_components,
+    connected_components_alternating,
     label_propagation,
     pagerank,
 )

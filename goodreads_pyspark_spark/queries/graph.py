@@ -27,10 +27,13 @@ from goodreads_pyspark_spark.queries._helpers import tbl
 #: Part-vertex id offset — disjoint id spaces, the reference's +100000 trick.
 _OFFSET = 10_000_000
 
+#: MATERIALIZED: the iterative oracles reference these CTEs once per
+#: unrolled round; without materialization DuckDB re-plans each reference
+#: as a fresh parquet scan and can exhaust file descriptors.
 _GRAPH_CTES = f"""
-    edges AS (SELECT l_orderkey AS src, l_partkey + {_OFFSET} AS dst
+    edges AS MATERIALIZED (SELECT l_orderkey AS src, l_partkey + {_OFFSET} AS dst
               FROM lineitem),
-    vertices AS (SELECT src AS id FROM edges
+    vertices AS MATERIALIZED (SELECT src AS id FROM edges
                  UNION
                  SELECT dst AS id FROM edges)
 """
@@ -121,7 +124,7 @@ def _lpa_oracle(rounds: int = 2) -> str:
     steps = []
     for r in range(1, rounds + 1):
         steps.append(f"""
-    n{r} AS (SELECT b.src AS id, l.label, COUNT(*) AS n
+    n{r} AS MATERIALIZED (SELECT b.src AS id, l.label, COUNT(*) AS n
              FROM ue b JOIN l{r - 1} l ON l.id = b.dst
              GROUP BY 1, 2),
     b{r} AS (SELECT id, label FROM (
@@ -129,13 +132,13 @@ def _lpa_oracle(rounds: int = 2) -> str:
                       ROW_NUMBER() OVER (PARTITION BY id
                         ORDER BY n DESC, label ASC) AS rn
                FROM n{r}) WHERE rn = 1),
-    l{r} AS (SELECT v.id, COALESCE(b{r}.label, v.id) AS label
+    l{r} AS MATERIALIZED (SELECT v.id, COALESCE(b{r}.label, v.id) AS label
              FROM l{r - 1} v LEFT JOIN b{r} USING (id))""")
     return f"""
     WITH {_GRAPH_CTES},
-    ue AS (SELECT src, dst FROM edges
+    ue AS MATERIALIZED (SELECT src, dst FROM edges
            UNION ALL SELECT dst, src FROM edges),
-    l0 AS (SELECT id, id AS label FROM vertices),{",".join(steps)}
+    l0 AS MATERIALIZED (SELECT id, id AS label FROM vertices),{",".join(steps)}
     SELECT id, CAST(label AS BIGINT) AS label FROM l{rounds}
     """
 
@@ -161,21 +164,97 @@ def _pagerank_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
     steps = []
     for r in range(1, n_iter + 1):
         steps.append(f"""
-    m{r} AS (SELECT e.dst AS id, SUM(p.pr // d.outdeg) AS msg
+    m{r} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.pr // d.outdeg) AS msg
              FROM edges e
              JOIN p{r - 1} p ON p.id = e.src
              JOIN outd d ON d.id = e.src
              GROUP BY e.dst),
-    p{r} AS (SELECT v.id,
+    p{r} AS MATERIALIZED (SELECT v.id,
                     CAST({reset} + (85 * COALESCE(m{r}.msg, 0)) // 100
                          AS BIGINT) AS pr
              FROM p{r - 1} v LEFT JOIN m{r} USING (id))""")
     return f"""
     WITH {_GRAPH_CTES},
-    outd AS (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
-    p0 AS (SELECT id, CAST({scale} AS BIGINT) AS pr FROM vertices),{",".join(steps)}
+    outd AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    p0 AS MATERIALIZED (SELECT id, CAST({scale} AS BIGINT) AS pr FROM vertices),{",".join(steps)}
     SELECT id, pr AS pr_scaled FROM p{n_iter}
     """
+
+
+# --- connected components (alternating star contraction) --------------------
+#: g05 runs on the 1-in-5-orderkey subgraph: same bipartite shape, more
+#: components (sparser), and a bench-sized round count — the full-graph
+#: contraction stress lives in tools/graph_stress.py.
+_CC_SAMPLE_CTES = f"""
+    edges AS MATERIALIZED (SELECT l_orderkey AS src, l_partkey + {_OFFSET} AS dst
+              FROM lineitem WHERE l_orderkey % 5 = 0),
+    vertices AS MATERIALIZED (SELECT src AS id FROM edges
+                 UNION
+                 SELECT dst AS id FROM edges)
+"""
+
+
+def _cc_graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + _OFFSET).alias("dst"),
+    )
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    return PropertyGraph(vertices, edges)
+
+
+def _cc_oracle(rounds: int = 8) -> str:
+    """Unrolled min-label propagation WITH pointer doubling: each round
+    takes the min over (own label, label's label, neighbors' labels), so
+    covered distance grows 2r+1 per round — 8 rounds ⇒ radius 255, far
+    beyond this graph's diameter. Both engines therefore reach the same
+    FIXPOINT (component = min reachable id), which is algorithm-
+    independent — the Spark side may converge by a different route."""
+    steps = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(f"""
+    l{r} AS MATERIALIZED (SELECT t.id, MIN(t.x) AS label FROM (
+               SELECT id, label AS x FROM l{p}
+               UNION ALL
+               SELECT a.id, b.label AS x FROM l{p} a JOIN l{p} b ON a.label = b.id
+               UNION ALL
+               SELECT e.u AS id, l.label AS x FROM und e JOIN l{p} l ON l.id = e.v
+             ) t GROUP BY t.id)""")
+    return f"""
+    WITH {_CC_SAMPLE_CTES},
+    und AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    l0 AS MATERIALIZED (SELECT id, id AS label FROM vertices),{",".join(steps)}
+    SELECT id, CAST(label AS BIGINT) AS component FROM l{rounds}
+    """
+
+
+@query(
+    "g05_connected_components",
+    oracle=_cc_oracle(rounds=8),
+    doc="Connected components via alternating large-star/small-star "
+    "contraction (graph/pregel.py connected_components_alternating; "
+    "Kiveris et al. SoCC'14), O(log² n) rounds vs hash-min's "
+    "O(diameter). Oracle: DuckDB unrolled min-propagation with pointer "
+    "doubling — both engines reach the algorithm-independent fixpoint "
+    "(component = min reachable id), so the gate checks the labels "
+    "exactly despite the different algorithms.",
+)
+def g05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.graph.pregel import (
+        connected_components_alternating,
+    )
+
+    g = _cc_graph(spark, sf_dir)
+    return connected_components_alternating(g).select(
+        "id", F.col("component").cast("bigint").alias("component")
+    )
 
 
 @query(

@@ -173,3 +173,42 @@ def test_connected_components(spark):
     assert comp[1] == comp[2] == comp[3] == 1
     assert comp[10] == comp[11] == 10
     assert comp[20] == 20
+
+
+def test_connected_components_alternating_matches_hashmin(spark):
+    """Differential: alternating star contraction vs hash-min on a mixed
+    random-ish graph — same labels (both fixpoints are min reachable id)."""
+    from goodreads_pyspark_spark.graph.pregel import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    # three components: a clique-ish blob, a ring, an isolate
+    edges = [(i, (i * 7) % 10) for i in range(10) if i != (i * 7) % 10]
+    edges += [(100 + i, 100 + (i + 1) % 6) for i in range(6)]
+    v = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(100 + i,) for i in range(6)] + [(999,)],
+        ["id"],
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = PropertyGraph(v, e)
+    a = {r["id"]: r["component"] for r in connected_components_alternating(g).collect()}
+    h = {r["id"]: r["component"] for r in connected_components(g).collect()}
+    assert a == h
+    assert a[999] == 999
+
+
+def test_connected_components_alternating_long_chain(spark):
+    """A 300-vertex path has diameter 299: hash-min needs 299 supersteps,
+    alternating contraction must label it in its default round budget —
+    the O(log² n) claim, exercised."""
+    from goodreads_pyspark_spark.graph.pregel import (
+        connected_components_alternating,
+    )
+
+    n = 300
+    v = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    e = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    out = connected_components_alternating(PropertyGraph(v, e))
+    comps = {r["component"] for r in out.collect()}
+    assert comps == {0}
