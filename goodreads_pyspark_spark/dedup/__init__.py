@@ -10,4 +10,8 @@ from goodreads_pyspark_spark.dedup.ngram import (  # noqa: F401
     jaccard_pairs_from_shingles,
 )
 from goodreads_pyspark_spark.dedup.shingles import shingle_rows  # noqa: F401
-from goodreads_pyspark_spark.dedup.simhash import simhash_signatures  # noqa: F401
+from goodreads_pyspark_spark.dedup.simhash import (  # noqa: F401
+    hamming_distance,
+    simhash_neardup_pairs,
+    simhash_signatures,
+)

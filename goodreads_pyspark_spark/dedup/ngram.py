@@ -29,6 +29,10 @@ def jaccard_pairs_from_shingles(
     corpus pipeline sharing it with MinHash) to avoid double-caching.
     """
     if max_df is not None:
+        # Cache the raw shingles first: the df-count and the cap join both
+        # consume them, and uncached each side re-runs the tokenizer pass.
+        if not already_cached:
+            sh = sh.cache()
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(dfreq.filter(F.col("__df") <= max_df).drop("__df"), "sh")
         sh = sh.cache()

@@ -30,7 +30,14 @@ def shingle_rows(
     to compare) — same convention as the DuckDB oracles. ``word_shingles``
     already dedups within a document, so no extra DISTINCT is needed.
     """
-    sh = word_shingles(tokens(text_col), shingle_n)
-    return fan_out(df).select(
-        F.col(id_col).alias(out_id), F.explode(sh).alias("sh")
+    # Tokenize into an attribute FIRST, then shingle from the attribute.
+    # Higher-order functions (transform) evaluate interpreted — no codegen
+    # subexpression elimination — so passing the raw tokenize expression
+    # into word_shingles re-splits the document once per element_at call
+    # (~3x per shingle: quadratic in document length, measured 10x slower).
+    # CollapseProject keeps the multi-referenced non-cheap alias intact.
+    base = fan_out(df).select(
+        F.col(id_col).alias(out_id), tokens(text_col).alias("__toks")
     )
+    sh = word_shingles(F.col("__toks"), shingle_n)
+    return base.select(F.col(out_id), F.explode(sh).alias("sh"))

@@ -48,3 +48,75 @@ def simhash_signatures(
 def hamming_distance(a, b):
     """Hamming distance between two simhash columns (bigint)."""
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by banded SimHash Hamming search.
+
+    The ``bits``-wide signature splits into ``bands`` equal slices; docs
+    agreeing on ≥1 slice become candidates, then a full Hamming check
+    verifies ``bit_count(xor) <= max_hamming``. Pigeonhole gives exact
+    recall when ``max_hamming < bands``: a pair differing in ≤ bands-1
+    bits must agree on at least one whole slice.
+
+    Scale: per doc only ``bands`` rows of (id, band, slice_value) shuffle
+    into the candidate join — document bytes never move. ``max_bucket``
+    drops degenerate slice buckets (m docs in a bucket ⇒ m² join rows)
+    before the self-join; mirror any cap in downstream oracles.
+
+    Output: ``doc_a < doc_b``, ``hamming`` (int).
+    """
+    if bits % bands != 0:
+        raise ValueError(f"bands ({bands}) must divide bits ({bits}) evenly")
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) for the "
+            "banded search to guarantee exact recall"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    # Both the band self-join AND the verify joins read this subtree —
+    # cached, the corpus is tokenized exactly once.
+    sigs = simhash_signatures(df, id_col, text_col, bits).cache()
+    slices = [
+        F.shiftright(F.col("simhash"), b * width).bitwiseAND(F.lit(mask))
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col), F.posexplode(F.array(*slices)).alias("band", "val")
+    )
+    if max_bucket is not None:
+        counts = banded.groupBy("band", "val").agg(F.count(F.lit(1)).alias("__n"))
+        banded = banded.join(
+            counts.filter(F.col("__n") <= max_bucket).drop("__n"), ["band", "val"]
+        )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, ["band", "val"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("__sig_a"))
+    sb = sigs.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("__sig_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "hamming",
+            hamming_distance(F.col("__sig_a"), F.col("__sig_b")).cast("int"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

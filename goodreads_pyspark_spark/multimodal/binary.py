@@ -67,7 +67,7 @@ FEATURE_SCHEMA = (
 
 def extract_image_features(
     df: DataFrame,
-    decoder: Callable[[bytes], tuple[int, int, float]] = fake_image_decoder,
+    decoder: Callable[[bytes], tuple[int, int, float]] | None = None,
     id_col: str = "media_id",
     content_col: str = "content",
 ) -> DataFrame:
@@ -77,7 +77,27 @@ def extract_image_features(
     failing the stage — at corpus scale a poison blob must never kill a
     9-hour job. Columns are pruned to (id, content) before the Python
     boundary so only the bytes actually needed cross Arrow.
+
+    ``decoder=None`` uses a nested copy of :func:`fake_image_decoder`:
+    a *nested* function cloudpickles by value, so the closure shipped to
+    Python workers is self-contained — a module-level default would pickle
+    by reference and require this package importable on every executor
+    (true on a cluster only when the wheel/zip is shipped; not guaranteed
+    for the driver-gate harness, whose workers inherit its own cwd).
     """
+    if decoder is None:
+        magic = _FAKE_MAGIC
+
+        def decoder(content: bytes) -> tuple[int, int, float]:
+            # keep in sync with fake_image_decoder (serialization boundary
+            # forces the copy; test_synth_media_blobs_decode_roundtrip pins
+            # both to the same header layout)
+            import struct as _struct
+
+            if content is None or len(content) < 16 or content[:4] != magic:
+                raise ValueError("not a FIMG blob")
+            width, height, luma = _struct.unpack("<III", content[4:16])
+            return width, height, float(luma)
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd

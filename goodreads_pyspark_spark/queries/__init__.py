@@ -72,6 +72,7 @@ def _load_all() -> None:
         goodreads_sql,
         graph,
         ml,
+        multimodal,
         relational,
         timeseries,
     )

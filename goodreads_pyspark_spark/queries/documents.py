@@ -276,20 +276,26 @@ def d07_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- SimHash signatures -----------------------------------------------------
-def _simhash_oracle(bits: int = 16) -> str:
+def _simhash_sig_ctes(bits: int = 16) -> str:
+    """Shared CTE chain ending in ``s(doc_id, simhash)``."""
     votes = ",\n           ".join(
         f"SUM(CASE WHEN ascii(substr(md5(tok), {j + 1}, 1)) % 2 = 1 "
         f"THEN 1 ELSE -1 END) AS s{j}"
         for j in range(bits)
     )
     sig = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
-    return f"""
-    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    return f"""tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     ex AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM tk),
     v AS (SELECT doc_id,
            {votes}
-           FROM ex GROUP BY doc_id)
-    SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v
+           FROM ex GROUP BY doc_id),
+    s AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM v)"""
+
+
+def _simhash_oracle(bits: int = 16) -> str:
+    return f"""
+    WITH {_simhash_sig_ctes(bits)}
+    SELECT doc_id, simhash FROM s
     """
 
 
@@ -302,6 +308,64 @@ def _simhash_oracle(bits: int = 16) -> str:
 def d08_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     return simhash_signatures(docs, bits=16)
+
+
+# --- SimHash near-dup pairs (banded Hamming search) -------------------------
+#: Slice-bucket cap for d11, same rationale as D07_MAX_BUCKET: a bucket of
+#: m docs costs m² candidate rows; skewed token distributions concentrate
+#: signatures. Mirrored in the oracle.
+D11_MAX_BUCKET = 100
+
+
+def _simhash_pairs_oracle(
+    bits: int = 32, bands: int = 4, max_hamming: int = 3, max_bucket: int | None = None
+) -> str:
+    width = bits // bands
+    mask = (1 << width) - 1
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, (simhash >> {b * width}) & {mask} "
+        "AS val FROM s"
+        for b in range(bands)
+    )
+    src = "banded"
+    cap = ""
+    if max_bucket is not None:
+        cap = f""",
+    bc AS (SELECT band, val, count(*) AS n FROM banded GROUP BY band, val),
+    bf AS (SELECT banded.* FROM banded JOIN bc USING (band, val)
+           WHERE n <= {max_bucket})"""
+        src = "bf"
+    return f"""
+    WITH {_simhash_sig_ctes(bits)},
+    banded AS (
+{band_rows}){cap},
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM {src} a JOIN {src} b USING (band, val)
+             WHERE a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+    FROM cand
+    JOIN s sa ON sa.doc_id = doc_a
+    JOIN s sb ON sb.doc_id = doc_b
+    WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {max_hamming}
+    """
+
+
+@query(
+    "d11_simhash_neardup_pairs",
+    oracle=_simhash_pairs_oracle(max_bucket=D11_MAX_BUCKET),
+    doc="SimHash near-dup pairs (dedup/simhash.py): 32-bit signatures, 4 "
+    "banded 8-bit slices for candidates (pigeonhole: exact recall at "
+    "hamming<=3), full Hamming verify. Only (id, band, slice) rows "
+    "shuffle; max_bucket (mirrored in the oracle) guards hot buckets.",
+)
+def d11_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup import simhash_neardup_pairs
+
+    docs = tbl(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        docs, bits=32, bands=4, max_hamming=3, max_bucket=D11_MAX_BUCKET
+    )
 
 
 # --- corpus vocabulary statistics -------------------------------------------

@@ -1,0 +1,115 @@
+"""Driver-gated multimodal queries.
+
+The container has no media codecs, so blobs are synthesized IN-QUERY from
+``documents`` with pure Catalyst expressions: a deterministic FIMG header
+(``multimodal/binary.py``'s documented fake format) whose fields are
+arithmetic functions of ``doc_id``. The decode then runs through the REAL
+production path — column-pruned Arrow batches into ``mapInPandas``, poison
+blobs surfacing as ``decode_error`` rows — and the oracle recomputes the
+header fields arithmetically, closing the loop on the whole binary-column
+pipeline: build → ship through Arrow → parse in Python → verify in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.multimodal.binary import (
+    extract_image_features,
+    sample_video_frames,
+)
+from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries._helpers import tbl
+
+#: Header-field recurrences (kept trivially auditable on both engines).
+_W = "16 + doc_id % 1024"
+_H = "16 + (doc_id * 7) % 768"
+_L = "doc_id % 256"
+#: Every 97th doc gets a truncated blob — the poison-blob path must yield a
+#: decode_error row, never kill the stage.
+_POISON_MOD = 97
+
+
+def _le4(c: Column) -> Column:
+    """4 little-endian bytes of a non-negative int column (< 2^32)."""
+    return F.unhex(
+        F.concat(
+            *[
+                F.format_string(
+                    "%02x", F.shiftright(c, 8 * i).bitwiseAND(F.lit(255)).cast("int")
+                )
+                for i in range(4)
+            ]
+        )
+    )
+
+
+def synth_media(docs: DataFrame) -> DataFrame:
+    """``documents`` → media rows with FIMG blobs built by Catalyst.
+
+    At 100 TB the blobs arrive from storage instead — this builder only
+    exists so the decode path has deterministic, oracle-checkable input.
+    """
+    did = F.col("doc_id")
+    blob = F.concat(
+        F.lit(b"FIMG"),
+        _le4(F.expr(_W)),
+        _le4(F.expr(_H)),
+        _le4(F.expr(_L)),
+    )
+    content = F.when(did % _POISON_MOD == 0, F.lit(b"FIMGDEAD")).otherwise(blob)
+    return docs.select(did.alias("media_id"), content.alias("content"))
+
+
+@query(
+    "mm01_image_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % {_POISON_MOD} = 0 THEN NULL
+                ELSE CAST({_W} AS INTEGER) END AS width,
+           CASE WHEN doc_id % {_POISON_MOD} = 0 THEN NULL
+                ELSE CAST({_H} AS INTEGER) END AS height,
+           CASE WHEN doc_id % {_POISON_MOD} = 0 THEN NULL
+                ELSE CAST({_L} AS DOUBLE) END AS mean_luma,
+           CASE WHEN doc_id % {_POISON_MOD} = 0 THEN 'not a FIMG blob'
+                ELSE NULL END AS decode_error
+    FROM documents
+    """,
+    doc="Binary-column image decode end-to-end (multimodal/binary.py): "
+    "Catalyst-built FIMG blobs -> Arrow-batched mapInPandas parse -> "
+    "features; truncated blobs surface as decode_error rows. Oracle "
+    "recomputes the header fields arithmetically.",
+)
+def mm01_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return extract_image_features(synth_media(docs))
+
+
+@query(
+    "mm02_video_frame_plan",
+    oracle="""
+    WITH v AS (SELECT doc_id AS media_id,
+                      CAST(1 + doc_id % 20 AS BIGINT) AS n
+               FROM documents WHERE doc_id % 3 = 0),
+    fr AS (SELECT media_id, unnest(range(0, n)) AS i FROM v)
+    SELECT media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(i AS DOUBLE) AS frame_ts,
+           CAST(i * 24 AS BIGINT) AS frame_number
+    FROM fr
+    """,
+    doc="Video frame-sampling plan (multimodal/binary.py): one row per "
+    "sampled timestamp from metadata only (duration, fps) — pure "
+    "Catalyst sequence+posexplode, no decode; the downstream frame "
+    "decode is a second mapInPandas stage.",
+)
+def mm02_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        (1 + F.col("doc_id") % 20).cast("double").alias("meta_duration_s"),
+        F.lit(24.0).alias("meta_fps"),
+    )
+    return sample_video_frames(media, every_s=1.0)

@@ -106,3 +106,42 @@ def test_ivf_partial_probe_recall(spark):
     # seeded KMeans -> deterministic; near neighbors concentrate in the
     # probed lists, so recall should be substantial
     assert len(exact & approx) >= 5
+
+
+def test_simhash_neardup_pairs_planted(spark):
+    from goodreads_pyspark_spark.dedup import simhash_neardup_pairs
+
+    base = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(30))
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1 (tiny token delta)
+        (3, " ".join(f"zeta{i} eta{i}" for i in range(40))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_neardup_pairs(df, bits=32, bands=4, max_hamming=3).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] <= 3
+    assert all(3 not in pair for pair in got)
+
+
+def test_simhash_neardup_pairs_validates_params(spark):
+    from goodreads_pyspark_spark.dedup import simhash_neardup_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(df, bits=32, bands=5)  # 5 does not divide 32
+    with pytest.raises(ValueError):
+        simhash_neardup_pairs(df, bands=4, max_hamming=4)  # recall guarantee
+
+
+def test_simhash_bucket_cap_drops_hot_buckets(spark):
+    from goodreads_pyspark_spark.dedup import simhash_neardup_pairs
+
+    # 5 identical docs -> every band bucket holds 5 ids; cap of 4 must
+    # eliminate all candidates (and the cap must not invent pairs).
+    rows = [(i, "the same exact text repeated for everyone") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert simhash_neardup_pairs(df, max_bucket=4).count() == 0
+    assert simhash_neardup_pairs(df, max_bucket=None).count() == 10

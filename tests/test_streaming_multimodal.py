@@ -147,3 +147,23 @@ def test_stateful_running_totals_across_microbatches(spark, tmp_path_factory):
         fn, ft = final[u]
         assert fn == n
         assert abs(ft - t) < 1e-6
+
+
+def test_synth_media_blobs_decode_roundtrip(spark):
+    """Catalyst-built FIMG blobs parse back to the oracle arithmetic."""
+    from goodreads_pyspark_spark.multimodal.binary import fake_image_decoder
+    from goodreads_pyspark_spark.queries.multimodal import synth_media
+
+    docs = spark.createDataFrame(
+        [(d, "x") for d in (1, 5, 97, 1023, 4096)], ["doc_id", "text"]
+    )
+    for r in synth_media(docs).collect():
+        did = r["media_id"]
+        if did % 97 == 0:
+            import pytest as _pytest
+
+            with _pytest.raises(ValueError):
+                fake_image_decoder(bytes(r["content"]))
+        else:
+            w, h, luma = fake_image_decoder(bytes(r["content"]))
+            assert (w, h, luma) == (16 + did % 1024, 16 + (did * 7) % 768, float(did % 256))
