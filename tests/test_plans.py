@@ -162,3 +162,18 @@ def test_plan_audit_helpers(spark):
         raise RuntimeError("expected AssertionError")
     except AssertionError:
         pass
+
+
+def test_q29_broadcasts_all_dims_single_fact_shuffle(spark):
+    # Q5 shape: region/nation/supplier/customer broadcast; the only
+    # SortMergeJoin (if any) is the orderkey fact-fact join.
+    plan = plan_of(spark, "q29_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "o_orderdate" in plan.split("PushedFilters")[1]
+
+
+def test_q30_pushes_returnflag_and_folds_topk(spark):
+    plan = plan_of(spark, "q30_returned_item_customers")
+    assert "TakeOrderedAndProject" in plan
+    flt = [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
+    assert any("l_returnflag" in f for f in flt)
