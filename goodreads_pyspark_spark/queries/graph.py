@@ -269,3 +269,65 @@ def g05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 def g04_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     return pagerank_scaled(g, n_iter=3)
+
+
+# --- G6: BFS shortest paths -------------------------------------------------
+@query(
+    "g06_bfs_shortest_paths",
+    oracle=f"""
+    WITH RECURSIVE
+    edges AS MATERIALIZED (SELECT l_orderkey AS src, l_partkey + {_OFFSET} AS dst
+              FROM lineitem),
+    und AS MATERIALIZED (SELECT src, dst FROM edges
+           UNION ALL SELECT dst, src FROM edges),
+    src AS (SELECT MIN(l_orderkey) AS id FROM lineitem),
+    walk(endv, path, len) AS (
+      SELECT id, [id], 0 FROM src
+      UNION ALL
+      SELECT e.dst, list_append(w.path, e.dst), w.len + 1
+      FROM walk w JOIN und e ON e.src = w.endv
+      WHERE w.len < 3 AND NOT list_contains(w.path, e.dst)
+    ),
+    hits AS (SELECT * FROM walk WHERE endv >= {_OFFSET} AND endv % 100 = 7)
+    SELECT (SELECT id FROM src) AS start_id, endv AS end_id,
+           CAST(len AS INTEGER) AS length,
+           array_to_string(path, '-') AS path_str
+    FROM hits WHERE len = (SELECT MIN(len) FROM hits)
+    """,
+    doc="G6 BFS (graph/pregel.py bfs; reference goodreads.py:588): all "
+    "shortest paths from the min order vertex to any part vertex with "
+    "partkey%100=7, over the symmetrized edge set, max 3 hops. Both "
+    "engines enumerate simple paths (within-path cycle pruning only) "
+    "and keep the first hit level, so the path multisets — including "
+    "parallel-edge duplicates, GraphFrames semantics — match exactly. "
+    "Path arrays flatten to strings for the driver canon (the q05 "
+    "array-cell lesson).",
+)
+def g06_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.graph.pregel import bfs
+
+    li = tbl(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + _OFFSET).alias("dst"),
+    )
+    und = edges.unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    vertices = (
+        und.select(F.col("src").alias("id")).distinct()
+    )
+    g = PropertyGraph(vertices, und)
+    start = li.agg(F.min("l_orderkey")).first()[0]
+    res = bfs(
+        g,
+        f"id = {start}",
+        f"id >= {_OFFSET} AND id % 100 = 7",
+        max_path_length=3,
+    )
+    return res.select(
+        F.col("start").alias("start_id"),
+        F.col("end").alias("end_id"),
+        F.col("length").cast("int").alias("length"),
+        F.array_join(
+            F.transform("path", lambda x: x.cast("string")), "-"
+        ).alias("path_str"),
+    )

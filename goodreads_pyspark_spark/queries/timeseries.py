@@ -275,3 +275,59 @@ def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = stream_events_from_dir(spark, stage)
     run_to_memory_sink(hourly_by_type(stream), name, output_mode="complete")
     return spark.table(name)
+
+
+@query(
+    "s02_stateful_user_totals",
+    oracle=None,
+    doc="Custom stateful streaming operator (streaming/stateful.py "
+    "running_user_totals, applyInPandasWithState): per-user lifetime "
+    "(count, value-sum) state machine driven over the staged events "
+    "stream. Rows-only at the gate (arbitrary-state ops have no SQL "
+    "stream equivalent); the query itself asserts the final state "
+    "equals the batch aggregate before returning.",
+)
+def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from goodreads_pyspark_spark.streaming import (
+        running_user_totals,
+        run_to_memory_sink,
+        stream_events_from_dir,
+    )
+
+    stage = tempfile.mkdtemp(prefix="stream_state_")
+    events = events_tbl(spark, sf_dir)
+    events.write.mode("overwrite").parquet(stage)
+    name = f"s02_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        running_user_totals(stream_events_from_dir(spark, stage)),
+        name,
+        output_mode="update",
+    )
+    # Update-mode sink: one row per (user, micro-batch touched); the final
+    # state per user is the row with the largest running count.
+    latest = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"),
+                F.col("s.total_value").alias("total_value"))
+    )
+    # Internal gate: stateful accumulation must equal the batch aggregate.
+    expected = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("exp_n"),
+        F.sum("value").alias("exp_total"),
+    )
+    bad = (
+        latest.join(expected, "user_id", "full")
+        .filter(
+            (F.col("n_events") != F.col("exp_n"))
+            | (F.abs(F.col("total_value") - F.col("exp_total")) > 1e-6)
+        )
+        .count()
+    )
+    if bad:
+        raise AssertionError(f"stateful totals diverge from batch for {bad} users")
+    return latest

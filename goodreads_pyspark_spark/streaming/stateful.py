@@ -24,24 +24,31 @@ OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
 STATE_SCHEMA = "n long, total double"
 
 
-def _update_totals(key, pdfs, state: GroupState):
-    import pandas as pd
-
-    (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
-    for pdf in pdfs:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame(
-        {"user_id": [user_id], "n_events": [n], "total_value": [total]}
-    )
-
-
 def running_user_totals(events: DataFrame) -> DataFrame:
-    """Per-user lifetime (count, value-sum), updated each micro-batch."""
+    """Per-user lifetime (count, value-sum), updated each micro-batch.
+
+    The state handler is a NESTED function so cloudpickle serializes it by
+    value: Python workers then need no import of this package (a
+    module-level handler pickles by reference and fails on any worker
+    whose path lacks the repo — see extract_image_features for the same
+    boundary).
+    """
+
+    def update_totals(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
     return events.groupBy("user_id").applyInPandasWithState(
-        _update_totals,
+        update_totals,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
