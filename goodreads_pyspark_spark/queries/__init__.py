@@ -71,6 +71,7 @@ def _load_all() -> None:
         embeddings,
         goodreads_sql,
         graph,
+        io,
         ml,
         multimodal,
         relational,

@@ -485,3 +485,34 @@ def d10_scrubbed_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(collapsed).alias("scrubbed_hash"),
         F.length(masked).cast("int").alias("scrubbed_len"),
     )
+
+
+# --- BPE-ish subword token estimate -----------------------------------------
+#: Subword segmentation regex (BPE-pretokenizer-shaped): letter runs,
+#: single digits, single punctuation marks. Plain character classes only —
+#: identical semantics under Java regex (Spark) and RE2 (DuckDB).
+_SUBWORD_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+@query(
+    "d12_token_estimate",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_SUBWORD_RE}'))
+                AS INTEGER) AS n_subwords,
+           CAST(ceil(length(text) / 4.0) AS INTEGER) AS n_bytes_over_4
+    FROM documents
+    """,
+    doc="LLM token-count estimation per document: a BPE-pretokenizer-shaped "
+    "regex segmentation (letter runs / digits / punctuation) plus the "
+    "bytes/4 rule of thumb — the cost-estimation primitive for training "
+    "pipelines. Pure codegen expressions, no UDFs.",
+)
+def d12_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_SUBWORD_RE), 0))
+        .alias("n_subwords"),
+        F.ceil(F.length("text") / 4.0).cast("int").alias("n_bytes_over_4"),
+    )

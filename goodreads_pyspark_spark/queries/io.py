@@ -1,0 +1,59 @@
+"""Driver-gated source-reader queries (SURVEY.md §2.1 S1/S2).
+
+The driver testdata is parquet-only, so the JSON and CSV scans are gated
+by a lossless roundtrip: write ``documents`` out through each format,
+read it back through the production readers (explicit schema — the
+at-scale mode), and aggregate. The oracle computes the same aggregate
+from the original parquet, so any fidelity loss in either writer or
+reader (quoting, escaping, type coercion) breaks the hash match.
+``documents.text`` is printable ASCII without quotes/newlines, so both
+formats roundtrip exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries._helpers import tbl
+
+_AGG = """
+    SELECT '{fmt}' AS fmt, source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(doc_id) AS BIGINT) AS id_sum,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+"""
+
+
+@query(
+    "io01_source_roundtrip",
+    oracle=_AGG.format(fmt="json") + " UNION ALL " + _AGG.format(fmt="csv"),
+    doc="S1 JSON / S2 CSV scans (sources/readers.py) gated by lossless "
+    "roundtrip: parquet -> write json+csv -> explicit-schema read -> "
+    "per-source aggregate, hash-matched against the same aggregate on "
+    "the original parquet.",
+)
+def io01_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from goodreads_pyspark_spark.sources.readers import read_csv, read_json
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    schema = docs.schema
+    jdir = tempfile.mkdtemp(prefix="io01_json_")
+    cdir = tempfile.mkdtemp(prefix="io01_csv_")
+    docs.write.mode("overwrite").json(jdir)
+    docs.write.mode("overwrite").option("header", "true").csv(cdir)
+
+    def agg(df: DataFrame, fmt: str) -> DataFrame:
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum(F.length("text")).alias("n_chars"),
+        ).select(F.lit(fmt).alias("fmt"), "source", "n_docs", "id_sum", "n_chars")
+
+    return agg(read_json(spark, jdir, schema=schema), "json").unionAll(
+        agg(read_csv(spark, cdir, schema=schema), "csv")
+    )
