@@ -18,7 +18,7 @@ GraphX's resetProb form), LPA (Raghavan et al.), BFS frontier expansion.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.graph.frames import PropertyGraph
@@ -175,34 +175,34 @@ def label_propagation(
         graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     both = both.cache()
-    labels = graph.vertices.select("id").withColumn("label", F.col("id")).cache()
+    labels = graph.vertices.select("id").withColumn("label", F.col("id"))
 
+    # Lazy fixed-iteration shape (same as pagerank_scaled): each round's
+    # plan references the previous labels exactly once, so no per-round
+    # action/cache is needed — the whole run is ONE job unless the round
+    # count crosses checkpoint_every (then an eager localCheckpoint
+    # truncates lineage). Tie-break via max_by over (count, -label):
+    # hash aggregation instead of a row_number sort-window — one less
+    # sort, same deterministic smallest-label-wins rule.
     for i in range(max_iter):
-        neighbor_labels = (
+        best = (
             both.join(labels.withColumnRenamed("id", "dst"), "dst")
             .groupBy(F.col("src").alias("id"), "label")
             .agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("id")
+            .agg(F.expr("max_by(label, struct(n, -label))").alias("label"))
         )
-        w = F.row_number().over(
-            Window.partitionBy("id").orderBy(F.col("n").desc(), F.col("label").asc())
-        )
-        best = (
-            neighbor_labels.withColumn("rn", w).filter(F.col("rn") == 1).select("id", "label")
-        )
-        new_labels = (
+        labels = (
             labels.select("id")
             .join(best, "id", "left")
             .select("id", F.coalesce("label", "id").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=False)
-        new_labels = new_labels.cache()
-        new_labels.count()  # materialize before dropping the parent
-        labels.unpersist()
-        labels = new_labels
+            labels = labels.localCheckpoint(eager=True)
 
     out = graph.vertices.join(labels, "id", "left")
-    both.unpersist()
+    # both stays cached until the caller's action consumes the lazy plan;
+    # blocks are dropped with the session or by the caller's clearCache.
     return out
 
 

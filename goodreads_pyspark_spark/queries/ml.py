@@ -168,3 +168,36 @@ def m05_tfidf_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     arr = vector_to_array(F.col("features"))
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
     return out.select("doc_id", F.round(norm, 4).alias("pca_norm"))
+
+
+# --- U2: seeded randomSplit -------------------------------------------------
+@query(
+    "u01_seeded_split_invariants",
+    oracle=None,
+    doc="U2 seeded randomSplit (ml/recommend.train_test_split; reference "
+    "goodreads.py:239): rows-only — split fractions are Spark-RNG-"
+    "specific, so the query asserts the invariants itself (partition: "
+    "disjoint, union-complete, seed-stable) and returns the per-side "
+    "counts.",
+)
+def u01_seeded_split_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.ml.recommend import train_test_split
+
+    ratings = _ratings(spark, sf_dir).cache()
+    total = ratings.count()
+    train, test = train_test_split(ratings, seed=42)
+    train2, _ = train_test_split(ratings, seed=42)
+    n_train, n_test = train.count(), test.count()
+    if n_train + n_test != total:
+        raise AssertionError("split sides do not partition the input")
+    overlap = train.join(test, ["user_id", "book_id"]).count()
+    if overlap:
+        raise AssertionError(f"{overlap} rows in both split sides")
+    if train2.exceptAll(train).count() or train.exceptAll(train2).count():
+        raise AssertionError("same seed produced a different split")
+    frac = n_train / max(total, 1)
+    if not 0.7 <= frac <= 0.9:
+        raise AssertionError(f"train fraction {frac:.3f} far from 0.8")
+    return spark.createDataFrame(
+        [("train", n_train), ("test", n_test)], ["side", "n_rows"]
+    )
