@@ -121,6 +121,52 @@ def extract_image_features(
     return pruned.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = "media_id long, content binary, width int, height int, decode_error string"
+
+
+def resize_images(
+    df: DataFrame,
+    divisor: int = 2,
+    id_col: str = "media_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Thumbnail pass: decode → downscale → re-encode, as one Arrow-batched
+    ``mapInPandas`` stage emitting new blobs (the media-transform archetype:
+    output is again a binary column any downstream stage can consume).
+
+    The codec pair here is the FIMG fake (dims divide by ``divisor``, floor
+    1; luma unchanged — a real deployment swaps in PIL decode/resize/encode
+    inside the same kernel). Poison blobs pass through as NULL content with
+    ``decode_error`` set. The kernel is a nested function: cloudpickle
+    ships it by value, no package import on workers.
+    """
+    magic = _FAKE_MAGIC
+    dv = int(divisor)
+
+    def run(batches: Iterator) -> Iterator:
+        import struct as _struct
+
+        import pandas as pd
+
+        def one(mid, blob):
+            if blob is None or len(blob) < 16 or bytes(blob[:4]) != magic:
+                return (mid, None, None, None, "not a FIMG blob")
+            w, h, luma = _struct.unpack("<III", bytes(blob[4:16]))
+            w2, h2 = max(w // dv, 1), max(h // dv, 1)
+            out = magic + _struct.pack("<III", w2, h2, luma)
+            return (mid, out, w2, h2, None)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                [one(m, b) for m, b in zip(pdf[id_col], pdf[content_col])],
+                columns=["media_id", "content", "width", "height", "decode_error"],
+            )
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        run, schema=RESIZE_SCHEMA
+    )
+
+
 def sample_video_frames(
     df: DataFrame,
     every_s: float = 1.0,

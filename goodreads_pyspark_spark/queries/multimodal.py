@@ -113,3 +113,44 @@ def mm02_video_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(24.0).alias("meta_fps"),
     )
     return sample_video_frames(media, every_s=1.0)
+
+
+def _le4hex(x: str) -> str:
+    """DuckDB: little-endian 4-byte hex of a uint32 expression < 2^16."""
+    return f"printf('%02X%02X', ({x}) % 256, ({x}) // 256 % 256) || '0000'"
+
+
+@query(
+    "mm03_thumbnail_blobs",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % {_POISON_MOD} = 0 THEN NULL
+                ELSE '46494D47' || {_le4hex(f"({_W}) // 2")}
+                     || {_le4hex(f"({_H}) // 2")} || {_le4hex(_L)} END
+             AS content_hex,
+           CASE WHEN doc_id % {_POISON_MOD} = 0 THEN NULL
+                ELSE CAST(({_W}) // 2 AS INTEGER) END AS width,
+           CASE WHEN doc_id % {_POISON_MOD} = 0 THEN NULL
+                ELSE CAST(({_H}) // 2 AS INTEGER) END AS height,
+           CASE WHEN doc_id % {_POISON_MOD} = 0 THEN 'not a FIMG blob'
+                ELSE NULL END AS decode_error
+    FROM documents
+    """,
+    doc="Binary-to-binary media transform (multimodal/binary.py "
+    "resize_images): decode -> halve dims -> re-encode in one "
+    "mapInPandas stage whose output is again an opaque binary column; "
+    "the oracle rebuilds the expected blob hex arithmetically, so the "
+    "emitted bytes themselves are verified, not just metadata.",
+)
+def mm03_thumbnail_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.multimodal.binary import resize_images
+
+    docs = tbl(spark, sf_dir, "documents")
+    out = resize_images(synth_media(docs), divisor=2)
+    return out.select(
+        "media_id",
+        F.hex("content").alias("content_hex"),
+        "width",
+        "height",
+        "decode_error",
+    )

@@ -167,3 +167,20 @@ def test_synth_media_blobs_decode_roundtrip(spark):
         else:
             w, h, luma = fake_image_decoder(bytes(r["content"]))
             assert (w, h, luma) == (16 + did % 1024, 16 + (did * 7) % 768, float(did % 256))
+
+
+def test_resize_images_halves_dims_and_reencodes(spark):
+    from goodreads_pyspark_spark.multimodal.binary import (
+        fake_image_decoder,
+        resize_images,
+    )
+    from goodreads_pyspark_spark.queries.multimodal import synth_media
+
+    docs = spark.createDataFrame([(8, "x"), (97, "x")], ["doc_id", "text"])
+    rows = {r["media_id"]: r for r in resize_images(synth_media(docs)).collect()}
+    good = rows[8]
+    w, h, luma = fake_image_decoder(bytes(good["content"]))
+    assert (w, h) == (good["width"], good["height"]) == ((16 + 8) // 2, (16 + 56) // 2)
+    assert luma == 8.0 and good["decode_error"] is None
+    bad = rows[97]
+    assert bad["content"] is None and bad["decode_error"] == "not a FIMG blob"
