@@ -30,6 +30,7 @@ def build_ivf_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
+    max_iter: int = 8,
 ) -> DataFrame:
     """Train coarse centroids; returns long-form (cid, pos, cval) rows.
 
@@ -45,8 +46,11 @@ def build_ivf_centroids(
     # across many partitions the per-task scheduling overhead dwarfs the
     # math. 8 partitions keeps the fit parallel but cheap; at corpus scale
     # callers bound the input via sample_fraction first.
+    # max_iter bounds the Lloyd jobs: a COARSE quantizer only routes
+    # vectors into probe lists, so centroid convergence past a few
+    # iterations buys recall nothing — it is not the ranking.
     feats = train.select(array_to_vector(F.col(vec_col)).alias("features")).coalesce(8)
-    model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
+    model = KMeans(k=k, seed=seed, maxIter=max_iter, featuresCol="features").fit(feats)
     spark = df.sparkSession
     cents = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],

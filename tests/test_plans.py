@@ -77,7 +77,12 @@ def test_whole_stage_codegen_covers_agg(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["d02_exact_dup_groups", "d07_minhash_lsh_candidates"]
+    "name",
+    [
+        "d02_exact_dup_groups",
+        "d07_minhash_lsh_candidates",
+        "d11_simhash_neardup_pairs",
+    ],
 )
 def test_dedup_plans_shuffle_hashes_not_documents(spark, name):
     # dedup shuffles must carry hashes/ids, never the text column
@@ -177,3 +182,11 @@ def test_q30_pushes_returnflag_and_folds_topk(spark):
     assert "TakeOrderedAndProject" in plan
     flt = [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
     assert any("l_returnflag" in f for f in flt)
+
+
+def test_mm01_prunes_columns_before_python_boundary(spark):
+    # Only (doc_id-derived) columns may cross Arrow into mapInPandas —
+    # the documents text/lang/source columns must be pruned at the scan.
+    plan = plan_of(spark, "mm01_image_features")
+    schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert schemas and all("text" not in s for s in schemas), schemas
