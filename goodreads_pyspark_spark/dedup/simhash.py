@@ -26,15 +26,36 @@ def simhash_signatures(
     text_col: str = "text",
     bits: int = 16,
 ) -> DataFrame:
-    """One row per doc: ``simhash`` (bigint, ``bits`` wide)."""
-    assert bits <= 32, "md5 hex digits drive the votes; 32 max"
-    ex = fan_out(df).select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
-    ).withColumn("h", F.md5("tok"))
+    """One row per doc: ``simhash`` (bigint, ``bits`` wide).
+
+    Bits 0-31 vote from the hex digits of ``md5(token)``; bits 32+ from a
+    second salted hash ``md5('b_' || token)`` — 62 bits max (bit 63 is
+    the BIGINT sign). Wide signatures matter at scale: the banded search
+    (:func:`simhash_neardup_pairs`) gets ``2^(bits/bands)`` buckets per
+    band, and bucket population — the quadratic term in the candidate
+    join — shrinks proportionally.
+    """
+    assert bits <= 62, "bigint sign bit; 62 max"
+    ex = (
+        fan_out(df)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(tokens(text_col))).alias("tok"),
+        )
+        .withColumn("h", F.md5("tok"))
+    )
+    if bits > 32:
+        ex = ex.withColumn("h2", F.md5(F.concat(F.lit("b_"), F.col("tok"))))
+
+    def digit(j: int):
+        return (
+            F.ascii(F.substring("h", j + 1, 1))
+            if j < 32
+            else F.ascii(F.substring("h2", j - 31, 1))
+        )
+
     votes = [
-        F.sum(
-            F.when(F.ascii(F.substring("h", j + 1, 1)) % 2 == 1, 1).otherwise(-1)
-        ).alias(f"s{j}")
+        F.sum(F.when(digit(j) % 2 == 1, 1).otherwise(-1)).alias(f"s{j}")
         for j in range(bits)
     ]
     agg = ex.groupBy(id_col).agg(*votes)
@@ -54,7 +75,7 @@ def simhash_neardup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    bits: int = 32,
+    bits: int = 48,
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket: int | None = None,

@@ -277,10 +277,16 @@ def d07_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SimHash signatures -----------------------------------------------------
 def _simhash_sig_ctes(bits: int = 16) -> str:
-    """Shared CTE chain ending in ``s(doc_id, simhash)``."""
+    """Shared CTE chain ending in ``s(doc_id, simhash)``. Bits ≥32 vote
+    from the salted second hash, mirroring dedup/simhash.py."""
+
+    def digit(j: int) -> str:
+        if j < 32:
+            return f"ascii(substr(md5(tok), {j + 1}, 1))"
+        return f"ascii(substr(md5('b_' || tok), {j - 31}, 1))"
+
     votes = ",\n           ".join(
-        f"SUM(CASE WHEN ascii(substr(md5(tok), {j + 1}, 1)) % 2 = 1 "
-        f"THEN 1 ELSE -1 END) AS s{j}"
+        f"SUM(CASE WHEN {digit(j)} % 2 = 1 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(bits)
     )
     sig = " + ".join(f"CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(bits))
@@ -318,7 +324,7 @@ D11_MAX_BUCKET = 100
 
 
 def _simhash_pairs_oracle(
-    bits: int = 32, bands: int = 4, max_hamming: int = 3, max_bucket: int | None = None
+    bits: int = 48, bands: int = 4, max_hamming: int = 3, max_bucket: int | None = None
 ) -> str:
     width = bits // bands
     mask = (1 << width) - 1
@@ -354,17 +360,20 @@ def _simhash_pairs_oracle(
 @query(
     "d11_simhash_neardup_pairs",
     oracle=_simhash_pairs_oracle(max_bucket=D11_MAX_BUCKET),
-    doc="SimHash near-dup pairs (dedup/simhash.py): 32-bit signatures, 4 "
-    "banded 8-bit slices for candidates (pigeonhole: exact recall at "
+    doc="SimHash near-dup pairs (dedup/simhash.py): 48-bit signatures, 4 "
+    "banded 12-bit slices for candidates (pigeonhole: exact recall at "
     "hamming<=3), full Hamming verify. Only (id, band, slice) rows "
-    "shuffle; max_bucket (mirrored in the oracle) guards hot buckets.",
+    "shuffle; max_bucket (mirrored in the oracle) guards hot buckets. "
+    "Slice width is the scale dial: 2^(bits/bands) buckets per band, so "
+    "bucket population — the quadratic candidate-join term — shrinks as "
+    "signatures widen (measured in SCALING.md).",
 )
 def d11_simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup import simhash_neardup_pairs
 
     docs = tbl(spark, sf_dir, "documents")
     return simhash_neardup_pairs(
-        docs, bits=32, bands=4, max_hamming=3, max_bucket=D11_MAX_BUCKET
+        docs, bits=48, bands=4, max_hamming=3, max_bucket=D11_MAX_BUCKET
     )
 
 

@@ -19,7 +19,11 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from pyspark.sql import functions as F
 
-from goodreads_pyspark_spark.dedup import lsh_candidate_pairs, simhash_signatures
+from goodreads_pyspark_spark.dedup import (
+    lsh_candidate_pairs,
+    simhash_neardup_pairs,
+    simhash_signatures,
+)
 from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
 from goodreads_pyspark_spark.session import get_spark
 from goodreads_pyspark_spark.similarity import (
@@ -54,12 +58,24 @@ def main() -> None:
     out_dir = tempfile.mkdtemp(prefix="scaling_")
     print(f"# staging to {out_dir}", file=sys.stderr)
 
+    def force(df) -> int:
+        """Row count that also forces every output column (a bare count()
+        lets Catalyst prune aggregate payload columns, under-reporting)."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+        ).first()
+        return row["n"]
+
     ops = {
-        "minhash_lsh": lambda d, e: lsh_candidate_pairs(d).count(),
-        "simhash": lambda d, e: simhash_signatures(d).count(),
-        "jaccard_capped": lambda d, e: jaccard_pairs(d, threshold=0.5, max_df=200).count(),
-        "lsh_buckets": lambda d, e: sign_lsh_buckets(e).count(),
-        "cosine_allpairs": lambda d, e: cosine_neardup_pairs(e, 0.4).count(),
+        "minhash_lsh": lambda d, e: force(lsh_candidate_pairs(d)),
+        "simhash": lambda d, e: force(simhash_signatures(d)),
+        "simhash_pairs": lambda d, e: force(
+            simhash_neardup_pairs(d, bits=32, bands=4, max_hamming=3, max_bucket=100)
+        ),
+        "jaccard_capped": lambda d, e: force(jaccard_pairs(d, threshold=0.5, max_df=200)),
+        "lsh_buckets": lambda d, e: force(sign_lsh_buckets(e)),
+        "cosine_allpairs": lambda d, e: force(cosine_neardup_pairs(e, 0.4)),
     }
     rows = []
     for f in factors:
