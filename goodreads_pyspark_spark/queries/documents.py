@@ -525,3 +525,57 @@ def d12_token_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_subwords"),
         F.ceil(F.length("text") / 4.0).cast("int").alias("n_bytes_over_4"),
     )
+
+
+# --- sequence packing (pretraining concat-and-chunk layout) -----------------
+#: Training context length for the packing layout.
+D13_CHUNK = 2048
+
+
+@query(
+    "d13_sequence_packing",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tok_offset
+          FROM tk)
+    SELECT doc_id, source, n_tokens, tok_offset,
+           CAST(tok_offset // {D13_CHUNK} AS BIGINT) AS first_chunk,
+           CAST((tok_offset + greatest(n_tokens, 1) - 1) // {D13_CHUNK}
+                AS BIGINT) AS last_chunk
+    FROM c
+    """,
+    doc="Sequence packing: the pretraining concat-and-chunk layout — each "
+    "document's token offset in its source's concatenated stream and the "
+    "2048-token chunks it spans. Partitioned window (per source, ordered "
+    "by doc_id): integer-exact on both engines, and no global window — "
+    "sources pack independently, the 100 TB-safe shape.",
+)
+def d13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = base.withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    return c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / D13_CHUNK).alias("first_chunk"),
+        F.floor(
+            (F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
+            / D13_CHUNK
+        ).alias("last_chunk"),
+    )

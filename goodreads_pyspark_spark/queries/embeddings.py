@@ -221,3 +221,33 @@ def e06_ivf_knn_vec1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     return ivf_knn(emb, query_id=1, k=10, nprobe=8, n_centroids=8)
+
+
+# --- int8 quantization ------------------------------------------------------
+@query(
+    "e07_int8_quantization",
+    oracle=f"""
+    WITH {_LONG},
+    amax AS (SELECT pos, greatest(MAX(abs(v)), 1e-30) AS amax
+             FROM e GROUP BY pos),
+    q AS (SELECT e.vec_id, e.pos,
+                 CAST(floor(e.v * 127.0 / amax + 0.5) AS BIGINT) AS code,
+                 abs(e.v - floor(e.v * 127.0 / amax + 0.5) * amax / 127.0)
+                   AS err
+          FROM e JOIN amax USING (pos))
+    SELECT vec_id,
+           string_agg(code, ',' ORDER BY pos) AS codes,
+           MAX(err) AS max_abs_err
+    FROM q GROUP BY vec_id
+    """,
+    doc="Embedding int8 quantization (similarity/quantize.py): symmetric "
+    "per-dimension scale, floor(x+0.5) rounding (engine-portable, unlike "
+    "round-half), codes integer-exact across engines and reconstruction "
+    "error bit-identical (pure IEEE double ops in the same order). The "
+    "4-8x storage compression step of a vector pipeline.",
+)
+def e07_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.quantize import int8_quantize
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return int8_quantize(emb)

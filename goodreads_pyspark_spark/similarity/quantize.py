@@ -1,0 +1,59 @@
+"""Embedding quantization — the storage-compression step of a vector
+pipeline (int8 codes are 4× smaller than float32 and 8× smaller than
+float64; ANN rerank reads codes, dequantizes, scores).
+
+Symmetric per-dimension scheme: ``code = floor(v·127/amax_d + 0.5)`` with
+``amax_d = max|v_d|`` over the corpus. ``floor(x+0.5)`` — not ``round`` —
+because engines disagree on round-half semantics (banker's vs away-from-
+zero) while ``floor`` is universal; every step is plain IEEE double
+arithmetic in the same order, so codes are integer-exact across engines.
+
+Scale shape: one explode → per-dim max (64 rows) → broadcast join back →
+re-aggregate per vector. Two shuffles of (id, pos, value) rows, nothing
+quadratic; the per-dim stats table is tiny and broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+
+def int8_quantize(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 codes + reconstruction error.
+
+    Returns (id, codes ``csv string ordered by dim``, max_abs_err).
+    String codes keep the result scalar-celled (driver-canon friendly)
+    and diff-able; production would store ``array<tinyint>``.
+    """
+    e = (
+        fan_out(df)
+        .select(F.col(id_col), F.posexplode(vec_col).alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    amax = e.groupBy("pos").agg(
+        F.greatest(F.max(F.abs("v")), F.lit(1e-30)).alias("amax")
+    )
+    q = (
+        e.join(F.broadcast(amax), "pos")
+        .withColumn("code", F.floor(F.col("v") * 127.0 / F.col("amax") + 0.5))
+        .withColumn(
+            "err", F.abs(F.col("v") - F.col("code") * F.col("amax") / 127.0)
+        )
+    )
+    codes = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "code"))),
+            lambda s: s.getField("code").cast("string"),
+        ),
+        ",",
+    )
+    return q.groupBy(id_col).agg(
+        codes.alias("codes"), F.max("err").alias("max_abs_err")
+    )

@@ -145,3 +145,19 @@ def test_simhash_bucket_cap_drops_hot_buckets(spark):
     df = spark.createDataFrame(rows, ["doc_id", "text"])
     assert simhash_neardup_pairs(df, max_bucket=4).count() == 0
     assert simhash_neardup_pairs(df, max_bucket=None).count() == 10
+
+
+def test_int8_quantize_error_bound(spark):
+    """Rounding error is at most half a quantization step per dimension."""
+    from goodreads_pyspark_spark.similarity.quantize import int8_quantize
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = int8_quantize(emb)
+    # global bound: step = amax/127, worst dim has amax = global max |v|
+    gmax = emb.selectExpr(
+        "max(aggregate(embedding, cast(0.0 as double), (a, x) -> greatest(a, abs(cast(x as double))))) as m"
+    ).first()["m"]
+    worst = out.agg(F.max("max_abs_err")).first()[0]
+    assert worst <= gmax / 127 / 2 + 1e-12
+    codes0 = out.filter(F.col("vec_id") == 0).first()["codes"]
+    assert all(-127 <= int(c) <= 127 for c in codes0.split(","))
