@@ -1,0 +1,61 @@
+"""Deterministic stratified sampling — the data-mix step of a training
+pipeline (per-source keep rates, e.g. upweight books / downweight web).
+
+Why not ``df.sample``: training mixes must be *reproducible and
+engine-portable* — membership decided by a content-addressed hash of the
+row key, not by an RNG stream tied to partition layout. ``sample()``
+changes membership when partitioning changes; a hash gate never does,
+and any engine (Spark, DuckDB, a downstream reader) can recompute it.
+
+Scale shape: a pure map-side filter — no shuffle, no state, trivially
+parallel at 100 TB, and composable with partition pruning since nothing
+reorders rows. The per-stratum rate table rides along as a map literal
+(broadcast-equivalent for the O(#sources) entries a mix config has).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Bucket granularity: rates are resolved to 1/10000ths, exactly.
+BUCKETS = 10_000
+
+
+def portable_bucket(col: Column, salt: str = "", buckets: int = BUCKETS) -> Column:
+    """Deterministic bucket in [0, buckets): first 8 hex chars of
+    md5(key || salt) as an integer, mod buckets.
+
+    md5 hex is identical across engines (DuckDB mirror:
+    ``('0x' || substr(md5(key || salt), 1, 8))::BIGINT % buckets``),
+    unlike Spark's murmur3 ``hash()`` / DuckDB's xxhash ``hash()``.
+    """
+    h = F.conv(F.substring(F.md5(F.concat(col.cast("string"), F.lit(salt))), 1, 8), 16, 10)
+    return h.cast("bigint") % buckets
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    id_col: str = "doc_id",
+    strata_col: str = "source",
+    salt: str = "mix-v1",
+) -> DataFrame:
+    """Keep each row iff its hash bucket falls under its stratum's rate.
+
+    A row is kept when ``portable_bucket(id, salt) < rate * BUCKETS``;
+    rate 1.0 keeps everything, 0.0 drops the stratum entirely. The
+    ``bucket`` column is retained so downstream stages can sub-sample
+    consistently (a 0.5 sample of a 0.5 sample is the 0.25 sample).
+    """
+    entries: list[Column] = []
+    for k, v in sorted(rates.items()):
+        entries += [F.lit(k), F.lit(int(round(v * BUCKETS)))]
+    thr = F.coalesce(
+        F.element_at(F.create_map(*entries), F.col(strata_col)) if entries else F.lit(None),
+        F.lit(int(round(default_rate * BUCKETS))),
+    )
+    return df.withColumn("bucket", portable_bucket(F.col(id_col), salt)).filter(
+        F.col("bucket") < thr
+    )

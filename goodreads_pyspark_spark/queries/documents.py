@@ -579,3 +579,151 @@ def d13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / D13_CHUNK
         ).alias("last_chunk"),
     )
+
+
+# --- deterministic stratified sampling (data-mix) ---------------------------
+#: Per-source keep rates for the registered mix query; unlisted sources get
+#: the default. Resolved to 1/10000ths on both engines.
+D14_RATES = {"src0": 1.0, "src1": 0.75, "src2": 0.5, "src3": 0.25, "src4": 0.0}
+D14_DEFAULT = 0.6
+
+
+def _d14_case() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {int(round(v * 10000))}" for k, v in sorted(D14_RATES.items())
+    )
+    return f"CASE source {whens} ELSE {int(round(D14_DEFAULT * 10000))} END"
+
+
+@query(
+    "d14_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source, bucket FROM (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'mix-v1'), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM documents) b
+    WHERE bucket < {_d14_case()}
+    """,
+    doc="Deterministic stratified sampling (pipelines/sampling.py): the "
+    "training data-mix step. Membership = md5(doc_id||salt) bucket under "
+    "the source's keep-rate — reproducible across engines and partition "
+    "layouts, unlike RNG-based sample(). Pure map-side filter: no "
+    "shuffle at any scale.",
+)
+def d14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.pipelines.sampling import stratified_sample
+
+    docs = tbl(spark, sf_dir, "documents")
+    return stratified_sample(docs, D14_RATES, D14_DEFAULT).select(
+        "doc_id", "source", "bucket"
+    )
+
+
+# --- benchmark decontamination ----------------------------------------------
+@query(
+    "d15_decontamination",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    tr AS MATERIALIZED (SELECT doc_id, sh FROM sh WHERE doc_id % 20 <> 0),
+    ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0),
+    hits AS (SELECT doc_id, count(*) AS n_shared
+             FROM tr JOIN ev USING (sh) GROUP BY doc_id),
+    sz AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id)
+    SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_shared AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+             AS contamination
+    FROM hits JOIN sz USING (doc_id)
+    """,
+    doc="Benchmark decontamination (dedup/decontaminate.py): train docs "
+    "(doc_id%20!=0) sharing 3-word shingles with the eval split "
+    "(doc_id%20=0), with shared/total ratio. Linear — the eval side is "
+    "DISTINCT before the join, so output <= |train shingles|; the d06 "
+    "self-join blowup cannot occur and no df cap is needed.",
+)
+def d15_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.decontaminate import contamination_stats
+
+    docs = tbl(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    return contamination_stats(train, ev)
+
+
+# --- near-dup clustering + canonical selection ------------------------------
+def _c02_oracle(rounds: int = 10) -> str:
+    """Jaccard>=0.5 pair graph (d06's exact SQL, same df cap) -> unrolled
+    min-label propagation with pointer doubling (g05's pattern; 10 rounds
+    = radius 2047, far past any near-dup chain) -> per-cluster size and
+    min-id canonical flag. Both engines reach the algorithm-independent
+    fixpoint, so labels compare exactly."""
+    steps = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(f"""
+    l{r} AS MATERIALIZED (SELECT t.id, MIN(t.x) AS label FROM (
+               SELECT id, label AS x FROM l{p}
+               UNION ALL
+               SELECT a.id, b.label AS x FROM l{p} a JOIN l{p} b ON a.label = b.id
+               UNION ALL
+               SELECT e.u AS id, l.label AS x FROM und e JOIN l{p} l ON l.id = e.v
+             ) t GROUP BY t.id)""")
+    return f"""
+    WITH {_SHINGLE_CTES},
+    dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    shf AS MATERIALIZED (SELECT s.doc_id, s.sh FROM sh s
+            JOIN dfreq USING (sh) WHERE df <= {D06_MAX_DF}),
+    sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM shf a JOIN shf b USING (sh) WHERE a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    pairs AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5),
+    und AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs),
+    l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM und),{",".join(steps)},
+    sizes AS (SELECT label, count(*) AS cluster_size FROM l{rounds} GROUP BY label)
+    SELECT l.id AS doc_id, CAST(l.label AS BIGINT) AS cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(l.id = l.label AS INTEGER) AS is_canonical
+    FROM l{rounds} l JOIN sizes s ON l.label = s.label
+    """
+
+
+@query(
+    "c02_neardup_clusters",
+    oracle=_c02_oracle(),
+    doc="Near-dup clustering with canonical selection: Jaccard>=0.5 pairs "
+    "(d06 semantics, same df cap) as an undirected graph, connected "
+    "components via alternating star contraction (graph/pregel.py), "
+    "cluster = min doc_id, per-cluster size, is_canonical survivor flag. "
+    "Pairwise dedup alone cannot pick survivors when A~B~C but A!~C; "
+    "the component closure is the correct keep/drop unit.",
+)
+def c02_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
+    from goodreads_pyspark_spark.graph.frames import PropertyGraph
+    from goodreads_pyspark_spark.graph.pregel import (
+        connected_components_alternating,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5, max_df=D06_MAX_DF)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components_alternating(PropertyGraph(verts, edges))
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return cc.join(sizes, "component").select(
+        F.col("id").alias("doc_id"),
+        F.col("component").cast("bigint").alias("cluster_id"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("id") == F.col("component")).cast("int").alias("is_canonical"),
+    )

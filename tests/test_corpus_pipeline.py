@@ -161,3 +161,63 @@ def test_int8_quantize_error_bound(spark):
     assert worst <= gmax / 127 / 2 + 1e-12
     codes0 = out.filter(F.col("vec_id") == 0).first()["codes"]
     assert all(-127 <= int(c) <= 127 for c in codes0.split(","))
+
+
+def test_stratified_sample_rates_and_nesting(spark, docs):
+    """Rate 1.0 keeps all, 0.0 drops all; lower-rate samples nest inside
+    higher-rate ones (same salt), the property RNG sampling lacks."""
+    from goodreads_pyspark_spark.pipelines.sampling import stratified_sample
+
+    n_src0 = docs.filter(F.col("source") == "src0").count()
+    full = stratified_sample(docs, {"src0": 1.0}, default_rate=0.0)
+    assert full.count() == n_src0 == full.filter(F.col("source") == "src0").count()
+
+    half = stratified_sample(docs, {}, default_rate=0.5)
+    quarter = stratified_sample(docs, {}, default_rate=0.25)
+    assert 0 < quarter.count() < half.count() < docs.count()
+    assert quarter.join(half, "doc_id", "left_anti").count() == 0
+
+
+def test_contamination_flags_shared_shingles(spark):
+    from goodreads_pyspark_spark.dedup.decontaminate import contamination_stats
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    train = spark.createDataFrame(
+        [(1, shared), (2, "completely different words here altogether now")],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, shared)], ["doc_id", "text"])
+    out = contamination_stats(train, ev).collect()
+    assert [r["doc_id"] for r in out] == [1]
+    assert out[0]["contamination"] == 1.0
+
+
+def test_neardup_cluster_transitive_closure(spark):
+    """A~B and B~C put A,B,C in ONE cluster even when A!~C directly —
+    the closure pairwise dedup cannot express; canonical = min id."""
+    from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
+    from goodreads_pyspark_spark.graph.frames import PropertyGraph
+    from goodreads_pyspark_spark.graph.pregel import (
+        connected_components_alternating,
+    )
+
+    words = [f"w{i}" for i in range(12)]
+    rows = [
+        (10, " ".join(words[0:8])),
+        (11, " ".join(words[2:10])),  # ~ doc 10 and ~ doc 12
+        (12, " ".join(words[4:12])),  # ~ doc 11, not ~ doc 10
+        (13, " ".join(f"z{i}" for i in range(8))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = jaccard_pairs(df, threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (10, 12) not in got and {(10, 11), (11, 12)} <= got
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components_alternating(PropertyGraph(verts, edges))
+    labels = {r["id"]: r["component"] for r in cc.collect()}
+    assert labels == {10: 10, 11: 10, 12: 10}
