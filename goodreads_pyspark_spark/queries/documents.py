@@ -727,3 +727,77 @@ def c02_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         (F.col("id") == F.col("component")).cast("int").alias("is_canonical"),
     )
+
+
+# --- repetition quality filters ---------------------------------------------
+@query(
+    "d16_repetition_filters",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (SELECT doc_id, t, len(t) AS n FROM tk WHERE len(t) >= 2),
+    uni AS (SELECT doc_id, n, unnest(t) AS tok FROM base),
+    cu AS (SELECT doc_id, n, max(c) AS cu FROM
+             (SELECT doc_id, n, tok, count(*) AS c FROM uni GROUP BY 1, 2, 3)
+           GROUP BY 1, 2),
+    bgr AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg FROM
+              (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM base)),
+    cb AS (SELECT doc_id, max(c) AS cb FROM
+             (SELECT doc_id, bg, count(*) AS c FROM bgr GROUP BY 1, 2)
+           GROUP BY 1)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           CAST(cu AS DOUBLE) / CAST(n AS DOUBLE) AS top_tok_frac,
+           CAST(cb AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS top_bigram_frac
+    FROM cu JOIN cb USING (doc_id)
+    """,
+    doc="Repetition quality filters in the Gopher (Rae et al. 2021, arXiv "
+    "2112.11446, public) style: per-doc mass fraction of the most "
+    "frequent token and bigram — the standard screens for degenerate "
+    "repetitive text. explode -> per-(doc,term) count -> per-doc max: "
+    "every shuffle is keyed by doc_id(+term), linear at any corpus size; "
+    "no HOF gets a non-cheap subject (tokens projected to an attribute "
+    "first).",
+)
+def d16_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = (
+        fan_out(docs)
+        .select("doc_id", tokens("text").alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+    )
+    uni = base.select(
+        "doc_id", F.size("__toks").alias("n_tokens"), F.explode("__toks").alias("tok")
+    )
+    cu = (
+        uni.groupBy("doc_id", "n_tokens", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max("c").alias("cu"))
+    )
+    bgr = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "zip_with(slice(__toks, 1, size(__toks) - 1),"
+                "         slice(__toks, 2, size(__toks) - 1),"
+                "         (a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("bg"),
+    )
+    cb = (
+        bgr.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("cb"))
+    )
+    return cu.join(cb, "doc_id").select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.col("cu").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "top_tok_frac"
+        ),
+        (F.col("cb").cast("double") / (F.col("n_tokens") - 1).cast("double")).alias(
+            "top_bigram_frac"
+        ),
+    )

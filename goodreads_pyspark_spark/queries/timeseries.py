@@ -331,3 +331,48 @@ def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     if bad:
         raise AssertionError(f"stateful totals diverge from batch for {bad} users")
     return latest
+
+
+@query(
+    "s03_streaming_dedup",
+    oracle=None,
+    doc="Streaming dedup with bounded state (streaming/dedup.py "
+    "dropDuplicatesWithinWatermark): the events table is staged TWICE so "
+    "real duplicates arrive across micro-batches; the stream must emit "
+    "each event_id exactly once while evicting state past the watermark "
+    "— the only dedup formulation that survives an unbounded source. "
+    "Rows-only at the gate; the query asserts stream output == batch "
+    "dropDuplicates before returning per-type counts.",
+)
+def s03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from goodreads_pyspark_spark.streaming import (
+        dedup_events,
+        run_to_memory_sink,
+        stream_events_from_dir,
+    )
+
+    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    events = events_tbl(spark, sf_dir)
+    # Two copies in separate files => duplicates span micro-batches.
+    events.write.mode("overwrite").parquet(stage)
+    events.write.mode("append").parquet(stage)
+    name = f"s03_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        dedup_events(stream_events_from_dir(spark, stage)),
+        name,
+        output_mode="append",
+    )
+    got = spark.table(name)
+    n_got, n_expected = got.count(), events.dropDuplicates(["event_id"]).count()
+    if n_got != n_expected:
+        raise AssertionError(
+            f"stream dedup emitted {n_got} rows, batch dedup has {n_expected}"
+        )
+    return (
+        got.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )

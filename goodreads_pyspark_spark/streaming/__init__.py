@@ -4,3 +4,4 @@ from goodreads_pyspark_spark.streaming.windows import (  # noqa: F401
     stream_events_from_dir,
 )
 from goodreads_pyspark_spark.streaming.stateful import running_user_totals  # noqa: F401
+from goodreads_pyspark_spark.streaming.dedup import dedup_events  # noqa: F401

@@ -1,0 +1,34 @@
+"""Streaming deduplication — exact dedup's unbounded-source counterpart.
+
+``dropDuplicates`` on a stream keeps EVERY key seen forever: state grows
+without bound, which at 100 TB/day of events is a guaranteed OOM.
+``dropDuplicatesWithinWatermark`` is the scale-correct operator: it
+deduplicates keys whose event times fall within the watermark horizon and
+EVICTS state older than it — constant-bounded memory for any run length,
+in exchange for tolerating re-emission of a duplicate that arrives later
+than the watermark (which the upstream at-least-once delivery contract
+already bounds).
+
+Batch duality: on a non-streaming frame the same function degrades to a
+plain ``dropDuplicates`` — one logical definition for backfill and live.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+
+
+def dedup_events(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Exactly-once event filtering on ``keys`` with bounded state."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return events.dropDuplicates(list(keys))

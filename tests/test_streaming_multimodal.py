@@ -184,3 +184,28 @@ def test_resize_images_halves_dims_and_reencodes(spark):
     assert luma == 8.0 and good["decode_error"] is None
     bad = rows[97]
     assert bad["content"] is None and bad["decode_error"] == "not a FIMG blob"
+
+
+def test_streaming_dedup_exactly_once(spark, tmp_path_factory):
+    """Duplicates planted across files are emitted exactly once; the same
+    function on a batch frame degrades to plain dropDuplicates."""
+    from goodreads_pyspark_spark.queries._helpers import events_tbl
+    from goodreads_pyspark_spark.streaming import dedup_events, run_to_memory_sink, stream_events_from_dir
+
+    out = str(tmp_path_factory.mktemp("dedup_stream"))
+    events = events_tbl(spark, "/root/testdata/sf0.001").limit(200).cache()
+    events.write.mode("overwrite").parquet(out)
+    events.write.mode("append").parquet(out)
+
+    run_to_memory_sink(
+        dedup_events(stream_events_from_dir(spark, out)),
+        "dedup_smoke",
+        output_mode="append",
+    )
+    got = spark.table("dedup_smoke")
+    assert got.count() == 200
+    assert got.select("event_id").distinct().count() == 200
+
+    batch = spark.read.parquet(out)
+    assert batch.count() == 400
+    assert dedup_events(batch).count() == 200
