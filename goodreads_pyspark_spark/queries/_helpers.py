@@ -37,8 +37,15 @@ def events_tbl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = tbl(spark, sf_dir, "events")
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS) parquet without tz reads as TIMESTAMP_NTZ in
+        # Spark 4, which refuses epoch casts. Session tz is pinned UTC
+        # (tbl), so NTZ→LTZ reinterprets the same wall-clock as the same
+        # instant DuckDB's naive-UTC epoch() sees.
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

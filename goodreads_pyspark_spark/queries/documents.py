@@ -538,10 +538,13 @@ D13_CHUNK = 2048
     WITH tk AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
                 FROM documents),
     c AS (SELECT doc_id, source, n_tokens,
-                 COALESCE(SUM(n_tokens) OVER (
+                 -- DuckDB SUM(BIGINT) yields HUGEINT, which pandas/arrow
+                 -- coerces to float64 — cast back so the driver's value
+                 -- hash sees int64 like Spark's bigint (round-2 red row).
+                 CAST(COALESCE(SUM(n_tokens) OVER (
                      PARTITION BY source ORDER BY doc_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                   AS tok_offset
+                   AS BIGINT) AS tok_offset
           FROM tk)
     SELECT doc_id, source, n_tokens, tok_offset,
            CAST(tok_offset // {D13_CHUNK} AS BIGINT) AS first_chunk,
@@ -573,11 +576,102 @@ def d13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_tokens",
         "tok_offset",
-        F.floor(F.col("tok_offset") / D13_CHUNK).alias("first_chunk"),
-        F.floor(
-            (F.col("tok_offset") + F.greatest(F.col("n_tokens"), F.lit(1)) - 1)
-            / D13_CHUNK
+        # integer div, not floor(double /): bit-identical to the oracle's
+        # BIGINT // by construction, no IEEE detour at any magnitude
+        F.expr(f"tok_offset div {D13_CHUNK}").alias("first_chunk"),
+        F.expr(
+            f"(tok_offset + greatest(n_tokens, 1L) - 1L) div {D13_CHUNK}"
         ).alias("last_chunk"),
+    )
+
+
+# --- packed-chunk layout (what a training loader actually reads) ------------
+@query(
+    "d17_chunk_layout",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 CAST(COALESCE(SUM(n_tokens) OVER (
+                     PARTITION BY source ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS tok_offset
+          FROM tk),
+    s AS (SELECT doc_id, source, n_tokens, tok_offset,
+                 unnest(generate_series(
+                     tok_offset // {D13_CHUNK},
+                     (tok_offset + greatest(n_tokens, 1) - 1) // {D13_CHUNK}))
+                   AS chunk_id
+          FROM c),
+    sl AS (SELECT source, CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+                  tok_offset,
+                  greatest(tok_offset, chunk_id * {D13_CHUNK}) - tok_offset
+                    AS slice_start,
+                  least(tok_offset + n_tokens, (chunk_id + 1) * {D13_CHUNK})
+                    - greatest(tok_offset, chunk_id * {D13_CHUNK}) AS slice_len
+           FROM s)
+    SELECT source, chunk_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY source, chunk_id
+               ORDER BY tok_offset, doc_id) AS BIGINT) AS slice_pos,
+           doc_id,
+           CAST(slice_start AS BIGINT) AS slice_start,
+           CAST(slice_len AS BIGINT) AS slice_len
+    FROM sl WHERE slice_len > 0
+    """,
+    doc="Packed-chunk layout — the consumer side of d13's packing: for "
+    "every 2048-token training chunk, the ordered document slices that "
+    "fill it (doc_id, in-document slice start, slice length). This is "
+    "the manifest a sequence-packed dataloader reads. Same "
+    "per-source window as d13 (no global shuffle barrier), chunk "
+    "membership expanded with sequence+explode — pure integer "
+    "arithmetic (div, not double floor) on both engines.",
+)
+def d17_chunk_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = base.withColumn("tok_offset", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)))
+    s = c.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "tok_offset",
+        F.explode(
+            F.sequence(
+                F.expr(f"tok_offset div {D13_CHUNK}"),
+                F.expr(f"(tok_offset + greatest(n_tokens, 1L) - 1L) div {D13_CHUNK}"),
+            )
+        ).alias("chunk_id"),
+    )
+    start_glob = F.greatest(F.col("tok_offset"), F.col("chunk_id") * D13_CHUNK)
+    end_glob = F.least(
+        F.col("tok_offset") + F.col("n_tokens"), (F.col("chunk_id") + 1) * D13_CHUNK
+    )
+    sl = s.select(
+        "source",
+        "chunk_id",
+        "doc_id",
+        "tok_offset",
+        (start_glob - F.col("tok_offset")).alias("slice_start"),
+        (end_glob - start_glob).alias("slice_len"),
+    ).filter(F.col("slice_len") > 0)
+    wp = Window.partitionBy("source", "chunk_id").orderBy("tok_offset", "doc_id")
+    return sl.select(
+        "source",
+        "chunk_id",
+        F.row_number().over(wp).cast("bigint").alias("slice_pos"),
+        "doc_id",
+        "slice_start",
+        "slice_len",
     )
 
 
@@ -800,4 +894,34 @@ def d16_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cb").cast("double") / (F.col("n_tokens") - 1).cast("double")).alias(
             "top_bigram_frac"
         ),
+    )
+
+
+# --- corpus-mix rollup report ------------------------------------------------
+@query(
+    "d18_mix_rollup_report",
+    oracle=f"""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len({_TOKS})) AS BIGINT) AS total_tokens,
+           CAST(GROUPING(source, lang) AS BIGINT) AS gid
+    FROM documents GROUP BY ROLLUP (source, lang)
+    """,
+    doc="Corpus-composition rollup: doc/char/token totals per "
+    "(source, lang), per source, and grand total in ONE multi-level "
+    "aggregate (GROUP BY ROLLUP + grouping_id disambiguating real NULL "
+    "keys from rolled-up levels). The report that sizes a training "
+    "data mix. Rollup is a single shuffle producing every level via "
+    "partial aggregation — vs three separate groupBys re-scanning "
+    "100 TB three times. Totals CAST to BIGINT on the oracle side "
+    "because DuckDB widens SUM(BIGINT) to HUGEINT (Arrow decimal128).",
+)
+def d18_mix_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    return docs.rollup("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(tokens("text")).cast("bigint")).alias("total_tokens"),
+        F.grouping_id().cast("bigint").alias("gid"),
     )

@@ -223,6 +223,64 @@ def e06_ivf_knn_vec1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(emb, query_id=1, k=10, nprobe=8, n_centroids=8)
 
 
+# --- IVF ANN at nprobe < n_centroids (the actual approximate regime) --------
+@query(
+    "e08_ivf_partial_probe_vec1",
+    oracle=f"""
+    WITH {_LONG},
+    cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, v AS cval
+              FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_DSUM.format(expr='v * cval')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='cval * cval')} AS c2
+      FROM e JOIN cents c USING (pos)
+      GROUP BY e.vec_id, c.cid),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY dot / (SQRT(n2) * SQRT(c2)) DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT cid FROM (
+        SELECT cid,
+               ROW_NUMBER() OVER (
+                 ORDER BY dot / (SQRT(n2) * SQRT(c2)) DESC, cid) AS rn
+        FROM scored WHERE vec_id = 1) WHERE rn <= 2),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 1),
+    comps AS (
+      SELECT e.vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos)
+      WHERE e.vec_id <> 1
+        AND e.vec_id IN (SELECT vec_id FROM best JOIN probes USING (cid))
+      GROUP BY e.vec_id)
+    SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) AS cosine
+    FROM comps ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+    doc="IVF ANN in its actual approximate regime — nprobe=2 of 8 probe "
+    "lists (similarity/ivf.py ivf_knn), the recall-vs-cost path e06's "
+    "full-probe differential cannot see. Centroids are sampled corpus "
+    "vectors (ids 0-7, similarity/ivf.py sampled_centroids) so the "
+    "oracle replays the identical quantizer in SQL; every cosine is a "
+    "decimal-exact component sum, making assignment and probe ranking "
+    "bit-reproducible across engines. Candidate restriction (the "
+    "IN-probes semi join) is the part that scales: at 100 TB only "
+    "nprobe/k of the corpus is scored.",
+)
+def e08_ivf_partial_probe_vec1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.ivf import ivf_knn, sampled_centroids
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, k=8)
+    return ivf_knn(emb, query_id=1, k=10, nprobe=2, centroids_long=cents)
+
+
 # --- int8 quantization ------------------------------------------------------
 @query(
     "e07_int8_quantization",

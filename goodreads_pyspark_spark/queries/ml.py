@@ -172,7 +172,7 @@ def m05_tfidf_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- U2: seeded randomSplit -------------------------------------------------
 @query(
-    "u01_seeded_split_invariants",
+    "a_u01_seeded_split_invariants",
     oracle=None,
     doc="U2 seeded randomSplit (ml/recommend.train_test_split; reference "
     "goodreads.py:239): rows-only — split fractions are Spark-RNG-"

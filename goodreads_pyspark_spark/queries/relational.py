@@ -128,7 +128,7 @@ def q04_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --- A5/J1: array agg over a broadcast join (collect_set, goodreads.py:94) --
 @query(
-    "q05_nations_per_region",
+    "a_q05_nations_per_region",
     oracle="""
     SELECT r_name,
            array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
@@ -674,7 +674,7 @@ def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q29_local_supplier_volume",
+    "a_q29_local_supplier_volume",
     oracle=f"""
     SELECT n_name, {sql_dsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
     FROM customer
@@ -725,7 +725,7 @@ def q29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "q30_returned_item_customers",
+    "a_q30_returned_item_customers",
     oracle=f"""
     SELECT c_custkey, c_name,
            {sql_dsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,

@@ -170,7 +170,7 @@ def t05_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- semi-structured: JSON field extraction ---------------------------------
 @query(
-    "t06_json_prop_stats",
+    "a_t06_json_prop_stats",
     oracle="""
     SELECT event_type,
            CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_total,
@@ -191,7 +191,7 @@ def t06_json_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- as-of join (operators/asof.py) -----------------------------------------
 @query(
-    "t07_asof_purchase_last_view",
+    "a_t07_asof_purchase_last_view",
     oracle="""
     WITH tagged AS (
       SELECT user_id, ts AS __ts, 0 AS is_right, event_id,
@@ -278,7 +278,7 @@ def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "s02_stateful_user_totals",
+    "a_s02_stateful_user_totals",
     oracle=None,
     doc="Custom stateful streaming operator (streaming/stateful.py "
     "running_user_totals, applyInPandasWithState): per-user lifetime "
@@ -334,7 +334,7 @@ def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "s03_streaming_dedup",
+    "a_s03_streaming_dedup",
     oracle=None,
     doc="Streaming dedup with bounded state (streaming/dedup.py "
     "dropDuplicatesWithinWatermark): the events table is staged TWICE so "

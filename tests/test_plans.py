@@ -21,6 +21,16 @@ SF = "/root/testdata/sf0.001"
 _load_all()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _uncached_scans(spark):
+    # Plan audits assert on the parquet *scan* (PushedFilters, ReadSchema).
+    # If an earlier test left a wide `documents`/`lineitem` relation cached,
+    # Catalyst substitutes the InMemoryRelation and pruning evaporates —
+    # which is true for that session but not what these audits pin.
+    spark.catalog.clearCache()
+    yield
+
+
 def plan_of(spark, name: str) -> str:
     df = REGISTRY[name].spark_fn(spark, SF)
     buf = io.StringIO()
@@ -172,13 +182,13 @@ def test_plan_audit_helpers(spark):
 def test_q29_broadcasts_all_dims_single_fact_shuffle(spark):
     # Q5 shape: region/nation/supplier/customer broadcast; the only
     # SortMergeJoin (if any) is the orderkey fact-fact join.
-    plan = plan_of(spark, "q29_local_supplier_volume")
+    plan = plan_of(spark, "a_q29_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "o_orderdate" in plan.split("PushedFilters")[1]
 
 
 def test_q30_pushes_returnflag_and_folds_topk(spark):
-    plan = plan_of(spark, "q30_returned_item_customers")
+    plan = plan_of(spark, "a_q30_returned_item_customers")
     assert "TakeOrderedAndProject" in plan
     flt = [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
     assert any("l_returnflag" in f for f in flt)

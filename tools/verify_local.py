@@ -24,11 +24,20 @@ from goodreads_pyspark_spark.sources.readers import TESTDATA_TABLES  # noqa: E40
 
 
 def _norm_cell(v):
+    # numpy scalars (pandas itertuples) → plain Python so repr matches
+    # across fetch paths; numpy arrays (DuckDB LIST via .df()) → list.
+    if getattr(v, "ndim", None) not in (None, 0):
+        v = v.tolist()  # ndarray → list
+    elif hasattr(v, "item") and not isinstance(v, (str, bytes)):
+        try:
+            v = v.item()
+        except (ValueError, AttributeError):
+            pass
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return repr(v)  # full precision — we claim bit-identical doubles
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return repr(v)
 
@@ -72,9 +81,13 @@ def main() -> int:
             passed += 1
             continue
         try:
-            res = con.execute(q.oracle)
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            # Fetch through Arrow like the driver harness: NULLs stay None
+            # and DATE stays date (unlike pandas), but types Arrow widens
+            # (window SUM(BIGINT) → HUGEINT → decimal128) fail HERE too,
+            # not just driver-side — that was round 2's one red row (d13).
+            at = con.execute(q.oracle).arrow()
+            d_cols = list(at.column_names)
+            d_rows = [tuple(d[c] for c in d_cols) for d in at.to_pylist()]
         except Exception as e:  # noqa: BLE001
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {e}")
