@@ -7,6 +7,15 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is executed to completion (collect) so the measured time covers
 scan → shuffle → result, not plan construction. A warmup query first
 amortizes JVM/codegen startup out of the numbers.
+
+Comparability note: round-1 numbers were measured WITHOUT per-query cache
+isolation — operators that cache shared subtrees internally left them in
+the block manager, so later queries in the suite sometimes read their
+input from cache (e.g. q21's recorded 0.17s is a cached-lineitem read;
+its isolated cost is ~1.2s). Since round 2 every query runs against a
+cleared cache and sub-second queries keep the min of 3 samples, so
+BENCH_r02+ numbers are isolated, reproducible costs — compare r1's
+sub-second entries with that caveat.
 """
 
 from __future__ import annotations

@@ -72,17 +72,9 @@ def lsh_candidate_pairs_from_shingles(
             "a non-divisible split would silently drop trailing hashes "
             "from every band and change candidate recall"
         )
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
-    band_keys = [
-        F.md5(F.concat(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]))
-        for b in range(bands)
-    ]
     # Cache: both sides of the self-join consume this subtree; uncached,
     # the whole shingle→minhash computation runs twice.
-    banded = sigs.select(
-        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "key")
-    ).cache()
+    banded = _banded_keys(sh, id_col, num_hashes, bands).cache()
     if max_bucket is not None:
         # Guard against degenerate buckets (e.g. boilerplate-heavy corpora):
         # a bucket of size m yields m^2 join rows.
@@ -116,4 +108,67 @@ def lsh_candidate_pairs(
     sh = shingle_rows(df, id_col, text_col, shingle_n, out_id=id_col)
     return lsh_candidate_pairs_from_shingles(
         sh, id_col, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    )
+
+
+def _banded_keys(
+    sh: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id_col, band, key) rows from a shingle table — the LSH index form."""
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
+    band_keys = [
+        F.md5(
+            F.concat(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])
+        )
+        for b in range(bands)
+    ]
+    return sigs.select(
+        F.col(id_col), F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+
+
+def incremental_lsh_matches(
+    corpus: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Ingestion-time dedup: incoming docs that LSH-collide with the corpus.
+
+    The incremental variant of :func:`lsh_candidate_pairs` — instead of an
+    all-pairs self-join over one table, the (small) incoming batch's band
+    keys are broadcast against the (huge) standing corpus index. At 100 TB
+    the corpus side is a precomputed, partitioned band table updated
+    append-only; each new batch costs one broadcast hash join over it, not
+    a corpus self-join. ``max_bucket`` drops degenerate hot corpus buckets
+    (boilerplate) before the join, same guard as the batch path.
+
+    Returns distinct (new_id, corpus_id) collision pairs.
+    """
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) evenly"
+        )
+    cb = _banded_keys(
+        shingle_rows(corpus, id_col, text_col, shingle_n, out_id=id_col),
+        id_col, num_hashes, bands,
+    ).withColumnRenamed(id_col, "corpus_id")
+    if max_bucket is not None:
+        counts = cb.groupBy("band", "key").agg(F.count(F.lit(1)).alias("__n"))
+        cb = cb.join(
+            counts.filter(F.col("__n") <= max_bucket).drop("__n"), ["band", "key"]
+        )
+    ib = _banded_keys(
+        shingle_rows(incoming, id_col, text_col, shingle_n, out_id=id_col),
+        id_col, num_hashes, bands,
+    ).withColumnRenamed(id_col, "new_id")
+    return (
+        cb.join(F.broadcast(ib), ["band", "key"])
+        .select("new_id", "corpus_id")
+        .distinct()
     )

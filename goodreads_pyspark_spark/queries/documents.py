@@ -925,3 +925,57 @@ def d18_mix_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.size(tokens("text")).cast("bigint")).alias("total_tokens"),
         F.grouping_id().cast("bigint").alias("gid"),
     )
+
+
+# --- incremental ingestion dedup ---------------------------------------------
+def _incremental_minhash_oracle(
+    num_hashes: int = 8, bands: int = 4, max_bucket: int = D07_MAX_BUCKET
+) -> str:
+    r = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * r + k}' for k in range(r))}) AS key FROM mh"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    mh AS (SELECT doc_id,
+           {mins}
+           FROM sh GROUP BY doc_id),
+    bands AS (
+{band_rows}),
+    cb AS (SELECT doc_id AS corpus_id, band, key FROM bands
+           WHERE doc_id % 10 <> 0),
+    bc AS (SELECT band, key, count(*) AS n FROM cb GROUP BY band, key),
+    cbf AS (SELECT cb.* FROM cb JOIN bc USING (band, key)
+            WHERE n <= {max_bucket}),
+    ib AS (SELECT doc_id AS new_id, band, key FROM bands
+           WHERE doc_id % 10 = 0)
+    SELECT DISTINCT new_id, corpus_id FROM cbf JOIN ib USING (band, key)
+    """
+
+
+@query(
+    "d19_incremental_ingest_dedup",
+    oracle=_incremental_minhash_oracle(),
+    doc="Incremental ingestion dedup (dedup/minhash.py "
+    "incremental_lsh_matches): the incoming batch (doc_id%10==0 here) "
+    "checked for near-duplicates against the standing corpus via the "
+    "MinHash band index — a broadcast join of the small batch's band "
+    "keys against the big corpus index, NOT a corpus self-join. The "
+    "daily-ingest shape at 100 TB: the corpus band table is precomputed "
+    "append-only; each batch costs one broadcast hash join. Same "
+    "hot-bucket cap as d07, mirrored in the oracle.",
+)
+def d19_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.minhash import incremental_lsh_matches
+
+    docs = tbl(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return incremental_lsh_matches(
+        corpus, incoming, max_bucket=D07_MAX_BUCKET
+    )

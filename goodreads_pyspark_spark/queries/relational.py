@@ -766,3 +766,36 @@ def q30_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+# --- distributed exact median (bounded-memory two-phase) ---------------------
+@query(
+    "a_q31_distributed_median",
+    oracle="""
+    SELECT l_returnflag, MEDIAN(l_extendedprice) AS median_price,
+           MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact median via the two-phase histogram + targeted-rescan "
+    "operator (operators/quantiles.py) — same answer as q21's builtin "
+    "F.median (the oracle is identical), but with O(bucket) executor "
+    "memory instead of ObjectHashAggregate's O(group-values) buffering, "
+    "which is the difference between running and OOMing at 100 TB. "
+    "Interpolation uses the builtin's a*0.5+b*0.5 arithmetic, so the "
+    "two formulations are bit-identical.",
+)
+def q31_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.quantiles import exact_grouped_median
+
+    li = tbl(spark, sf_dir, "lineitem")
+    med = exact_grouped_median(li, "l_returnflag", "l_extendedprice")
+    mm = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+    return med.join(mm, "l_returnflag").select(
+        "l_returnflag",
+        F.col("median").alias("median_price"),
+        "min_price",
+        "max_price",
+    )

@@ -376,3 +376,101 @@ def s03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy("event_type")
     )
+
+
+# --- sliding (overlapping) windows ------------------------------------------
+@query(
+    "a_t08_sliding_window_by_type",
+    oracle=f"""
+    WITH k AS (SELECT unnest(generate_series(0, 1)) AS k),
+    x AS (SELECT e.event_type, e.value,
+                 date_trunc('hour', e.ts) - k.k * INTERVAL 1 HOUR AS wstart
+          FROM events e CROSS JOIN k)
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 6)} AS total_value
+    FROM x GROUP BY 1, 2
+    """,
+    doc="Sliding-window aggregate — 2h windows advancing every 1h, so "
+    "each event contributes to exactly 2 overlapping windows "
+    "(streaming/windows.py sliding_by_type shape). The oracle expands "
+    "events against the k=window/slide offsets and re-aggregates — the "
+    "relational definition of a sliding window. Spark's window() "
+    "produces the expansion inside codegen; one shuffle on "
+    "(window, type) regardless of slide.",
+)
+def t08_sliding_window_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", 6, "total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "a_s04_streaming_sliding_window",
+    oracle=None,
+    doc="Sliding windows through Structured Streaming (streaming/windows.py "
+    "sliding_by_type): watermarked 2h/1h overlapping windows over the "
+    "staged events stream, complete-mode memory sink. Rows-only at the "
+    "gate; the query asserts the stream's windowed counts equal the "
+    "batch run of the same aggregation (the batch/stream duality "
+    "sliding_by_type promises) before returning.",
+)
+def s04_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from goodreads_pyspark_spark.streaming import (
+        run_to_memory_sink,
+        sliding_by_type,
+        stream_events_from_dir,
+    )
+
+    stage = tempfile.mkdtemp(prefix="stream_slide_")
+    events = events_tbl(spark, sf_dir)
+    events.write.mode("overwrite").parquet(stage)
+    name = f"s04_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        sliding_by_type(stream_events_from_dir(spark, stage)),
+        name,
+        output_mode="complete",
+    )
+    got = spark.table(name)
+    expected = sliding_by_type(events)
+    # null-safe compare: a window present on only one side must count as a
+    # divergence, and NULL arithmetic must not silently pass the filter
+    bad = (
+        got.join(expected, ["window_start", "event_type"], "full")
+        .filter(
+            ~got["n_events"].eqNullSafe(expected["n_events"])
+            | ~F.coalesce(
+                F.abs(got["total_value"] - expected["total_value"]) <= 1e-6,
+                F.lit(False),
+            )
+        )
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"streaming sliding windows diverge from batch for {bad} windows"
+        )
+    return got.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )

@@ -1,5 +1,6 @@
 from goodreads_pyspark_spark.streaming.windows import (  # noqa: F401
     hourly_by_type,
+    sliding_by_type,
     run_to_memory_sink,
     stream_events_from_dir,
 )

@@ -83,3 +83,32 @@ def run_to_memory_sink(
         q.processAllAvailable()
     finally:
         q.stop()
+
+
+def sliding_by_type(
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "2 hours",
+    slide: str = "1 hour",
+) -> DataFrame:
+    """Sliding (overlapping) windowed counts/sums per event type.
+
+    Every event lands in ``window/slide`` windows (2 here); state size is
+    bounded by the watermark exactly as in the tumbling case — the slide
+    multiplies live window count, not retained-event count. Batch/stream
+    dual like :func:`hourly_by_type`.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

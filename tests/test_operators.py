@@ -199,3 +199,35 @@ def test_argmax_struct_no_window(spark):
     # g2 tie on cnt=2 -> struct comparison falls through to name: max name
     assert got == {("g1", 9, "b"), ("g2", 2, "d")}
     assert "Window" not in formatted_plan(out)  # pure aggregation plan
+
+
+def test_exact_grouped_median_matches_builtin(spark):
+    """Differential: the two-phase bounded-memory median must be
+    bit-identical to F.median across odd/even counts, ties, negatives,
+    and any bucket width (correctness is width-independent)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.operators.quantiles import exact_grouped_median
+
+    rng = random.Random(7)
+    rows = []
+    for g, n in [("odd", 31), ("even", 40), ("tied", 25), ("neg", 17)]:
+        for _ in range(n):
+            v = float(rng.randint(-50, 50)) if g != "tied" else float(
+                rng.choice([1.5, 2.5, 2.5, 9.0])
+            )
+            rows.append((g, v))
+    df = spark.createDataFrame(rows, ["k", "v"])
+
+    expected = {
+        r["k"]: r["m"]
+        for r in df.groupBy("k").agg(F.median("v").alias("m")).collect()
+    }
+    for width in (0.7, 8.0, 1000.0):
+        got = {
+            r["k"]: r["median"]
+            for r in exact_grouped_median(df, "k", "v", bucket_width=width).collect()
+        }
+        assert got == expected, (width, got, expected)

@@ -104,6 +104,19 @@ def test_dedup_plans_shuffle_hashes_not_documents(spark, name):
         assert "text#" not in ex, f"document text crosses a shuffle: {ex}"
 
 
+def test_d19_broadcasts_incoming_batch(spark):
+    # Ingestion dedup must broadcast the small batch's band keys against
+    # the corpus index — a SortMergeJoin here would shuffle the corpus
+    # per batch, which defeats the incremental design.
+    plan = plan_of(spark, "d19_incremental_ingest_dedup")
+    assert "BroadcastHashJoin" in plan
+    exchanges = [
+        seg.splitlines()[0] for seg in plan.split("Exchange hashpartitioning")[1:]
+    ]
+    for ex in exchanges:
+        assert "text#" not in ex, f"document text crosses a shuffle: {ex}"
+
+
 def test_bucketed_join_avoids_shuffle(spark):
     """Bucketing both sides on the join key co-locates the join: the plan
     must contain NO Exchange (the 100 TB repeated-join strategy, S4)."""
