@@ -979,3 +979,184 @@ def d19_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_lsh_matches(
         corpus, incoming, max_bucket=D07_MAX_BUCKET
     )
+
+
+# --- per-document TF-IDF top terms -------------------------------------------
+@query(
+    "d20_tfidf_top_terms",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term) AS rnk
+      FROM scored)
+    SELECT doc_id, term, score, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="Per-document top-3 keywords by raw-ratio TF-IDF "
+    "(score = tf * N / df — exact integer ratio through ONE double "
+    "division, so both engines produce bit-identical doubles; no "
+    "log() whose libm ulp could diverge). Scale shape: tf is one "
+    "shuffle keyed (doc, term) with map-side partial counts, df one "
+    "shuffle keyed term, the corpus size a broadcast single-row agg, "
+    "and the final top-3 a per-doc window — no driver loops, nothing "
+    "quadratic, vocabulary never collected.",
+)
+def d20_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "score", "rnk")
+    )
+
+
+# --- overlapping chunk manifest ----------------------------------------------
+#: Chunk geometry: window of 64 tokens advancing by 32 (50% overlap).
+_CHUNK_WS = 64
+_CHUNK_ST = 32
+
+
+@query(
+    "d21_chunk_overlap",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS n_tok FROM tk WHERE len(t) > 0),
+    counted AS (
+      SELECT doc_id, t, n_tok,
+             1 + GREATEST(0, CAST(CEIL(CAST(n_tok - {_CHUNK_WS} AS DOUBLE)
+                                       / {_CHUNK_ST}) AS BIGINT)) AS n_chunks
+      FROM sized),
+    ex AS (SELECT doc_id, t, n_tok,
+                  unnest(range(0, n_chunks)) AS chunk_idx
+           FROM counted)
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           CAST(chunk_idx * {_CHUNK_ST} AS BIGINT) AS tok_start,
+           CAST(LEAST(chunk_idx * {_CHUNK_ST} + {_CHUNK_WS}, n_tok)
+                AS BIGINT) AS tok_end,
+           array_to_string(
+             t[chunk_idx * {_CHUNK_ST} + 1 :
+               LEAST(chunk_idx * {_CHUNK_ST} + {_CHUNK_WS}, n_tok)],
+             ' ') AS chunk_text
+    FROM ex
+    """,
+    doc="Overlapping sliding-window chunking (64-token windows, stride "
+    "32): the context-window prep step between cleaning and sequence "
+    "packing (d13). Emits the chunk manifest AND the materialized chunk "
+    "text via array slice — integer-only geometry, so engines agree "
+    "exactly. Pure map-side: tokenize → sequence() → explode → slice, "
+    "zero shuffles at any scale; output rows ≈ 2× token volume / 64.",
+)
+def d21_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    ws, st = _CHUNK_WS, _CHUNK_ST
+    sized = docs.select(
+        "doc_id", tokens("text").alias("t")
+    ).withColumn("n_tok", F.size("t")).filter(F.col("n_tok") > 0)
+    counted = sized.withColumn(
+        "n_chunks",
+        F.lit(1)
+        + F.greatest(
+            F.lit(0),
+            F.ceil((F.col("n_tok") - ws).cast("double") / st).cast("bigint"),
+        ),
+    )
+    ex = counted.select(
+        "doc_id",
+        "t",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), (F.col("n_chunks") - 1).cast("int"))).alias(
+            "chunk_idx"
+        ),
+    )
+    start = F.col("chunk_idx").cast("bigint") * st
+    end = F.least(start + ws, F.col("n_tok").cast("bigint"))
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.alias("tok_start"),
+        end.alias("tok_end"),
+        F.array_join(
+            F.slice(F.col("t"), (start + 1).cast("int"), (end - start).cast("int")),
+            " ",
+        ).alias("chunk_text"),
+    )
+
+
+# --- PII surface counts ------------------------------------------------------
+#: Portable regexes — identical leftmost non-overlapping match semantics in
+#: Java regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround.
+_RE_EMAIL = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_RE_DIGIT_RUN = "[0-9]{3,}"
+_RE_LONG_DIGITS = "[0-9]{7,}"
+
+
+@query(
+    "d22_pii_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_RE_EMAIL}'))
+                AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_RE_DIGIT_RUN}'))
+                AS INTEGER) AS n_digit_runs,
+           CAST(len(regexp_extract_all(text, '{_RE_LONG_DIGITS}'))
+                AS INTEGER) AS n_long_digit_runs,
+           CAST(CASE WHEN len(regexp_extract_all(lower(text), '{_RE_EMAIL}')) > 0
+                       OR len(regexp_extract_all(text, '{_RE_LONG_DIGITS}')) > 0
+                THEN 1 ELSE 0 END AS INTEGER) AS pii_flag
+    FROM documents
+    """,
+    doc="PII surface detection per document — email addresses and long "
+    "digit runs (phone/account-number shaped) counted with regexes "
+    "restricted to the Java-regex ∩ RE2 common subset so both engines "
+    "match identically. Integer outputs only. The redaction step "
+    "itself is d10_scrubbed_text; this is the audit/reporting side. "
+    "Pure map-side codegen — regexp_count over a projected column, "
+    "no shuffle, trivially 100 TB-parallel.",
+)
+def d22_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_email = F.regexp_count(lower, F.lit(_RE_EMAIL)).cast("int")
+    n_long = F.regexp_count(F.col("text"), F.lit(_RE_LONG_DIGITS)).cast("int")
+    return docs.select(
+        "doc_id",
+        n_email.alias("n_emails"),
+        F.regexp_count(F.col("text"), F.lit(_RE_DIGIT_RUN))
+        .cast("int")
+        .alias("n_digit_runs"),
+        n_long.alias("n_long_digit_runs"),
+        F.when((n_email > 0) | (n_long > 0), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("pii_flag"),
+    )
