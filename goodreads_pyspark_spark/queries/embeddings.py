@@ -309,3 +309,72 @@ def e07_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     return int8_quantize(emb)
+
+
+# --- batch exact kNN ---------------------------------------------------------
+@query(
+    "e09_batch_knn",
+    oracle=f"""
+    WITH {_LONG},
+    q AS (SELECT vec_id AS qid, pos, v AS qv FROM e WHERE vec_id < 8),
+    comps AS (
+      SELECT qid, vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos) WHERE vec_id <> qid
+      GROUP BY qid, vec_id),
+    r AS (SELECT qid, vec_id,
+                 ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) AS cosine
+          FROM comps),
+    ranked AS (SELECT qid, vec_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY qid
+                                         ORDER BY cosine DESC, vec_id) AS rnk
+               FROM r)
+    SELECT qid, vec_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    doc="Exact top-3 cosine neighbors for a BATCH of 8 query vectors in "
+    "one corpus pass (similarity/ann.py batch_knn): queries broadcast "
+    "long-form, one (qid,id)-keyed shuffle, per-query window cut — "
+    "Q queries never cost Q corpus scans.",
+)
+def e09_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.ann import batch_knn
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return batch_knn(emb, n_queries=8, k=3)
+
+
+# --- product quantization ----------------------------------------------------
+@query(
+    "e10_pq_codes",
+    oracle=f"""
+    WITH {_LONG},
+    c AS (SELECT vec_id AS cid, pos, v AS cval FROM e WHERE vec_id < 16),
+    d2 AS (
+      SELECT e.vec_id, (e.pos - 1) // 16 AS sub, c.cid,
+             {_DSUM.format(expr='(e.v - c.cval) * (e.v - c.cval)')} AS d2
+      FROM e JOIN c USING (pos)
+      GROUP BY e.vec_id, (e.pos - 1) // 16, c.cid),
+    best AS (SELECT vec_id, sub, cid, d2,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2, cid) AS rn
+             FROM d2)
+    SELECT vec_id,
+           string_agg(CAST(cid AS VARCHAR), ',' ORDER BY sub) AS pq_code,
+           {_DSUM.format(expr='d2')} AS total_d2
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+    doc="Product-quantization codes (similarity/quantize.py pq_codes): "
+    "64-dim vectors → 4 subspace centroid ids + decimal-exact "
+    "reconstruction error. Deterministic sampled codebooks (the IVF "
+    "convention) let the oracle replay L2 assignment bit-exactly. "
+    "Storage-compression stage of a 100 TB vector pipeline: 256 bytes "
+    "→ 4 small ints per vector.",
+)
+def e10_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.quantize import pq_codes
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return pq_codes(emb, n_sub=4, sub_dim=16, ksub=16)

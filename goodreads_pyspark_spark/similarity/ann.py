@@ -295,3 +295,47 @@ def sign_lsh_buckets(
         term = F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     return agg.select(F.col(id_col), bucket.cast("int").alias("bucket"))
+
+
+def batch_knn(
+    df: DataFrame,
+    n_queries: int = 8,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for a BATCH of query vectors at once.
+
+    Queries are the rows with ``id < n_queries``; returns
+    (qid, vec_id, cosine, rnk) with k rows per query. The batch
+    generalization of ``brute_force_knn``: the query block (Q·d long-form
+    rows) is broadcast, the corpus streams past it once, and the per-query
+    cut is a window rank — so Q queries cost ONE corpus scan + one
+    (qid, id)-keyed shuffle with map-side partial sums, not Q scans. This
+    is the shape batch inference/labeling runs at 100 TB: queries are
+    always the small side, so they ride the broadcast; the corpus never
+    re-partitions per query.
+    """
+    from pyspark.sql import Window
+
+    e = _long_form(df, id_col, vec_col)
+    q = e.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("qid"), "pos", F.col("v").alias("qv")
+    )
+    joined = e.join(F.broadcast(q), "pos").filter(F.col(id_col) != F.col("qid"))
+    comps = joined.groupBy("qid", id_col).agg(
+        F.sum((F.col("v") * F.col("qv")).cast(_ACC)).cast("double").alias("dot"),
+        F.sum((F.col("v") * F.col("v")).cast(_ACC)).cast("double").alias("n2"),
+        F.sum((F.col("qv") * F.col("qv")).cast(_ACC)).cast("double").alias("q2"),
+    )
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("q2"))), round_to
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        comps.select("qid", F.col(id_col), cos.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("qid", id_col, "cosine", F.col("rnk").cast("int").alias("rnk"))
+    )

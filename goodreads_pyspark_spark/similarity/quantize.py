@@ -57,3 +57,75 @@ def int8_quantize(
     return q.groupBy(id_col).agg(
         codes.alias("codes"), F.max("err").alias("max_abs_err")
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: per-subspace nearest-centroid ids.
+
+    Splits each ``n_sub * sub_dim``-dim vector into ``n_sub`` contiguous
+    subvectors and assigns each to its nearest (L2) centroid among
+    ``ksub`` candidates; a vector compresses to ``n_sub`` small ints
+    (here 64 floats → 4 nibbles). Codebooks are deterministic data
+    points — the subvectors of the ``ksub`` lowest-id vectors (the
+    ``sampled_centroids`` convention from IVF, which is what lets a SQL
+    oracle replay assignment exactly); production would Lloyd-refine
+    per subspace without changing this dataflow.
+
+    Scale shape: codebooks are ksub·dim rows → broadcast; assignment is
+    one explode + broadcast join + (id, sub, cid)-grouped decimal-exact
+    distance sums + per-(id, sub) argmin window; codes re-assemble with
+    a sorted collect_list. Shuffles carry (id, sub, cid, distance) only
+    — never raw vectors.
+
+    Returns (id, pq_code "c0,c1,...", total_d2) where total_d2 is the
+    decimal-exact sum of per-subspace squared distances (the
+    reconstruction-error audit column).
+    """
+    from pyspark.sql import Window
+
+    acc = "decimal(38,12)"
+    e = (
+        fan_out(df)
+        .select(F.col(id_col), F.posexplode(vec_col).alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .withColumn("sub", F.expr(f"pos div {sub_dim}"))
+    )
+    cents = (
+        df.filter(F.col(id_col) < ksub)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.posexplode(vec_col).alias("pos", "cval"),
+        )
+        .withColumn("cval", F.col("cval").cast("double"))
+    )
+    d2 = (
+        e.join(F.broadcast(cents), "pos")
+        .groupBy(id_col, "sub", "cid")
+        .agg(
+            F.sum(
+                ((F.col("v") - F.col("cval")) * (F.col("v") - F.col("cval"))).cast(acc)
+            )
+            .cast("double")
+            .alias("d2")
+        )
+    )
+    w = Window.partitionBy(id_col, "sub").orderBy(F.col("d2").asc(), F.col("cid"))
+    best = d2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    code = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+            lambda s: s.getField("cid").cast("string"),
+        ),
+        ",",
+    )
+    return best.groupBy(id_col).agg(
+        code.alias("pq_code"),
+        F.sum(F.col("d2").cast(acc)).cast("double").alias("total_d2"),
+    )
