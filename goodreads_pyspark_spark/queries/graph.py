@@ -334,3 +334,44 @@ def g06_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform("path", lambda x: x.cast("string")), "-"
         ).alias("path_str"),
     )
+
+
+# --- G-extension: triangle counting ------------------------------------------
+@query(
+    "g07_triangle_count",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT id, COUNT(*) AS d FROM (
+              SELECT pa AS id FROM pairs UNION ALL SELECT pb AS id FROM pairs)
+            GROUP BY id),
+    o AS (SELECT CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS lo,
+                 CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS hi
+          FROM pairs JOIN deg da ON da.id = pa JOIN deg db ON db.id = pb),
+    tri AS (SELECT COUNT(*) AS n_triangles
+            FROM o e1 JOIN o e2 ON e2.lo = e1.hi
+                      JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_vertices,
+           CAST((SELECT COUNT(*) FROM o) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles FROM tri
+    """,
+    doc="Exact triangle count of the part co-occurrence graph (parts "
+    "sharing an order) by degree-ordered forward counting "
+    "(graph/frames.py triangle_count). The co-occurrence projection is "
+    "the bipartite graph's one-mode projection — the same construction "
+    "as item-item graphs from user-item ratings. Integer-only output.",
+)
+def g07_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.graph.frames import triangle_count
+
+    li = tbl(spark, sf_dir, "lineitem")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return triangle_count(pairs)
