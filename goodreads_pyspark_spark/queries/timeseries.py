@@ -474,3 +474,45 @@ def s04_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+# --- lag/lead: day-over-day deltas -------------------------------------------
+@query(
+    "t09_day_over_day",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, day,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(LAG(n_events) OVER w AS BIGINT) AS prev_events,
+           CAST(n_events - LAG(n_events) OVER w AS BIGINT) AS delta,
+           CAST(LEAD(n_events) OVER w AS BIGINT) AS next_events
+    FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    """,
+    doc="Day-over-day event-count deltas per type: lag/lead offset "
+    "windows over a pre-aggregated daily series. Integer-only. Scale "
+    "shape: the heavy shuffle is the (type, day) pre-aggregation with "
+    "map-side partial counts; the lag window then runs on the tiny "
+    "aggregated series (days x types rows), so per-type partitions are "
+    "trivially balanced — never window over the raw 100 TB event "
+    "stream when a pre-agg collapses it first.",
+)
+def t09_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lag("n_events").over(w).cast("bigint").alias("prev_events"),
+        (F.col("n_events") - F.lag("n_events").over(w))
+        .cast("bigint")
+        .alias("delta"),
+        F.lead("n_events").over(w).cast("bigint").alias("next_events"),
+    )
