@@ -255,3 +255,37 @@ def test_neardup_cluster_transitive_closure(spark):
     cc = connected_components_alternating(PropertyGraph(verts, edges))
     labels = {r["id"]: r["component"] for r in cc.collect()}
     assert labels == {10: 10, 11: 10, 12: 10}
+
+
+def test_chunk_overlap_geometry(spark, tmp_path):
+    """Every token lands in >=1 chunk; consecutive chunks overlap by
+    ws-st except possibly the last; chunk text length matches the span."""
+    import os
+
+    from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+    from goodreads_pyspark_spark.queries.documents import _CHUNK_ST, _CHUNK_WS
+
+    _load_all()
+    words = " ".join(f"w{i}" for i in range(150))
+    df = spark.createDataFrame(
+        [(1, words, "en", "s", len(words)), (2, "one two", "en", "s", 7),
+         (3, "", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    sf = str(tmp_path)
+    df.write.parquet(os.path.join(sf, "documents.parquet"))
+    rows = sorted(
+        REGISTRY["d21_chunk_overlap"].spark_fn(spark, sf).collect(),
+        key=lambda r: (r.doc_id, r.chunk_idx),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # empty doc -> no chunks
+    assert [ (r.tok_start, r.tok_end) for r in by_doc[2] ] == [(0, 2)]
+    spans = [(r.tok_start, r.tok_end) for r in by_doc[1]]
+    assert spans[0][0] == 0 and spans[-1][1] == 150
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert s2 == s1 + _CHUNK_ST and e1 > s2  # stride + genuine overlap
+    for r in by_doc[1]:
+        assert len(r.chunk_text.split(" ")) == r.tok_end - r.tok_start

@@ -231,3 +231,55 @@ def test_exact_grouped_median_matches_builtin(spark):
             for r in exact_grouped_median(df, "k", "v", bucket_width=width).collect()
         }
         assert got == expected, (width, got, expected)
+
+
+def test_triangle_count_known_graph(spark):
+    from goodreads_pyspark_spark.graph.frames import triangle_count
+
+    # K4 (4 triangles) plus a pendant vertex, duplicate + reversed +
+    # self-loop edges thrown in to exercise canonicalization.
+    edges = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges += [(4, 1), (2, 2), (1, 2), (4, 5)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    row = triangle_count(df).collect()[0]
+    assert row.n_vertices == 5
+    assert row.n_edges == 7  # K4's 6 + pendant edge
+    assert row.n_triangles == 4
+
+
+def test_batch_knn_matches_brute_force(spark):
+    from goodreads_pyspark_spark.similarity.ann import batch_knn, brute_force_knn
+
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    batch = {
+        (r.qid, r.rnk): r.vec_id
+        for r in batch_knn(df, n_queries=3, k=4).collect()
+    }
+    for qid in range(3):
+        single = [r.vec_id for r in brute_force_knn(df, query_id=qid, k=4).collect()]
+        got = [batch[(qid, rnk)] for rnk in range(1, 5)]
+        assert got == single, f"qid={qid}: {got} != {single}"
+
+
+def test_pq_codes_codebook_vectors_self_code(spark):
+    from goodreads_pyspark_spark.similarity.quantize import pq_codes
+
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.vec_id: r for r in pq_codes(df, n_sub=2, sub_dim=4, ksub=4).collect()}
+    assert len(out) == 20
+    for vid, r in out.items():
+        codes = [int(c) for c in r.pq_code.split(",")]
+        assert len(codes) == 2 and all(0 <= c < 4 for c in codes)
+        if vid < 4:
+            # codebook vectors: own subvector is in the codebook -> exact
+            assert codes == [vid, vid] and r.total_d2 == 0.0
+        else:
+            assert r.total_d2 > 0.0
