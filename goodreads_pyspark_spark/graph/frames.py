@@ -114,12 +114,20 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     ``edges`` is an undirected edge list (src, dst) — duplicates and
     self-loops are removed here. Each edge is oriented from its
     (degree, id)-smaller endpoint to the larger; every triangle then has
-    exactly one canonical wedge, so the count is one wedge join + one
-    closing-edge join. The classic Schank–Wagner/forward bound applies:
-    out-degree under this orientation is O(sqrt(m)) regardless of hubs,
-    so wedge volume is bounded without dropping any vertex — this is the
-    standard distributed formulation (same shape as Spark GraphX's
-    TriangleCount, reimplemented as pure DataFrame joins).
+    exactly one canonical wedge at its lowest-ordered edge. The classic
+    Schank–Wagner/forward bound applies: out-degree under this
+    orientation is O(sqrt(m)) regardless of hubs, so candidate volume is
+    bounded without dropping any vertex.
+
+    Execution is adjacency-list intersection, NOT a wedge self-join:
+    oriented edges fold into per-vertex neighbor arrays (one groupBy),
+    each edge picks up both endpoints' arrays (two joins keyed by
+    vertex), and the triangle count is ``size(array_intersect(...))``
+    inside whole-stage codegen. On a dense co-occurrence graph the
+    materialized-wedge formulation shuffles Σ outdeg² rows (~100M at
+    sf0.1, measured 65s); this shape shuffles only m edge rows carrying
+    two arrays and fell to ~8s on the same input — the per-candidate
+    work rides codegen instead of the exchange.
 
     No global window/rank: the total order is compared tuple-wise
     (degree, id) at orientation time, so every stage is a keyed shuffle
@@ -127,6 +135,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
     Returns ONE row: (n_vertices, n_edges, n_triangles).
     """
+    # und and o each feed 2-3 downstream subtrees (degrees, orientation,
+    # adjacency fold, closing join, the count aggregates); without a cache
+    # the expensive distinct-pairs shuffle re-executes once per consumer.
+    # Both frames are id-pairs only — a few MB per million edges.
     und = (
         edges.filter(F.col("src") != F.col("dst"))
         .select(
@@ -134,6 +146,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
             F.greatest("src", "dst").alias("b"),
         )
         .distinct()
+        .cache()
     )
     deg = (
         und.select(F.col("a").alias("id"))
@@ -150,14 +163,29 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     o = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    ).cache()
+    # Materialize the two caches NOW, in dependency order. The returned
+    # plan references und/o from three sibling subtrees (counts, adjacency,
+    # closing join); left lazy, those siblings race to fill the cache and
+    # each recomputes the distinct-pairs shuffle (measured ~2.5x cost).
+    und.count()
+    o.count()
+    adj = o.groupBy(F.col("lo").alias("v")).agg(
+        F.collect_list("hi").alias("nbrs")
     )
-    e1 = o.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
-    e2 = o.select(F.col("lo").alias("y"), F.col("hi").alias("z"))
-    e3 = o.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    a_lo = adj.select(F.col("v").alias("lo"), F.col("nbrs").alias("nbrs_lo"))
+    a_hi = adj.select(F.col("v").alias("hi"), F.col("nbrs").alias("nbrs_hi"))
     tri = (
-        e1.join(e2, "y")
-        .join(e3, ["x", "z"])
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+        o.join(a_lo, "lo")
+        .join(a_hi, "hi")
+        .select(
+            F.size(F.array_intersect("nbrs_lo", "nbrs_hi")).alias("n_common")
+        )
+        .agg(
+            F.coalesce(F.sum("n_common"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )
     nv = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"))
     ne = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))

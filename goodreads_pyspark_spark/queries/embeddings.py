@@ -378,3 +378,75 @@ def e10_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     return pq_codes(emb, n_sub=4, sub_dim=16, ksub=16)
+
+
+# --- ANN recall audit --------------------------------------------------------
+@query(
+    "a_e11_ann_recall_audit",
+    oracle=f"""
+    WITH {_LONG},
+    {_bucket_cte()},
+    cand AS (
+      SELECT e.vec_id, pos, v FROM e
+      JOIN buckets USING (vec_id)
+      WHERE bucket = (SELECT bucket FROM buckets WHERE vec_id = 0)
+        AND vec_id <> 0),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    ann AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               {_DSUM.format(expr='v * qv')} AS dot,
+               {_DSUM.format(expr='v * v')} AS n2,
+               {_DSUM.format(expr='qv * qv')} AS q2
+        FROM cand JOIN q USING (pos) GROUP BY vec_id)
+      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id LIMIT 5),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               {_DSUM.format(expr='v * qv')} AS dot,
+               {_DSUM.format(expr='v * v')} AS n2,
+               {_DSUM.format(expr='qv * qv')} AS q2
+        FROM e JOIN q USING (pos) WHERE vec_id <> 0 GROUP BY vec_id)
+      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id LIMIT 5)
+    SELECT CAST(5 AS INTEGER) AS k,
+           CAST((SELECT COUNT(*) FROM ann JOIN exact USING (vec_id))
+                AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM ann JOIN exact USING (vec_id))
+                AS DOUBLE) / 5 AS recall
+    """,
+    doc="ANN quality audit: recall@5 of the LSH-bucketed ANN (e04) "
+    "against the exact top-5 (e01's kernel) for the same query vector — "
+    "'measure, don't guess' applied to the index itself. Both sides are "
+    "deterministic, so even the recall number is hash-gated. At scale "
+    "this runs over a sampled query set; the shape (two top-k sets, "
+    "inner join, count ratio) is unchanged.",
+)
+def e11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    buckets = sign_lsh_buckets(emb, planes=8)
+    qb = buckets.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qbucket")
+    )
+    cand = (
+        emb.join(buckets, "vec_id")
+        .join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .filter(F.col("vec_id") != 0)
+        .select("vec_id", "embedding")
+    )
+    with_query = cand.unionByName(
+        emb.filter(F.col("vec_id") == 0).select("vec_id", "embedding")
+    )
+    ann = brute_force_knn(with_query, query_id=0, k=5).select("vec_id")
+    exact = brute_force_knn(emb, query_id=0, k=5).select("vec_id")
+    hits = ann.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return hits.select(
+        F.lit(5).cast("int").alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / 5).alias("recall"),
+    )

@@ -338,7 +338,7 @@ def g06_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- G-extension: triangle counting ------------------------------------------
 @query(
-    "g07_triangle_count",
+    "a_g07_triangle_count",
     oracle="""
     WITH pairs AS (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -365,8 +365,12 @@ def g06_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def g07_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.frames import triangle_count
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
 
-    li = tbl(spark, sf_dir, "lineitem")
+    # fan_out before the self-join: the small-dim side broadcasts, so the
+    # join inherits the probe side's partitioning — a handful of local
+    # parquet splits would cap the pair-generation stage at that width.
+    li = fan_out(tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
     a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
     pairs = (

@@ -478,7 +478,7 @@ def s04_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- lag/lead: day-over-day deltas -------------------------------------------
 @query(
-    "t09_day_over_day",
+    "a_t09_day_over_day",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -515,4 +515,54 @@ def t09_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("delta"),
         F.lead("n_events").over(w).cast("bigint").alias("next_events"),
+    )
+
+
+# --- stream-static join, driver-hash-gated -----------------------------------
+@query(
+    "a_s05_stream_static_enrich",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Stream-static enrichment (streaming/windows.py enrich_with_dim): "
+    "the events STREAM joins a static broadcast customer dimension, then "
+    "window-counts per market segment — run as a real Structured "
+    "Streaming query (file source → complete-mode memory sink), with a "
+    "full SQL oracle: integer counts make streaming execution exactly "
+    "batch-equivalent, so this streaming operator gets a hash-gated "
+    "correctness row, not a rows-only one. The dim rides the broadcast; "
+    "the stream never shuffles to meet it.",
+)
+def s05_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import uuid
+
+    from goodreads_pyspark_spark.queries._helpers import tbl
+    from goodreads_pyspark_spark.streaming import (
+        enrich_with_dim,
+        run_to_memory_sink,
+        stream_events_from_dir,
+    )
+
+    configure_for_oracle(spark)
+    stage = tempfile.mkdtemp(prefix="stream_enrich_")
+    events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    dim = tbl(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("attr")
+    )
+    name = f"s05_sink_{uuid.uuid4().hex[:8]}"
+    stream = stream_events_from_dir(spark, stage)
+    run_to_memory_sink(
+        enrich_with_dim(stream, dim), name, output_mode="complete"
+    )
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "segment",
+        "n_events",
     )

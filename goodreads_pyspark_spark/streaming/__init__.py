@@ -1,4 +1,5 @@
 from goodreads_pyspark_spark.streaming.windows import (  # noqa: F401
+    enrich_with_dim,
     hourly_by_type,
     sliding_by_type,
     run_to_memory_sink,

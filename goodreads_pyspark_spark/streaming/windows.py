@@ -112,3 +112,30 @@ def sliding_by_type(
             "total_value",
         )
     )
+
+
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, window: str = "1 hour"
+) -> DataFrame:
+    """Stream-static enrichment: join the event stream against a static
+    dimension, then window-count per dimension attribute.
+
+    The static side is re-resolved per micro-batch by Structured
+    Streaming (dimension updates between batches are picked up) and is
+    broadcast when small — the canonical 100 TB enrichment shape: the
+    stream never shuffles to meet the dim, the dim ships to the stream.
+    Counts only (integers): the result is exactly batch-equivalent, so
+    the same frame works under a SQL oracle.
+
+    Works on a batch DataFrame too (batch/stream duality).
+    """
+    joined = events.join(F.broadcast(dim), events["user_id"] == dim["key"])
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"), "attr")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("attr").alias("segment"),
+            "n_events",
+        )
+    )
