@@ -1160,3 +1160,127 @@ def d22_pii_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("pii_flag"),
     )
+
+
+# --- MinHash estimator quality audit -----------------------------------------
+def _minhash_audit_oracle(
+    num_hashes: int = 8, bands: int = 4, max_bucket: int = D07_MAX_BUCKET
+) -> str:
+    r = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * r + k}' for k in range(r))}) AS key FROM mh"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+        for i in range(num_hashes)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    mh AS (SELECT doc_id,
+           {mins}
+           FROM sh GROUP BY doc_id),
+    bands AS (
+{band_rows}),
+    bc AS (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+    bf AS (SELECT bands.* FROM bands JOIN bc USING (band, key)
+           WHERE n <= {max_bucket}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bf a JOIN bf b USING (band, key)
+             WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+               FROM cand c
+               JOIN sh sa ON sa.doc_id = c.doc_a
+               JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+               GROUP BY c.doc_a, c.doc_b)
+    SELECT c.doc_a, c.doc_b,
+           CAST(({agree}) AS DOUBLE) / {num_hashes} AS est_jaccard,
+           CAST(COALESCE(n_common, 0) AS DOUBLE)
+             / (za.nsh + zb.nsh - COALESCE(n_common, 0)) AS true_jaccard,
+           ABS(CAST(({agree}) AS DOUBLE) / {num_hashes}
+               - CAST(COALESCE(n_common, 0) AS DOUBLE)
+                 / (za.nsh + zb.nsh - COALESCE(n_common, 0))) AS abs_err
+    FROM cand c
+    LEFT JOIN common USING (doc_a, doc_b)
+    JOIN sizes za ON za.doc_id = c.doc_a
+    JOIN sizes zb ON zb.doc_id = c.doc_b
+    JOIN mh sa ON sa.doc_id = c.doc_a
+    JOIN mh sb ON sb.doc_id = c.doc_b
+    """
+
+
+@query(
+    "a_d23_minhash_estimate_audit",
+    oracle=_minhash_audit_oracle(),
+    doc="Dedup-index quality audit: for every LSH candidate pair (d07's "
+    "set), the MinHash-estimated Jaccard (agreeing hashes / 8) "
+    "side-by-side with the TRUE shingle Jaccard and the estimator "
+    "error — 'measure, don't guess' applied to the dedup index. All "
+    "three outputs are exact integer ratios through single double "
+    "divisions, so the audit itself is hash-gated. Scale shape: the "
+    "true-Jaccard join runs ONLY over candidate pairs (LSH-bounded, "
+    "~linear), never all pairs; shingle lists never leave their "
+    "(doc, shingle) long form.",
+)
+def d23_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    from goodreads_pyspark_spark.dedup.minhash import (
+        lsh_candidate_pairs_from_shingles,
+        minhash_signatures_from_shingles,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    num_hashes = 8
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, out_id="doc_id").cache()
+    sigs = minhash_signatures_from_shingles(sh, num_hashes=num_hashes)
+    cand = lsh_candidate_pairs_from_shingles(
+        sh, num_hashes=num_hashes, bands=4, max_bucket=D07_MAX_BUCKET
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    siga = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(num_hashes)],
+    )
+    sigb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(num_hashes)],
+    )
+    agree = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+            for i in range(num_hashes)
+        ],
+    )
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    true_j = nc.cast("double") / (F.col("za") + F.col("zb") - nc)
+    est_j = agree.cast("double") / num_hashes
+    return (
+        cand.join(common, ["doc_a", "doc_b"], "left")
+        .join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("nsh").alias("za")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("nsh").alias("zb")), "doc_b")
+        .join(siga, "doc_a")
+        .join(sigb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            est_j.alias("est_jaccard"),
+            true_j.alias("true_jaccard"),
+            F.abs(est_j - true_j).alias("abs_err"),
+        )
+    )

@@ -1,0 +1,125 @@
+"""Round-3 scaling probe — the operators added this round.
+
+Replicates sf0.1 inputs 1x/2x/4x and measures:
+  * triangle_count on disjoint id-offset copies of the lineitem
+    co-occurrence graph (disjoint copies isolate ENGINE scaling from
+    graph-densification math — F copies = F independent subgraphs, so
+    ideal scaling is linear);
+  * batch_knn / pq_codes / tfidf_top_terms on the replicated
+    embeddings/documents tables (same replication scheme as
+    tools/scaling_probe.py).
+
+Usage: python tools/scaling_probe_r3.py [factors...]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.graph.frames import triangle_count
+from goodreads_pyspark_spark.session import get_spark
+from goodreads_pyspark_spark.similarity.ann import batch_knn
+from goodreads_pyspark_spark.similarity.quantize import pq_codes
+from tools.scaling_probe import SRC, replicate  # noqa: E402
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark("scaling_probe_r3")
+    out_dir = tempfile.mkdtemp(prefix="scaling_r3_")
+    print(f"# staging to {out_dir}", file=sys.stderr)
+
+    def force(df) -> int:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+        ).first()
+        return row["n"]
+
+    def cooccurrence_edges(factor: int):
+        li = spark.read.parquet(f"{SRC}/lineitem.parquet").select(
+            "l_orderkey", "l_partkey"
+        )
+        no = li.agg(F.max("l_orderkey")).first()[0] + 1
+        np_ = li.agg(F.max("l_partkey")).first()[0] + 1
+        parts = [
+            li.select(
+                (F.col("l_orderkey") + F.lit(i * no)).alias("l_orderkey"),
+                (F.col("l_partkey") + F.lit(i * np_)).alias("l_partkey"),
+            )
+            for i in range(factor)
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        df = df.repartition(32)
+        a = df.select("l_orderkey", F.col("l_partkey").alias("src"))
+        b = df.select("l_orderkey", F.col("l_partkey").alias("dst"))
+        return (
+            a.join(b, "l_orderkey")
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+        )
+
+    def tfidf_top_terms(docs):
+        from pyspark.sql import Window
+
+        from goodreads_pyspark_spark.functions.text import tokens
+
+        ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        dfreq = ex.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+        n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+        scored = (
+            tf.join(dfreq, "term")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "doc_id",
+                "term",
+                ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).alias(
+                    "score"
+                ),
+            )
+        )
+        w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 3)
+            .select("doc_id", "term", "score")
+        )
+
+    rows = []
+    for f in factors:
+        dpath = replicate(spark, "documents", f, "doc_id", out_dir)
+        epath = replicate(spark, "embeddings", f, "vec_id", out_dir)
+        docs = spark.read.parquet(dpath)
+        emb = spark.read.parquet(epath)
+        ops = {
+            "triangle_count": lambda: force(triangle_count(cooccurrence_edges(f))),
+            "batch_knn_q8": lambda: force(batch_knn(emb, n_queries=8, k=3)),
+            "pq_codes": lambda: force(pq_codes(emb)),
+            "tfidf_top_terms": lambda: force(tfidf_top_terms(docs)),
+        }
+        for name, fn in ops.items():
+            t0 = time.perf_counter()
+            n = fn()
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            rows.append((name, f, round(dt, 2), n))
+            print(f"{name}\tx{f}\t{dt:.2f}s\t{n} rows", flush=True)
+    print("\nop\tfactor\tsec\trows")
+    for r in rows:
+        print("\t".join(str(x) for x in r))
+
+
+if __name__ == "__main__":
+    main()
