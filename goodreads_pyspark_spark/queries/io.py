@@ -57,3 +57,71 @@ def io01_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(read_json(spark, jdir, schema=schema), "json").unionAll(
         agg(read_csv(spark, cdir, schema=schema), "csv")
     )
+
+
+# --- schema evolution across parquet batches ---------------------------------
+@query(
+    "a_io02_schema_evolution",
+    oracle="""
+    SELECT doc_id, text, lang,
+           CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL
+    SELECT doc_id, text, CAST(NULL AS VARCHAR) AS lang, source, n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    doc="Schema evolution across parquet batches: an early batch wrote "
+    "(doc_id, text, lang), a later batch (doc_id, text, source, "
+    "n_chars); a mergeSchema read unions the field sets and "
+    "null-pads per batch — exactly how a long-lived 100 TB dataset "
+    "accretes columns without rewriting history. Gated on content: "
+    "the merged read must reproduce both batches' rows bit-exactly "
+    "with typed nulls in the right places.",
+)
+def io02_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="io02_evolve_")
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "lang"
+    ).write.mode("overwrite").parquet(f"{base}/batch=0")
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "source", "n_chars"
+    ).write.mode("overwrite").parquet(f"{base}/batch=1")
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(f"{base}/batch=0", f"{base}/batch=1")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+    return merged
+
+
+# --- small-file compaction ---------------------------------------------------
+@query(
+    "a_io03_compaction_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+    doc="Small-file compaction (sources/sinks.py compact_parquet): the "
+    "corpus is first written as 64 tiny files (the streaming-ingest "
+    "debris shape), then compacted into 4 range-partitioned, "
+    "internally sorted files. Gated on content identity — compaction "
+    "must be a pure physical-layout change. The layout properties "
+    "(file count, disjoint sorted ranges, row-group stats enabling "
+    "file skipping) are pinned by tests/test_plans.py.",
+)
+def io03_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from goodreads_pyspark_spark.sources.sinks import compact_parquet
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="io03_compact_")
+    # the debris: 64 arbitrary-split tiny files
+    docs.repartition(64).write.mode("overwrite").parquet(f"{base}/debris")
+    debris = spark.read.parquet(f"{base}/debris")
+    compact_parquet(debris, f"{base}/compacted", range_col="doc_id", n_files=4)
+    return spark.read.parquet(f"{base}/compacted").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

@@ -35,3 +35,32 @@ def register_temp_views(tables: dict[str, DataFrame]) -> None:
     """Register DataFrames as temp views — the SQL facade's entry point."""
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
+
+
+def compact_parquet(
+    df: DataFrame,
+    path: str,
+    range_col: str,
+    n_files: int = 8,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Small-file compaction: rewrite ``df`` as ``n_files`` range-
+    partitioned, internally sorted parquet files.
+
+    The 100 TB hygiene op: streaming ingest / per-task writers leave
+    thousands of KB-sized files whose open/seek overhead dominates later
+    scans. ``repartitionByRange`` gives globally disjoint, balanced key
+    ranges (sampled range bounds — one pass), ``sortWithinPartitions``
+    makes each file internally sorted so min/max row-group statistics
+    become selective (point/range predicates skip whole files), and
+    ``maxRecordsPerFile`` bounds individual file size without another
+    shuffle.
+    """
+    writer = (
+        df.repartitionByRange(n_files, range_col)
+        .sortWithinPartitions(range_col)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(path)

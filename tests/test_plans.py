@@ -213,3 +213,36 @@ def test_mm01_prunes_columns_before_python_boundary(spark):
     plan = plan_of(spark, "mm01_image_features")
     schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
     assert schemas and all("text" not in s for s in schemas), schemas
+
+
+def test_compaction_layout_properties(spark, tmp_path):
+    """compact_parquet must produce exactly n_files data files with
+    disjoint, internally sorted key ranges (file-skipping statistics)."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.sources.sinks import compact_parquet
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    debris = str(tmp_path / "debris")
+    df.repartition(64).write.parquet(debris)
+    assert len(list(Path(debris).glob("part-*.parquet"))) == 64
+    out = str(tmp_path / "compacted")
+    compact_parquet(spark.read.parquet(debris), out, range_col="k", n_files=4)
+    files = sorted(Path(out).glob("part-*.parquet"))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        pdf = spark.read.parquet(str(f)).select("k").toPandas()["k"]
+        assert list(pdf) == sorted(pdf), f"{f} not internally sorted"
+        ranges.append((pdf.min(), pdf.max()))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "file key ranges overlap"
+    got = spark.read.parquet(out).agg(
+        F.count(F.lit(1)), F.sum("k"), F.sum("v")
+    ).first()
+    assert tuple(got) == (10_000, sum(range(10_000)), sum(i % 97 for i in range(10_000)))
