@@ -225,7 +225,7 @@ def e06_ivf_knn_vec1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF ANN at nprobe < n_centroids (the actual approximate regime) --------
 @query(
-    "e08_ivf_partial_probe_vec1",
+    "a_e08_ivf_partial_probe_vec1",
     oracle=f"""
     WITH {_LONG},
     cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, v AS cval
@@ -313,7 +313,7 @@ def e07_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- batch exact kNN ---------------------------------------------------------
 @query(
-    "e09_batch_knn",
+    "a_e09_batch_knn",
     oracle=f"""
     WITH {_LONG},
     q AS (SELECT vec_id AS qid, pos, v AS qv FROM e WHERE vec_id < 8),
@@ -348,7 +348,7 @@ def e09_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- product quantization ----------------------------------------------------
 @query(
-    "e10_pq_codes",
+    "a_e10_pq_codes",
     oracle=f"""
     WITH {_LONG},
     c AS (SELECT vec_id AS cid, pos, v AS cval FROM e WHERE vec_id < 16),
