@@ -799,3 +799,31 @@ def q31_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_price",
         "max_price",
     )
+
+
+# --- exact interpolated quantiles -------------------------------------------
+@query(
+    "a_q32_exact_quantiles",
+    oracle="""
+    WITH q AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, [0.25, 0.5, 0.75]) AS qs
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, qs[1] AS p25, qs[2] AS p50, qs[3] AS p75 FROM q
+    """,
+    doc="Exact linearly-interpolated quantiles per group — Spark's "
+    "percentile() and DuckDB's quantile_cont share the classic "
+    "(n-1)*p order-statistic interpolation, verified bit-identical. "
+    "Exact percentile is an ObjectHashAggregate buffering each "
+    "group's values; at 100 TB switch to approx_percentile (q27) or "
+    "the two-phase histogram median (a_q31) — this query is the "
+    "exactness baseline those are judged against.",
+)
+def q32_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    qs = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return li.groupBy("l_returnflag").agg(
+        qs.getItem(0).alias("p25"),
+        qs.getItem(1).alias("p50"),
+        qs.getItem(2).alias("p75"),
+    )

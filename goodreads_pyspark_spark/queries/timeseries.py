@@ -566,3 +566,47 @@ def s05_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "segment",
         "n_events",
     )
+
+
+# --- cumulative distinct users via first-seen collapse -----------------------
+@query(
+    "a_t10_new_users_cumulative",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
+      FROM events GROUP BY user_id),
+    daily AS (SELECT day, COUNT(*) AS n_new_users
+              FROM first_seen GROUP BY day)
+    SELECT day,
+           CAST(n_new_users AS BIGINT) AS n_new_users,
+           CAST(SUM(n_new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM daily
+    """,
+    doc="Cumulative distinct users per day via the first-seen collapse: "
+    "min(day) per user (one shuffle with map-side partial min), daily "
+    "new-user counts, then a running sum over the tiny day series. The "
+    "scalable replacement for a windowed COUNT(DISTINCT): never "
+    "carries per-user state past the first aggregate, while the naive "
+    "cumulative-distinct window holds every user id seen so far in "
+    "every frame. Integer-only.",
+)
+def t10_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.to_date(F.date_trunc("day", "ts"))).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_new_users")
+    )
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "day",
+        F.col("n_new_users").cast("bigint").alias("n_new_users"),
+        F.sum("n_new_users").over(w).cast("bigint").alias("cum_users"),
+    )
