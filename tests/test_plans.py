@@ -246,3 +246,31 @@ def test_compaction_layout_properties(spark, tmp_path):
         F.count(F.lit(1)), F.sum("k"), F.sum("v")
     ).first()
     assert tuple(got) == (10_000, sum(range(10_000)), sum(i % 97 for i in range(10_000)))
+
+
+def test_e09_broadcasts_query_block(spark):
+    # The batch-kNN query side must ride a broadcast; the corpus side
+    # must NOT appear in a cartesian/nested-loop join.
+    plan = plan_of(spark, "a_e09_batch_knn")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_g07_no_cartesian_and_pruned_scan(spark):
+    # Degree-ordered triangle counting: every stage is a keyed join;
+    # the lineitem scan reads only the two join columns.
+    plan = plan_of(spark, "a_g07_triangle_count")
+    assert "CartesianProduct" not in plan
+    schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert schemas and all(
+        "l_extendedprice" not in s and "l_comment" not in s for s in schemas
+    ), schemas
+
+
+def test_d20_broadcasts_corpus_count_only(spark):
+    # The single-row corpus count joins via broadcast; term/doc shuffles
+    # carry ids and terms, never the documents text column.
+    plan = plan_of(spark, "d20_tfidf_top_terms")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    ex_segs = plan.split("Exchange")[1:]
+    assert ex_segs and all("text" not in seg.splitlines()[0] for seg in ex_segs)
