@@ -190,3 +190,60 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     nv = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_vertices"))
     ne = o.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return nv.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tri))
+
+
+def kcore_trim(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+    """Fixed-round k-core peeling: iteratively drop vertices with
+    degree < k, ``rounds`` times; return survivors with final degree.
+
+    The exact k-core needs peeling to a fixpoint; a FIXED round count
+    makes the result a deterministic function of the input — the same
+    convention as the engine's fixed-iteration LPA/PageRank, which is
+    what lets a DuckDB oracle replay it as an unrolled CTE chain
+    bit-for-bit. In practice a handful of rounds converges: each round
+    is two keyed aggregations (degree, filter) + two semi-joins — work
+    ∝ surviving edges, shrinking monotonically. The loop is a driver
+    loop over lazy frames; with small fixed ``rounds`` the lineage
+    stays shallow enough to skip checkpointing.
+
+    Returns (id, degree) of vertices alive after ``rounds`` trims,
+    with their degree in the surviving subgraph.
+    """
+    und = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    # Per-round cache + eager materialization (the Pregel superstep
+    # pattern, graph/pregel.py): each round's edge set feeds BOTH the
+    # next degree count and the next semi-join base — left lazy, round r
+    # re-executes round r-1 twice and the recomputation nests
+    # geometrically with depth.
+    cur = und.cache()
+    cur.count()
+    for _ in range(rounds):
+        deg = (
+            cur.select(F.col("a").alias("id"))
+            .unionAll(cur.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("id")
+        prev = cur
+        cur = (
+            cur.join(keep.select(F.col("id").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("id").alias("b")), "b", "left_semi")
+            .cache()
+        )
+        cur.count()
+        prev.unpersist()
+    deg = (
+        cur.select(F.col("a").alias("id"))
+        .unionAll(cur.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    return deg

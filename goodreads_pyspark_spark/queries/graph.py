@@ -379,3 +379,61 @@ def g07_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return triangle_count(pairs)
+
+
+# --- G-extension: fixed-round k-core peeling ---------------------------------
+_KCORE_K = 90
+_KCORE_ROUNDS = 3
+
+
+def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    e0 AS (SELECT pa AS a, pb AS b FROM pairs)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""d{r} AS (SELECT id, COUNT(*) AS d FROM (
+              SELECT a AS id FROM e{r - 1}
+              UNION ALL SELECT b AS id FROM e{r - 1}) GROUP BY id),
+    k{r} AS (SELECT id FROM d{r} WHERE d >= {k}),
+    e{r} AS (SELECT e{r - 1}.* FROM e{r - 1}
+             JOIN k{r} ka ON ka.id = e{r - 1}.a
+             JOIN k{r} kb ON kb.id = e{r - 1}.b)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT id, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+      SELECT a AS id FROM e{rounds}
+      UNION ALL SELECT b AS id FROM e{rounds}) GROUP BY id
+    """
+
+
+@query(
+    "a_g08_kcore_trim",
+    oracle=_kcore_oracle(),
+    doc=f"Fixed-round k-core peeling (graph/frames.py kcore_trim): {_KCORE_ROUNDS} "
+    f"rounds of drop-degree<{_KCORE_K} on the part co-occurrence graph, "
+    "survivors with final degree. Fixed rounds make the iterative "
+    "algorithm a deterministic input function replayable as an "
+    "unrolled integer-exact CTE chain — the engine's LPA/PageRank "
+    "oracle discipline. Each round is two keyed aggregations + two "
+    "semi-joins over a monotonically shrinking edge set.",
+)
+def g08_kcore_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.graph.frames import kcore_trim
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    li = fan_out(tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return kcore_trim(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)

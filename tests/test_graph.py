@@ -212,3 +212,17 @@ def test_connected_components_alternating_long_chain(spark):
     out = connected_components_alternating(PropertyGraph(v, e))
     comps = {r["component"] for r in out.collect()}
     assert comps == {0}
+
+
+def test_kcore_trim_peels_pendants(spark):
+    from goodreads_pyspark_spark.graph.frames import kcore_trim
+
+    # K5 (every vertex degree 4) plus a pendant chain 5-100-101.
+    edges = [(a, b) for a in range(5) for b in range(5) if a < b]
+    edges += [(0, 100), (100, 101)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    # k=2: first round drops 101 (deg 1); second drops 100 (deg now 1).
+    out = {r.id: r.degree for r in kcore_trim(df, k=2, rounds=2).collect()}
+    assert out == {i: 4 for i in range(5)}
+    # k=5 empties K5 entirely.
+    assert kcore_trim(df, k=5, rounds=1).count() == 0
