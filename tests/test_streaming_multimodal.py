@@ -209,3 +209,44 @@ def test_streaming_dedup_exactly_once(spark, tmp_path_factory):
     batch = spark.read.parquet(out)
     assert batch.count() == 400
     assert dedup_events(batch).count() == 200
+
+
+def test_stream_foreachbatch_parquet_sink(spark, events_dir, tmp_path_factory):
+    """Production-sink shape: stream -> foreachBatch -> partitioned parquet
+    with a checkpoint. Content must equal the batch aggregate, and the
+    checkpoint directory must exist (restart safety)."""
+    import os
+    import uuid
+
+    out = str(tmp_path_factory.mktemp("fb_sink"))
+    ckpt = str(tmp_path_factory.mktemp("fb_ckpt"))
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(out))
+
+    stream = stream_events_from_dir(spark, events_dir)
+    agg = hourly_by_type(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .queryName(f"fb_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(out)
+    batch = hourly_by_type(spark.read.parquet(events_dir))
+    # last completed batch carries the full complete-mode aggregate
+    last = got.agg(F.max("batch_id")).first()[0]
+    final = got.filter(F.col("batch_id") == last).drop("batch_id")
+    assert final.count() == batch.count()
+    diff = final.select("window_start", "event_type", "n_events").exceptAll(
+        batch.select("window_start", "event_type", "n_events")
+    )
+    assert diff.count() == 0
+    assert os.listdir(ckpt), "checkpoint directory empty"
