@@ -1,0 +1,43 @@
+"""Change-data-capture merge (copy-on-write upsert).
+
+The table-maintenance primitive lakehouse formats (Delta/Iceberg/Hudi)
+build in: apply a batch of keyed changes — inserts, updates, deletes —
+to a base snapshot, producing the next snapshot. On plain parquet the
+engine-level dataflow is identical to what those formats execute
+underneath:
+
+    kept    = base ANTI JOIN touched-keys      (untouched rows pass through)
+    applied = changes WHERE op != 'D'          (upserts become the new rows)
+    next    = kept UNION ALL applied
+
+Scale shape: the change batch is the small side in every deployment that
+matters (daily CDC vs a 100 TB base), so the anti join broadcasts the
+touched-key set and the base never shuffles — the whole merge is one
+map-side pass over the base plus a union. Combine with
+``sources/sinks.compact_parquet`` to rewrite only affected partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def apply_cdc(
+    base: DataFrame,
+    changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Next snapshot of ``base`` after applying ``changes``.
+
+    ``changes`` rows carry ``op_col`` ∈ {'I','U','D'} plus the full
+    payload schema of ``base``; I/U both land as the new row version
+    (last-write-wins within a batch is the caller's contract — dedup the
+    batch with ``dedup_latest`` first if it can carry multiple versions
+    of one key).
+    """
+    touched = changes.select(key).distinct()
+    kept = base.join(F.broadcast(touched), key, "left_anti")
+    applied = changes.filter(F.col(op_col) != "D").drop(op_col)
+    return kept.unionByName(applied)

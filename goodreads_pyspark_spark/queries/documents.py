@@ -587,7 +587,7 @@ def d13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- packed-chunk layout (what a training loader actually reads) ------------
 @query(
-    "d17_chunk_layout",
+    "a_d17_chunk_layout",
     oracle=f"""
     WITH tk AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
                 FROM documents),
@@ -899,7 +899,7 @@ def d16_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- corpus-mix rollup report ------------------------------------------------
 @query(
-    "d18_mix_rollup_report",
+    "a_d18_mix_rollup_report",
     oracle=f"""
     SELECT source, lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -959,7 +959,7 @@ def _incremental_minhash_oracle(
 
 
 @query(
-    "d19_incremental_ingest_dedup",
+    "a_d19_incremental_ingest_dedup",
     oracle=_incremental_minhash_oracle(),
     doc="Incremental ingestion dedup (dedup/minhash.py "
     "incremental_lsh_matches): the incoming batch (doc_id%10==0 here) "
@@ -983,7 +983,7 @@ def d19_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- per-document TF-IDF top terms -------------------------------------------
 @query(
-    "d20_tfidf_top_terms",
+    "a_d20_tfidf_top_terms",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
@@ -1047,7 +1047,7 @@ _CHUNK_ST = 32
 
 
 @query(
-    "d21_chunk_overlap",
+    "a_d21_chunk_overlap",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sized AS (SELECT doc_id, t, len(t) AS n_tok FROM tk WHERE len(t) > 0),
@@ -1121,7 +1121,7 @@ _RE_LONG_DIGITS = "[0-9]{7,}"
 
 
 @query(
-    "d22_pii_counts",
+    "a_d22_pii_counts",
     oracle=f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '{_RE_EMAIL}'))
@@ -1283,4 +1283,66 @@ def d23_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             true_j.alias("true_jaccard"),
             F.abs(est_j - true_j).alias("abs_err"),
         )
+    )
+
+
+# --- composite quality gate with per-rule audit ------------------------------
+@query(
+    "a_d24_quality_gate_audit",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, {_TOKS} AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[0-9]{{3,}}')) AS n_digit_runs
+      FROM documents),
+    f AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 20 THEN 'min_tokens,' ELSE '' END ||
+             CASE WHEN len(list_distinct(toks)) * 10 < 3 * len(toks)
+                  THEN 'lexical_diversity,' ELSE '' END ||
+             CASE WHEN n_punct * 5 > length(text)
+                  THEN 'punct_ratio,' ELSE '' END ||
+             CASE WHEN n_digit_runs * 20 > len(toks)
+                  THEN 'digit_noise,' ELSE '' END AS fails
+      FROM t)
+    SELECT doc_id,
+           CAST(CASE WHEN fails = '' THEN 1 ELSE 0 END AS INTEGER) AS passed,
+           rtrim(fails, ',') AS failed_rules
+    FROM f
+    """,
+    doc="Composite pre-training quality gate with per-rule audit: four "
+    "named rules (token floor, lexical diversity, punctuation density, "
+    "digit noise) evaluated with INTEGER cross-multiplication (n*10 < "
+    "3*m, never a float ratio), emitting pass/fail plus the exact list "
+    "of failed rules — the explainable filter step a data-governance "
+    "review needs, vs d05's opaque keep/flag. Pure map-side codegen.",
+)
+def d24_quality_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        quality_punct_count("text").alias("n_punct"),
+        F.regexp_count("text", F.lit("[0-9]{3,}")).alias("n_digit_runs"),
+    )
+    fails = F.concat(
+        F.when(F.col("n_tokens") < 20, F.lit("min_tokens,")).otherwise(F.lit("")),
+        F.when(
+            F.col("n_uniq") * 10 < 3 * F.col("n_tokens"),
+            F.lit("lexical_diversity,"),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("n_punct") * 5 > F.col("n_chars"), F.lit("punct_ratio,")
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("n_digit_runs") * 20 > F.col("n_tokens"), F.lit("digit_noise,")
+        ).otherwise(F.lit("")),
+    )
+    return t.select(
+        "doc_id",
+        F.when(fails == "", 1).otherwise(0).cast("int").alias("passed"),
+        F.rtrim(F.regexp_replace(fails, ",$", "")).alias("failed_rules"),
     )

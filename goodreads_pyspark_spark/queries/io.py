@@ -125,3 +125,53 @@ def io03_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{base}/compacted").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+# --- CDC merge (copy-on-write upsert) ----------------------------------------
+@query(
+    "a_io04_cdc_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT 'D' AS op, doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'U' AS op, doc_id, upper(text) AS text, lang, source,
+             n_chars + 1000 AS n_chars
+      FROM documents WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT 'I' AS op, doc_id + 1000000 AS doc_id, text, lang,
+             'ingest_v2' AS source, n_chars
+      FROM documents WHERE doc_id % 5 = 2)
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM changes)
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars
+    FROM changes WHERE op <> 'D'
+    """,
+    doc="CDC merge (operators/cdc.apply_cdc): a change batch of deletes "
+    "(doc_id%5=0), updates (%5=1, payload rewritten) and inserts "
+    "(%5=2, new key space) applied to the corpus snapshot — the "
+    "copy-on-write upsert lakehouse formats run underneath. The "
+    "touched-key set broadcasts into an anti join, so the 100 TB base "
+    "never shuffles; the merge is one map-side pass + union. Gated on "
+    "the full next-snapshot content.",
+)
+def io04_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.cdc import apply_cdc
+
+    docs = tbl(spark, sf_dir, "documents")
+    deletes = docs.filter(F.col("doc_id") % 5 == 0).withColumn("op", F.lit("D"))
+    updates = (
+        docs.filter(F.col("doc_id") % 5 == 1)
+        .withColumn("text", F.upper("text"))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 5 == 2)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("source", F.lit("ingest_v2"))
+        .withColumn("op", F.lit("I"))
+    )
+    changes = deletes.unionByName(updates).unionByName(inserts)
+    return apply_cdc(docs, changes, key="doc_id")

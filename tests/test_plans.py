@@ -108,7 +108,7 @@ def test_d19_broadcasts_incoming_batch(spark):
     # Ingestion dedup must broadcast the small batch's band keys against
     # the corpus index — a SortMergeJoin here would shuffle the corpus
     # per batch, which defeats the incremental design.
-    plan = plan_of(spark, "d19_incremental_ingest_dedup")
+    plan = plan_of(spark, "a_d19_incremental_ingest_dedup")
     assert "BroadcastHashJoin" in plan
     exchanges = [
         seg.splitlines()[0] for seg in plan.split("Exchange hashpartitioning")[1:]
@@ -270,7 +270,7 @@ def test_g07_no_cartesian_and_pruned_scan(spark):
 def test_d20_broadcasts_corpus_count_only(spark):
     # The single-row corpus count joins via broadcast; term/doc shuffles
     # carry ids and terms, never the documents text column.
-    plan = plan_of(spark, "d20_tfidf_top_terms")
+    plan = plan_of(spark, "a_d20_tfidf_top_terms")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     ex_segs = plan.split("Exchange")[1:]
     assert ex_segs and all("text" not in seg.splitlines()[0] for seg in ex_segs)
