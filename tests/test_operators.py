@@ -283,3 +283,17 @@ def test_pq_codes_codebook_vectors_self_code(spark):
             assert codes == [vid, vid] and r.total_d2 == 0.0
         else:
             assert r.total_d2 > 0.0
+
+
+def test_apply_cdc_merge_semantics(spark):
+    from goodreads_pyspark_spark.operators.cdc import apply_cdc
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["k", "payload"]
+    )
+    changes = spark.createDataFrame(
+        [("D", 1, None), ("U", 2, "b2"), ("I", 9, "new")],
+        ["op", "k", "payload"],
+    )
+    got = {r.k: r.payload for r in apply_cdc(base, changes, key="k").collect()}
+    assert got == {2: "b2", 3: "c", 9: "new"}
