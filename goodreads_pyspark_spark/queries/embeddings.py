@@ -450,3 +450,80 @@ def e11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / 5).alias("recall"),
     )
+
+
+# --- IVF recall audit --------------------------------------------------------
+@query(
+    "a_e12_ivf_recall_audit",
+    oracle=f"""
+    WITH {_LONG},
+    cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, v AS cval
+              FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_DSUM.format(expr='v * cval')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='cval * cval')} AS c2
+      FROM e JOIN cents c USING (pos)
+      GROUP BY e.vec_id, c.cid),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY dot / (SQRT(n2) * SQRT(c2)) DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    probes AS (
+      SELECT cid FROM (
+        SELECT cid,
+               ROW_NUMBER() OVER (
+                 ORDER BY dot / (SQRT(n2) * SQRT(c2)) DESC, cid) AS rn
+        FROM scored WHERE vec_id = 1) WHERE rn <= 2),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 1),
+    allcomps AS (
+      SELECT e.vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos)
+      WHERE e.vec_id <> 1
+      GROUP BY e.vec_id),
+    exact AS (
+      SELECT vec_id FROM allcomps
+      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id LIMIT 10),
+    ivf AS (
+      SELECT vec_id FROM allcomps
+      WHERE vec_id IN (SELECT vec_id FROM best JOIN probes USING (cid))
+      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id LIMIT 10)
+    SELECT CAST(10 AS INTEGER) AS k,
+           CAST((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id))
+                AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id))
+                AS DOUBLE) / 10 AS recall
+    """,
+    doc="IVF quality audit: recall@10 of the nprobe=2-of-8 partial-probe "
+    "IVF (a_e08) against the exact top-10 for the same query — the "
+    "recall side of the recall-vs-cost dial, itself hash-gated "
+    "(deterministic sampled quantizer + decimal-exact scoring). "
+    "Companion to a_e11's LSH recall audit.",
+)
+def e12_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+    from goodreads_pyspark_spark.similarity.ivf import ivf_knn, sampled_centroids
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, k=8)
+    ivf = ivf_knn(emb, query_id=1, k=10, nprobe=2, centroids_long=cents).select(
+        "vec_id"
+    )
+    exact = brute_force_knn(emb, query_id=1, k=10).select("vec_id")
+    hits = ivf.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).cast("int").alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / 10).alias("recall"),
+    )
