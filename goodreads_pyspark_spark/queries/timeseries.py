@@ -610,3 +610,67 @@ def t10_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new_users").cast("bigint").alias("n_new_users"),
         F.sum("n_new_users").over(w).cast("bigint").alias("cum_users"),
     )
+
+
+# --- stream-stream interval join, driver-hash-gated --------------------------
+@query(
+    "a_s06_stream_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+    FROM events p JOIN events v
+      ON p.event_type = 'purchase' AND v.event_type = 'view'
+     AND v.user_id = p.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    """,
+    doc="Stream-stream interval join run as a real Structured Streaming "
+    "query: purchases joined to the same user's views from the "
+    "preceding hour, both sides watermarked so the join state is "
+    "evictable — the attribution-join shape. Inner stream-stream "
+    "matches emit on arrival (append mode), so the finite-input "
+    "result is the complete deterministic pair set and the query is "
+    "hash-gated like a batch join. At scale the watermark bound is "
+    "what keeps state finite: without it every view lives in state "
+    "forever.",
+)
+def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from goodreads_pyspark_spark.streaming import (
+        run_to_memory_sink,
+        stream_events_from_dir,
+    )
+
+    configure_for_oracle(spark)
+    stage = tempfile.mkdtemp(prefix="stream_ssj_")
+    events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
+    purchases = (
+        stream_events_from_dir(spark, stage)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    views = (
+        stream_events_from_dir(spark, stage)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(F.col("p_user").alias("user_id"), "purchase_id", "view_id")
+    name = f"s06_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(joined, name, output_mode="append")
+    return spark.table(name)
