@@ -827,3 +827,34 @@ def q32_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         qs.getItem(1).alias("p50"),
         qs.getItem(2).alias("p75"),
     )
+
+
+# --- set operations: INTERSECT / EXCEPT --------------------------------------
+@query(
+    "a_q33_set_ops",
+    oracle="""
+    SELECT c_custkey FROM (
+      SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc="Set operations beyond the reference's union (SURVEY §2.7 notes "
+    "intersect/except come free from Spark): customers with both open "
+    "and fulfilled orders, minus any with pending ones. intersect()/"
+    "exceptAll-distinct compile to left-semi/left-anti aggregates — "
+    "keyed shuffles, no materialized intermediate sets.",
+)
+def q33_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = tbl(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    fulfilled = o.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    pending = o.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return open_.intersect(fulfilled).exceptAll(pending.distinct()).distinct()
