@@ -858,3 +858,38 @@ def q33_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_custkey").alias("c_custkey")
     )
     return open_.intersect(fulfilled).exceptAll(pending.distinct()).distinct()
+
+
+# --- ranking windows: ntile / percent_rank -----------------------------------
+@query(
+    "a_q34_price_rank_tiles",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice,
+             NTILE(4) OVER w AS quartile,
+             PERCENT_RANK() OVER w AS pct_rank
+      FROM orders WHERE o_custkey < 100
+      WINDOW w AS (PARTITION BY o_orderstatus
+                   ORDER BY o_totalprice, o_orderkey))
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(quartile AS INTEGER) AS quartile, pct_rank
+    FROM ranked
+    """,
+    doc="Ranking windows: NTILE(4) quartile assignment and PERCENT_RANK "
+    "per status partition. The (price, orderkey) compound order key "
+    "makes the total order unique, so bucket boundaries and ranks are "
+    "engine-independent; percent_rank = (rank-1)/(n-1) is an exact "
+    "integer ratio through one double division.",
+)
+def q34_price_rank_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
