@@ -533,7 +533,7 @@ D13_CHUNK = 2048
 
 
 @query(
-    "d13_sequence_packing",
+    "a_d13_sequence_packing",
     oracle=f"""
     WITH tk AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
                 FROM documents),
