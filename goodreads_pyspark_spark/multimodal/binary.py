@@ -194,3 +194,40 @@ def sample_video_frames(
             .alias("frame_number"),
         )
     )
+
+
+def plan_audio_windows(
+    df: DataFrame,
+    win: int = 1024,
+    hop: int = 512,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """STFT-style audio framing plan: one row per analysis window,
+    computed from metadata only (sample count) — pure Catalyst, no
+    decode, the audio sibling of ``sample_video_frames``. Frames of
+    ``win`` samples advance by ``hop`` (50% overlap at the defaults);
+    rows shorter than one window emit nothing. The downstream window
+    *decode* (PCM slice → features) is a ``mapInPandas`` stage consuming
+    (media_id, sample_start, sample_end), exactly like image decode.
+    """
+    n_frames = (
+        F.floor((F.col("meta_n_samples") - F.lit(win)) / F.lit(hop)).cast("int")
+        + 1
+    )
+    return (
+        df.filter(
+            (F.col("kind") == "audio") & (F.col("meta_n_samples") >= win)
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias(
+                "frame_idx", "_"
+            ),
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            (F.col("frame_idx").cast("bigint") * hop).alias("sample_start"),
+            (F.col("frame_idx").cast("bigint") * hop + win).alias("sample_end"),
+        )
+    )

@@ -154,3 +154,36 @@ def mm03_thumbnail_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "decode_error",
     )
+
+
+@query(
+    "a_mm04_audio_window_plan",
+    oracle="""
+    WITH a AS (SELECT doc_id AS media_id,
+                      CAST(8000 * (1 + doc_id % 10) AS BIGINT) AS n_samples
+               FROM documents WHERE doc_id % 7 = 0),
+    fr AS (SELECT media_id,
+                  unnest(range(0, 1 + (n_samples - 1024) // 512)) AS i
+           FROM a WHERE n_samples >= 1024)
+    SELECT media_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST(i * 512 AS BIGINT) AS sample_start,
+           CAST(i * 512 + 1024 AS BIGINT) AS sample_end
+    FROM fr
+    """,
+    doc="Audio framing plan (multimodal/binary.py plan_audio_windows): "
+    "STFT-style 1024-sample windows at hop 512 from sample-count "
+    "metadata only — pure Catalyst sequence+posexplode, no decode; "
+    "completes the image/video/audio triad of metadata-driven media "
+    "plans. The PCM window decode is a downstream mapInPandas stage.",
+)
+def mm04_audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.multimodal.binary import plan_audio_windows
+
+    docs = tbl(spark, sf_dir, "documents")
+    media = docs.filter(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        (8000 * (1 + F.col("doc_id") % 10)).cast("bigint").alias("meta_n_samples"),
+    )
+    return plan_audio_windows(media)
