@@ -1346,3 +1346,67 @@ def d24_quality_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(fails == "", 1).otherwise(0).cast("int").alias("passed"),
         F.rtrim(F.regexp_replace(fails, ",$", "")).alias("failed_rules"),
     )
+
+
+# --- OOV rate against the corpus vocabulary ----------------------------------
+@query(
+    "a_d25_oov_rate",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS tf,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rnk
+        FROM ex GROUP BY term) WHERE rnk <= 1000),
+    per_doc AS (
+      SELECT ex.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(CASE WHEN vocab.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM ex LEFT JOIN vocab USING (term)
+      GROUP BY ex.doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CAST(n_oov AS DOUBLE) / n_tokens AS oov_rate
+    FROM per_doc
+    """,
+    doc="Out-of-vocabulary rate per document against the corpus top-1000 "
+    "vocabulary (rank cut with (tf, term) tiebreak -> deterministic "
+    "vocab) — the tokenizer-fit / domain-shift signal a vocab-based "
+    "filter keys on. Exact integers + one double division. Scale "
+    "shape: the vocabulary is tiny and broadcasts into the membership "
+    "join; token rows shuffle once for the per-doc aggregate.",
+)
+def d25_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    # orderBy+limit, NOT a global row_number window: Catalyst rewrites
+    # this to TakeOrderedAndProject (per-partition top-1000 + merge),
+    # while the window form funnels the whole vocabulary through one
+    # partition.
+    vocab = (
+        ex.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(1000)
+        .select("term", F.lit(1).alias("__in_vocab"))
+    )
+    per_doc = (
+        ex.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_oov").cast("bigint").alias("n_oov"),
+        (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+    )
