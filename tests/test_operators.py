@@ -297,3 +297,41 @@ def test_apply_cdc_merge_semantics(spark):
     )
     got = {r.k: r.payload for r in apply_cdc(base, changes, key="k").collect()}
     assert got == {2: "b2", 3: "c", 9: "new"}
+
+
+def test_dedup_latest_property_hypothesis(spark):
+    """Property (SURVEY §5.5): for ANY input, dedup_latest keeps exactly
+    one row per key, and that row carries the group's maximum order
+    value (ties broken deterministically by the compound order)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.operators.relational import dedup_latest
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 50), st.integers(0, 9)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, ["k", "v", "tie"])
+        got = dedup_latest(
+            df, keys=["k"], order_by=[F.desc("v"), F.desc("tie")]
+        ).collect()
+        keys = [r.k for r in got]
+        assert sorted(keys) == sorted(set(r[0] for r in rows))
+        best = {}
+        for k, v, t in rows:
+            best[k] = max(best.get(k, (-1, -1)), (v, t))
+        for r in got:
+            assert (r.v, r.tie) == best[r.k]
+
+    check()
