@@ -527,3 +527,42 @@ def e12_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / 10).alias("recall"),
     )
+
+
+# --- bucketed near-dup pairs (the scale path of e02) -------------------------
+@query(
+    "a_e13_bucketed_neardup_pairs",
+    oracle=f"""
+    WITH {_LONG},
+    {_bucket_cte()},
+    cand AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b USING (bucket)
+      WHERE a.vec_id < b.vec_id),
+    comps AS (
+      SELECT c.id_a, c.id_b,
+             {_DSUM.format(expr='ea.v * eb.v')} AS dot,
+             {_DSUM.format(expr='ea.v * ea.v')} AS na,
+             {_DSUM.format(expr='eb.v * eb.v')} AS nb
+      FROM cand c
+      JOIN e ea ON ea.vec_id = c.id_a
+      JOIN e eb ON eb.vec_id = c.id_b AND eb.pos = ea.pos
+      GROUP BY c.id_a, c.id_b)
+    SELECT id_a, id_b,
+           ROUND(dot / (SQRT(na) * SQRT(nb)), 6) AS cosine
+    FROM comps
+    WHERE ROUND(dot / (SQRT(na) * SQRT(nb)), 6) >= 0.4
+    """,
+    doc="Embedding near-dup pairs WITHIN sign-LSH buckets "
+    "(similarity/ann.py bucketed_neardup_pairs) — the production form "
+    "e02's global all-pairs docstring promises: the only self-join is "
+    "keyed by bucket (pair volume = sum of bucket sizes squared, "
+    "linear at fixed occupancy), survivors rescored decimal-exact. "
+    "Recall vs e02 is the bucketing trade, measurable by diffing the "
+    "two result sets.",
+)
+def e13_bucketed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.ann import bucketed_neardup_pairs
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return bucketed_neardup_pairs(emb, threshold=0.4, planes=8)

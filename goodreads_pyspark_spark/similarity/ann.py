@@ -339,3 +339,51 @@ def batch_knn(
         .filter(F.col("rnk") <= k)
         .select("qid", id_col, "cosine", F.col("rnk").cast("int").alias("rnk"))
     )
+
+
+def bucketed_neardup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Near-dup pairs WITHIN sign-LSH buckets — the production form of
+    ``cosine_neardup_pairs`` that the latter's docstring promises.
+
+    Candidates are pairs sharing a bucket (the only self-join, keyed by
+    bucket — pair volume is Σ bucket_size², bounded by the bucketing,
+    never corpus²); survivors are rescored with decimal-exact cosine and
+    cut at ``threshold``. Trades recall (cross-bucket pairs are lost;
+    raise recall with multiple band tables) for a join that scales
+    linearly with corpus size at fixed bucket occupancy. Returns
+    (id_a, id_b, cosine) with id_a < id_b.
+    """
+    buckets = sign_lsh_buckets(df, planes, id_col, vec_col)
+    a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
+    b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
+    cand = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    e = _long_form(df, id_col, vec_col)
+    ea = e.select(F.col(id_col).alias("id_a"), "pos", F.col("v").alias("va"))
+    eb = e.select(F.col(id_col).alias("id_b"), "pos", F.col("v").alias("vb"))
+    comps = (
+        cand.join(ea, "id_a")
+        .join(eb, ["id_b", "pos"])
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.sum((F.col("va") * F.col("vb")).cast(_ACC)).cast("double").alias("dot"),
+            F.sum((F.col("va") * F.col("va")).cast(_ACC)).cast("double").alias("na"),
+            F.sum((F.col("vb") * F.col("vb")).cast(_ACC)).cast("double").alias("nb"),
+        )
+    )
+    cos = F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), round_to)
+    return (
+        comps.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
