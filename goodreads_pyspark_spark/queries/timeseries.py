@@ -674,3 +674,58 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"s06_sink_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(joined, name, output_mode="append")
     return spark.table(name)
+
+
+# --- calendar gap-fill / resampling ------------------------------------------
+@query(
+    "a_t11_hourly_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT MIN(date_trunc('hour', ts)) AS lo,
+             MAX(date_trunc('hour', ts)) AS hi
+      FROM events),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT t.event_type,
+           strftime(c.hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_gap
+    FROM cal c CROSS JOIN types t
+    LEFT JOIN hourly h ON h.event_type = t.event_type AND h.hour = c.hour
+    """,
+    doc="Calendar gap-fill (resampling): the dense (hour x type) grid "
+    "built with sequence() from the observed bounds, left-joined "
+    "against actual hourly counts, zeros + gap flags where no events "
+    "landed — what downstream anomaly detection / charting needs a "
+    "dense series for. The calendar and type dims are tiny generated "
+    "tables that broadcast; the only real shuffle is the hourly "
+    "pre-aggregation of the raw stream. Integer-only.",
+)
+def t11_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    bounds = ev.agg(
+        F.min(F.date_trunc("hour", "ts")).alias("lo"),
+        F.max(F.date_trunc("hour", "ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = cal.crossJoin(F.broadcast(types))
+    return (
+        grid.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
+        )
+    )
