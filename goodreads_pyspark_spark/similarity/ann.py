@@ -348,6 +348,7 @@ def bucketed_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs WITHIN sign-LSH buckets — the production form of
     ``cosine_neardup_pairs`` that the latter's docstring promises.
@@ -357,10 +358,19 @@ def bucketed_neardup_pairs(
     never corpus²); survivors are rescored with decimal-exact cosine and
     cut at ``threshold``. Trades recall (cross-bucket pairs are lost;
     raise recall with multiple band tables) for a join that scales
-    linearly with corpus size at fixed bucket occupancy. Returns
+    linearly with corpus size at fixed bucket occupancy. ``max_bucket``
+    is the degenerate-occupancy guard (same contract as the MinHash /
+    SimHash caps): a bucket of m vectors costs m² pair rows, and
+    near-identical corpora concentrate mass in a few buckets — SCALING.md
+    measures exactly that regime blowing up 4x-replicated input. Returns
     (id_a, id_b, cosine) with id_a < id_b.
     """
     buckets = sign_lsh_buckets(df, planes, id_col, vec_col)
+    if max_bucket is not None:
+        counts = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("__n"))
+        buckets = buckets.join(
+            counts.filter(F.col("__n") <= max_bucket).drop("__n"), "bucket"
+        )
     a = buckets.select(F.col(id_col).alias("id_a"), "bucket")
     b = buckets.select(F.col(id_col).alias("id_b"), "bucket")
     cand = (

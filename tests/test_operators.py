@@ -335,3 +335,14 @@ def test_dedup_latest_property_hypothesis(spark):
             assert (r.v, r.tie) == best[r.k]
 
     check()
+
+
+def test_bucketed_neardup_cap_drops_hot_buckets(spark):
+    from goodreads_pyspark_spark.similarity.ann import bucketed_neardup_pairs
+
+    # 6 identical vectors share one bucket; cap 5 must zero the pairs
+    # (and the uncapped run must find all 15).
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    assert bucketed_neardup_pairs(df, threshold=0.9, planes=4, max_bucket=5).count() == 0
+    assert bucketed_neardup_pairs(df, threshold=0.9, planes=4).count() == 15
