@@ -473,3 +473,51 @@ def connected_components_alternating(
         F.coalesce("root", F.col("id")).alias("component"),
     )
     return out
+
+
+def sssp_rounds(
+    edges: DataFrame,
+    source: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Weighted single-source shortest paths, ``rounds`` synchronous
+    Bellman-Ford relaxations — distances reachable within that many hops.
+
+    ``edges`` is (src, dst, w) with integer weights; ``source`` is a
+    1-row (id) frame. Fixed rounds (not to-convergence) keep the result
+    a deterministic input function with pure integer arithmetic, so a
+    DuckDB CTE unrolling the same relaxations is bit-exact — the same
+    oracle discipline as the fixed-iteration LPA/PageRank/k-core. Each
+    round is one join edges⋈frontier + a min-aggregate + a min-merge
+    into the running distance table; frames cache per round with eager
+    materialization (superstep pattern). Returns (id, dist) for
+    vertices reached within ``rounds`` hops.
+    """
+    from pyspark.sql import functions as F
+
+    dist = source.select(
+        F.col("id"), F.lit(0).cast("bigint").alias("dist")
+    ).cache()
+    dist.count()
+    for _ in range(rounds):
+        msgs = (
+            edges.join(dist.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("nd"))
+            .groupBy("id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        prev = dist
+        dist = (
+            dist.join(msgs, "id", "full")
+            .select(
+                "id",
+                F.when(F.col("dist").isNull(), F.col("nd"))
+                .when(F.col("nd").isNull(), F.col("dist"))
+                .otherwise(F.least("dist", "nd"))
+                .alias("dist"),
+            )
+            .cache()
+        )
+        dist.count()
+        prev.unpersist()
+    return dist

@@ -437,3 +437,67 @@ def g08_kcore_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return kcore_trim(pairs, k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+# --- G-extension: weighted SSSP, fixed Bellman-Ford rounds -------------------
+_SSSP_ROUNDS = 3
+
+
+def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
+    ctes = [
+        f"""e0 AS (SELECT l_orderkey AS src, l_partkey + {_OFFSET} AS dst,
+                     CAST(l_quantity AS BIGINT) AS w
+              FROM lineitem),
+    ue AS MATERIALIZED (SELECT src, dst, w FROM e0
+           UNION ALL SELECT dst, src, w FROM e0),
+    s AS (SELECT MIN(l_orderkey) AS sid FROM lineitem),
+    d0 AS (SELECT sid AS id, CAST(0 AS BIGINT) AS dist FROM s)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""m{r} AS (SELECT ue.dst AS id, MIN(d.dist + ue.w) AS nd
+             FROM ue JOIN d{r - 1} d ON d.id = ue.src
+             GROUP BY ue.dst),
+    d{r} AS MATERIALIZED (
+        SELECT COALESCE(d.id, m.id) AS id,
+               CASE WHEN d.dist IS NULL THEN m.nd
+                    WHEN m.nd IS NULL THEN d.dist
+                    ELSE LEAST(d.dist, m.nd) END AS dist
+        FROM d{r - 1} d FULL JOIN m{r} m ON m.id = d.id)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT id, dist FROM d{rounds}
+    """
+
+
+@query(
+    "a_g09_sssp_rounds",
+    oracle=_sssp_oracle(),
+    doc=f"Weighted single-source shortest paths, {_SSSP_ROUNDS} synchronous "
+    "Bellman-Ford rounds from the minimum order vertex over the "
+    "undirected bipartite order-part graph with l_quantity weights "
+    "(graph/pregel.py sssp_rounds). Fixed rounds + integer weights "
+    "make the frontier expansion replayable as an unrolled min-plus "
+    "CTE chain, bit-exact — the weighted companion to g06's BFS.",
+)
+def g09_sssp_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.graph.pregel import sssp_rounds
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    li = fan_out(
+        tbl(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_quantity"
+        )
+    )
+    e0 = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + _OFFSET).alias("dst"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    ue = e0.unionByName(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    )
+    source = li.agg(F.min("l_orderkey").alias("id"))
+    return sssp_rounds(ue, source, rounds=_SSSP_ROUNDS)

@@ -226,3 +226,19 @@ def test_kcore_trim_peels_pendants(spark):
     assert out == {i: 4 for i in range(5)}
     # k=5 empties K5 entirely.
     assert kcore_trim(df, k=5, rounds=1).count() == 0
+
+
+def test_sssp_rounds_weighted_relaxation(spark):
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.graph.pregel import sssp_rounds
+
+    # 1 -2-> 2 -3-> 3; direct 1 -9-> 3 found first, relaxed to 5 by round 2.
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 3), (1, 3, 9), (3, 4, 1)], ["src", "dst", "w"]
+    )
+    src = spark.createDataFrame([(1,)], ["id"])
+    d1 = {r.id: r.dist for r in sssp_rounds(edges, src, rounds=1).collect()}
+    assert d1 == {1: 0, 2: 2, 3: 9}
+    d3 = {r.id: r.dist for r in sssp_rounds(edges, src, rounds=3).collect()}
+    assert d3 == {1: 0, 2: 2, 3: 5, 4: 6}
