@@ -63,12 +63,14 @@ def main() -> None:
     for name, q in sorted(REGISTRY.items()):
         dt, n = run_once(q)
         # This VM sees bursty CPU contention: a query can read 3-10x its
-        # true cost in one sample. Re-measure everything non-trivial and
-        # keep the min — the min is the stable, contention-free estimate.
-        # Sub-second queries are the noisiest in *relative* terms (round-2
-        # recorded 3-8x phantom regressions on q01/q21), so they get an
-        # extra sample.
-        extra = 2 if dt < 1.0 else 1
+        # true cost in one sample (round-3 measured the same suite at
+        # 158s/224s/239s across one evening with zero code change).
+        # Re-measure and keep the min — the stable, contention-free
+        # estimate. Sub-second and mid-range queries get min-of-3 (the
+        # noisiest in relative terms; round-2 recorded 3-8x phantom
+        # regressions on q01/q21); only >15s queries stop at min-of-2 to
+        # bound suite time.
+        extra = 1 if dt > 15.0 else 2
         for _ in range(extra):
             dt2, _n2 = run_once(q)
             dt = min(dt, dt2)
