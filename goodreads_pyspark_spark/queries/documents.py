@@ -1410,3 +1410,51 @@ def d25_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_oov").cast("bigint").alias("n_oov"),
         (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
     )
+
+
+# --- deterministic shard manifest --------------------------------------------
+_N_SHARDS = 16
+
+
+@query(
+    "a_d26_shard_manifest",
+    oracle=f"""
+    WITH sharded AS (
+      SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shard-v1'),
+                   1, 8)) AS BIGINT) % {_N_SHARDS} AS shard,
+             doc_id,
+             len({_TOKS}) AS n_tok
+      FROM documents)
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+    FROM sharded GROUP BY shard
+    """,
+    doc="Deterministic shard manifest: every document routed to one of "
+    f"{_N_SHARDS} shards by the engine-portable md5 bucket "
+    "(pipelines/sampling.portable_bucket — NOT Spark murmur3 hash(), "
+    "which no other engine reproduces), with per-shard doc/token "
+    "totals — the split a distributed training loader consumes, and "
+    "the balance report that validates it. Routing is content-free "
+    "and key-stable: re-running on a grown corpus never moves an "
+    "existing doc between shards.",
+)
+def d26_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.pipelines.sampling import portable_bucket
+
+    docs = tbl(spark, sf_dir, "documents")
+    sharded = docs.select(
+        (portable_bucket(F.col("doc_id"), "shard-v1", _N_SHARDS))
+        .cast("int")
+        .alias("shard"),
+        "doc_id",
+        F.size(tokens("text")).alias("n_tok"),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
