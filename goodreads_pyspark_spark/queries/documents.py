@@ -1458,3 +1458,154 @@ def d26_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_doc_id"),
         F.max("doc_id").alias("max_doc_id"),
     )
+
+
+# --- within-corpus duplicated-shingle fraction -------------------------------
+@query(
+    "b_d27_dup_shingle_fraction",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+    pd AS (SELECT s.doc_id, COUNT(*) AS n_shingles,
+                  SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS n_dup
+           FROM sh s JOIN dfreq USING (sh) GROUP BY s.doc_id)
+    SELECT doc_id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_dup AS BIGINT) AS n_dup,
+           CAST(n_dup AS DOUBLE) / n_shingles AS dup_fraction
+    FROM pd
+    """,
+    doc="Per-document duplicated-shingle fraction: the share of a doc's "
+    "distinct 3-word shingles that appear in at least one other "
+    "document — the RefinedWeb/CCNet-style internal-duplication signal "
+    "a span-level dedup pass keys on (complements d06's pair view and "
+    "d15's eval-leakage view). Scale shape: shingle doc-frequency is "
+    "one (sh)-keyed aggregate, joined back shingle-keyed, then one "
+    "(doc)-keyed aggregate — all shuffles carry (id, shingle) rows, "
+    "never document bytes; nothing quadratic (no pair join).",
+)
+def d27_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, out_id="doc_id").cache()
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_dup"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_shingles")).alias(
+                "dup_fraction"
+            ),
+        )
+    )
+
+
+# --- cross-source overlap matrix ---------------------------------------------
+@query(
+    "b_d28_source_overlap",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    ssh AS MATERIALIZED (
+      SELECT DISTINCT d.source, s.sh
+      FROM sh s JOIN documents d USING (doc_id)),
+    sz AS (SELECT source, COUNT(*) AS n_types FROM ssh GROUP BY source),
+    ov AS (SELECT a.source AS source_a, b.source AS source_b,
+                  COUNT(*) AS n_shared
+           FROM ssh a JOIN ssh b ON a.sh = b.sh AND a.source <> b.source
+           GROUP BY 1, 2)
+    SELECT source_a, source_b,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(sz.n_types AS BIGINT) AS n_types_a,
+           CAST(n_shared AS DOUBLE) / sz.n_types AS containment
+    FROM ov JOIN sz ON sz.source = ov.source_a
+    """,
+    doc="Inter-dataset duplication audit: for every ordered source pair, "
+    "how many distinct 3-word shingle types of A also occur in B, and "
+    "the containment fraction |A∩B|/|A| — the overlap matrix consulted "
+    "before mixing corpora (asymmetric: a small corpus can be fully "
+    "contained in a large one but not vice versa). Scale shape: "
+    "shingles collapse to DISTINCT (source, shingle) TYPES first, so "
+    "the shingle-keyed self-join fans out at most |sources| ways per "
+    "shingle type — bounded by a constant, never by corpus size.",
+)
+def d28_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.text import word_shingles
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = tbl(spark, sf_dir, "documents")
+    # Tokenize into an attribute first (the shingle_rows codegen lesson).
+    base = fan_out(docs).select("source", tokens("text").alias("__toks"))
+    ssh = (
+        base.select("source", F.explode(word_shingles(F.col("__toks"))).alias("sh"))
+        .distinct()
+        .cache()
+    )
+    sz = ssh.groupBy("source").agg(F.count(F.lit(1)).alias("n_types"))
+    b = ssh.select(F.col("source").alias("source_b"), "sh")
+    ov = (
+        ssh.alias("a")
+        .join(b, "sh")
+        .filter(F.col("source") != F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return ov.join(
+        F.broadcast(sz.withColumnRenamed("source", "source_a")), "source_a"
+    ).select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        F.col("n_types").alias("n_types_a"),
+        (F.col("n_shared").cast("double") / F.col("n_types")).alias("containment"),
+    )
+
+
+# --- exact-quota deterministic stratified sample -----------------------------
+#: Per-(lang, source) quota for the registered query — below the largest
+#: sf0.01 stratum (16 docs) so the rank cut is actually exercised at the
+#: driver's verification scale, not just at bench scale.
+D29_QUOTA = 8
+
+@query(
+    "b_d29_quota_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT lang, source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR) || 'quota-v1'), doc_id
+             ) AS rn
+      FROM documents)
+    SELECT lang, source, doc_id, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= {D29_QUOTA}
+    """,
+    doc="Exact-count stratified sample: exactly min(quota, |stratum|) docs "
+    "per (lang, source), chosen by rank over the engine-portable md5 "
+    "order (salted, key-stable — the d26/d14 routing convention; NOT "
+    "Spark murmur3). Complements d14's rate-based sampler: rates give "
+    "linear scaling but binomial counts; eval-set construction needs "
+    "exact counts. Scale shape: one window shuffle partitioned by the "
+    "stratum key — no global sort, no driver collect; skewed strata "
+    "are bounded by per-partition top-k semantics under AQE.",
+)
+def d29_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("quota-v1")))
+    w = Window.partitionBy("lang", "source").orderBy(order_key, "doc_id")
+    return (
+        docs.select("lang", "source", "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= D29_QUOTA)
+    )
