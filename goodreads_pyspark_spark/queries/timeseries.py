@@ -729,3 +729,133 @@ def t11_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n").isNull(), 1).otherwise(0).cast("int").alias("is_gap"),
         )
     )
+
+
+# --- ordered funnel conversion -----------------------------------------------
+@query(
+    "b_t12_funnel_conversion",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t2
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t3
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t2 GROUP BY e.user_id),
+    n AS (SELECT 1 AS stage_no, '1_view' AS stage,
+                 (SELECT COUNT(*) FROM v) AS n_users
+          UNION ALL SELECT 2, '2_click', (SELECT COUNT(*) FROM c)
+          UNION ALL SELECT 3, '3_purchase', (SELECT COUNT(*) FROM p))
+    SELECT CAST(stage_no AS INTEGER) AS stage_no, stage,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(n_users AS DOUBLE)
+             / (SELECT n_users FROM n WHERE stage_no = 1) AS conversion
+    FROM n
+    """,
+    doc="Strictly-ordered event funnel view -> click -> purchase: a user "
+    "advances a stage only with an event AFTER their entry into the "
+    "previous stage (first-touch semantics: MIN ts per stage). The "
+    "product-analytics primitive (conversion-rate report). Scale "
+    "shape: three user_id-keyed aggregations chained by user_id-keyed "
+    "joins — one shuffle key throughout, so AQE/co-partitioning "
+    "collapses the chain; no windows, no sorts, output is 3 rows.",
+)
+def t12_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    stages = (
+        v.agg(F.count(F.lit(1)).alias("n_users"))
+        .select(F.lit(1).alias("stage_no"), F.lit("1_view").alias("stage"), "n_users")
+        .unionAll(
+            c.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(2).alias("stage_no"), F.lit("2_click").alias("stage"), "n_users"
+            )
+        )
+        .unionAll(
+            p.agg(F.count(F.lit(1)).alias("n_users")).select(
+                F.lit(3).alias("stage_no"),
+                F.lit("3_purchase").alias("stage"),
+                "n_users",
+            )
+        )
+    )
+    base = v.agg(F.count(F.lit(1)).alias("__base"))
+    return stages.crossJoin(F.broadcast(base)).select(
+        "stage_no",
+        "stage",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("__base").cast("double")).alias(
+            "conversion"
+        ),
+    )
+
+
+# --- retention cohort matrix -------------------------------------------------
+@query(
+    "b_t13_retention_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort
+      FROM events GROUP BY user_id),
+    days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events),
+    ret AS (
+      SELECT f.cohort, date_diff('day', f.cohort, days.d) AS day_offset,
+             COUNT(*) AS n_active
+      FROM days JOIN firsts f USING (user_id)
+      GROUP BY 1, 2),
+    sz AS (SELECT cohort, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort)
+    SELECT ret.cohort, CAST(day_offset AS INTEGER) AS day_offset,
+           CAST(n_active AS BIGINT) AS n_active,
+           CAST(sz.cohort_size AS BIGINT) AS cohort_size,
+           CAST(n_active AS DOUBLE) / sz.cohort_size AS retention
+    FROM ret JOIN sz USING (cohort)
+    """,
+    doc="Retention cohort matrix: users grouped by first-seen day, then "
+    "for each (cohort, day-offset) the count and fraction still active "
+    "that day — the growth-analytics triangle chart. COUNT(*) over the "
+    "distinct (user, day) grid IS the distinct-active count, so no "
+    "per-cell countDistinct is needed. Scale shape: first-seen and "
+    "activity grids are both user_id-keyed aggregates; the join back "
+    "is user_id-keyed; the final aggregate is (cohort, offset)-keyed "
+    "with bounded cardinality (days x days) — the cohort-size join is "
+    "a broadcast.",
+)
+def t13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    d = F.to_date(F.date_trunc("day", "ts"))
+    firsts = ev.groupBy("user_id").agg(F.min(d).alias("cohort"))
+    days = ev.select("user_id", d.alias("d")).distinct()
+    ret = (
+        days.join(firsts, "user_id")
+        .groupBy("cohort", F.datediff("d", "cohort").alias("day_offset"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    sz = firsts.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return ret.join(F.broadcast(sz), "cohort").select(
+        "cohort",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
+    )
