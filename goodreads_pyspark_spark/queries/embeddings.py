@@ -566,3 +566,49 @@ def e13_bucketed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     return bucketed_neardup_pairs(emb, threshold=0.4, planes=8)
+
+
+# --- PQ asymmetric-distance top-k search -------------------------------------
+@query(
+    "b_e14_pq_adc_topk",
+    oracle=f"""
+    WITH {_LONG},
+    c AS (SELECT vec_id AS cid, pos, v AS cval FROM e WHERE vec_id < 16),
+    d2 AS (
+      SELECT e.vec_id, (e.pos - 1) // 16 AS sub, c.cid,
+             {_DSUM.format(expr='(e.v - c.cval) * (e.v - c.cval)')} AS d2
+      FROM e JOIN c USING (pos)
+      GROUP BY e.vec_id, (e.pos - 1) // 16, c.cid),
+    best AS (SELECT vec_id, sub, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2, cid) AS rn
+             FROM d2),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 2),
+    lut AS (
+      SELECT (q.pos - 1) // 16 AS sub, c.cid,
+             SUM(CAST((q.qv - c.cval) * (q.qv - c.cval)
+                      AS DECIMAL(38,12))) AS lut_d2
+      FROM q JOIN c USING (pos)
+      GROUP BY 1, 2),
+    adc AS (
+      SELECT b.vec_id, CAST(SUM(lut_d2) AS DOUBLE) AS adc_d2
+      FROM best b JOIN lut USING (sub, cid)
+      WHERE b.rn = 1 AND b.vec_id <> 2
+      GROUP BY b.vec_id)
+    SELECT vec_id, adc_d2 FROM adc ORDER BY adc_d2, vec_id LIMIT 10
+    """,
+    doc="ADC top-10 for query vec_id=2 over PQ codes (similarity/"
+    "quantize.py pq_adc_topk): the query stays exact, database vectors "
+    "are their per-subspace centroids, and distance is 4 lookups into "
+    "a 64-row LUT — the IVF-PQ search kernel that completes the e10 "
+    "compression story (codes -> search). LUT sums stay DECIMAL "
+    "through the final 4-addend per-vector sum, so the ranking (id "
+    "tiebreak) is bit-identical across engines. Scale shape: LUT and "
+    "codebooks broadcast; the scan touches integer codes only — "
+    "~256x less IO than raw vectors.",
+)
+def e14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.quantize import pq_adc_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, query_id=2, k=10)

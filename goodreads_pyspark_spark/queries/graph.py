@@ -501,3 +501,61 @@ def g09_sssp_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     source = li.agg(F.min("l_orderkey").alias("id"))
     return sssp_rounds(ue, source, rounds=_SSSP_ROUNDS)
+
+
+# --- G-extension: personalized (topic-sensitive) PageRank --------------------
+#: PPR seed predicate — order vertices whose key is a multiple of 50.
+_PPR_SEED_MOD = 50
+
+
+def _ppr_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
+    """Unrolled fixed-point PPR recurrence — g04's oracle with the reset
+    mass confined to the seed set (seeds get scale at t0 and the full
+    teleport term each round; non-seeds only accumulate damped messages).
+    Pure BIGINT arithmetic, so every score matches bit-for-bit."""
+    reset = (15 * scale) // 100
+    steps = []
+    for r in range(1, n_iter + 1):
+        steps.append(f"""
+    m{r} AS MATERIALIZED (SELECT e.dst AS id, SUM(p.pr // d.outdeg) AS msg
+             FROM edges e
+             JOIN p{r - 1} p ON p.id = e.src
+             JOIN outd d ON d.id = e.src
+             GROUP BY e.dst),
+    p{r} AS MATERIALIZED (SELECT s.id,
+                    CAST(s.is_seed * {reset}
+                         + (85 * COALESCE(m{r}.msg, 0)) // 100
+                         AS BIGINT) AS pr
+             FROM seeds s LEFT JOIN m{r} USING (id))""")
+    return f"""
+    WITH {_GRAPH_CTES},
+    outd AS MATERIALIZED (SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    seeds AS MATERIALIZED (SELECT id,
+                    CASE WHEN id < {_OFFSET} AND id % {_PPR_SEED_MOD} = 0
+                         THEN 1 ELSE 0 END AS is_seed
+             FROM vertices),
+    p0 AS MATERIALIZED (SELECT id, CAST(is_seed * {scale} AS BIGINT) AS pr
+                        FROM seeds),{",".join(steps)}
+    SELECT id, pr AS ppr_scaled FROM p{n_iter}
+    """
+
+
+@query(
+    "b_g10_personalized_pagerank",
+    oracle=_ppr_oracle(n_iter=3),
+    doc="Personalized PageRank from the orderkey%50=0 seed set, 3 fixed "
+    "supersteps in 1e12 fixed-point integers (graph/pregel.py "
+    "personalized_pagerank_scaled). Same Pregel loop as g04 with the "
+    "teleport mass confined to seeds — the query-anchored ranking/"
+    "recommendation primitive. Vertices outside the seeds' 3-hop "
+    "neighborhood score exactly 0; integer arithmetic keeps both "
+    "engines bit-identical. Scale: per-superstep state is (id, "
+    "bigint); overflow headroom is |seeds|*scale, not |V|*scale.",
+)
+def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.graph.pregel import personalized_pagerank_scaled
+
+    g = _graph(spark, sf_dir)
+    return personalized_pagerank_scaled(
+        g, f"id < {_OFFSET} AND id % {_PPR_SEED_MOD} = 0", n_iter=3
+    )

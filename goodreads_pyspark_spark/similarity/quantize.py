@@ -88,6 +88,52 @@ def pq_codes(
     decimal-exact sum of per-subspace squared distances (the
     reconstruction-error audit column).
     """
+    acc = "decimal(38,12)"
+    best = pq_assignments(df, n_sub, sub_dim, ksub, id_col, vec_col)
+    code = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
+            lambda s: s.getField("cid").cast("string"),
+        ),
+        ",",
+    )
+    return best.groupBy(id_col).agg(
+        code.alias("pq_code"),
+        F.sum(F.col("d2").cast(acc)).cast("double").alias("total_d2"),
+    )
+
+
+def _centroids(
+    df: DataFrame, ksub: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """PQ codebooks as (cid, pos, cval) rows — the subvectors of the
+    ``ksub`` lowest-id vectors (the IVF ``sampled_centroids`` convention,
+    which is what lets a SQL oracle replay assignment exactly)."""
+    return (
+        df.filter(F.col(id_col) < ksub)
+        .select(
+            F.col(id_col).cast("int").alias("cid"),
+            F.posexplode(vec_col).alias("pos", "cval"),
+        )
+        .withColumn("cval", F.col("cval").cast("double"))
+    )
+
+
+def pq_assignments(
+    df: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-(vector, subspace) nearest-centroid assignment.
+
+    Returns (id, sub, cid, d2): the winning centroid id per subspace with
+    its decimal-exact squared distance (as DOUBLE). Ties break to the
+    lowest centroid id — deterministic and oracle-replayable. Shared by
+    :func:`pq_codes` (compression) and :func:`pq_adc_topk` (search).
+    """
     from pyspark.sql import Window
 
     acc = "decimal(38,12)"
@@ -97,14 +143,7 @@ def pq_codes(
         .withColumn("v", F.col("v").cast("double"))
         .withColumn("sub", F.expr(f"pos div {sub_dim}"))
     )
-    cents = (
-        df.filter(F.col(id_col) < ksub)
-        .select(
-            F.col(id_col).cast("int").alias("cid"),
-            F.posexplode(vec_col).alias("pos", "cval"),
-        )
-        .withColumn("cval", F.col("cval").cast("double"))
-    )
+    cents = _centroids(df, ksub, id_col, vec_col)
     d2 = (
         e.join(F.broadcast(cents), "pos")
         .groupBy(id_col, "sub", "cid")
@@ -117,15 +156,65 @@ def pq_codes(
         )
     )
     w = Window.partitionBy(id_col, "sub").orderBy(F.col("d2").asc(), F.col("cid"))
-    best = d2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-    code = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("sub", "cid"))),
-            lambda s: s.getField("cid").cast("string"),
-        ),
-        ",",
+    return (
+        d2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
     )
-    return best.groupBy(id_col).agg(
-        code.alias("pq_code"),
-        F.sum(F.col("d2").cast(acc)).cast("double").alias("total_d2"),
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes.
+
+    The query vector stays exact; every database vector is represented by
+    its per-subspace centroid. Approximate distance is the sum over
+    subspaces of d2(query subvector, assigned centroid) — read from a
+    tiny (n_sub x ksub) lookup table instead of touching raw vectors.
+    This is the IVF-PQ search kernel: at 100 TB the LUT is built once per
+    query (64 rows, broadcast) and the scan touches only the integer
+    codes — ~256x less IO than raw float64 vectors.
+
+    Exactness posture: the LUT entries are decimal-exact sums kept in
+    DECIMAL through the final per-vector sum (4 addends), converted to
+    DOUBLE only for output — bit-identical across engines and
+    partitionings, so top-k (with id tiebreak) is well-defined.
+
+    Returns the k nearest non-query vectors as (id, adc_d2), ascending.
+    """
+    acc = "decimal(38,12)"
+    q = (
+        df.filter(F.col(id_col) == query_id)
+        .select(F.posexplode(vec_col).alias("pos", "qv"))
+        .withColumn("qv", F.col("qv").cast("double"))
+        .withColumn("sub", F.expr(f"pos div {sub_dim}"))
+    )
+    cents = _centroids(df, ksub, id_col, vec_col)
+    lut = (
+        q.join(F.broadcast(cents), "pos")
+        .groupBy("sub", "cid")
+        .agg(
+            F.sum(
+                ((F.col("qv") - F.col("cval")) * (F.col("qv") - F.col("cval"))).cast(
+                    acc
+                )
+            ).alias("lut_d2")
+        )
+    )
+    asgn = pq_assignments(df, n_sub, sub_dim, ksub, id_col, vec_col)
+    return (
+        asgn.join(F.broadcast(lut), ["sub", "cid"])
+        .groupBy(id_col)
+        .agg(F.sum("lut_d2").cast("double").alias("adc_d2"))
+        .filter(F.col(id_col) != query_id)
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -1,0 +1,138 @@
+"""Unit tests for the event-analytics queries (funnel, retention) and the
+corpus audit queries added alongside them, on hand-built fixtures written
+as parquet so the registry functions run unchanged."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _t(day, h=0):
+    return dt.datetime(2024, 1, 1 + day, h)
+
+
+@pytest.fixture(scope="module")
+def funnel_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ev"))
+    rows = [
+        # user 1 completes the funnel in order
+        (1, _t(0, 1), 1, "view", 1.0, "{}"),
+        (2, _t(0, 2), 1, "click", 1.0, "{}"),
+        (3, _t(0, 3), 1, "purchase", 1.0, "{}"),
+        # user 2: click BEFORE first view only -> stalls at view
+        (4, _t(0, 1), 2, "click", 1.0, "{}"),
+        (5, _t(0, 2), 2, "view", 1.0, "{}"),
+        # user 3: purchase before click -> reaches click, not purchase
+        (6, _t(0, 1), 3, "view", 1.0, "{}"),
+        (7, _t(0, 2), 3, "purchase", 1.0, "{}"),
+        (8, _t(0, 3), 3, "click", 1.0, "{}"),
+    ]
+    _write_events(spark, p, rows)
+    return p
+
+
+def test_funnel_strict_ordering(spark, funnel_dir):
+    from goodreads_pyspark_spark.queries.timeseries import t12_funnel_conversion
+
+    out = {r.stage: r for r in t12_funnel_conversion(spark, funnel_dir).collect()}
+    assert out["1_view"].n_users == 3
+    assert out["2_click"].n_users == 2  # users 1 and 3
+    assert out["3_purchase"].n_users == 1  # user 1 only
+    assert abs(out["3_purchase"].conversion - 1 / 3) < 1e-12
+
+
+def test_retention_cohort_matrix(spark, tmp_path_factory):
+    from goodreads_pyspark_spark.queries.timeseries import t13_retention_cohorts
+
+    p = str(tmp_path_factory.mktemp("ev2"))
+    rows = [
+        # u1: cohort day0, active day0, day1 (twice -> dedup), day3
+        (1, _t(0), 1, "view", 1.0, "{}"),
+        (2, _t(1, 1), 1, "view", 1.0, "{}"),
+        (3, _t(1, 2), 1, "click", 1.0, "{}"),
+        (4, _t(3), 1, "view", 1.0, "{}"),
+        # u2: cohort day1, active day1 only
+        (5, _t(1), 2, "view", 1.0, "{}"),
+    ]
+    _write_events(spark, p, rows)
+    out = {
+        (r.cohort.isoformat(), r.day_offset): (r.n_active, r.cohort_size, r.retention)
+        for r in t13_retention_cohorts(spark, p).collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): (1, 1, 1.0),
+        ("2024-01-01", 1): (1, 1, 1.0),
+        ("2024-01-01", 3): (1, 1, 1.0),
+        ("2024-01-02", 0): (1, 1, 1.0),
+    }
+
+
+@pytest.fixture(scope="module")
+def overlap_dir(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("docs"))
+    rows = [
+        (1, "a b c d", "en", "X", 7),
+        (2, "b c d e", "en", "Y", 7),
+        (3, "zz yy xx ww", "en", "Z", 11),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/documents.parquet")
+    return p
+
+
+def test_source_overlap_containment(spark, overlap_dir):
+    from goodreads_pyspark_spark.queries.documents import d28_source_overlap
+
+    out = {
+        (r.source_a, r.source_b): (r.n_shared, r.n_types_a, r.containment)
+        for r in d28_source_overlap(spark, overlap_dir).collect()
+    }
+    # X: {abc, bcd}; Y: {bcd, cde}; Z disjoint -> no Z rows at all
+    assert out == {("X", "Y"): (1, 2, 0.5), ("Y", "X"): (1, 2, 0.5)}
+
+
+def test_dup_shingle_fraction(spark, overlap_dir):
+    from goodreads_pyspark_spark.queries.documents import d27_dup_shingle_fraction
+
+    out = {
+        r.doc_id: (r.n_shingles, r.n_dup, r.dup_fraction)
+        for r in d27_dup_shingle_fraction(spark, overlap_dir).collect()
+    }
+    # "b c d" is shared between docs 1 and 2; doc 3 shares nothing
+    assert out == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
+
+
+def test_quota_sample_exact_counts_and_determinism(spark):
+    from goodreads_pyspark_spark.queries.documents import (
+        D29_QUOTA,
+        d29_quota_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    a = d29_quota_sample(spark, sf)
+    sizes = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .groupBy("lang", "source")
+        .count()
+        .collect()
+    )
+    got = {
+        (r.lang, r.source): r["count"]
+        for r in a.groupBy("lang", "source").count().collect()
+    }
+    for r in sizes:
+        assert got[(r.lang, r.source)] == min(D29_QUOTA, r["count"])
+    # deterministic: two runs pick the identical id set
+    ids1 = sorted(r.doc_id for r in a.collect())
+    ids2 = sorted(r.doc_id for r in d29_quota_sample(spark, sf).collect())
+    assert ids1 == ids2

@@ -242,3 +242,21 @@ def test_sssp_rounds_weighted_relaxation(spark):
     assert d1 == {1: 0, 2: 2, 3: 9}
     d3 = {r.id: r.dist for r in sssp_rounds(edges, src, rounds=3).collect()}
     assert d3 == {1: 0, 2: 2, 3: 5, 4: 6}
+
+
+def test_personalized_pagerank_hand_computed_path(spark):
+    """a->b->c with seed {a}, scale=100, 2 rounds — every value checked
+    against the integer recurrence by hand; isolated vertex stays 0."""
+    from goodreads_pyspark_spark.graph.pregel import personalized_pagerank_scaled
+
+    v = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["id"])
+    e = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    out = {
+        r["id"]: r["ppr_scaled"]
+        for r in personalized_pagerank_scaled(
+            PropertyGraph(v, e), "id = 1", n_iter=2, scale=100
+        ).collect()
+    }
+    # r1: a=15, b=(85*100)div100=85, c=0; r2: a=15, b=(85*15)div100=12,
+    # c=(85*85)div100=72; vertex 4 is unreachable -> 0
+    assert out == {1: 15, 2: 12, 3: 72, 4: 0}

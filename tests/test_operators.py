@@ -346,3 +346,30 @@ def test_bucketed_neardup_cap_drops_hot_buckets(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     assert bucketed_neardup_pairs(df, threshold=0.9, planes=4, max_bucket=5).count() == 0
     assert bucketed_neardup_pairs(df, threshold=0.9, planes=4).count() == 15
+
+
+def test_pq_adc_equals_exact_when_vectors_are_codebook_copies(spark):
+    """When every db vector IS one of the codebook vectors, assignment is
+    exact (d2=0), so ADC distance == true squared distance for every
+    vector — the strongest exactness statement ADC admits."""
+    import random
+
+    from goodreads_pyspark_spark.similarity.quantize import pq_adc_topk
+
+    rng = random.Random(23)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = [(i, base[i % 4]) for i in range(20)]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    qid = 7  # copy of base[3]
+    got = pq_adc_topk(df, query_id=qid, k=19, n_sub=2, sub_dim=4, ksub=4).collect()
+    assert len(got) == 19
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    exact = {i: d2(base[qid % 4], base[i % 4]) for i in range(20) if i != qid}
+    for r in got:
+        assert abs(r.adc_d2 - exact[r.vec_id]) < 1e-9, (r.vec_id, r.adc_d2)
+    # ascending with id tiebreak
+    keys = [(r.adc_d2, r.vec_id) for r in got]
+    assert keys == sorted(keys)
