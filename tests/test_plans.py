@@ -274,3 +274,42 @@ def test_d20_broadcasts_corpus_count_only(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     ex_segs = plan.split("Exchange")[1:]
     assert ex_segs and all("text" not in seg.splitlines()[0] for seg in ex_segs)
+
+
+def test_e14_adc_broadcasts_lut_and_codebooks(spark):
+    """ADC must never shuffle raw vectors for the LUT/codebook sides: the
+    64-row LUT and ksub codebooks broadcast; the only exchanges key the
+    (id, sub, cid) assignment rows."""
+    plan = plan_of(spark, "b_e14_pq_adc_topk")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k folds, no global sort
+
+
+def test_d27_shuffles_shingles_not_documents(spark):
+    """The doc-frequency join carries (id, shingle) rows only — the raw
+    text column must not survive past the scan projection."""
+    plan = plan_of(spark, "b_d27_dup_shingle_fraction")
+    exchanges = [
+        seg.splitlines()[0] for seg in plan.split("Arguments: ")[1:]
+        if seg.splitlines()[0].startswith("hashpartitioning")
+    ]
+    assert exchanges, plan
+    assert all("text" not in e for e in exchanges), exchanges
+
+
+def test_d29_quota_window_is_partitioned(spark):
+    """The rank cut must run per-stratum: a window partitioned by the
+    stratum key, never an Exchange SinglePartition (the global-window
+    funnel that dies at scale)."""
+    plan = plan_of(spark, "b_d29_quota_sample")
+    assert "SinglePartition" not in plan
+    assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_g10_ppr_state_is_id_and_bigint_only(spark):
+    """Per-superstep shuffles carry (id, pr/msg) pairs — no vertex
+    attributes balloon the iteration state."""
+    plan = plan_of(spark, "b_g10_personalized_pagerank")
+    assert "CartesianProduct" not in plan
+    assert "text" not in plan and "l_comment" not in plan
