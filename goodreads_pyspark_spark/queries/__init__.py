@@ -71,6 +71,7 @@ def _load_all() -> None:
         embeddings,
         goodreads_sql,
         graph,
+        hybrid,
         io,
         ml,
         multimodal,

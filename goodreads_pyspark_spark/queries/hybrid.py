@@ -1,0 +1,145 @@
+"""Hybrid retrieval — lexical + vector rank fusion across the
+``documents`` and ``embeddings`` tables (shared 0-based id space).
+
+The RAG/retrieval primitive a training-data platform serves: given a
+query document, rank the corpus by (a) ratio-TF-IDF lexical overlap (the
+d20 log-free scoring, so doubles are bit-exact cross-engine) and (b)
+exact decimal-summed cosine similarity (the e01 kernel), then fuse the
+two rank lists with reciprocal-rank fusion. RRF operates on INTEGER
+ranks — 1/(60+rank) is a single exact double division — which is what
+makes a hybrid ranking hash-comparable across engines at full precision,
+where fusing raw scores would drown in accumulation-order noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.functions.text import tokens
+from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries._helpers import tbl
+
+_TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+_ACC = "decimal(38,12)"
+_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+
+#: RRF smoothing constant (the value from the original RRF paper).
+RRF_K = 60
+#: Depth of each per-system candidate list before fusion.
+FUSE_DEPTH = 50
+
+
+@query(
+    "h01_hybrid_search_rrf",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+    qt AS (SELECT DISTINCT term FROM ex WHERE doc_id = 0),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
+            WHERE doc_id <> 0 AND term IN (SELECT term FROM qt)
+            GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex
+            WHERE term IN (SELECT term FROM qt) GROUP BY term),
+    lex AS (SELECT tfq.doc_id,
+                   CAST(SUM(CAST(CAST(tf * n.n_docs AS DOUBLE) / df
+                                 AS DECIMAL(38,12))) AS DOUBLE) AS lscore
+            FROM tfq JOIN dfq USING (term) CROSS JOIN n
+            GROUP BY tfq.doc_id),
+    ltop AS (SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY lscore DESC, doc_id) AS lrank
+             FROM lex QUALIFY lrank <= {FUSE_DEPTH}),
+    e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    comps AS (SELECT vec_id,
+                     {_DSUM.format(expr='v * qv')} AS dot,
+                     {_DSUM.format(expr='v * v')} AS n2,
+                     {_DSUM.format(expr='qv * qv')} AS q2
+              FROM e JOIN q USING (pos) WHERE vec_id <> 0 GROUP BY vec_id),
+    vtop AS (SELECT vec_id,
+                    ROW_NUMBER() OVER (
+                      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC,
+                               vec_id) AS vrank
+             FROM comps QUALIFY vrank <= {FUSE_DEPTH}),
+    fused AS (SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+                     COALESCE(l.lrank, 0) AS lex_rank,
+                     COALESCE(v.vrank, 0) AS vec_rank,
+                     COALESCE(1.0 / ({RRF_K} + l.lrank), 0)
+                       + COALESCE(1.0 / ({RRF_K} + v.vrank), 0) AS rrf
+              FROM ltop l FULL OUTER JOIN vtop v ON l.doc_id = v.vec_id)
+    SELECT doc_id, CAST(lex_rank AS INTEGER) AS lex_rank,
+           CAST(vec_rank AS INTEGER) AS vec_rank,
+           rrf AS rrf_score
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="More-like-this hybrid retrieval for query id 0: top-50 by "
+    "log-free ratio TF-IDF over the query doc's terms (d20 scoring, "
+    "per-term quotients decimal-summed) fused via RRF with top-50 by "
+    "exact cosine (e01 kernel), output = top-10 by fused score. "
+    "Missing-side ranks contribute 0 — ids beyond embedding coverage "
+    "(sf0.1 has 5000 docs, 2000 vectors) fuse on the lexical side "
+    "alone. Scale shape: query terms and the 64-float query vector "
+    "broadcast; tf/df are (doc,term)/(term)-keyed aggregates; each "
+    "candidate list is a TakeOrdered top-50 and the fusion window "
+    "runs over 2x50 bounded rows — constant, scale-independent.",
+)
+def h01_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    emb = tbl(spark, sf_dir, "embeddings")
+
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    qt = ex.filter(F.col("doc_id") == 0).select("term").distinct()
+    tfq = (
+        ex.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = (
+        ex.join(F.broadcast(qt), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    lex = (
+        tfq.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).cast(
+                    _ACC
+                )
+            )
+            .cast("double")
+            .alias("lscore")
+        )
+    )
+    # TakeOrdered cut first (scale path), then rank the bounded 50 rows.
+    ltop = lex.orderBy(F.col("lscore").desc(), "doc_id").limit(FUSE_DEPTH)
+    lw = Window.orderBy(F.col("lscore").desc(), "doc_id")
+    ltop = ltop.select("doc_id", F.row_number().over(lw).alias("lrank"))
+
+    knn = brute_force_knn(emb, query_id=0, k=FUSE_DEPTH)
+    vw = Window.orderBy(F.col("cosine").desc(), "vec_id")
+    vtop = knn.select(F.col("vec_id"), F.row_number().over(vw).alias("vrank"))
+
+    fused = (
+        ltop.join(vtop, ltop["doc_id"] == vtop["vec_id"], "full_outer")
+        .select(
+            F.coalesce(ltop["doc_id"], vtop["vec_id"]).alias("doc_id"),
+            F.coalesce("lrank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("vrank", F.lit(0)).alias("vec_rank"),
+            (
+                F.coalesce(F.lit(1.0) / (RRF_K + F.col("lrank")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_K + F.col("vrank")), F.lit(0.0))
+            ).alias("rrf_score"),
+        )
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)

@@ -136,3 +136,39 @@ def test_quota_sample_exact_counts_and_determinism(spark):
     ids1 = sorted(r.doc_id for r in a.collect())
     ids2 = sorted(r.doc_id for r in d29_quota_sample(spark, sf).collect())
     assert ids1 == ids2
+
+
+def test_hybrid_rrf_fusion_ordering(spark, tmp_path_factory):
+    """Doc sharing MOST terms wins over a doc with balanced mid ranks by
+    the exact RRF arithmetic (1/61+1/63 > 2/62); vector-only and
+    lexical-only candidates still surface with the other rank = 0."""
+    from goodreads_pyspark_spark.queries.hybrid import h01_hybrid_search_rrf
+
+    p = str(tmp_path_factory.mktemp("hy"))
+    docs = [
+        (0, "alpha beta gamma delta", "en", "X", 1),
+        (1, "alpha beta gamma epsilon", "en", "X", 1),
+        (2, "zz yy xx ww", "en", "X", 1),
+        (3, "alpha beta qq rr", "en", "X", 1),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/documents.parquet")
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 1.0, 0.0, 0.0], 0),  # orthogonal to query
+        (2, [1.0, 0.01, 0.0, 0.0], 0),  # nearest
+        (3, [0.9, 0.1, 0.0, 0.0], 0),  # second
+    ]
+    spark.createDataFrame(
+        vecs, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/embeddings.parquet")
+
+    rows = h01_hybrid_search_rrf(spark, p).collect()
+    assert [r.doc_id for r in rows] == [1, 3, 2]
+    r1, r3, r2 = rows
+    assert (r1.lex_rank, r1.vec_rank) == (1, 3)
+    assert (r3.lex_rank, r3.vec_rank) == (2, 2)
+    assert (r2.lex_rank, r2.vec_rank) == (0, 1)
+    assert abs(r1.rrf_score - (1 / 61 + 1 / 63)) < 1e-12
+    assert abs(r2.rrf_score - 1 / 61) < 1e-12
