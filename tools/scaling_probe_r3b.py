@@ -1,0 +1,109 @@
+"""Round-3 scaling probe, third pass — the session's new operators.
+
+Replicates sf0.1 inputs 1x/2x/4x (tools/scaling_probe.replicate: id
+offsets + copymark suffixes) and measures:
+  * d27 dup-shingle fraction on replicated documents (df-join shape —
+    expected linear: the doc-frequency table joins back one row per
+    (doc, shingle), never pairs);
+  * e14 ADC top-k on replicated embeddings (codebooks stay the 16
+    original low-id vectors; assignment volume is linear);
+  * g10 personalized PageRank on disjoint id-offset copies of the
+    lineitem co-occurrence graph (F copies = F independent subgraphs,
+    ideal linear);
+  * h01 hybrid RRF on replicated documents+embeddings (per-system
+    candidate generation linear, fusion constant).
+
+Usage: python tools/scaling_probe_r3b.py [factors...]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.graph.frames import PropertyGraph
+from goodreads_pyspark_spark.graph.pregel import personalized_pagerank_scaled
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import SRC, replicate
+
+_OFFSET = 10_000_000
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark("scaling_probe_r3b")
+    out_dir = tempfile.mkdtemp(prefix="scaling_r3b_")
+    print(f"# staging to {out_dir}", file=sys.stderr)
+
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    n_ord = li.agg(F.max("l_orderkey")).first()[0] + 1
+    n_prt = li.agg(F.max("l_partkey")).first()[0] + 1
+
+    for f in factors:
+        docs_dir = tempfile.mkdtemp(prefix=f"r3b_x{f}_")
+        dpath = replicate(spark, "documents", f, "doc_id", docs_dir)
+        epath = replicate(spark, "embeddings", f, "vec_id", docs_dir)
+
+        from goodreads_pyspark_spark.queries.documents import (
+            d27_dup_shingle_fraction,
+        )
+        from goodreads_pyspark_spark.queries.embeddings import e14_pq_adc_topk
+        from goodreads_pyspark_spark.queries.hybrid import h01_hybrid_search_rrf
+
+        class _Dir(str):
+            pass
+
+        sf_dir = str(Path(dpath).parent)
+        # replicate() writes <table>_x<factor>; symlink to the names tbl() reads
+        for t, p in (("documents", dpath), ("embeddings", epath)):
+            link = Path(sf_dir) / f"{t}.parquet"
+            if not link.exists():
+                link.symlink_to(p)
+
+        for name, fn in (
+            ("d27_dup_shingle_fraction", d27_dup_shingle_fraction),
+            ("e14_pq_adc_topk", e14_pq_adc_topk),
+            ("h01_hybrid_search_rrf", h01_hybrid_search_rrf),
+        ):
+            t0 = time.perf_counter()
+            n = fn(spark, sf_dir).count()
+            print(f"x{f} {name}: {time.perf_counter() - t0:.1f}s ({n} rows)")
+            spark.catalog.clearCache()
+
+        # disjoint graph copies for PPR
+        parts = []
+        for i in range(f):
+            parts.append(
+                li.select(
+                    (F.col("l_orderkey") + i * n_ord).alias("src"),
+                    (F.col("l_partkey") + i * n_prt + _OFFSET * (i + 1)).alias(
+                        "dst"
+                    ),
+                )
+            )
+        edges = parts[0]
+        for p in parts[1:]:
+            edges = edges.unionByName(p)
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionAll(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        t0 = time.perf_counter()
+        n = personalized_pagerank_scaled(
+            PropertyGraph(vertices, edges),
+            f"id < {_OFFSET} AND id % 50 = 0",
+            n_iter=3,
+        ).count()
+        print(f"x{f} g10_ppr: {time.perf_counter() - t0:.1f}s ({n} rows)")
+        spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
