@@ -1609,3 +1609,60 @@ def d29_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= D29_QUOTA)
     )
+
+
+# --- vocabulary coverage curve ------------------------------------------------
+#: Vocabulary sizes at which corpus-token coverage is reported.
+D30_KS = (100, 1000)
+
+def _d30_point(k: int) -> str:
+    return f"""
+    SELECT CAST({k} AS INTEGER) AS vocab_k,
+           (SELECT SUM(tf) FROM (
+              SELECT tf FROM tfr ORDER BY tf DESC, term LIMIT {k})) AS covered
+    """
+
+
+@query(
+    "d30_vocab_coverage",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ex AS (SELECT unnest(t) AS term FROM tk),
+    tfr AS (SELECT term, COUNT(*) AS tf FROM ex GROUP BY term),
+    tot AS (SELECT SUM(tf) AS total FROM tfr),
+    pts AS ({_d30_point(100)} UNION ALL {_d30_point(1000)})
+    SELECT vocab_k, CAST(covered AS BIGINT) AS covered_tokens,
+           CAST(tot.total AS BIGINT) AS total_tokens,
+           CAST(covered AS DOUBLE) / tot.total AS coverage
+    FROM pts CROSS JOIN tot
+    """,
+    doc="Vocabulary coverage curve: the share of all corpus token "
+    "occurrences covered by the top-100 / top-1000 terms (rank cut "
+    "with (tf, term) tiebreak, the d25 vocabulary convention) — the "
+    "summary a tokenizer-size decision reads. Exact integers + one "
+    "double division. Scale shape: one term-keyed aggregate; each "
+    "cut is an orderBy+limit (TakeOrderedAndProject, per-partition "
+    "top-k + merge) over the term-frequency table, then a 1-row sum.",
+)
+def d30_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    ex = docs.select(F.explode(tokens("text")).alias("term"))
+    tfr = ex.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tfr.agg(F.sum("tf").cast("bigint").alias("total"))
+    pts = None
+    for k in D30_KS:
+        covered = (
+            tfr.orderBy(F.col("tf").desc(), F.col("term"))
+            .limit(k)
+            .agg(F.sum("tf").cast("bigint").alias("covered"))
+            .select(F.lit(k).cast("int").alias("vocab_k"), "covered")
+        )
+        pts = covered if pts is None else pts.unionAll(covered)
+    return pts.crossJoin(F.broadcast(tot)).select(
+        "vocab_k",
+        F.col("covered").alias("covered_tokens"),
+        F.col("total").alias("total_tokens"),
+        (F.col("covered").cast("double") / F.col("total")).alias("coverage"),
+    )

@@ -612,3 +612,85 @@ def e14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, query_id=2, k=10)
+
+
+# --- ADC recall audit --------------------------------------------------------
+@query(
+    "e15_adc_recall_audit",
+    oracle=f"""
+    WITH {_LONG},
+    c AS (SELECT vec_id AS cid, pos, v AS cval FROM e WHERE vec_id < 16),
+    d2 AS (
+      SELECT e.vec_id, (e.pos - 1) // 16 AS sub, c.cid,
+             {_DSUM.format(expr='(e.v - c.cval) * (e.v - c.cval)')} AS d2
+      FROM e JOIN c USING (pos)
+      GROUP BY e.vec_id, (e.pos - 1) // 16, c.cid),
+    best AS (SELECT vec_id, sub, cid,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                       ORDER BY d2, cid) AS rn
+             FROM d2),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 2),
+    lut AS (
+      SELECT (q.pos - 1) // 16 AS sub, c.cid,
+             SUM(CAST((q.qv - c.cval) * (q.qv - c.cval)
+                      AS DECIMAL(38,12))) AS lut_d2
+      FROM q JOIN c USING (pos)
+      GROUP BY 1, 2),
+    adc AS (
+      SELECT b.vec_id FROM (
+        SELECT b.vec_id, CAST(SUM(lut_d2) AS DOUBLE) AS adc_d2
+        FROM best b JOIN lut USING (sub, cid)
+        WHERE b.rn = 1 AND b.vec_id <> 2
+        GROUP BY b.vec_id) b
+      ORDER BY adc_d2, vec_id LIMIT 10),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT e.vec_id,
+               {_DSUM.format(expr='(e.v - q.qv) * (e.v - q.qv)')} AS d2
+        FROM e JOIN q USING (pos) WHERE e.vec_id <> 2
+        GROUP BY e.vec_id)
+      ORDER BY d2, vec_id LIMIT 10)
+    SELECT CAST(10 AS INTEGER) AS k,
+           CAST((SELECT COUNT(*) FROM adc JOIN exact USING (vec_id))
+                AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM adc JOIN exact USING (vec_id))
+                AS DOUBLE) / 10 AS recall
+    """,
+    doc="PQ quality audit: recall@10 of ADC search (e14) against the "
+    "exact L2 top-10 for the same query — quantifies what 256x "
+    "compression costs in ranking fidelity, same-metric (L2 vs L2, "
+    "unlike the cosine-based e11). Deterministic on both sides, so "
+    "the recall number itself is hash-gated.",
+)
+def e15_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.similarity.ann import _ACC, _long_form
+    from goodreads_pyspark_spark.similarity.quantize import pq_adc_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    adc = pq_adc_topk(emb, query_id=2, k=10).select("vec_id")
+
+    e = _long_form(emb, "vec_id", "embedding")
+    q = e.filter(F.col("vec_id") == 2).select("pos", F.col("v").alias("qv"))
+    exact = (
+        e.filter(F.col("vec_id") != 2)
+        .join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(((F.col("v") - F.col("qv")) * (F.col("v") - F.col("qv"))).cast(_ACC))
+            .cast("double")
+            .alias("d2")
+        )
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    hits = adc.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return hits.select(
+        F.lit(10).cast("int").alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / 10).alias("recall"),
+    )
