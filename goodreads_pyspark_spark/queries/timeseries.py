@@ -859,3 +859,65 @@ def t13_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention"),
     )
+
+
+# --- co-purchase pair mining --------------------------------------------------
+#: Basket-size cap: a user with b distinct purchased items contributes
+#: b(b-1)/2 pair rows, so power-baskets must be excluded before the
+#: self-join (mirrored in the oracle) — the market-basket analog of the
+#: d06 max_df / d07 max_bucket guards.
+T14_MAX_BASKET = 50
+#: Minimum pair support in the report.
+T14_MIN_SUPPORT = 2
+
+@query(
+    "t14_copurchase_pairs",
+    oracle=f"""
+    WITH pur AS (
+      SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+      FROM events WHERE event_type = 'purchase'),
+    ok_users AS (SELECT user_id FROM pur GROUP BY user_id
+                 HAVING COUNT(*) <= {T14_MAX_BASKET}),
+    basket AS (SELECT pur.user_id, item FROM pur JOIN ok_users USING (user_id)),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+      FROM basket a JOIN basket b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2)
+    SELECT item_a, item_b, CAST(support AS BIGINT) AS support
+    FROM pairs WHERE support >= {T14_MIN_SUPPORT}
+    """,
+    doc="Market-basket co-occurrence: distinct item pairs purchased by "
+    "the same user, with support counts — the support-counting pass "
+    "every frequent-itemset / item-to-item recommender starts from "
+    "(reference goodreads.py's recommend_by_book, recast on co-"
+    "occurrence instead of clusters). Scale shape: baskets collapse "
+    "to DISTINCT (user, item) first; the user-keyed self-join is "
+    "bounded by the basket-size cap (b<=50 => <=1225 pair rows per "
+    "user), the market-basket analog of the d06/d07 blowup guards; "
+    "pair aggregation is one (item_a, item_b)-keyed shuffle.",
+)
+def t14_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.get_json_object("props", "$.k").cast("int").alias("item")
+        )
+        .distinct()
+    )
+    ok = (
+        pur.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__b"))
+        .filter(F.col("__b") <= T14_MAX_BASKET)
+        .select("user_id")
+    )
+    basket = pur.join(ok, "user_id")
+    b = basket.select("user_id", F.col("item").alias("item_b"))
+    return (
+        basket.join(b, "user_id")
+        .filter(F.col("item") < F.col("item_b"))
+        .groupBy(F.col("item").alias("item_a"), "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= T14_MIN_SUPPORT)
+    )
