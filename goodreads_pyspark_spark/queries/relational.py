@@ -893,3 +893,182 @@ def q34_price_rank_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).cast("int").alias("quartile"),
         F.percent_rank().over(w).alias("pct_rank"),
     )
+
+
+# --- correlated scalar subquery (TPC-H Q17 shape) ----------------------------
+@query(
+    "q35_small_qty_part_revenue",
+    oracle=f"""
+    WITH pa AS (
+      SELECT l_partkey, {sql_davg("l_quantity", 2)} AS avg_qty
+      FROM lineitem GROUP BY l_partkey)
+    SELECT l_partkey,
+           {sql_dsum("l_extendedprice", 2)} AS below_avg_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN pa USING (l_partkey)
+    WHERE p_brand = 'Brand#1' AND l_quantity < 0.5 * avg_qty
+    GROUP BY l_partkey
+    """,
+    doc="TPC-H Q17 shape (reference has no correlated subqueries; this is "
+    "the decorrelated form Catalyst itself rewrites to): revenue of "
+    "below-half-average-quantity lineitems per Brand#1 part. The "
+    "correlated scalar subquery avg(l_quantity) per part becomes one "
+    "(l_partkey)-keyed aggregate joined back to the fact — one shuffle "
+    "on the fact's natural key, brand dim broadcast. The 0.5*avg "
+    "threshold compares exact decimal-derived doubles so the boundary "
+    "is engine-independent.",
+)
+def q35_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    part_avg = li.groupBy("l_partkey").agg(davg("l_quantity", 2, "avg_qty"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .groupBy("l_partkey")
+        .agg(
+            dsum("l_extendedprice", 2, "below_avg_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+# --- two-sided dim predicate over a 5-way join (TPC-H Q7 shape) --------------
+@query(
+    "q36_nation_trade_volume",
+    oracle=f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {sql_dsum("volume", 6)} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01') shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 shape: five-way join with a disjunctive predicate that "
+    "spans BOTH dim legs (supplier nation x customer nation), grouped by "
+    "year. Catalyst broadcasts every dim (nation twice under different "
+    "aliases, supplier, the date-filtered side), leaving one fact "
+    "shuffle for the final aggregate; the OR predicate can only be "
+    "applied post-join, which is exactly where it lands.",
+)
+def q36_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    sup = tbl(spark, sf_dir, "supplier")
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    nation = tbl(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    joined = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, "revenue")
+    )
+
+
+# --- EXISTS / NOT EXISTS self-joins (TPC-H Q21 shape) ------------------------
+@query(
+    "q37_sole_late_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      GROUP BY l_orderkey, l_suppkey)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (testdata has no commit/receipt dates, so 'late' "
+    "= shipped >90 days after order date): suppliers who were the SOLE "
+    "late supplier on a multi-supplier order. EXISTS compiles to a "
+    "left-semi self-join on the order key, NOT EXISTS to a left-anti "
+    "one — both (l_orderkey)-keyed shuffles against the already-"
+    "distinct late set, no row explosion; supplier dim broadcasts.",
+)
+def q37_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    sup = tbl(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    l1 = late.alias("l1")
+    # EXISTS another-supplier lineitem in the same order.
+    other = li.select("l_orderkey", "l_suppkey").alias("l2")
+    has_other = l1.join(
+        other,
+        (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+        "left_semi",
+    )
+    # NOT EXISTS another LATE supplier in the same order.
+    l3 = late.alias("l3")
+    sole = has_other.alias("l1").join(
+        l3,
+        (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+        & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
