@@ -25,3 +25,33 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
+
+
+def zorder_key(cols, bits: int = 16):
+    """Morton (Z-order) interleave of the low ``bits`` bits of each column.
+
+    Sorting/range-partitioning a table by this key before writing clusters
+    rows that are close in EVERY dimension into the same files, so parquet
+    min/max (or Delta/Iceberg file) statistics prune multi-dimensional box
+    predicates — the layout trick single-column sort cannot give: a sort
+    on col A packs col B's full range into every file. Pure bit
+    arithmetic, stays in whole-stage codegen; at 100 TB this is one
+    range-partitioned sort (`df.repartitionByRange(zkey).sortWithinPartitions`)
+    ahead of the write.
+
+    Columns must be non-negative integers that fit in ``bits`` bits (clip
+    or rank-normalize wider domains first — the caller owns value scaling,
+    the key owns interleaving).
+    """
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    parts = [
+        F.shiftleft(F.shiftright(c.cast("bigint"), j).bitwiseAND(F.lit(1)), j * n + i)
+        for i, c in enumerate(cs)
+        for j in range(bits)
+    ]
+    return reduce(lambda a, b: a.bitwiseOR(b), parts)

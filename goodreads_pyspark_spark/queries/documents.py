@@ -1666,3 +1666,95 @@ def d30_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total").alias("total_tokens"),
         (F.col("covered").cast("double") / F.col("total")).alias("coverage"),
     )
+
+
+# --- duplicated-span scrubbing (exact-substring dedup rewrite pass) ----------
+#: Span length (tokens) for the scrub pass — matches the d27 shingle width.
+D31_SPAN = 3
+
+
+@query(
+    "d31_span_scrub",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM tk),
+    ptok AS (SELECT doc_id, i AS pos, t[i] AS tok FROM idx),
+    occ AS (SELECT doc_id, i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+            FROM idx WHERE i <= len(t) - {D31_SPAN - 1}),
+    keeper AS (SELECT sh, MIN(doc_id) AS keep_doc FROM occ GROUP BY sh),
+    rem AS (SELECT o.doc_id, o.i FROM occ o JOIN keeper USING (sh)
+            WHERE o.doc_id > keep_doc),
+    cov AS (SELECT DISTINCT doc_id, i + k AS pos
+            FROM rem CROSS JOIN (SELECT unnest(range(0, {D31_SPAN})) AS k)),
+    kept AS (SELECT p.doc_id, p.pos, p.tok
+             FROM ptok p ANTI JOIN cov USING (doc_id, pos)),
+    reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS scrubbed_text,
+                   COUNT(*) AS n_kept
+            FROM kept GROUP BY doc_id)
+    SELECT tk.doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(t) - COALESCE(n_kept, 0) AS INTEGER) AS n_removed,
+           COALESCE(scrubbed_text, '') AS scrubbed_text
+    FROM tk LEFT JOIN reb ON tk.doc_id = reb.doc_id
+    """,
+    doc="ExactSubstr-style duplicated-span REMOVAL (the rewrite pass that "
+    "acts on d27's signal; Lee et al., 'Deduplicating Training Data "
+    "Makes Language Models Better'): every 3-token span whose text "
+    "appears in an earlier document (min doc_id keeps all its copies) "
+    "is deleted, covered tokens dropped, and the document re-serialized "
+    "from the surviving tokens in order. Scale shape: positional "
+    "shingles shuffle once keyed by span text for the min-owner "
+    "aggregate+join; covered positions expand each removed span to "
+    "span-length (doc, pos) rows; the rebuild is one doc-keyed "
+    "aggregate. Everything is linear in corpus token count — no pair "
+    "join — and shuffles carry (id, pos, span) rows, never full "
+    "documents, until the final per-doc concat.",
+)
+def d31_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.text import tokens
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    k = D31_SPAN
+    docs = tbl(spark, sf_dir, "documents")
+    base = fan_out(docs).select("doc_id", tokens("text").alias("toks")).cache()
+    # Positional tokens (0-based) and positional spans.
+    ptok = base.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    occ = base.select(
+        "doc_id",
+        "toks",
+        F.explode(F.sequence(F.lit(0), F.size("toks") - k)).alias("p"),
+    ).filter(F.size("toks") >= k).select(
+        "doc_id",
+        "p",
+        F.array_join(F.slice("toks", F.col("p") + 1, k), " ").alias("sh"),
+    )
+    keeper = occ.groupBy("sh").agg(F.min("doc_id").alias("keep_doc"))
+    rem = occ.join(keeper, "sh").filter(F.col("doc_id") > F.col("keep_doc"))
+    cov = rem.select(
+        "doc_id", F.explode(F.sequence("p", F.col("p") + (k - 1))).alias("pos")
+    ).distinct()
+    kept = ptok.join(cov, ["doc_id", "pos"], "left_anti")
+    reb = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        base.select("doc_id", F.size("toks").alias("n_tokens"))
+        .join(reb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0)))
+            .cast("int")
+            .alias("n_removed"),
+            F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+        )
+    )

@@ -175,3 +175,49 @@ def io04_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     changes = deletes.unionByName(updates).unionByName(inserts)
     return apply_cdc(docs, changes, key="doc_id")
+
+
+# --- Z-order clustering key (multi-dimensional data-skipping layout) ---------
+_IO05_BITS = 16
+
+
+def _io05_zkey_sql(cols: tuple[str, ...], bits: int) -> str:
+    n = len(cols)
+    parts = [
+        f"((({c} >> {j}) & 1) << {j * n + i})"
+        for i, c in enumerate(cols)
+        for j in range(bits)
+    ]
+    return " | ".join(parts)
+
+
+@query(
+    "io05_zorder_key",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CAST({_io05_zkey_sql(('o_custkey', 'o_orderkey'), _IO05_BITS)}
+                AS BIGINT) AS zkey
+    FROM orders
+    ORDER BY zkey, o_orderkey
+    LIMIT 200
+    """,
+    doc="Morton/Z-order clustering key over (o_custkey, o_orderkey): the "
+    "sort key a write path uses to cluster multi-dimensional box "
+    "queries into few files (operators/partitioning.zorder_key; "
+    "tests/test_plans measures the actual file-stats pruning win vs a "
+    "single-column sort). Pure bit arithmetic inside codegen — the "
+    "oracle spells out the identical shift/mask expression.",
+)
+def io05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import zorder_key
+
+    orders = tbl(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            zorder_key(["o_custkey", "o_orderkey"], _IO05_BITS).alias("zkey"),
+        )
+        .orderBy("zkey", "o_orderkey")
+        .limit(200)
+    )

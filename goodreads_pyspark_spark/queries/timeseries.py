@@ -921,3 +921,92 @@ def t14_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= T14_MIN_SUPPORT)
     )
+
+
+# --- rolling z-score anomaly detection ---------------------------------------
+#: Trailing window length (hours) for the anomaly baseline.
+T15_BASELINE_HOURS = 24
+#: Absolute z-score above which an hour is flagged.
+T15_Z_THRESHOLD = 2.0
+
+
+@query(
+    "t15_hourly_anomaly",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour_start,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1, 2),
+    rolled AS (
+      SELECT event_type, hour_start, n_events,
+             CAST(COUNT(*) OVER w AS BIGINT) AS tr_n,
+             CAST(SUM(n_events) OVER w AS BIGINT) AS tr_sum,
+             CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS tr_sumsq
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hour_start
+                   ROWS BETWEEN {T15_BASELINE_HOURS} PRECEDING
+                            AND 1 PRECEDING)),
+    scored AS (
+      SELECT event_type, hour_start, n_events,
+             CAST(tr_sum AS DOUBLE) / tr_n AS baseline_mean,
+             (CAST(tr_sumsq AS DOUBLE)
+              - CAST(tr_sum AS DOUBLE) * tr_sum / tr_n)
+             / (tr_n - 1) AS baseline_var
+      FROM rolled WHERE tr_n = {T15_BASELINE_HOURS})
+    SELECT strftime(hour_start, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type, n_events, baseline_mean,
+           (n_events - baseline_mean) / SQRT(baseline_var) AS zscore,
+           ABS((n_events - baseline_mean) / SQRT(baseline_var))
+             > {T15_Z_THRESHOLD} AS is_anomaly
+    FROM scored WHERE baseline_var > 0
+    """,
+    doc="Rolling z-score anomaly detection on the hourly event-count "
+    "series per type: each hour scored against the trailing 24 fully-"
+    "observed hours' mean/variance (the monitoring primitive for "
+    "ingestion pipelines — volume spikes/drops per source). All window "
+    "state is integer (count, sum, sum-of-squares over a rows-frame), "
+    "so mean/variance come out of exact BIGINTs through identical "
+    "double ops on both engines — bit-exact z-scores without decimal "
+    "gymnastics. Scale shape: one (type, hour) pre-aggregate shrinks "
+    "the series to |types|x|hours| rows BEFORE the window shuffle, so "
+    "the per-type sort is over thousands of rows regardless of raw "
+    "event volume.",
+)
+def t15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_start")
+        .rowsBetween(-T15_BASELINE_HOURS, -1)
+    )
+    rolled = hourly.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        F.count(F.lit(1)).over(w).alias("tr_n"),
+        F.sum("n_events").over(w).alias("tr_sum"),
+        F.sum(F.col("n_events") * F.col("n_events")).over(w).alias("tr_sumsq"),
+    ).filter(F.col("tr_n") == T15_BASELINE_HOURS)
+    mean = F.col("tr_sum").cast("double") / F.col("tr_n")
+    var = (
+        F.col("tr_sumsq").cast("double")
+        - F.col("tr_sum").cast("double") * F.col("tr_sum") / F.col("tr_n")
+    ) / (F.col("tr_n") - 1)
+    z = (F.col("n_events") - mean) / F.sqrt(var)
+    return (
+        rolled.withColumn("baseline_mean", mean)
+        .withColumn("baseline_var", var)
+        .filter(F.col("baseline_var") > 0)
+        .select(
+            F.date_format("hour_start", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "baseline_mean",
+            z.alias("zscore"),
+            (F.abs(z) > T15_Z_THRESHOLD).alias("is_anomaly"),
+        )
+    )

@@ -313,3 +313,98 @@ def test_g10_ppr_state_is_id_and_bigint_only(spark):
     plan = plan_of(spark, "b_g10_personalized_pagerank")
     assert "CartesianProduct" not in plan
     assert "text" not in plan and "l_comment" not in plan
+
+
+def test_zorder_layout_prunes_box_queries(spark, tmp_path):
+    """Z-order sort clusters BOTH dims into files; single-col sort doesn't.
+
+    Writes orders twice — sorted by zorder_key(custkey, orderkey) and
+    sorted by custkey alone — into many small files, then counts how many
+    files' [min, max] column stats overlap a box predicate on both dims.
+    The z-ordered layout must allow skipping strictly more files (this is
+    the point of the operator: parquet/Delta readers prune on exactly
+    these per-file stats).
+    """
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.operators.partitioning import zorder_key
+
+    orders = spark.read.parquet("/root/testdata/sf0.01/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    zdir, ldir = str(tmp_path / "z"), str(tmp_path / "l")
+    files_per = 64
+    n = orders.count()
+    per_file = max(1, n // files_per)
+    # Min-max normalize both dims into the same bit width first — the
+    # interleave is only balanced when every dimension spans the same
+    # number of bits (zorder_key docstring: the caller owns scaling).
+    bounds = orders.agg(
+        F.min("o_custkey"), F.max("o_custkey"), F.min("o_orderkey"), F.max("o_orderkey")
+    ).first()
+
+    def norm(c, lo, hi, bits=12):
+        return ((F.col(c) - lo) * (1 << bits) / (hi - lo + 1)).cast("bigint")
+
+    (
+        orders.withColumn(
+            "zk",
+            zorder_key(
+                [
+                    norm("o_custkey", bounds[0], bounds[1]),
+                    norm("o_orderkey", bounds[2], bounds[3]),
+                ],
+                12,
+            ),
+        )
+        .repartitionByRange(files_per, "zk")
+        .sortWithinPartitions("zk")
+        .drop("zk")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", per_file)
+        .parquet(zdir)
+    )
+    (
+        orders.repartitionByRange(files_per, "o_custkey")
+        .sortWithinPartitions("o_custkey")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", per_file)
+        .parquet(ldir)
+    )
+
+    # Box predicate: the middle fifth of each dimension's actual domain.
+    b = bounds
+    ck_lo = b[0] + (b[1] - b[0]) * 3 // 10
+    ck_hi = b[0] + (b[1] - b[0]) * 4 // 10
+    ok_lo = b[2] + (b[3] - b[2]) * 3 // 10
+    ok_hi = b[2] + (b[3] - b[2]) * 4 // 10
+
+    def overlapping_files(d: str) -> tuple[int, int]:
+        import pathlib
+
+        total = hit = 0
+        for f in pathlib.Path(d).glob("*.parquet"):
+            md = pq.read_metadata(f)
+            stats = {}
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    s = col.statistics
+                    name = col.path_in_schema
+                    lo, hi = stats.get(name, (s.min, s.max))
+                    stats[name] = (min(lo, s.min), max(hi, s.max))
+            total += 1
+            c_lo, c_hi = stats["o_custkey"]
+            o_lo, o_hi = stats["o_orderkey"]
+            if c_hi >= ck_lo and c_lo <= ck_hi and o_hi >= ok_lo and o_lo <= ok_hi:
+                hit += 1
+        return hit, total
+
+    z_hit, z_total = overlapping_files(zdir)
+    l_hit, l_total = overlapping_files(ldir)
+    assert z_total >= 32 and l_total >= 32  # the layout actually split
+    # Single-col sort prunes custkey but packs the full orderkey range
+    # into every surviving file; z-order clusters both dims.
+    assert z_hit < l_hit, (z_hit, z_total, l_hit, l_total)
