@@ -1,0 +1,79 @@
+"""Round-3 scaling probe, fourth pass — span scrub, anomaly, z-order.
+
+Replicates sf0.1 inputs 1x/2x/4x (tools/scaling_probe.replicate) and
+measures:
+  * d31 span scrub on replicated documents — expected ~linear in corpus
+    tokens: one span-keyed shuffle (min-owner agg + join), one
+    (doc,pos)-keyed anti join, one doc-keyed rebuild agg. Replicas ARE
+    cross-copy duplicates (copymark only at text end), so removal volume
+    grows with factor — output-sensitive like MinHash.
+  * t15 rolling anomaly on replicated events (ids offset; timestamps
+    unchanged so the hourly grid stays fixed while per-hour counts
+    scale) — expected flat-ish: the windowed series is |types|x|hours|
+    regardless of event volume; the pre-aggregate is the linear part.
+  * io05 z-order key on replicated orders — pure map-side bit math, the
+    sort/limit is the only shuffle; expected linear scan cost.
+
+Usage: python tools/scaling_probe_r3c.py [factors...]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import SRC, replicate
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark("scaling_probe_r3c")
+
+    from goodreads_pyspark_spark.queries.documents import d31_span_scrub
+    from goodreads_pyspark_spark.queries.io import io05_zorder_key
+    from goodreads_pyspark_spark.queries.timeseries import t15_hourly_anomaly
+
+    for f in factors:
+        stage = tempfile.mkdtemp(prefix=f"r3c_x{f}_")
+        dpath = replicate(spark, "documents", f, "doc_id", stage)
+        opath = replicate(spark, "orders", f, "o_orderkey", stage)
+
+        # events: replicate ids but keep timestamps (fixed hourly grid).
+        ev = spark.read.parquet(f"{SRC}/events.parquet")
+        n_ev = ev.agg(F.max("event_id")).first()[0] + 1
+        parts = [
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * n_ev))
+            for i in range(f)
+        ]
+        evf = parts[0]
+        for p in parts[1:]:
+            evf = evf.unionByName(p)
+        epath = f"{stage}/events_x{f}"
+        evf.repartition(32).write.mode("overwrite").parquet(epath)
+
+        sf_dir = stage
+        for t, p in (("documents", dpath), ("orders", opath), ("events", epath)):
+            link = Path(sf_dir) / f"{t}.parquet"
+            if not link.exists():
+                link.symlink_to(p)
+
+        for name, fn in (
+            ("d31_span_scrub", d31_span_scrub),
+            ("t15_hourly_anomaly", t15_hourly_anomaly),
+            ("io05_zorder_key", io05_zorder_key),
+        ):
+            t0 = time.perf_counter()
+            n = len(fn(spark, sf_dir).collect())
+            print(f"x{f} {name}: {time.perf_counter() - t0:.1f}s ({n} rows)")
+            spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
