@@ -1758,3 +1758,71 @@ def d31_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
         )
     )
+
+
+# --- token-rank fluency proxy (log-free perplexity analog) -------------------
+_D32_VOCAB = 1000
+
+
+@query(
+    "d32_token_rank_fluency",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+    vocab AS (
+      SELECT term, rnk FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) AS rnk
+        FROM ex GROUP BY term) WHERE rnk <= {_D32_VOCAB}),
+    per_doc AS (
+      SELECT ex.doc_id,
+             COUNT(*) AS n_tokens,
+             SUM(COALESCE(rnk, {_D32_VOCAB + 1})) AS sum_rank
+      FROM ex LEFT JOIN vocab USING (term)
+      GROUP BY ex.doc_id)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(sum_rank AS BIGINT) AS sum_rank,
+           CAST(sum_rank AS DOUBLE) / n_tokens AS mean_rank
+    FROM per_doc
+    """,
+    doc="Unigram-rank fluency proxy: every token scored by its corpus "
+    "frequency rank (top-1000 vocab, OOV = rank 1001), per-doc mean — "
+    "the log-free stand-in for a KenLM perplexity filter (CCNet-style "
+    "bucketing keys on exactly this monotone signal; avoiding ln() "
+    "keeps the score bit-exact cross-engine, the d20 trick). Scale "
+    "shape: the ranked vocab is TakeOrdered top-1000 then a window "
+    "over those bounded 1000 rows only; it broadcasts into the token "
+    "join; token rows shuffle once for the per-doc aggregate.",
+)
+def d32_token_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    # TakeOrdered cut first (scale path, see d25), then rank the bounded
+    # 1000 rows with a window — the single-partition window is over the
+    # vocab cut only, never the corpus.
+    top = (
+        ex.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.col("tf").desc(), F.col("term"))
+        .limit(_D32_VOCAB)
+    )
+    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
+    vocab = top.select("term", F.row_number().over(w).alias("rnk"))
+    per_doc = (
+        ex.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.coalesce("rnk", F.lit(_D32_VOCAB + 1))).alias("sum_rank"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("sum_rank").cast("bigint").alias("sum_rank"),
+        (F.col("sum_rank").cast("double") / F.col("n_tokens")).alias("mean_rank"),
+    )

@@ -694,3 +694,69 @@ def e15_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / 10).alias("recall"),
     )
+
+
+# --- dimension-truncation (matryoshka) recall audit --------------------------
+_E16_DIMS = 32
+_E16_K = 5
+
+
+@query(
+    "e16_truncated_dim_recall",
+    oracle=f"""
+    WITH {_LONG},
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    trunc AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               {_DSUM.format(expr='v * qv')} AS dot,
+               {_DSUM.format(expr='v * v')} AS n2,
+               {_DSUM.format(expr='qv * qv')} AS q2
+        FROM e JOIN q USING (pos)
+        WHERE vec_id <> 0 AND pos <= {_E16_DIMS} GROUP BY vec_id)
+      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id
+      LIMIT {_E16_K}),
+    exact AS (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               {_DSUM.format(expr='v * qv')} AS dot,
+               {_DSUM.format(expr='v * v')} AS n2,
+               {_DSUM.format(expr='qv * qv')} AS q2
+        FROM e JOIN q USING (pos) WHERE vec_id <> 0 GROUP BY vec_id)
+      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id
+      LIMIT {_E16_K})
+    SELECT CAST({_E16_DIMS} AS INTEGER) AS n_dims,
+           CAST({_E16_K} AS INTEGER) AS k,
+           CAST((SELECT COUNT(*) FROM trunc JOIN exact USING (vec_id))
+                AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM trunc JOIN exact USING (vec_id))
+                AS DOUBLE) / {_E16_K} AS recall
+    """,
+    doc="Dimension-truncation recall audit (the matryoshka-embedding "
+    "question): top-5 by cosine over only the first 32 of 64 dims vs "
+    "the exact full-dimension top-5. Truncating dims halves index "
+    "bytes and doubles ANN throughput IF recall holds — this measures "
+    "it instead of assuming, same discipline as the e11/e12/e15 "
+    "audits. Truncation is a metadata-only F.slice before the kernel; "
+    "both sides reuse the e01 decimal-exact cosine.",
+)
+def e16_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    truncated = emb.select(
+        "vec_id", F.slice("embedding", 1, _E16_DIMS).alias("embedding")
+    )
+    tr = brute_force_knn(truncated, query_id=0, k=_E16_K).select("vec_id")
+    exact = brute_force_knn(emb, query_id=0, k=_E16_K).select("vec_id")
+    hits = tr.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return hits.select(
+        F.lit(_E16_DIMS).cast("int").alias("n_dims"),
+        F.lit(_E16_K).cast("int").alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / _E16_K).alias("recall"),
+    )

@@ -559,3 +559,53 @@ def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank_scaled(
         g, f"id < {_OFFSET} AND id % {_PPR_SEED_MOD} = 0", n_iter=3
     )
+
+
+# --- G-extension: per-vertex clustering coefficient --------------------------
+@query(
+    "g11_clustering_coefficient",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT id, COUNT(*) AS d FROM (
+              SELECT pa AS id FROM pairs UNION ALL SELECT pb AS id FROM pairs)
+            GROUP BY id),
+    o AS (SELECT CASE WHEN (da.d, pa) < (db.d, pb) THEN pa ELSE pb END AS lo,
+                 CASE WHEN (da.d, pa) < (db.d, pb) THEN pb ELSE pa END AS hi
+          FROM pairs JOIN deg da ON da.id = pa JOIN deg db ON db.id = pb),
+    tri AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+            FROM o e1 JOIN o e2 ON e2.lo = e1.hi
+                      JOIN o e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+    pv AS (SELECT id, COUNT(*) AS t FROM (
+             SELECT x AS id FROM tri UNION ALL SELECT y FROM tri
+             UNION ALL SELECT z FROM tri) GROUP BY id)
+    SELECT deg.id, CAST(d AS BIGINT) AS degree,
+           CAST(COALESCE(t, 0) AS BIGINT) AS n_triangles,
+           2.0 * COALESCE(t, 0) / (CAST(d AS DOUBLE) * (d - 1))
+             AS clustering_coeff
+    FROM deg LEFT JOIN pv ON deg.id = pv.id
+    WHERE d >= 2
+    """,
+    doc="Per-vertex local clustering coefficient of the part "
+    "co-occurrence graph (graph/frames.py clustering_coefficients): "
+    "g07's degree-ordered forward counting with the intersection "
+    "EXPLODED so each triangle attributes to its three corners — "
+    "edge-linear + triangle-linear, the exact-count lower bound. "
+    "cc = 2*tri/(d*(d-1)) from exact integers through identical "
+    "double ops.",
+)
+def g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.graph.frames import clustering_coefficients
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    li = fan_out(tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+    return clustering_coefficients(pairs)

@@ -260,3 +260,20 @@ def test_personalized_pagerank_hand_computed_path(spark):
     # r1: a=15, b=(85*100)div100=85, c=0; r2: a=15, b=(85*15)div100=12,
     # c=(85*85)div100=72; vertex 4 is unreachable -> 0
     assert out == {1: 15, 2: 12, 3: 72, 4: 0}
+
+
+def test_clustering_coefficients_known_graph(spark):
+    """Triangle 1-2-3 plus pendant 4 attached to 3: cc(1)=cc(2)=1,
+    cc(3)=1/3 (one triangle over C(3,2) possible), 4 excluded (deg 1)."""
+    from goodreads_pyspark_spark.graph.frames import clustering_coefficients
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (2, 1)],  # dup edge collapses
+        ["src", "dst"],
+    )
+    out = {r["id"]: r for r in clustering_coefficients(e).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_triangles"] == 1 and out[1]["clustering_coeff"] == 1.0
+    assert out[2]["n_triangles"] == 1 and out[2]["clustering_coeff"] == 1.0
+    assert out[3]["degree"] == 3 and out[3]["n_triangles"] == 1
+    assert abs(out[3]["clustering_coeff"] - 1 / 3) < 1e-12

@@ -373,3 +373,26 @@ def test_pq_adc_equals_exact_when_vectors_are_codebook_copies(spark):
     # ascending with id tiebreak
     keys = [(r.adc_d2, r.vec_id) for r in got]
     assert keys == sorted(keys)
+
+
+def test_zorder_key_interleaves_bits(spark):
+    """zkey's even bits are col0, odd bits col1 — deinterleaving recovers
+    the inputs exactly (the property that makes the curve a bijection)."""
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.operators.partitioning import zorder_key
+
+    rows = [(x, y) for x in (0, 1, 5, 255, 65535) for y in (0, 3, 128, 65535)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    got = df.select(
+        "x", "y", zorder_key(["x", "y"], 16).alias("zk")
+    ).collect()
+    for r in got:
+        x = y = 0
+        for j in range(16):
+            x |= ((r.zk >> (2 * j)) & 1) << j
+            y |= ((r.zk >> (2 * j + 1)) & 1) << j
+        assert (x, y) == (r.x, r.y), (r.x, r.y, r.zk)
+    # locality smoke: nearby points in both dims -> nearby keys
+    zk = {(r.x, r.y): r.zk for r in got}
+    assert zk[(0, 0)] < zk[(1, 3)] < zk[(255, 128)] < zk[(65535, 65535)]
