@@ -17,7 +17,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.queries import query
-from goodreads_pyspark_spark.queries._helpers import davg, dsum, events_tbl, sql_davg, sql_dsum
+from goodreads_pyspark_spark.queries._helpers import (
+    davg,
+    dsum,
+    events_tbl,
+    sql_davg,
+    sql_dsum,
+    tbl,
+)
 from goodreads_pyspark_spark.session import configure_for_oracle
 
 
@@ -1009,4 +1016,148 @@ def t15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             z.alias("zscore"),
             (F.abs(z) > T15_Z_THRESHOLD).alias("is_anomaly"),
         )
+    )
+
+
+# --- RANGE-frame rolling window (time-based, not row-based) ------------------
+@query(
+    "t16_rolling_range_revenue",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,2))) OVER w AS DOUBLE)
+             AS rolling_revenue
+    FROM orders WHERE o_custkey < 300
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Time-based rolling aggregate: per-customer trailing-7-day order "
+    "revenue via a RANGE frame over epoch seconds — the frame "
+    "row-count varies with event density, which a ROWS frame cannot "
+    "express. Peers (same-timestamp orders) enter the frame together "
+    "on both engines, so the result is tie-safe; the decimal window "
+    "sum keeps doubles bit-exact. Scale shape: one (custkey)-keyed "
+    "window sort; the filter bounds the demo, at scale the partition "
+    "key spreads the sort across executors.",
+)
+def t16_rolling_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    orders = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
+    sec = F.unix_timestamp("o_orderdate")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(sec)
+        .rangeBetween(-7 * 86400, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("orderdate"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_in_window"),
+        F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_revenue"),
+    )
+
+
+# --- native session windows (batch face of the streaming operator) -----------
+@query(
+    "t17_session_windows_native",
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Native F.session_window sessionization (streaming/windows.py "
+    "sessionized_by_user, the batch face of s07): 30-minute-gap "
+    "sessions per user. Spark merges sessions that TOUCH (a pair "
+    "exactly gap apart is one session — probed, not assumed), so the "
+    "oracle's island break is strictly-greater-than-gap; session end "
+    "is last event + gap on both sides. Complements t04's manual "
+    "lag/cumsum sessionization with the operator a streaming job "
+    "actually runs.",
+)
+def t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.streaming import sessionized_by_user
+
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
+    return sessionized_by_user(ev).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )
+
+
+@query(
+    "s07_streaming_session_window",
+    oracle=None,
+    doc="Session windows through Structured Streaming (streaming/windows.py "
+    "sessionized_by_user): watermarked 30-min-gap sessions per user over "
+    "the staged events stream, complete-mode memory sink. Rows-only at "
+    "the gate; the query asserts the stream's sessions equal the batch "
+    "run of the same helper (t17's oracled face) before returning.",
+)
+def s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from goodreads_pyspark_spark.streaming import (
+        run_to_memory_sink,
+        sessionized_by_user,
+        stream_events_from_dir,
+    )
+
+    configure_for_oracle(spark)
+    stage = tempfile.mkdtemp(prefix="stream_sess_")
+    events = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
+    events.write.mode("overwrite").parquet(stage)
+    name = f"s07_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(
+        sessionized_by_user(stream_events_from_dir(spark, stage).filter(
+            F.col("user_id") < 100
+        )),
+        name,
+        output_mode="complete",
+    )
+    got = spark.table(name)
+    expected = sessionized_by_user(events)
+    bad = (
+        got.join(expected, ["user_id", "session_start"], "full")
+        .filter(
+            ~got["n_events"].eqNullSafe(expected["n_events"])
+            | ~got["session_end"].eqNullSafe(expected["session_end"])
+        )
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"streaming sessions diverge from batch for {bad} sessions"
+        )
+    return got.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
     )

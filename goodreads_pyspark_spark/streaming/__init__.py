@@ -1,6 +1,7 @@
 from goodreads_pyspark_spark.streaming.windows import (  # noqa: F401
     enrich_with_dim,
     hourly_by_type,
+    sessionized_by_user,
     sliding_by_type,
     run_to_memory_sink,
     stream_events_from_dir,

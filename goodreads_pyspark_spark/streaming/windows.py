@@ -139,3 +139,30 @@ def enrich_with_dim(
             "n_events",
         )
     )
+
+
+def sessionized_by_user(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: events merge while consecutive gaps are
+    <= ``gap`` (Spark merges windows that touch: a pair exactly ``gap``
+    apart is ONE session — pinned by test and the t17 oracle's
+    strictly-greater break condition).
+
+    Native ``F.session_window`` keeps the merge inside Catalyst's
+    session-aggregation operator — in streaming, state per (user, open
+    session) only, evicted once the watermark passes the session end;
+    the batch plan is a regular aggregation after a session-assignment
+    expansion. Batch/stream dual like the other window helpers.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

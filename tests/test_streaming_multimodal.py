@@ -250,3 +250,31 @@ def test_stream_foreachbatch_parquet_sink(spark, events_dir, tmp_path_factory):
     )
     assert diff.count() == 0
     assert os.listdir(ckpt), "checkpoint directory empty"
+
+
+def test_session_window_merges_at_exact_gap(spark):
+    """Spark merges sessions that TOUCH: events exactly gap apart are one
+    session (the t17 oracle's strictly-greater break condition depends on
+    this — if Spark ever flips to half-open windows this fails first)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.streaming import sessionized_by_user
+
+    rows = [
+        (1, dt.datetime(2020, 1, 1, 0, 0, 0)),
+        (1, dt.datetime(2020, 1, 1, 0, 30, 0)),  # exactly gap later -> merge
+        (1, dt.datetime(2020, 1, 1, 1, 0, 1)),  # 1s past gap -> new session
+        (2, dt.datetime(2020, 1, 1, 0, 0, 0)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in sessionized_by_user(ev).collect()
+    }
+    assert got == {
+        (1, dt.datetime(2020, 1, 1, 0, 0, 0)): 2,
+        (1, dt.datetime(2020, 1, 1, 1, 0, 1)): 1,
+        (2, dt.datetime(2020, 1, 1, 0, 0, 0)): 1,
+    }
