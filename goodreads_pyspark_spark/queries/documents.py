@@ -1826,3 +1826,80 @@ def d32_token_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_rank").cast("bigint").alias("sum_rank"),
         (F.col("sum_rank").cast("double") / F.col("n_tokens")).alias("mean_rank"),
     )
+
+
+# --- per-source length-distribution drift ------------------------------------
+_D33_BIN = 10
+_D33_MAX_BIN = 19
+
+
+@query(
+    "d33_source_length_drift",
+    oracle=f"""
+    WITH b AS (
+      SELECT source,
+             LEAST(len({_TOKS}) // {_D33_BIN}, {_D33_MAX_BIN}) AS bin
+      FROM documents),
+    sc AS (SELECT source, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+    cc AS (SELECT bin, COUNT(*) AS cb FROM b GROUP BY 1),
+    ns AS (SELECT source, COUNT(*) AS n_docs FROM b GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM b),
+    diffs AS (
+      SELECT ns.source, ns.n_docs,
+             SUM(ABS(COALESCE(sc.c, 0) * tot.n - cc.cb * ns.n_docs))
+               AS num
+      FROM ns CROSS JOIN tot
+      JOIN cc ON TRUE
+      LEFT JOIN sc ON sc.source = ns.source AND sc.bin = cc.bin
+      GROUP BY ns.source, ns.n_docs, tot.n)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(num AS DOUBLE)
+             / (2.0 * n_docs * (SELECT n FROM tot)) AS tv_distance
+    FROM diffs
+    """,
+    doc="Distribution-drift audit: total-variation distance between each "
+    "source's token-length histogram and the corpus-wide one (bins of "
+    "10 tokens, capped) — the pre-mix check that catches a source "
+    "whose length profile diverges from the blend (truncated scrapes, "
+    "boilerplate floods). TV is computed from cross-multiplied INTEGER "
+    "counts (|c_b*N - C_b*n_s| summed exactly) with ONE final double "
+    "division, so the score is bit-exact without decimal plumbing. "
+    "Scale shape: two count aggregates and a (source x 20-bin) join — "
+    "the histogram table is tiny regardless of corpus size.",
+)
+def d33_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    b = docs.select(
+        "source",
+        F.least(
+            F.floor(F.size(tokens("text")) / _D33_BIN), F.lit(_D33_MAX_BIN)
+        ).alias("bin"),
+    )
+    sc = b.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    cc = b.groupBy("bin").agg(F.count(F.lit(1)).alias("cb"))
+    ns = b.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = b.agg(F.count(F.lit(1)).alias("n"))
+    diffs = (
+        ns.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cc))
+        .join(sc, ["source", "bin"], "left")
+        .groupBy("source", "n_docs", "n")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce("c", F.lit(0)) * F.col("n")
+                    - F.col("cb") * F.col("n_docs")
+                )
+            ).alias("num")
+        )
+    )
+    return diffs.select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (
+            F.col("num").cast("double")
+            / (2.0 * F.col("n_docs") * F.col("n"))
+        ).alias("tv_distance"),
+    )

@@ -1072,3 +1072,58 @@ def q37_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+# --- referential-integrity audit ---------------------------------------------
+_Q38_RELS = [
+    ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem_supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier_nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+def _q38_oracle() -> str:
+    parts = [
+        f"""SELECT '{rel}' AS relationship,
+           CAST((SELECT COUNT(*) FROM {child}) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM {child} c
+                 ANTI JOIN {parent} p ON c.{ck} = p.{pk}) AS BIGINT)
+             AS n_orphans"""
+        for rel, child, ck, parent, pk in _Q38_RELS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "q38_fk_integrity_audit",
+    oracle=_q38_oracle(),
+    doc="Referential-integrity audit across every FK edge of the star "
+    "schema: child row count and orphan count (child keys with no "
+    "parent) per relationship — the data-quality gate an ETL runs "
+    "before publishing a snapshot. Each relationship is one left-anti "
+    "join against the parent's key projection; small parents broadcast, "
+    "the two fact-fact edges shuffle on their natural keys. Integer-"
+    "only output.",
+)
+def q38_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = []
+    for rel, child, ck, parent, pk in _Q38_RELS:
+        c = tbl(spark, sf_dir, child)
+        p = tbl(spark, sf_dir, parent).select(F.col(pk).alias(ck))
+        total = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        orphans = anti_join(c, p, [ck]).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orphans")
+        )
+        rows.append(
+            total.crossJoin(F.broadcast(orphans)).select(
+                F.lit(rel).alias("relationship"), "n_rows", "n_orphans"
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
