@@ -64,3 +64,27 @@ def compact_parquet(
     if max_records_per_file is not None:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
     writer.parquet(path)
+
+
+def overwrite_partitions(df: DataFrame, name: str) -> None:
+    """Replace ONLY the partitions present in ``df`` of an existing
+    partitioned table; all other partitions are untouched.
+
+    This is the incremental-refresh primitive for a partitioned lake
+    table (re-land one day/source without rewriting history). Uses
+    Spark's dynamic partition-overwrite mode — scoped to this write via
+    a save/restore of the session conf, because STATIC (the default)
+    would silently drop every other partition, a catastrophic footgun
+    on a 100 TB table.
+    """
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.format("parquet").mode("overwrite").insertInto(name)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

@@ -396,3 +396,52 @@ def test_zorder_key_interleaves_bits(spark):
     # locality smoke: nearby points in both dims -> nearby keys
     zk = {(r.x, r.y): r.zk for r in got}
     assert zk[(0, 0)] < zk[(1, 3)] < zk[(255, 128)] < zk[(65535, 65535)]
+
+
+def test_overwrite_partitions_touches_only_present_partitions(spark):
+    """Dynamic partition overwrite: re-landing one partition must leave
+    the others byte-identical (the incremental-refresh contract); a
+    static overwrite would silently drop them."""
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.sources.sinks import (
+        overwrite_partitions,
+        write_parquet_table,
+    )
+
+    li = (
+        spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+    )
+    write_parquet_table(li, "dp_lineitem", partition_by=["l_returnflag"])
+    try:
+        before = {
+            r["l_returnflag"]: r["n"]
+            for r in spark.table("dp_lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert len(before) >= 2
+        # Re-land flag 'A' only, with halved rows (deterministic subset).
+        patch = (
+            li.filter("l_returnflag = 'A' AND l_orderkey % 2 = 0")
+            # insertInto matches columns BY POSITION; keep schema order with
+            # the partition column last, as saveAsTable laid it out.
+            .select("l_orderkey", "l_quantity", "l_returnflag")
+        )
+        n_patch = patch.count()
+        overwrite_partitions(patch, "dp_lineitem")
+        after = {
+            r["l_returnflag"]: r["n"]
+            for r in spark.table("dp_lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert after["A"] == n_patch != before["A"]
+        for flag, n in before.items():
+            if flag != "A":
+                assert after[flag] == n, flag
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dp_lineitem")
