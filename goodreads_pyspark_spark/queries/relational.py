@@ -1127,3 +1127,46 @@ def q38_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# --- scalar-max subquery (TPC-H Q15 shape) -----------------------------------
+@query(
+    "q39_top_supplier_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             {sql_dsum("l_extendedprice * (1 - l_discount)", 6)} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15 shape: quarterly revenue per supplier, keep the "
+    "supplier(s) achieving the global maximum — the scalar-max subquery "
+    "pattern. Decimal-exact revenue makes the equality comparison "
+    "engine-safe (double revenue would make 'equal to max' flaky). "
+    "Plan: one (suppkey)-keyed aggregate, a 1-row max re-aggregate "
+    "broadcast back as a filter, supplier dim broadcast — the revenue "
+    "table is scanned once and reused, never recomputed per row.",
+)
+def q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, "total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    sup = tbl(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
