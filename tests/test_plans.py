@@ -408,3 +408,44 @@ def test_zorder_layout_prunes_box_queries(spark, tmp_path):
     # Single-col sort prunes custkey but packs the full orderkey range
     # into every surviving file; z-order clusters both dims.
     assert z_hit < l_hit, (z_hit, z_total, l_hit, l_total)
+
+
+def test_q36_broadcasts_dims_single_fact_shuffle(spark):
+    # Q7 shape: supplier + both nation aliases broadcast; lineitem date
+    # filter reaches the scan.
+    plan = plan_of(spark, "q36_nation_trade_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "l_shipdate" in plan.split("PushedFilters")[1]
+
+
+def test_q37_compiles_to_semi_and_anti(spark):
+    # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti; never a row-exploding
+    # inner join plus dedup.
+    plan = plan_of(spark, "q37_sole_late_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_d31_token_arrays_never_cross_a_shuffle(spark):
+    # The span-scrub pipeline shuffles exploded (id, pos, token/span)
+    # rows; the per-document token ARRAY must stay map-side (exploding
+    # before the exchange is what keeps shuffle rows narrow).
+    # (AQE + the cached token base can hide hash exchanges behind
+    # InMemoryRelation in the formatted plan, so scan every Exchange
+    # flavor rather than requiring one to be present.)
+    plan = plan_of(spark, "d31_span_scrub")
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange" in line
+    ]
+    for ex in exchanges:
+        assert "toks#" not in ex, f"token array crosses a shuffle: {ex}"
+    # and the span-keyed aggregate must group by the exploded span text
+    assert "sh#" in plan or "sh " in plan
+
+
+def test_d32_vocab_window_is_bounded_by_takeordered(spark):
+    # The global row_number ranks only the TakeOrdered top-1000 cut —
+    # the plan must contain TakeOrderedAndProject feeding the window,
+    # not a whole-vocabulary single-partition sort.
+    plan = plan_of(spark, "d32_token_rank_fluency")
+    assert "TakeOrderedAndProject" in plan
