@@ -1903,3 +1903,74 @@ def d33_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.col("n_docs") * F.col("n"))
         ).alias("tv_distance"),
     )
+
+
+# --- end-to-end corpus -> training shards ------------------------------------
+def _c03_oracle() -> str:
+    """Compose the c01 clean chain, d15 decontamination, and d26 shard
+    routing into one end-to-end oracle: clean survivors, minus any doc
+    sharing a 3-shingle with the eval split (doc_id%20=0, itself
+    excluded from training), md5-routed to 8 shards with per-shard
+    doc/token totals."""
+    clean = _clean_corpus_oracle()
+    return f"""
+    WITH clean AS ({clean}),
+    tk2 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    idx2 AS (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i
+             FROM tk2 WHERE len(t) >= 3),
+    sh2 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+            FROM idx2),
+    ev2 AS (SELECT DISTINCT sh FROM sh2 WHERE doc_id % 20 = 0),
+    contam AS (SELECT DISTINCT s.doc_id FROM sh2 s JOIN ev2 USING (sh)
+               WHERE s.doc_id % 20 <> 0),
+    final AS (SELECT c.doc_id FROM clean c
+              WHERE c.doc_id % 20 <> 0
+                AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
+    routed AS (
+      SELECT CAST(('0x' || substr(md5(CAST(f.doc_id AS VARCHAR) || 'shard-v1'),
+                   1, 8)) AS BIGINT) % 8 AS shard,
+             f.doc_id, len(tk2.t) AS n_tok
+      FROM final f JOIN tk2 ON tk2.doc_id = f.doc_id)
+    SELECT CAST(shard AS INTEGER) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM routed GROUP BY shard
+    """
+
+
+@query(
+    "c03_corpus_to_shards",
+    oracle=_c03_oracle(),
+    doc="The END-TO-END training-data pipeline in one plan: quality gate "
+    "-> exact dedup -> LSH+verify near-dup removal (pipelines/corpus."
+    "clean_corpus, c01) -> benchmark decontamination (drop any survivor "
+    "sharing a 3-shingle with the doc_id%20=0 eval split; dedup/"
+    "decontaminate.py, d15's semantics as a filter) -> deterministic "
+    "md5 shard routing with per-shard doc/token totals (pipelines/"
+    "sampling.portable_bucket, d26). What a user actually runs before "
+    "training; every stage is the same operator the standalone queries "
+    "verify, so the composition is oracle-checked end to end. Scale "
+    "shape: union of the component shapes — nothing here adds a new "
+    "shuffle class; stages hand off (doc_id)-keyed frames.",
+)
+def c03_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.decontaminate import contamination_stats
+    from goodreads_pyspark_spark.functions.text import tokens as toks_fn
+    from goodreads_pyspark_spark.pipelines.corpus import clean_corpus
+    from goodreads_pyspark_spark.pipelines.sampling import portable_bucket
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    cleaned, _stats = clean_corpus(docs, min_tokens=20, jaccard_threshold=0.8)
+    train = cleaned.filter(F.col("doc_id") % 20 != 0)
+    ev = docs.filter(F.col("doc_id") % 20 == 0)
+    contaminated = contamination_stats(train, ev).select("doc_id")
+    final = train.join(contaminated, "doc_id", "left_anti")
+    routed = final.select(
+        portable_bucket(F.col("doc_id"), "shard-v1", 8).cast("int").alias("shard"),
+        "doc_id",
+        F.size(toks_fn("text")).alias("n_tok"),
+    )
+    return routed.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
