@@ -760,3 +760,38 @@ def e16_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / _E16_K).alias("recall"),
     )
+
+
+# --- cosine range (radius) search --------------------------------------------
+_E17_MIN_COS = 0.25
+
+
+@query(
+    "e17_cosine_range_search",
+    oracle=f"""
+    WITH {_LONG},
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    comps AS (
+      SELECT vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos) WHERE vec_id <> 0 GROUP BY vec_id)
+    SELECT vec_id,
+           ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) AS cosine
+    FROM comps
+    WHERE ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) >= {_E17_MIN_COS}
+    ORDER BY cosine DESC, vec_id
+    """,
+    doc="Radius (range) search: every vector with cosine >= 0.25 to the "
+    "query — the fixed-quality dual of top-k (similarity/ann.py "
+    "cosine_range_search), the API a dedup threshold contract calls. "
+    "The 6dp-rounded decimal-exact cosine makes the >= boundary "
+    "engine-deterministic; at scale the kernel runs per LSH bucket "
+    "exactly like e04.",
+)
+def e17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.ann import cosine_range_search
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return cosine_range_search(emb, query_id=0, min_cosine=_E17_MIN_COS)

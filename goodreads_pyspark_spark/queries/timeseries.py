@@ -1161,3 +1161,85 @@ def s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+# --- exponentially-weighted trailing volume (exact dyadic weights) -----------
+#: (offset_hours, weight=2^-offset) — dyadic weights make every product
+#: c * w and every partial sum EXACTLY representable in a double (counts
+#: < 2^20, 24 fraction bits), so the weighted sum is order-independent
+#: without decimal plumbing and bit-exact cross-engine.
+T18_WEIGHTS = [(0, 1.0), (1, 0.5), (2, 0.25), (3, 0.125), (4, 0.0625), (5, 0.03125), (6, 0.015625), (7, 0.0078125), (8, 0.00390625), (9, 0.001953125), (10, 0.0009765625), (11, 0.00048828125), (12, 0.000244140625), (13, 0.0001220703125), (14, 6.103515625e-05), (15, 3.0517578125e-05), (16, 1.52587890625e-05), (17, 7.62939453125e-06), (18, 3.814697265625e-06), (19, 1.9073486328125e-06), (20, 9.5367431640625e-07), (21, 4.76837158203125e-07), (22, 2.384185791015625e-07), (23, 1.1920928955078125e-07)]
+
+
+@query(
+    "t18_ewma_hourly_volume",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS hr,
+             COUNT(*) AS c
+      FROM events GROUP BY 1, 2),
+    w(d, wt) AS (VALUES {', '.join(f'({d}, {w!r})' for d, w in T18_WEIGHTS)}),
+    x AS (SELECT h.event_type, h.hr, w.d, w.wt, h2.c
+          FROM hourly h CROSS JOIN w
+          JOIN hourly h2 ON h2.event_type = h.event_type
+                        AND h2.hr = h.hr - w.d),
+    g AS (SELECT event_type, hr,
+                 SUM(wt * c) AS num, SUM(wt) AS den,
+                 MAX(CASE WHEN d = 0 THEN c END) AS c0
+          FROM x GROUP BY 1, 2)
+    SELECT strftime(to_timestamp(hr * 3600), '%Y-%m-%d %H:%M:%S') AS hour_start,
+           event_type,
+           CAST(c0 AS BIGINT) AS n_events,
+           num / den AS ewma
+    FROM g
+    """,
+    doc="Exponentially-weighted trailing hourly volume per event type "
+    "(24h half-life-1h tail): each present hour t-d contributes its "
+    "count with weight 2^-d, normalized by the present-weight mass — "
+    "the smoothing a drift monitor pairs with t15's z-scores. Dyadic "
+    "weights keep every product and partial sum exactly representable, "
+    "so the double arithmetic is order-independent and bit-exact with "
+    "no decimal casts. Scale shape: the (type, hour) pre-aggregate "
+    "collapses raw volume first; the 24-offset expansion multiplies "
+    "the tiny series, not the events."
+)
+def t18_ewma_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    hourly = (
+        ev.groupBy(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", "ts")) / 3600)
+            .cast("bigint")
+            .alias("hr"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
+    )
+    w = ev.sparkSession.createDataFrame(T18_WEIGHTS, ["d", "wt"])
+    h2 = hourly.select(
+        F.col("event_type").alias("et2"),
+        F.col("hr").alias("hr2"),
+        F.col("c").alias("c2"),
+    )
+    x = (
+        hourly.crossJoin(F.broadcast(w))
+        .join(
+            h2,
+            (F.col("et2") == F.col("event_type"))
+            & (F.col("hr2") == F.col("hr") - F.col("d")),
+        )
+    )
+    g = x.groupBy("event_type", "hr").agg(
+        F.sum(F.col("wt") * F.col("c2")).alias("num"),
+        F.sum("wt").alias("den"),
+        F.max(F.when(F.col("d") == 0, F.col("c2"))).alias("c0"),
+    )
+    return g.select(
+        F.date_format(F.timestamp_seconds(F.col("hr") * 3600),
+                      "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "event_type",
+        F.col("c0").cast("bigint").alias("n_events"),
+        (F.col("num") / F.col("den")).alias("ewma"),
+    )

@@ -397,3 +397,41 @@ def bucketed_neardup_pairs(
         comps.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def cosine_range_search(
+    df: DataFrame,
+    query_id: int,
+    min_cosine: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """All vectors with cosine(v, query) >= ``min_cosine`` — radius search,
+    the dual of top-k: the caller fixes quality, not count (dedup
+    thresholds, "anything this similar is a duplicate" contracts).
+
+    Same decimal-exact kernel and 6dp rounding as ``brute_force_knn``, so
+    the threshold boundary is engine-deterministic. Scale path: run
+    per-LSH-bucket (sign_lsh_buckets) exactly like top-k — the kernel is
+    the rerank step, never the global scan.
+    """
+    e = _long_form(df, id_col, vec_col)
+    q = (
+        e.filter(F.col(id_col) == query_id)
+        .select(F.col("pos"), F.col("v").alias("qv"))
+    )
+    joined = e.filter(F.col(id_col) != query_id).join(F.broadcast(q), "pos")
+    comps = joined.groupBy(id_col).agg(
+        F.sum((F.col("v") * F.col("qv")).cast(_ACC)).cast("double").alias("dot"),
+        F.sum((F.col("v") * F.col("v")).cast(_ACC)).cast("double").alias("n2"),
+        F.sum((F.col("qv") * F.col("qv")).cast(_ACC)).cast("double").alias("q2"),
+    )
+    cos = F.round(
+        F.col("dot") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("q2"))), round_to
+    )
+    return (
+        comps.select(F.col(id_col), cos.alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+    )
