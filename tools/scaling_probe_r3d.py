@@ -1,0 +1,109 @@
+"""Round-3 scaling probe, fifth pass — the heavy tail of BENCH_DETAIL.
+
+Measures the iterative/graph shapes that dominate the clean bench
+(k-core 7.0s, triangles 5.6s, CC 6.8s at sf0.1) on 1x/2x disjoint
+id-offset copies of the part co-occurrence graph (F copies = F
+independent subgraphs: ideal-linear workload, so any superlinear growth
+is engine overhead, not algorithm), plus the c03 end-to-end pipeline on
+replicated documents.
+
+Usage: python tools/scaling_probe_r3d.py [factors...]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.graph.frames import (
+    clustering_coefficients,
+    kcore_trim,
+    triangle_count,
+)
+from goodreads_pyspark_spark.graph.pregel import (
+    connected_components_alternating,
+)
+from goodreads_pyspark_spark.graph.frames import PropertyGraph
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import SRC, replicate
+
+_OFF = 10_000_000
+
+
+def co_pairs(spark, factor: int):
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    )
+    parts = [
+        li.select(
+            (F.col("l_orderkey") + i * _OFF).alias("l_orderkey"),
+            (F.col("l_partkey") + i * _OFF).alias("l_partkey"),
+        )
+        for i in range(factor)
+    ]
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    a = df.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = df.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    return (
+        a.join(b, "l_orderkey").filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+    )
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2]
+    spark = get_spark("scaling_probe_r3d")
+
+    from goodreads_pyspark_spark.queries.documents import c03_corpus_to_shards
+
+    for f in factors:
+        pairs = co_pairs(spark, f)
+
+        t0 = time.perf_counter()
+        n = triangle_count(pairs).collect()[0]["n_triangles"]
+        print(f"x{f} triangle_count: {time.perf_counter()-t0:.1f}s ({n} triangles)")
+        spark.catalog.clearCache()
+
+        t0 = time.perf_counter()
+        n = kcore_trim(co_pairs(spark, f), k=90, rounds=3).count()
+        print(f"x{f} kcore_trim: {time.perf_counter()-t0:.1f}s ({n} survivors)")
+        spark.catalog.clearCache()
+
+        t0 = time.perf_counter()
+        p2 = co_pairs(spark, f)
+        verts = (
+            p2.select(F.col("src").alias("id"))
+            .union(p2.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+        cc = connected_components_alternating(PropertyGraph(verts, p2))
+        n = cc.select("component").distinct().count()
+        print(f"x{f} connected_components: {time.perf_counter()-t0:.1f}s ({n} comps)")
+        spark.catalog.clearCache()
+
+        t0 = time.perf_counter()
+        n = clustering_coefficients(co_pairs(spark, f)).count()
+        print(f"x{f} clustering_coeff: {time.perf_counter()-t0:.1f}s ({n} vertices)")
+        spark.catalog.clearCache()
+
+        stage = tempfile.mkdtemp(prefix=f"r3d_x{f}_")
+        dpath = replicate(spark, "documents", f, "doc_id", stage)
+        link = Path(stage) / "documents.parquet"
+        if not link.exists():
+            link.symlink_to(dpath)
+        t0 = time.perf_counter()
+        n = c03_corpus_to_shards(spark, stage).count()
+        print(f"x{f} c03_corpus_to_shards: {time.perf_counter()-t0:.1f}s ({n} shards)")
+        spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
