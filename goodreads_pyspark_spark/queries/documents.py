@@ -1921,8 +1921,13 @@ def _c03_oracle() -> str:
     sh2 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
             FROM idx2),
     ev2 AS (SELECT DISTINCT sh FROM sh2 WHERE doc_id % 20 = 0),
-    contam AS (SELECT DISTINCT s.doc_id FROM sh2 s JOIN ev2 USING (sh)
-               WHERE s.doc_id % 20 <> 0),
+    hits2 AS (SELECT s.doc_id, COUNT(*) AS n_shared
+              FROM sh2 s JOIN ev2 USING (sh)
+              WHERE s.doc_id % 20 <> 0 GROUP BY s.doc_id),
+    sz2 AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh2
+            WHERE doc_id % 20 <> 0 GROUP BY doc_id),
+    contam AS (SELECT h.doc_id FROM hits2 h JOIN sz2 USING (doc_id)
+               WHERE CAST(n_shared AS DOUBLE) / n_shingles >= 0.5),
     final AS (SELECT c.doc_id FROM clean c
               WHERE c.doc_id % 20 <> 0
                 AND c.doc_id NOT IN (SELECT doc_id FROM contam)),
@@ -1943,8 +1948,8 @@ def _c03_oracle() -> str:
     oracle=_c03_oracle(),
     doc="The END-TO-END training-data pipeline in one plan: quality gate "
     "-> exact dedup -> LSH+verify near-dup removal (pipelines/corpus."
-    "clean_corpus, c01) -> benchmark decontamination (drop any survivor "
-    "sharing a 3-shingle with the doc_id%20=0 eval split; dedup/"
+    "clean_corpus, c01) -> benchmark decontamination (drop survivors with >=50% of their "
+    "3-shingles shared with the doc_id%20=0 eval split; dedup/"
     "decontaminate.py, d15's semantics as a filter) -> deterministic "
     "md5 shard routing with per-shard doc/token totals (pipelines/"
     "sampling.portable_bucket, d26). What a user actually runs before "
@@ -1963,7 +1968,11 @@ def c03_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     cleaned, _stats = clean_corpus(docs, min_tokens=20, jaccard_threshold=0.8)
     train = cleaned.filter(F.col("doc_id") % 20 != 0)
     ev = docs.filter(F.col("doc_id") % 20 == 0)
-    contaminated = contamination_stats(train, ev).select("doc_id")
+    contaminated = (
+        contamination_stats(train, ev)
+        .filter(F.col("contamination") >= 0.5)
+        .select("doc_id")
+    )
     final = train.join(contaminated, "doc_id", "left_anti")
     routed = final.select(
         portable_bucket(F.col("doc_id"), "shard-v1", 8).cast("int").alias("shard"),
