@@ -29,19 +29,36 @@ def contamination_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_shared, n_shingles, contamination) for train docs
     sharing ≥1 distinct ``shingle_n``-word shingle with the eval set.
 
     ``contamination`` = shared / total distinct shingles of the doc —
     1.0 means every shingle of the document appears in the eval set.
+
+    ``shingles``: optional precomputed corpus-wide ``(id, sh)`` table
+    covering both sides; restricted per side by semi-join so a pipeline
+    tokenizes the corpus once (see drop_near_duplicates).
     """
-    tsh = shingle_rows(train, id_col, text_col, shingle_n, out_id="id").cache()
-    esh = (
-        shingle_rows(eval_df, id_col, text_col, shingle_n, out_id="eid")
-        .select("sh")
-        .distinct()
-    )
+    if shingles is None:
+        tsh = shingle_rows(train, id_col, text_col, shingle_n, out_id="id").cache()
+        esh = (
+            shingle_rows(eval_df, id_col, text_col, shingle_n, out_id="eid")
+            .select("sh")
+            .distinct()
+        )
+    else:
+        tsh = shingles.join(
+            train.select(F.col(id_col).alias("id")), "id", "left_semi"
+        ).cache()
+        esh = (
+            shingles.join(
+                eval_df.select(F.col(id_col).alias("id")), "id", "left_semi"
+            )
+            .select("sh")
+            .distinct()
+        )
     hits = tsh.join(esh, "sh").groupBy("id").agg(
         F.count(F.lit(1)).alias("n_shared")
     )

@@ -74,15 +74,25 @@ def drop_near_duplicates(
     num_hashes: int = 8,
     bands: int = 4,
     max_bucket: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Remove the higher-id member of each verified near-dup pair.
 
     LSH proposes candidates (linear); exact n-gram Jaccard verifies them;
     the verified pair list is tiny and broadcast back as an anti-join.
     One cached shingle table feeds both phases — the corpus is tokenized
-    exactly once.
+    exactly once. A caller that already holds a corpus-wide ``(id, sh)``
+    table (e.g. the c03 composition, whose decontamination stage needs
+    the same rows) passes it via ``shingles`` and the pass is restricted
+    by a semi-join instead of re-tokenizing — at 100 TB the tokenizer
+    scan is the dominant linear cost, so it must run once per PIPELINE,
+    not once per stage.
     """
-    sh = shingle_rows(docs, id_col, text_col, shingle_n, out_id="id").cache()
+    if shingles is None:
+        sh = shingle_rows(docs, id_col, text_col, shingle_n, out_id="id").cache()
+    else:
+        ids = docs.select(F.col(id_col).alias("id"))
+        sh = shingles.join(ids, "id", "left_semi").cache()
     candidates = lsh_candidate_pairs_from_shingles(
         sh.withColumnRenamed("id", id_col),
         id_col,
@@ -111,6 +121,7 @@ def clean_corpus(
     min_tokens: int = 20,
     jaccard_threshold: float = 0.8,
     collect_stats: bool = False,
+    shingles: DataFrame | None = None,
 ) -> tuple[DataFrame, CorpusCleanStats | None]:
     """Full pipeline; returns (kept docs, per-stage counts or ``None``).
 
@@ -123,7 +134,11 @@ def clean_corpus(
     # anti-join — cache once rather than recompute the gate+dedup twice.
     exact = exact_dedup(gated, id_col=id_col, text_col=text_col).cache()
     cleaned = drop_near_duplicates(
-        exact, id_col=id_col, text_col=text_col, jaccard_threshold=jaccard_threshold
+        exact,
+        id_col=id_col,
+        text_col=text_col,
+        jaccard_threshold=jaccard_threshold,
+        shingles=shingles,
     )
     if not collect_stats:
         return cleaned, None

@@ -1960,16 +1960,22 @@ def _c03_oracle() -> str:
 )
 def c03_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.decontaminate import contamination_stats
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
     from goodreads_pyspark_spark.functions.text import tokens as toks_fn
     from goodreads_pyspark_spark.pipelines.corpus import clean_corpus
     from goodreads_pyspark_spark.pipelines.sampling import portable_bucket
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    cleaned, _stats = clean_corpus(docs, min_tokens=20, jaccard_threshold=0.8)
+    # ONE corpus-wide tokenize->shingle pass feeds both the near-dup stage
+    # and decontamination (the dominant linear cost at scale).
+    all_sh = shingle_rows(docs, out_id="id").cache()
+    cleaned, _stats = clean_corpus(
+        docs, min_tokens=20, jaccard_threshold=0.8, shingles=all_sh
+    )
     train = cleaned.filter(F.col("doc_id") % 20 != 0)
     ev = docs.filter(F.col("doc_id") % 20 == 0)
     contaminated = (
-        contamination_stats(train, ev)
+        contamination_stats(train, ev, shingles=all_sh)
         .filter(F.col("contamination") >= 0.5)
         .select("doc_id")
     )
