@@ -445,3 +445,18 @@ def test_overwrite_partitions_touches_only_present_partitions(spark):
                 assert after[flag] == n, flag
     finally:
         spark.sql("DROP TABLE IF EXISTS dp_lineitem")
+
+
+def test_missing_sf_dir_raises_analysis_exception(spark):
+    """Driver contract hygiene: a bad sf_dir fails with Spark's
+    AnalysisException (PATH_NOT_FOUND), not a deep stack of secondary
+    errors — the failure a harness can classify."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    q = REGISTRY["q01_pricing_summary"].spark_fn
+    with pytest.raises(AnalysisException):
+        q(spark, "/root/testdata/sf_does_not_exist").collect()

@@ -449,3 +449,46 @@ def test_d32_vocab_window_is_bounded_by_takeordered(spark):
     # not a whole-vocabulary single-partition sort.
     plan = plan_of(spark, "d32_token_rank_fluency")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a sort-merge join with one hot key must
+    show skew-split shuffle reads in the final adaptive plan — the
+    runtime re-plan the engine leans on (alongside q22's manual salting)
+    when a 100 TB join key is Zipfian."""
+    from pyspark.sql import functions as F
+
+    hot = spark.range(0, 400_000).select(
+        F.lit(7).alias("k"), F.col("id").alias("payload")
+    )
+    tail = spark.range(0, 2_000).select(
+        (F.col("id") % 500 + 100).alias("k"), F.col("id").alias("payload")
+    )
+    left = hot.unionAll(tail)
+    right = spark.range(0, 600).select(
+        F.col("id").alias("k"), F.col("id").alias("rv")
+    )
+    for key, val in (
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.enabled", "true"),
+        ("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"),
+        ("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"),
+        ("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB"),
+        ("spark.sql.autoBroadcastJoinThreshold", "-1"),
+    ):
+        spark.conf.set(key, val)
+    try:
+        joined = left.join(right, "k")
+        # collect() executes THIS frame's queryExecution (count() would
+        # build a separate one and leave this plan un-finalized)
+        assert len(joined.collect()) == 400_000 + 2_000
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan and "skewed" in plan, plan[:2000]
+    finally:
+        for key in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+        ):
+            spark.conf.unset(key)
