@@ -278,3 +278,49 @@ def test_session_window_merges_at_exact_gap(spark):
         (1, dt.datetime(2020, 1, 1, 1, 0, 1)): 1,
         (2, dt.datetime(2020, 1, 1, 0, 0, 0)): 1,
     }
+
+
+def test_stream_restart_from_checkpoint_is_exactly_once(
+    spark, events_dir, tmp_path_factory
+):
+    """Restart safety: stop a checkpointed stream, land new files, start a
+    NEW query on the same checkpoint — already-committed input must not
+    be reprocessed (no duplicate event_ids in the sink), new input must
+    land exactly once. This is the recovery contract a production
+    foreachBatch sink depends on."""
+    import uuid
+
+    src = str(tmp_path_factory.mktemp("ckpt_src"))
+    out = str(tmp_path_factory.mktemp("ckpt_out"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_ckpt"))
+
+    events = spark.read.parquet(events_dir)
+    a = events.filter(F.col("event_id") % 2 == 0)
+    b = events.filter(F.col("event_id") % 2 == 1)
+    a.write.mode("append").parquet(src)
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out)
+
+    def run_once() -> None:
+        q = (
+            stream_events_from_dir(spark, src)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .queryName(f"ck_{uuid.uuid4().hex[:8]}")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    n_a = spark.read.parquet(out).count()
+    assert n_a == a.count()
+
+    b.write.mode("append").parquet(src)
+    run_once()  # new query object, same checkpoint
+    sunk = spark.read.parquet(out)
+    assert sunk.count() == a.count() + b.count()
+    assert sunk.select("event_id").distinct().count() == events.count()
