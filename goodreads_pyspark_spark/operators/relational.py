@@ -115,3 +115,24 @@ def argmax_struct(
         F.col("__m.__v").alias("max_value"),
         *[F.col(f"__m.{c}").alias(c) for c in payload],
     )
+
+
+def merge_aggregate_states(
+    state: DataFrame, delta: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Merge two partial-aggregate states that carry algebraic
+    (re-aggregatable) columns: every non-key column must be a SUM- or
+    COUNT-like total, so the merge is a union + re-sum per key.
+
+    The incremental-view-maintenance primitive: keep yesterday's rollup
+    as state, aggregate ONLY the new partition, merge — the full input
+    is never rescanned. AVG and friends must be carried as
+    (sum, count) pairs and finalized by the reader; a non-decomposable
+    metric (median, distinct) needs a sketch column instead (q27's HLL /
+    t-digest), which merges the same way.
+    """
+    cols = [c for c in state.columns if c not in keys]
+    merged = state.unionByName(delta.select(*state.columns))
+    return merged.groupBy(*keys).agg(
+        *[F.sum(c).alias(c) for c in cols]
+    )

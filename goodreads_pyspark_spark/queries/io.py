@@ -221,3 +221,52 @@ def io05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("zkey", "o_orderkey")
         .limit(200)
     )
+
+
+# --- incremental aggregate maintenance ---------------------------------------
+@query(
+    "io06_incremental_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Incremental materialized-view maintenance (operators/relational."
+    "merge_aggregate_states): the daily rollup is built as state-over-"
+    "old-days MERGED with an aggregate of only the newest day — and the "
+    "oracle is the FULL recompute, so the gate proves merge(state, "
+    "delta) == recompute(all) bit-exactly (decimal sums make the "
+    "equality hold regardless of merge order). At 100 TB the daily "
+    "delta is ~1/365th of a rescan; the merge shuffles only the "
+    "(day, type) state table.",
+)
+def io06_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.relational import (
+        merge_aggregate_states,
+    )
+    from goodreads_pyspark_spark.queries._helpers import events_tbl
+    from goodreads_pyspark_spark.session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir).withColumn(
+        "day", F.to_date(F.date_trunc("day", "ts"))
+    )
+    cutoff = ev.agg(F.max("day")).first()[0]
+
+    def rollup(df: DataFrame) -> DataFrame:
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).alias("total_value"),
+        )
+
+    state = rollup(ev.filter(F.col("day") < F.lit(cutoff)))
+    delta = rollup(ev.filter(F.col("day") >= F.lit(cutoff)))
+    merged = merge_aggregate_states(state, delta, keys=["day", "event_type"])
+    return merged.select(
+        "day",
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("total_value").cast("double").alias("total_value"),
+    )
