@@ -1170,3 +1170,36 @@ def q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# --- explicit GROUPING SETS with grouping_id ---------------------------------
+@query(
+    "q40_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS INTEGER) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), (o_orderpriority))
+    """,
+    doc="Explicit GROUPING SETS — the arbitrary-combination form that "
+    "completes the rollup (q13) / cube (q24) family — with GROUPING() "
+    "bits distinguishing aggregated-away columns from genuine NULL "
+    "values. Runs through the SQL facade (the DataFrame API has no "
+    "grouping-sets builder); one Expand + one hash aggregate, same "
+    "shuffle class as a plain groupBy.",
+)
+def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = tbl(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("q40_orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                    AS INT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n_orders
+        FROM q40_orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority))
+    """)

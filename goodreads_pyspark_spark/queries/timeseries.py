@@ -1243,3 +1243,64 @@ def t18_ewma_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c0").cast("bigint").alias("n_events"),
         (F.col("num") / F.col("den")).alias("ewma"),
     )
+
+
+# --- time-weighted average value (TWAP) --------------------------------------
+@query(
+    "t19_time_weighted_value",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS v6,
+             epoch_us(LEAD(ts) OVER w) - epoch_us(ts) AS dt
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    g AS (SELECT user_id,
+                 SUM(CAST(v6 AS DECIMAL(19,0)) * CAST(dt AS DECIMAL(19,0)))
+                   AS wsum,
+                 CAST(SUM(dt) AS BIGINT) AS total_micros,
+                 CAST(COUNT(*) AS BIGINT) AS n_holds
+          FROM x WHERE dt IS NOT NULL AND dt > 0 GROUP BY user_id)
+    SELECT user_id, CAST(wsum AS VARCHAR) AS weighted_sum_e12,
+           total_micros, n_holds,
+           ROUND(CAST(wsum AS DOUBLE) / (1e6 * total_micros), 6) AS twap
+    FROM g
+    """,
+    doc="Time-weighted average value per user (TWAP): each event\'s value "
+    "is held until the user\'s next event (lead), weighted by the exact "
+    "microsecond hold duration — the metric for irregularly-sampled "
+    "series where a plain mean over-weights bursts. Exactness "
+    "discipline: value is scaled to an INTEGER (micro-units, identical "
+    "half-up rounding both engines), the weighted sum is an exact "
+    "integer-valued decimal emitted as text, and twap converts that "
+    "integer to double before ONE division, and twap is 6dp-rounded (the "
+    "e01 convention) because 128-bit-integer->double conversion itself "
+    "differs by an ulp across engines at 20 significant digits — "
+    "measured, not assumed. Scale shape: "
+    "one (user)-keyed window sort then a keyed aggregate.",
+)
+def t19_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    x = ev.select(
+        "user_id",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v6"),
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    g = x.groupBy("user_id").agg(
+        F.sum(
+            F.col("v6").cast("decimal(19,0)") * F.col("dt").cast("decimal(19,0)")
+        ).alias("wsum"),
+        F.sum("dt").cast("bigint").alias("total_micros"),
+        F.count(F.lit(1)).cast("bigint").alias("n_holds"),
+    )
+    return g.select(
+        "user_id",
+        F.col("wsum").cast("string").alias("weighted_sum_e12"),
+        "total_micros",
+        "n_holds",
+        F.round(
+            F.col("wsum").cast("double") / (F.lit(1e6) * F.col("total_micros")), 6
+        ).alias("twap"),
+    )
