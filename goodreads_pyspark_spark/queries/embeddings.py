@@ -795,3 +795,60 @@ def e17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     return cosine_range_search(emb, query_id=0, min_cosine=_E17_MIN_COS)
+
+
+# --- embedding population drift audit ----------------------------------------
+@query(
+    "e18_centroid_drift",
+    oracle=f"""
+    WITH {_LONG},
+    cents AS (
+      SELECT label, pos,
+             ROUND({_DSUM.format(expr='CASE WHEN vec_id % 2 = 0 THEN v END')}
+                   / COUNT(CASE WHEN vec_id % 2 = 0 THEN 1 END), 6) AS ca,
+             ROUND({_DSUM.format(expr='CASE WHEN vec_id % 2 = 1 THEN v END')}
+                   / COUNT(CASE WHEN vec_id % 2 = 1 THEN 1 END), 6) AS cb
+      FROM e JOIN embeddings USING (vec_id)
+      GROUP BY label, pos),
+    d AS (SELECT label,
+                 SUM(CAST(ca - cb AS DECIMAL(18,9))
+                     * CAST(ca - cb AS DECIMAL(18,9))) AS sq
+          FROM cents GROUP BY label)
+    SELECT label,
+           ROUND(SQRT(CAST(sq AS DOUBLE)), 6) AS drift_l2
+    FROM d
+    """,
+    doc="Embedding-population drift audit: per label, the L2 distance "
+    "between the centroid of even vec_ids and odd vec_ids (stand-ins "
+    "for two embedding-model versions / time slices) — the monitoring "
+    "signal that catches a re-embedding or upstream-model change "
+    "before an ANN index silently degrades. Exactness: per-component "
+    "centroids are 6dp-rounded (e05 convention), diffs re-quantized "
+    "to decimal(18,9) so the squared sum is exact and order-"
+    "independent, one final sqrt+round.",
+)
+def e18_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.functions.vectors import explode_vector
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    emb = fan_out(tbl(spark, sf_dir, "embeddings"))
+    e = explode_vector(emb, "vec_id").withColumn("pos", F.col("pos") + 1)
+    joined = e.join(emb.select("vec_id", "label"), "vec_id")
+    even = F.when(F.col("vec_id") % 2 == 0, F.col("v"))
+    odd = F.when(F.col("vec_id") % 2 == 1, F.col("v"))
+    cents = joined.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(even.cast("decimal(38,12)")).cast("double") / F.count(even), 6
+        ).alias("ca"),
+        F.round(
+            F.sum(odd.cast("decimal(38,12)")).cast("double") / F.count(odd), 6
+        ).alias("cb"),
+    )
+    diff = (F.col("ca") - F.col("cb")).cast("decimal(18,9)")
+    d = cents.groupBy("label").agg(F.sum(diff * diff).alias("sq"))
+    return d.select(
+        "label",
+        F.round(F.sqrt(F.col("sq").cast("double")), 6).alias("drift_l2"),
+    )

@@ -609,3 +609,47 @@ def g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
     )
     return clustering_coefficients(pairs)
+
+
+# --- G-extension: exact degree distribution ----------------------------------
+@query(
+    "g12_degree_distribution",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT id, COUNT(*) AS d FROM (
+              SELECT pa AS id FROM pairs UNION ALL SELECT pb AS id FROM pairs)
+            GROUP BY id)
+    SELECT CAST(d AS BIGINT) AS degree,
+           CAST(COUNT(*) AS BIGINT) AS n_vertices
+    FROM deg GROUP BY d
+    """,
+    doc="Exact degree distribution of the part co-occurrence graph — the "
+    "first thing to read before choosing join/skew strategy on any "
+    "graph: a heavy-tail histogram here is what justifies g07/g11's "
+    "degree-ordered orientation and the salting/AQE-skew machinery. "
+    "Two integer aggregates, nothing else.",
+)
+def g12_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    li = fan_out(tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("src"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    und = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("src").alias("id"))
+        .unionAll(und.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vertices")
+    )

@@ -270,3 +270,57 @@ def io06_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("total_value").cast("double").alias("total_value"),
     )
+
+
+# --- snapshot diff (data-diff between two table versions) --------------------
+@query(
+    "io07_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT event_id, value FROM events WHERE event_id % 7 <> 0),
+    new AS (SELECT event_id,
+                   CASE WHEN event_id % 3 = 0 THEN value + 1.0 ELSE value END
+                     AS value
+            FROM events WHERE event_id % 5 <> 0),
+    j AS (SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+                 o.value AS ov, n.value AS nv,
+                 CASE WHEN o.event_id IS NULL THEN 'added'
+                      WHEN n.event_id IS NULL THEN 'removed'
+                      WHEN o.value <> n.value THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM j GROUP BY status
+    """,
+    doc="Snapshot diff: key-level added/removed/changed/unchanged counts "
+    "between two versions of a table (simulated old/new slices of "
+    "events) — the data-diff primitive behind regression-testing an "
+    "ETL change or validating a CDC feed (io04's merge is its writer "
+    "twin). One full-outer join on the key, one aggregate; the value "
+    "comparison is on doubles carried unchanged from the source, so "
+    "equality is bit-exact on both engines.",
+)
+def io07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.queries._helpers import events_tbl
+    from goodreads_pyspark_spark.session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir).select("event_id", "value")
+    old = ev.filter(F.col("event_id") % 7 != 0)
+    new = ev.filter(F.col("event_id") % 5 != 0).select(
+        "event_id",
+        F.when(F.col("event_id") % 3 == 0, F.col("value") + 1.0)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    o = old.select(F.col("event_id").alias("oid"), F.col("value").alias("ov"))
+    n = new.select(F.col("event_id").alias("nid"), F.col("value").alias("nv"))
+    j = o.join(n, F.col("oid") == F.col("nid"), "full_outer").select(
+        F.when(F.col("oid").isNull(), "added")
+        .when(F.col("nid").isNull(), "removed")
+        .when(F.col("ov") != F.col("nv"), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return j.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
