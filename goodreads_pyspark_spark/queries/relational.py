@@ -1203,3 +1203,72 @@ def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), (o_orderpriority))
     """)
+
+
+# --- column-statistics profile (data-profiling primitive) --------------------
+_Q41_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+    "o_orderdate", "o_orderpriority",
+]
+
+
+def _q41_oracle() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+           CAST(COUNT({c}) AS BIGINT) AS n_non_null,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN({c}) AS VARCHAR) AS min_value,
+           CAST(MAX({c}) AS VARCHAR) AS max_value
+    FROM orders"""
+        for c in _Q41_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@query(
+    "q41_column_profile",
+    oracle=_q41_oracle(),
+    doc="Column-statistics profile of a table (ANALYZE TABLE / Deequ "
+    "shape): per column, null count, distinct count, min/max rendered "
+    "as text — the stats a catalog stores for cost-based optimization "
+    "and a data-quality monitor alerts on. One aggregate pass per "
+    "column over a single cached scan; min/max stringified so one "
+    "schema covers heterogeneous column types. Timestamp min/max "
+    "render via an explicit format so both engines agree on the text "
+    "form.",
+)
+def q41_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.session import configure_for_oracle
+
+    configure_for_oracle(spark)
+    orders = tbl(spark, sf_dir, "orders").cache()
+    rows = []
+    for c in _Q41_COLS:
+        col = F.col(c)
+        is_ts = dict(orders.dtypes)[c].startswith("timestamp")
+        render = (
+            (lambda x: F.date_format(x, "yyyy-MM-dd HH:mm:ss"))
+            if is_ts
+            else (lambda x: x.cast("string"))
+        )
+        rows.append(
+            orders.agg(
+                F.count(col).cast("bigint").alias("n_non_null"),
+                (F.count(F.lit(1)) - F.count(col)).cast("bigint").alias("n_null"),
+                F.countDistinct(col).cast("bigint").alias("n_distinct"),
+                render(F.min(col)).alias("min_value"),
+                render(F.max(col)).alias("max_value"),
+            ).select(
+                F.lit(c).alias("column_name"),
+                "n_non_null",
+                "n_null",
+                "n_distinct",
+                "min_value",
+                "max_value",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
