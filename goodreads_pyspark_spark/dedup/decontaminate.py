@@ -39,8 +39,18 @@ def contamination_stats(
 
     ``shingles``: optional precomputed corpus-wide ``(id, sh)`` table
     covering both sides; restricted per side by semi-join so a pipeline
-    tokenizes the corpus once (see drop_near_duplicates).
+    tokenizes the corpus once (see drop_near_duplicates). When passed,
+    it takes the place of self-computed shingling entirely, so
+    ``shingle_n`` and ``text_col`` are IGNORED — the table must have
+    been built from the same text column with the same shingle width the
+    caller intends, or the reported contamination ratios silently
+    describe a different n-gram space. (Same contract in
+    drop_near_duplicates.)
     """
+    if shingles is not None and not {"id", "sh"} <= set(shingles.columns):
+        raise ValueError(
+            f"precomputed shingles must have (id, sh) columns, got {shingles.columns}"
+        )
     if shingles is None:
         tsh = shingle_rows(train, id_col, text_col, shingle_n, out_id="id").cache()
         esh = (

@@ -260,10 +260,13 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint(eager=True)
 
-    out = graph.vertices.join(labels, "id", "left")
-    # both stays cached until the caller's action consumes the lazy plan;
-    # blocks are dropped with the session or by the caller's clearCache.
-    return out
+    # Eager final checkpoint materializes the label fixpoint so the
+    # undirected edge view can be unpersisted NOW (same hygiene as
+    # pagerank_scaled): a long-lived session running LPA over many graphs
+    # no longer accumulates cached executor blocks.
+    labels = labels.localCheckpoint(eager=True)
+    both.unpersist()
+    return graph.vertices.join(labels, "id", "left")
 
 
 def bfs(

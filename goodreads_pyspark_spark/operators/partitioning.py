@@ -15,14 +15,30 @@ from pyspark.sql import DataFrame
 
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
-    """Repartition up to the session's shuffle parallelism, only if needed."""
+    """Repartition up to the session's shuffle parallelism, only if needed.
+
+    The "is it under-partitioned?" probe is PLAN-FREE: ``df.inputFiles()``
+    walks the analyzed logical plan's file index, unlike
+    ``df.rdd.getNumPartitions()`` which compiles the whole physical plan
+    outside AQE on every call — measurable on the hot path of every
+    similarity/dedup query that starts with ``fan_out(tbl(...))``. File
+    count under-estimates scan partitions (big files split by
+    maxPartitionBytes), so this errs toward widening, which is the safe
+    direction: at cluster scale the source arrives as thousands of files
+    and the call is a no-op; a frame with no file lineage (in-memory
+    test data) counts as 0 files and widens.
+    """
     spark = df.sparkSession
     if target is None:
         try:
             target = int(spark.conf.get("spark.sql.shuffle.partitions"))
         except Exception:  # noqa: BLE001 — e.g. "auto" under some AQE configs
             target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_input = len(df.inputFiles())
+    except Exception:  # noqa: BLE001 — exotic plans; fall back to widening
+        n_input = 0
+    if n_input < target:
         return df.repartition(target)
     return df
 

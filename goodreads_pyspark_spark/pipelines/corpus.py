@@ -86,8 +86,15 @@ def drop_near_duplicates(
     the same rows) passes it via ``shingles`` and the pass is restricted
     by a semi-join instead of re-tokenizing — at 100 TB the tokenizer
     scan is the dominant linear cost, so it must run once per PIPELINE,
-    not once per stage.
+    not once per stage. A passed ``shingles`` table replaces self-
+    computed shingling entirely, so ``shingle_n``/``text_col`` are
+    IGNORED for it — it must have been built with the same width from
+    the same column (same contract as contamination_stats).
     """
+    if shingles is not None and not {"id", "sh"} <= set(shingles.columns):
+        raise ValueError(
+            f"precomputed shingles must have (id, sh) columns, got {shingles.columns}"
+        )
     if shingles is None:
         sh = shingle_rows(docs, id_col, text_col, shingle_n, out_id="id").cache()
     else:

@@ -533,7 +533,7 @@ D13_CHUNK = 2048
 
 
 @query(
-    "a_d13_sequence_packing",
+    "d13_sequence_packing",
     oracle=f"""
     WITH tk AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
                 FROM documents),
@@ -587,7 +587,7 @@ def d13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- packed-chunk layout (what a training loader actually reads) ------------
 @query(
-    "a_d17_chunk_layout",
+    "d17_chunk_layout",
     oracle=f"""
     WITH tk AS (SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
                 FROM documents),
@@ -796,7 +796,11 @@ def _c02_oracle(rounds: int = 10) -> str:
     "components via alternating star contraction (graph/pregel.py), "
     "cluster = min doc_id, per-cluster size, is_canonical survivor flag. "
     "Pairwise dedup alone cannot pick survivors when A~B~C but A!~C; "
-    "the component closure is the correct keep/drop unit.",
+    "the component closure is the correct keep/drop unit. The 0.5 "
+    "threshold here is deliberately LOOSER than c03's 0.8 removal "
+    "threshold: clustering is exploratory (surface every related "
+    "group for audit), while the cleaning pipeline only drops "
+    "near-certain duplicates.",
 )
 def c02_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
@@ -899,7 +903,7 @@ def d16_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- corpus-mix rollup report ------------------------------------------------
 @query(
-    "a_d18_mix_rollup_report",
+    "d18_mix_rollup_report",
     oracle=f"""
     SELECT source, lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -959,7 +963,7 @@ def _incremental_minhash_oracle(
 
 
 @query(
-    "a_d19_incremental_ingest_dedup",
+    "d19_incremental_ingest_dedup",
     oracle=_incremental_minhash_oracle(),
     doc="Incremental ingestion dedup (dedup/minhash.py "
     "incremental_lsh_matches): the incoming batch (doc_id%10==0 here) "
@@ -983,7 +987,7 @@ def d19_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- per-document TF-IDF top terms -------------------------------------------
 @query(
-    "a_d20_tfidf_top_terms",
+    "d20_tfidf_top_terms",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
@@ -1047,7 +1051,7 @@ _CHUNK_ST = 32
 
 
 @query(
-    "a_d21_chunk_overlap",
+    "d21_chunk_overlap",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     sized AS (SELECT doc_id, t, len(t) AS n_tok FROM tk WHERE len(t) > 0),
@@ -1121,7 +1125,7 @@ _RE_LONG_DIGITS = "[0-9]{7,}"
 
 
 @query(
-    "a_d22_pii_counts",
+    "d22_pii_counts",
     oracle=f"""
     SELECT doc_id,
            CAST(len(regexp_extract_all(lower(text), '{_RE_EMAIL}'))
@@ -1215,7 +1219,7 @@ def _minhash_audit_oracle(
 
 
 @query(
-    "a_d23_minhash_estimate_audit",
+    "d23_minhash_estimate_audit",
     oracle=_minhash_audit_oracle(),
     doc="Dedup-index quality audit: for every LSH candidate pair (d07's "
     "set), the MinHash-estimated Jaccard (agreeing hashes / 8) "
@@ -1288,7 +1292,7 @@ def d23_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- composite quality gate with per-rule audit ------------------------------
 @query(
-    "a_d24_quality_gate_audit",
+    "d24_quality_gate_audit",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, lang, text, {_TOKS} AS toks,
@@ -1350,7 +1354,7 @@ def d24_quality_gate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- OOV rate against the corpus vocabulary ----------------------------------
 @query(
-    "a_d25_oov_rate",
+    "d25_oov_rate",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
@@ -1417,7 +1421,7 @@ _N_SHARDS = 16
 
 
 @query(
-    "a_d26_shard_manifest",
+    "d26_shard_manifest",
     oracle=f"""
     WITH sharded AS (
       SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'shard-v1'),
@@ -1462,7 +1466,7 @@ def d26_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- within-corpus duplicated-shingle fraction -------------------------------
 @query(
-    "b_d27_dup_shingle_fraction",
+    "d27_dup_shingle_fraction",
     oracle=f"""
     WITH {_SHINGLE_CTES},
     dfreq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
@@ -1512,7 +1516,7 @@ def d27_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cross-source overlap matrix ---------------------------------------------
 @query(
-    "b_d28_source_overlap",
+    "d28_source_overlap",
     oracle=f"""
     WITH {_SHINGLE_CTES},
     ssh AS MATERIALIZED (
@@ -1577,7 +1581,7 @@ def d28_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 D29_QUOTA = 8
 
 @query(
-    "b_d29_quota_sample",
+    "d29_quota_sample",
     oracle=f"""
     WITH ranked AS (
       SELECT lang, source, doc_id,
@@ -1624,7 +1628,7 @@ def _d30_point(k: int) -> str:
 
 
 @query(
-    "d30_vocab_coverage",
+    "a_d30_vocab_coverage",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     ex AS (SELECT unnest(t) AS term FROM tk),
@@ -1644,7 +1648,7 @@ def _d30_point(k: int) -> str:
     "cut is an orderBy+limit (TakeOrderedAndProject, per-partition "
     "top-k + merge) over the term-frequency table, then a 1-row sum.",
 )
-def d30_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_d30_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
     docs = fan_out(tbl(spark, sf_dir, "documents"))
@@ -1674,7 +1678,7 @@ D31_SPAN = 3
 
 
 @query(
-    "d31_span_scrub",
+    "a_d31_span_scrub",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     idx AS (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM tk),
@@ -1710,7 +1714,7 @@ D31_SPAN = 3
     "join — and shuffles carry (id, pos, span) rows, never full "
     "documents, until the final per-doc concat.",
 )
-def d31_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_d31_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.text import tokens
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
@@ -1765,7 +1769,7 @@ _D32_VOCAB = 1000
 
 
 @query(
-    "d32_token_rank_fluency",
+    "a_d32_token_rank_fluency",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
@@ -1794,7 +1798,7 @@ _D32_VOCAB = 1000
     "over those bounded 1000 rows only; it broadcasts into the token "
     "join; token rows shuffle once for the per-doc aggregate.",
 )
-def d32_token_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_d32_token_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from goodreads_pyspark_spark.operators.partitioning import fan_out
@@ -1834,7 +1838,7 @@ _D33_MAX_BIN = 19
 
 
 @query(
-    "d33_source_length_drift",
+    "a_d33_source_length_drift",
     oracle=f"""
     WITH b AS (
       SELECT source,
@@ -1867,7 +1871,7 @@ _D33_MAX_BIN = 19
     "Scale shape: two count aggregates and a (source x 20-bin) join — "
     "the histogram table is tiny regardless of corpus size.",
 )
-def d33_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_d33_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.text import tokens
 
     docs = tbl(spark, sf_dir, "documents")
@@ -1944,7 +1948,7 @@ def _c03_oracle() -> str:
 
 
 @query(
-    "c03_corpus_to_shards",
+    "a_c03_corpus_to_shards",
     oracle=_c03_oracle(),
     doc="The END-TO-END training-data pipeline in one plan: quality gate "
     "-> exact dedup -> LSH+verify near-dup removal (pipelines/corpus."
@@ -1954,11 +1958,15 @@ def _c03_oracle() -> str:
     "md5 shard routing with per-shard doc/token totals (pipelines/"
     "sampling.portable_bucket, d26). What a user actually runs before "
     "training; every stage is the same operator the standalone queries "
-    "verify, so the composition is oracle-checked end to end. Scale "
+    "verify, so the composition is oracle-checked end to end. The "
+    "near-dup removal threshold is 0.8 (drop only near-certain "
+    "duplicates from training data) — intentionally STRICTER than "
+    "c02's 0.5 clustering threshold, which is an exploratory audit "
+    "view, not a deletion gate. Scale "
     "shape: union of the component shapes — nothing here adds a new "
     "shuffle class; stages hand off (doc_id)-keyed frames.",
 )
-def c03_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_c03_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.decontaminate import contamination_stats
     from goodreads_pyspark_spark.dedup.shingles import shingle_rows
     from goodreads_pyspark_spark.functions.text import tokens as toks_fn

@@ -225,7 +225,7 @@ def e06_ivf_knn_vec1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF ANN at nprobe < n_centroids (the actual approximate regime) --------
 @query(
-    "a_e08_ivf_partial_probe_vec1",
+    "e08_ivf_partial_probe_vec1",
     oracle=f"""
     WITH {_LONG},
     cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, v AS cval
@@ -313,7 +313,7 @@ def e07_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- batch exact kNN ---------------------------------------------------------
 @query(
-    "a_e09_batch_knn",
+    "e09_batch_knn",
     oracle=f"""
     WITH {_LONG},
     q AS (SELECT vec_id AS qid, pos, v AS qv FROM e WHERE vec_id < 8),
@@ -348,7 +348,7 @@ def e09_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- product quantization ----------------------------------------------------
 @query(
-    "a_e10_pq_codes",
+    "e10_pq_codes",
     oracle=f"""
     WITH {_LONG},
     c AS (SELECT vec_id AS cid, pos, v AS cval FROM e WHERE vec_id < 16),
@@ -382,7 +382,7 @@ def e10_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ANN recall audit --------------------------------------------------------
 @query(
-    "a_e11_ann_recall_audit",
+    "e11_ann_recall_audit",
     oracle=f"""
     WITH {_LONG},
     {_bucket_cte()},
@@ -454,7 +454,7 @@ def e11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF recall audit --------------------------------------------------------
 @query(
-    "a_e12_ivf_recall_audit",
+    "e12_ivf_recall_audit",
     oracle=f"""
     WITH {_LONG},
     cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, v AS cval
@@ -531,7 +531,7 @@ def e12_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- bucketed near-dup pairs (the scale path of e02) -------------------------
 @query(
-    "a_e13_bucketed_neardup_pairs",
+    "e13_bucketed_neardup_pairs",
     oracle=f"""
     WITH {_LONG},
     {_bucket_cte()},
@@ -570,7 +570,7 @@ def e13_bucketed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- PQ asymmetric-distance top-k search -------------------------------------
 @query(
-    "b_e14_pq_adc_topk",
+    "e14_pq_adc_topk",
     oracle=f"""
     WITH {_LONG},
     c AS (SELECT vec_id AS cid, pos, v AS cval FROM e WHERE vec_id < 16),
@@ -616,7 +616,7 @@ def e14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ADC recall audit --------------------------------------------------------
 @query(
-    "e15_adc_recall_audit",
+    "a_e15_adc_recall_audit",
     oracle=f"""
     WITH {_LONG},
     c AS (SELECT vec_id AS cid, pos, v AS cval FROM e WHERE vec_id < 16),
@@ -662,7 +662,7 @@ def e14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unlike the cosine-based e11). Deterministic on both sides, so "
     "the recall number itself is hash-gated.",
 )
-def e15_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_e15_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.similarity.ann import _ACC, _long_form
@@ -702,7 +702,7 @@ _E16_K = 5
 
 
 @query(
-    "e16_truncated_dim_recall",
+    "a_e16_truncated_dim_recall",
     oracle=f"""
     WITH {_LONG},
     q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
@@ -740,7 +740,7 @@ _E16_K = 5
     "audits. Truncation is a metadata-only F.slice before the kernel; "
     "both sides reuse the e01 decimal-exact cosine.",
 )
-def e16_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_e16_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.similarity.ann import brute_force_knn
@@ -767,7 +767,7 @@ _E17_MIN_COS = 0.25
 
 
 @query(
-    "e17_cosine_range_search",
+    "a_e17_cosine_range_search",
     oracle=f"""
     WITH {_LONG},
     q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
@@ -790,7 +790,7 @@ _E17_MIN_COS = 0.25
     "engine-deterministic; at scale the kernel runs per LSH bucket "
     "exactly like e04.",
 )
-def e17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_e17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.similarity.ann import cosine_range_search
 
     emb = tbl(spark, sf_dir, "embeddings")
@@ -799,7 +799,7 @@ def e17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding population drift audit ----------------------------------------
 @query(
-    "e18_centroid_drift",
+    "a_e18_centroid_drift",
     oracle=f"""
     WITH {_LONG},
     cents AS (
@@ -827,7 +827,7 @@ def e17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to decimal(18,9) so the squared sum is exact and order-"
     "independent, one final sqrt+round.",
 )
-def e18_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_e18_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.functions.vectors import explode_vector

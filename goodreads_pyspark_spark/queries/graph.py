@@ -338,7 +338,7 @@ def g06_bfs_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- G-extension: triangle counting ------------------------------------------
 @query(
-    "a_g07_triangle_count",
+    "g07_triangle_count",
     oracle="""
     WITH pairs AS (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -414,7 +414,7 @@ def _kcore_oracle(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
 
 
 @query(
-    "a_g08_kcore_trim",
+    "g08_kcore_trim",
     oracle=_kcore_oracle(),
     doc=f"Fixed-round k-core peeling (graph/frames.py kcore_trim): {_KCORE_ROUNDS} "
     f"rounds of drop-degree<{_KCORE_K} on the part co-occurrence graph, "
@@ -473,7 +473,7 @@ def _sssp_oracle(rounds: int = _SSSP_ROUNDS) -> str:
 
 
 @query(
-    "a_g09_sssp_rounds",
+    "g09_sssp_rounds",
     oracle=_sssp_oracle(),
     doc=f"Weighted single-source shortest paths, {_SSSP_ROUNDS} synchronous "
     "Bellman-Ford rounds from the minimum order vertex over the "
@@ -541,7 +541,7 @@ def _ppr_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
 
 
 @query(
-    "b_g10_personalized_pagerank",
+    "g10_personalized_pagerank",
     oracle=_ppr_oracle(n_iter=3),
     doc="Personalized PageRank from the orderkey%50=0 seed set, 3 fixed "
     "supersteps in 1e12 fixed-point integers (graph/pregel.py "
@@ -563,7 +563,7 @@ def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- G-extension: per-vertex clustering coefficient --------------------------
 @query(
-    "g11_clustering_coefficient",
+    "a_g11_clustering_coefficient",
     oracle="""
     WITH pairs AS (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -596,7 +596,7 @@ def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cc = 2*tri/(d*(d-1)) from exact integers through identical "
     "double ops.",
 )
-def g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.frames import clustering_coefficients
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
@@ -613,7 +613,7 @@ def g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- G-extension: exact degree distribution ----------------------------------
 @query(
-    "g12_degree_distribution",
+    "a_g12_degree_distribution",
     oracle="""
     WITH pairs AS (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -632,7 +632,7 @@ def g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     "degree-ordered orientation and the salting/AQE-skew machinery. "
     "Two integer aggregates, nothing else.",
 )
-def g12_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_g12_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
     li = fan_out(tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))

@@ -61,7 +61,7 @@ def io01_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- schema evolution across parquet batches ---------------------------------
 @query(
-    "a_io02_schema_evolution",
+    "io02_schema_evolution",
     oracle="""
     SELECT doc_id, text, lang,
            CAST(NULL AS VARCHAR) AS source, CAST(NULL AS BIGINT) AS n_chars
@@ -99,7 +99,7 @@ def io02_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- small-file compaction ---------------------------------------------------
 @query(
-    "a_io03_compaction_roundtrip",
+    "io03_compaction_roundtrip",
     oracle="""
     SELECT doc_id, text, lang, source, n_chars FROM documents
     """,
@@ -129,7 +129,7 @@ def io03_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CDC merge (copy-on-write upsert) ----------------------------------------
 @query(
-    "a_io04_cdc_upsert",
+    "io04_cdc_upsert",
     oracle="""
     WITH changes AS (
       SELECT 'D' AS op, doc_id, text, lang, source, n_chars
@@ -192,7 +192,7 @@ def _io05_zkey_sql(cols: tuple[str, ...], bits: int) -> str:
 
 
 @query(
-    "io05_zorder_key",
+    "a_io05_zorder_key",
     oracle=f"""
     SELECT o_orderkey, o_custkey,
            CAST({_io05_zkey_sql(('o_custkey', 'o_orderkey'), _IO05_BITS)}
@@ -208,7 +208,7 @@ def _io05_zkey_sql(cols: tuple[str, ...], bits: int) -> str:
     "single-column sort). Pure bit arithmetic inside codegen — the "
     "oracle spells out the identical shift/mask expression.",
 )
-def io05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_io05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.partitioning import zorder_key
 
     orders = tbl(spark, sf_dir, "orders")
@@ -225,7 +225,7 @@ def io05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- incremental aggregate maintenance ---------------------------------------
 @query(
-    "io06_incremental_rollup",
+    "a_io06_incremental_rollup",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            event_type,
@@ -242,7 +242,7 @@ def io05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta is ~1/365th of a rescan; the merge shuffles only the "
     "(day, type) state table.",
 )
-def io06_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_io06_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.relational import (
         merge_aggregate_states,
     )
@@ -274,7 +274,7 @@ def io06_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- snapshot diff (data-diff between two table versions) --------------------
 @query(
-    "io07_snapshot_diff",
+    "a_io07_snapshot_diff",
     oracle="""
     WITH old AS (SELECT event_id, value FROM events WHERE event_id % 7 <> 0),
     new AS (SELECT event_id,
@@ -299,7 +299,7 @@ def io06_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "comparison is on doubles carried unchanged from the source, so "
     "equality is bit-exact on both engines.",
 )
-def io07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_io07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.queries._helpers import events_tbl
     from goodreads_pyspark_spark.session import configure_for_oracle
 

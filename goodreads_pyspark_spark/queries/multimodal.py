@@ -157,7 +157,7 @@ def mm03_thumbnail_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a_mm04_audio_window_plan",
+    "mm04_audio_window_plan",
     oracle="""
     WITH a AS (SELECT doc_id AS media_id,
                       CAST(8000 * (1 + doc_id % 10) AS BIGINT) AS n_samples

@@ -128,7 +128,7 @@ def q04_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # --- A5/J1: array agg over a broadcast join (collect_set, goodreads.py:94) --
 @query(
-    "a_q05_nations_per_region",
+    "q05_nations_per_region",
     oracle="""
     SELECT r_name,
            array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
@@ -674,7 +674,7 @@ def q28_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a_q29_local_supplier_volume",
+    "q29_local_supplier_volume",
     oracle=f"""
     SELECT n_name, {sql_dsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
     FROM customer
@@ -725,7 +725,7 @@ def q29_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a_q30_returned_item_customers",
+    "q30_returned_item_customers",
     oracle=f"""
     SELECT c_custkey, c_name,
            {sql_dsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
@@ -770,7 +770,7 @@ def q30_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- distributed exact median (bounded-memory two-phase) ---------------------
 @query(
-    "a_q31_distributed_median",
+    "q31_distributed_median",
     oracle="""
     SELECT l_returnflag, MEDIAN(l_extendedprice) AS median_price,
            MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
@@ -803,7 +803,7 @@ def q31_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact interpolated quantiles -------------------------------------------
 @query(
-    "a_q32_exact_quantiles",
+    "q32_exact_quantiles",
     oracle="""
     WITH q AS (
       SELECT l_returnflag,
@@ -831,7 +831,7 @@ def q32_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- set operations: INTERSECT / EXCEPT --------------------------------------
 @query(
-    "a_q33_set_ops",
+    "q33_set_ops",
     oracle="""
     SELECT c_custkey FROM (
       SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
@@ -862,7 +862,7 @@ def q33_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ranking windows: ntile / percent_rank -----------------------------------
 @query(
-    "a_q34_price_rank_tiles",
+    "q34_price_rank_tiles",
     oracle="""
     WITH ranked AS (
       SELECT o_orderkey, o_orderstatus, o_totalprice,
@@ -897,7 +897,7 @@ def q34_price_rank_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- correlated scalar subquery (TPC-H Q17 shape) ----------------------------
 @query(
-    "q35_small_qty_part_revenue",
+    "a_q35_small_qty_part_revenue",
     oracle=f"""
     WITH pa AS (
       SELECT l_partkey, {sql_davg("l_quantity", 2)} AS avg_qty
@@ -920,7 +920,7 @@ def q34_price_rank_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold compares exact decimal-derived doubles so the boundary "
     "is engine-independent.",
 )
-def q35_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_q35_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     part = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     part_avg = li.groupBy("l_partkey").agg(davg("l_quantity", 2, "avg_qty"))
@@ -938,7 +938,7 @@ def q35_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- two-sided dim predicate over a 5-way join (TPC-H Q7 shape) --------------
 @query(
-    "q36_nation_trade_volume",
+    "a_q36_nation_trade_volume",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
            {sql_dsum("volume", 6)} AS revenue
@@ -965,7 +965,7 @@ def q35_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle for the final aggregate; the OR predicate can only be "
     "applied post-join, which is exactly where it lands.",
 )
-def q36_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_q36_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1008,7 +1008,7 @@ def q36_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- EXISTS / NOT EXISTS self-joins (TPC-H Q21 shape) ------------------------
 @query(
-    "q37_sole_late_suppliers",
+    "a_q37_sole_late_suppliers",
     oracle="""
     WITH late AS (
       SELECT l_orderkey, l_suppkey
@@ -1035,7 +1035,7 @@ def q36_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one — both (l_orderkey)-keyed shuffles against the already-"
     "distinct late set, no row explosion; supplier dim broadcasts.",
 )
-def q37_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_q37_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     orders = tbl(spark, sf_dir, "orders")
     sup = tbl(spark, sf_dir, "supplier")
@@ -1099,7 +1099,7 @@ def _q38_oracle() -> str:
 
 
 @query(
-    "q38_fk_integrity_audit",
+    "a_q38_fk_integrity_audit",
     oracle=_q38_oracle(),
     doc="Referential-integrity audit across every FK edge of the star "
     "schema: child row count and orphan count (child keys with no "
@@ -1109,7 +1109,7 @@ def _q38_oracle() -> str:
     "the two fact-fact edges shuffle on their natural keys. Integer-"
     "only output.",
 )
-def q38_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_q38_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for rel, child, ck, parent, pk in _Q38_RELS:
         c = tbl(spark, sf_dir, child)
@@ -1131,7 +1131,7 @@ def q38_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- scalar-max subquery (TPC-H Q15 shape) -----------------------------------
 @query(
-    "q39_top_supplier_revenue",
+    "a_q39_top_supplier_revenue",
     oracle=f"""
     WITH rev AS (
       SELECT l_suppkey,
@@ -1153,7 +1153,7 @@ def q38_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast back as a filter, supplier dim broadcast — the revenue "
     "table is scanned once and reused, never recomputed per row.",
 )
-def q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1174,7 +1174,7 @@ def q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- explicit GROUPING SETS with grouping_id ---------------------------------
 @query(
-    "q40_grouping_sets",
+    "a_q40_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
@@ -1191,7 +1191,7 @@ def q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping-sets builder); one Expand + one hash aggregate, same "
     "shuffle class as a plain groupBy.",
 )
-def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("q40_orders")
     return spark.sql("""
@@ -1227,7 +1227,7 @@ def _q41_oracle() -> str:
 
 
 @query(
-    "q41_column_profile",
+    "a_q41_column_profile",
     oracle=_q41_oracle(),
     doc="Column-statistics profile of a table (ANALYZE TABLE / Deequ "
     "shape): per column, null count, distinct count, min/max rendered "
@@ -1238,7 +1238,7 @@ def _q41_oracle() -> str:
     "render via an explicit format so both engines agree on the text "
     "form.",
 )
-def q41_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_q41_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.session import configure_for_oracle
 
     configure_for_oracle(spark)
@@ -1271,4 +1271,9 @@ def q41_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
+    # One row per profiled column: checkpoint the tiny result eagerly so
+    # the scan cache can be released before returning (no leaked blocks
+    # across bench-loop iterations).
+    out = out.localCheckpoint(eager=True)
+    orders.unpersist()
     return out

@@ -177,7 +177,7 @@ def t05_event_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- semi-structured: JSON field extraction ---------------------------------
 @query(
-    "a_t06_json_prop_stats",
+    "t06_json_prop_stats",
     oracle="""
     SELECT event_type,
            CAST(SUM(CAST(props->>'k' AS INTEGER)) AS BIGINT) AS k_total,
@@ -198,7 +198,7 @@ def t06_json_prop_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- as-of join (operators/asof.py) -----------------------------------------
 @query(
-    "a_t07_asof_purchase_last_view",
+    "t07_asof_purchase_last_view",
     oracle="""
     WITH tagged AS (
       SELECT user_id, ts AS __ts, 0 AS is_right, event_id,
@@ -259,10 +259,19 @@ def t07_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- streaming (rows-only: no SQL-expressible oracle for a stream run) ------
 @query(
     "s01_streaming_hourly_counts",
-    oracle=None,
+    oracle=f"""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 6)} AS total_value
+    FROM events GROUP BY 1, 2
+    """,
     doc="Structured Streaming end-to-end: events parquet → file-source "
-    "stream → watermarked 1h window agg → memory sink. Rows-only check; "
-    "the batch equivalence is tested in tests/test_streaming_multimodal.",
+    "stream → watermarked 1h window agg → memory sink. HASH-GATED: the "
+    "stream sums value through the decimal-exact dsum path "
+    "(exact_scale=6, order-independent), so the finite-input streaming "
+    "result is bit-identical to the tumbling-window batch SQL.",
 )
 def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -274,25 +283,43 @@ def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events_from_dir,
     )
 
+    configure_for_oracle(spark)
     # File-source streams need a dedicated directory of uniform-schema
     # files; stage the (nanos-normalized) events there.
     stage = tempfile.mkdtemp(prefix="stream_events_")
     events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
     name = f"s01_sink_{uuid.uuid4().hex[:8]}"
     stream = stream_events_from_dir(spark, stage)
-    run_to_memory_sink(hourly_by_type(stream), name, output_mode="complete")
-    return spark.table(name)
+    run_to_memory_sink(
+        hourly_by_type(stream, exact_scale=6), name, output_mode="complete"
+    )
+    return spark.table(name).select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
 
 
 @query(
     "a_s02_stateful_user_totals",
-    oracle=None,
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS total_micros
+    FROM events GROUP BY user_id
+    """,
     doc="Custom stateful streaming operator (streaming/stateful.py "
     "running_user_totals, applyInPandasWithState): per-user lifetime "
     "(count, value-sum) state machine driven over the staged events "
-    "stream. Rows-only at the gate (arbitrary-state ops have no SQL "
-    "stream equivalent); the query itself asserts the final state "
-    "equals the batch aggregate before returning.",
+    "stream. HASH-GATED (upgraded from rows-only, VERDICT r3 #3): the "
+    "state carries an exact integer-micros accumulator — per-event "
+    "floor(value*1e6) summed as int64 is order-independent, so the "
+    "stream's final state is bit-identical to the batch SQL aggregate "
+    "of the same expression in any IEEE-754 engine. The float running "
+    "sum stays in the output for consumers and is still asserted "
+    "against the batch aggregate within 1e-6 inside the query.",
 )
 def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -304,6 +331,7 @@ def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events_from_dir,
     )
 
+    configure_for_oracle(spark)
     stage = tempfile.mkdtemp(prefix="stream_state_")
     events = events_tbl(spark, sf_dir)
     events.write.mode("overwrite").parquet(stage)
@@ -318,11 +346,16 @@ def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     latest = (
         spark.table(name)
         .groupBy("user_id")
-        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
-        .select("user_id", F.col("s.n_events").alias("n_events"),
-                F.col("s.total_value").alias("total_value"))
+        .agg(F.max(F.struct("n_events", "total_value", "total_micros")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.total_value").alias("total_value"),
+            F.col("s.total_micros").alias("total_micros"),
+        )
     )
-    # Internal gate: stateful accumulation must equal the batch aggregate.
+    # Internal gate: the FLOAT accumulator must track the batch aggregate
+    # (the micros accumulator is pinned exactly by the driver's oracle).
     expected = events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("exp_n"),
         F.sum("value").alias("exp_total"),
@@ -330,26 +363,37 @@ def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad = (
         latest.join(expected, "user_id", "full")
         .filter(
-            (F.col("n_events") != F.col("exp_n"))
-            | (F.abs(F.col("total_value") - F.col("exp_total")) > 1e-6)
+            ~F.col("n_events").eqNullSafe(F.col("exp_n"))
+            | ~F.coalesce(
+                F.abs(F.col("total_value") - F.col("exp_total")) <= 1e-6,
+                F.lit(False),
+            )
         )
         .count()
     )
     if bad:
         raise AssertionError(f"stateful totals diverge from batch for {bad} users")
-    return latest
+    return latest.select("user_id", "n_events", "total_micros")
 
 
 @query(
     "a_s03_streaming_dedup",
-    oracle=None,
+    oracle="""
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (SELECT DISTINCT event_id, event_type FROM events)
+    GROUP BY event_type
+    """,
     doc="Streaming dedup with bounded state (streaming/dedup.py "
     "dropDuplicatesWithinWatermark): the events table is staged TWICE so "
     "real duplicates arrive across micro-batches; the stream must emit "
     "each event_id exactly once while evicting state past the watermark "
     "— the only dedup formulation that survives an unbounded source. "
-    "Rows-only at the gate; the query asserts stream output == batch "
-    "dropDuplicates before returning per-type counts.",
+    "HASH-GATED (upgraded from rows-only, VERDICT r3 #3): the emitted "
+    "per-type counts are pure integers, so the oracle is simply the "
+    "distinct-by-id count of the UNDUPLICATED source — exactly what a "
+    "correct streaming dedup of two staged copies must reproduce. The "
+    "query still asserts total emitted rows == batch dropDuplicates "
+    "before returning.",
 )
 def s03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -387,7 +431,7 @@ def s03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sliding (overlapping) windows ------------------------------------------
 @query(
-    "a_t08_sliding_window_by_type",
+    "t08_sliding_window_by_type",
     oracle=f"""
     WITH k AS (SELECT unnest(generate_series(0, 1)) AS k),
     x AS (SELECT e.event_type, e.value,
@@ -429,13 +473,26 @@ def t08_sliding_window_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a_s04_streaming_sliding_window",
-    oracle=None,
+    oracle=f"""
+    WITH k AS (SELECT unnest(generate_series(0, 1)) AS k),
+    x AS (SELECT e.event_type, e.value,
+                 date_trunc('hour', e.ts) - k.k * INTERVAL 1 HOUR AS wstart
+          FROM events e CROSS JOIN k)
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value', 6)} AS total_value
+    FROM x GROUP BY 1, 2
+    """,
     doc="Sliding windows through Structured Streaming (streaming/windows.py "
     "sliding_by_type): watermarked 2h/1h overlapping windows over the "
-    "staged events stream, complete-mode memory sink. Rows-only at the "
-    "gate; the query asserts the stream's windowed counts equal the "
-    "batch run of the same aggregation (the batch/stream duality "
-    "sliding_by_type promises) before returning.",
+    "staged events stream, complete-mode memory sink. HASH-GATED "
+    "(upgraded from rows-only, VERDICT r3 #3): the stream aggregates "
+    "value through the decimal-exact dsum path (exact_scale=6), which "
+    "is order-independent, so streaming execution is bit-identical to "
+    "the batch twin a_t08 and shares its relational sliding-window "
+    "oracle. The query still asserts stream == batch row-for-row "
+    "(null-safe, both sides exact) before returning.",
 )
 def s04_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -447,27 +504,25 @@ def s04_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events_from_dir,
     )
 
+    configure_for_oracle(spark)
     stage = tempfile.mkdtemp(prefix="stream_slide_")
     events = events_tbl(spark, sf_dir)
     events.write.mode("overwrite").parquet(stage)
     name = f"s04_sink_{uuid.uuid4().hex[:8]}"
     run_to_memory_sink(
-        sliding_by_type(stream_events_from_dir(spark, stage)),
+        sliding_by_type(stream_events_from_dir(spark, stage), exact_scale=6),
         name,
         output_mode="complete",
     )
     got = spark.table(name)
-    expected = sliding_by_type(events)
+    expected = sliding_by_type(events, exact_scale=6)
     # null-safe compare: a window present on only one side must count as a
-    # divergence, and NULL arithmetic must not silently pass the filter
+    # divergence; both sides are decimal-exact so equality is exact.
     bad = (
         got.join(expected, ["window_start", "event_type"], "full")
         .filter(
             ~got["n_events"].eqNullSafe(expected["n_events"])
-            | ~F.coalesce(
-                F.abs(got["total_value"] - expected["total_value"]) <= 1e-6,
-                F.lit(False),
-            )
+            | ~got["total_value"].eqNullSafe(expected["total_value"])
         )
         .count()
     )
@@ -485,7 +540,7 @@ def s04_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- lag/lead: day-over-day deltas -------------------------------------------
 @query(
-    "a_t09_day_over_day",
+    "t09_day_over_day",
     oracle="""
     WITH daily AS (
       SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
@@ -527,7 +582,7 @@ def t09_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- stream-static join, driver-hash-gated -----------------------------------
 @query(
-    "a_s05_stream_static_enrich",
+    "s05_stream_static_enrich",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
              AS window_start,
@@ -577,7 +632,7 @@ def s05_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cumulative distinct users via first-seen collapse -----------------------
 @query(
-    "a_t10_new_users_cumulative",
+    "t10_new_users_cumulative",
     oracle="""
     WITH first_seen AS (
       SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS day
@@ -621,7 +676,7 @@ def t10_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- stream-stream interval join, driver-hash-gated --------------------------
 @query(
-    "a_s06_stream_stream_join",
+    "s06_stream_stream_join",
     oracle="""
     SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
     FROM events p JOIN events v
@@ -685,7 +740,7 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- calendar gap-fill / resampling ------------------------------------------
 @query(
-    "a_t11_hourly_gap_fill",
+    "t11_hourly_gap_fill",
     oracle="""
     WITH bounds AS (
       SELECT MIN(date_trunc('hour', ts)) AS lo,
@@ -740,7 +795,7 @@ def t11_hourly_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ordered funnel conversion -----------------------------------------------
 @query(
-    "b_t12_funnel_conversion",
+    "t12_funnel_conversion",
     oracle="""
     WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
                WHERE event_type = 'view' GROUP BY user_id),
@@ -818,7 +873,7 @@ def t12_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- retention cohort matrix -------------------------------------------------
 @query(
-    "b_t13_retention_cohorts",
+    "t13_retention_cohorts",
     oracle="""
     WITH firsts AS (
       SELECT user_id, MIN(CAST(date_trunc('day', ts) AS DATE)) AS cohort
@@ -878,7 +933,7 @@ T14_MAX_BASKET = 50
 T14_MIN_SUPPORT = 2
 
 @query(
-    "t14_copurchase_pairs",
+    "a_t14_copurchase_pairs",
     oracle=f"""
     WITH pur AS (
       SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
@@ -904,7 +959,7 @@ T14_MIN_SUPPORT = 2
     "user), the market-basket analog of the d06/d07 blowup guards; "
     "pair aggregation is one (item_a, item_b)-keyed shuffle.",
 )
-def t14_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_t14_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_tbl(spark, sf_dir)
     pur = (
         ev.filter(F.col("event_type") == "purchase")
@@ -938,7 +993,7 @@ T15_Z_THRESHOLD = 2.0
 
 
 @query(
-    "t15_hourly_anomaly",
+    "a_t15_hourly_anomaly",
     oracle=f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour_start,
@@ -968,9 +1023,13 @@ T15_Z_THRESHOLD = 2.0
     FROM scored WHERE baseline_var > 0
     """,
     doc="Rolling z-score anomaly detection on the hourly event-count "
-    "series per type: each hour scored against the trailing 24 fully-"
-    "observed hours' mean/variance (the monitoring primitive for "
-    "ingestion pipelines — volume spikes/drops per source). All window "
+    "series per type: each hour scored against the mean/variance of "
+    "the 24 MOST RECENT OBSERVED hours (a ROWS frame — if the hourly "
+    "series has gaps the baseline spans a longer wall-clock window; "
+    "densify the (type, hour) grid first, as t11 does, when strict "
+    "trailing-24-wall-clock-hours semantics are needed). The "
+    "monitoring primitive for ingestion pipelines — volume "
+    "spikes/drops per source. All window "
     "state is integer (count, sum, sum-of-squares over a rows-frame), "
     "so mean/variance come out of exact BIGINTs through identical "
     "double ops on both engines — bit-exact z-scores without decimal "
@@ -979,7 +1038,7 @@ T15_Z_THRESHOLD = 2.0
     "the per-type sort is over thousands of rows regardless of raw "
     "event volume.",
 )
-def t15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_t15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     ev = events_tbl(spark, sf_dir)
     hourly = ev.groupBy(
@@ -1021,7 +1080,7 @@ def t15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- RANGE-frame rolling window (time-based, not row-based) ------------------
 @query(
-    "t16_rolling_range_revenue",
+    "a_t16_rolling_range_revenue",
     oracle="""
     SELECT o_orderkey, o_custkey,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
@@ -1041,7 +1100,7 @@ def t15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window sort; the filter bounds the demo, at scale the partition "
     "key spreads the sort across executors.",
 )
-def t16_rolling_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_t16_rolling_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     orders = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
     sec = F.unix_timestamp("o_orderdate")
@@ -1064,7 +1123,7 @@ def t16_rolling_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- native session windows (batch face of the streaming operator) -----------
 @query(
-    "t17_session_windows_native",
+    "a_t17_session_windows_native",
     oracle=f"""
     WITH x AS (
       SELECT user_id, ts,
@@ -1093,7 +1152,7 @@ def t16_rolling_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lag/cumsum sessionization with the operator a streaming job "
     "actually runs.",
 )
-def t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.streaming import sessionized_by_user
 
     configure_for_oracle(spark)
@@ -1109,7 +1168,7 @@ def t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "s07_streaming_session_window",
+    "a_s07_streaming_session_window",
     oracle=None,
     doc="Session windows through Structured Streaming (streaming/windows.py "
     "sessionized_by_user): watermarked 30-min-gap sessions per user over "
@@ -1117,7 +1176,7 @@ def t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the gate; the query asserts the stream's sessions equal the batch "
     "run of the same helper (t17's oracled face) before returning.",
 )
-def s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
@@ -1172,7 +1231,7 @@ T18_WEIGHTS = [(0, 1.0), (1, 0.5), (2, 0.25), (3, 0.125), (4, 0.0625), (5, 0.031
 
 
 @query(
-    "t18_ewma_hourly_volume",
+    "a_t18_ewma_hourly_volume",
     oracle=f"""
     WITH hourly AS (
       SELECT event_type,
@@ -1204,7 +1263,7 @@ T18_WEIGHTS = [(0, 1.0), (1, 0.5), (2, 0.25), (3, 0.125), (4, 0.0625), (5, 0.031
     "collapses raw volume first; the 24-offset expansion multiplies "
     "the tiny series, not the events."
 )
-def t18_ewma_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_t18_ewma_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     ev = events_tbl(spark, sf_dir)
     hourly = (
@@ -1247,7 +1306,7 @@ def t18_ewma_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- time-weighted average value (TWAP) --------------------------------------
 @query(
-    "t19_time_weighted_value",
+    "a_t19_time_weighted_value",
     oracle="""
     WITH x AS (
       SELECT user_id, ts,
@@ -1279,7 +1338,7 @@ def t18_ewma_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "measured, not assumed. Scale shape: "
     "one (user)-keyed window sort then a keyed aggregate.",
 )
-def t19_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_t19_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     ev = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")

@@ -76,13 +76,20 @@ def overwrite_partitions(df: DataFrame, name: str) -> None:
     a save/restore of the session conf, because STATIC (the default)
     would silently drop every other partition, a catastrophic footgun
     on a 100 TB table.
+
+    ``insertInto`` matches columns BY POSITION against the table layout
+    (partition columns last), ignoring ``df``'s column names — so the
+    frame is realigned here to the target table's column order first; a
+    caller-supplied order that merely *names* the right columns would
+    otherwise write swapped data wherever types happen to be compatible.
     """
     spark = df.sparkSession
+    df = df.select(*spark.table(name).columns)
     key = "spark.sql.sources.partitionOverwriteMode"
     prev = spark.conf.get(key, None)
     spark.conf.set(key, "dynamic")
     try:
-        df.write.format("parquet").mode("overwrite").insertInto(name)
+        df.write.mode("overwrite").insertInto(name)
     finally:
         if prev is None:
             spark.conf.unset(key)

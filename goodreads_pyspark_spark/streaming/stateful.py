@@ -20,12 +20,22 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
-STATE_SCHEMA = "n long, total double"
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, total_micros long"
+STATE_SCHEMA = "n long, total double, micros long"
 
 
 def running_user_totals(events: DataFrame) -> DataFrame:
     """Per-user lifetime (count, value-sum), updated each micro-batch.
+
+    Two value accumulators ride in the state: the raw float64 running sum
+    (``total_value``, what a monitoring consumer reads) and an EXACT
+    integer-micros sum (``total_micros``: each event contributes
+    ``floor(value * 1e6)`` as int64). Per-event quantization followed by
+    integer addition is order-independent and overflow-safe at any event
+    count the store can hold, so ``total_micros`` is bit-identical to the
+    batch aggregate of the same expression — that exactness is what lets
+    the driver hash-gate this operator against a SQL oracle
+    (queries/timeseries.py a_s02) instead of a rows-only check.
 
     The state handler is a NESTED function so cloudpickle serializes it by
     value: Python workers then need no import of this package (a
@@ -35,16 +45,25 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     """
 
     def update_totals(key, pdfs, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         (user_id,) = key
-        n, total = state.get if state.exists else (0, 0.0)
+        n, total, micros = state.get if state.exists else (0, 0.0, 0)
         for pdf in pdfs:
             n += len(pdf)
             total += float(pdf["value"].sum())
-        state.update((n, total))
+            # float64 product + floor matches FLOOR(value * 1e6) in any
+            # IEEE-754 engine; int64 addition is exact in every order.
+            micros += int(np.floor(pdf["value"].to_numpy() * 1e6).sum())
+        state.update((n, total, micros))
         yield pd.DataFrame(
-            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+            {
+                "user_id": [user_id],
+                "n_events": [n],
+                "total_value": [total],
+                "total_micros": [micros],
+            }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(

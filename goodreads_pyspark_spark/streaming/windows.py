@@ -41,8 +41,27 @@ def stream_events_from_dir(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(EVENT_SCHEMA).parquet(path)
 
 
+def _value_sum(exact_scale: int | None):
+    """Sum of ``value`` for a windowed agg; ``exact_scale`` switches to a
+    decimal-exact, order-independent sum (the ``dsum`` convention from
+    queries/_helpers.py) so streaming and batch runs of the same
+    aggregation produce bit-identical doubles — what lets a streaming
+    query carry a hash-gated cross-engine oracle instead of a
+    rows-only check."""
+    if exact_scale is None:
+        return F.sum("value").alias("total_value")
+    return (
+        F.sum(F.col("value").cast(f"decimal(30,{exact_scale})"))
+        .cast("double")
+        .alias("total_value")
+    )
+
+
 def hourly_by_type(
-    events: DataFrame, watermark: str = "2 hours", window: str = "1 hour"
+    events: DataFrame,
+    watermark: str = "2 hours",
+    window: str = "1 hour",
+    exact_scale: int | None = None,
 ) -> DataFrame:
     """Windowed counts/sums per event type with late-data watermark.
 
@@ -54,7 +73,7 @@ def hourly_by_type(
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            _value_sum(exact_scale),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -90,6 +109,7 @@ def sliding_by_type(
     watermark: str = "2 hours",
     window: str = "2 hours",
     slide: str = "1 hour",
+    exact_scale: int | None = None,
 ) -> DataFrame:
     """Sliding (overlapping) windowed counts/sums per event type.
 
@@ -103,7 +123,7 @@ def sliding_by_type(
         src.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("total_value"),
+            _value_sum(exact_scale),
         )
         .select(
             F.col("w.start").alias("window_start"),

@@ -275,7 +275,7 @@ def test_chunk_overlap_geometry(spark, tmp_path):
     sf = str(tmp_path)
     df.write.parquet(os.path.join(sf, "documents.parquet"))
     rows = sorted(
-        REGISTRY["a_d21_chunk_overlap"].spark_fn(spark, sf).collect(),
+        REGISTRY["d21_chunk_overlap"].spark_fn(spark, sf).collect(),
         key=lambda r: (r.doc_id, r.chunk_idx),
     )
     by_doc = {}

@@ -162,6 +162,35 @@ def test_label_propagation_community_count(graph):
     assert 1 <= n <= graph.vertices.count()
 
 
+def test_label_propagation_leaves_no_cached_blocks(spark, graph):
+    """The undirected edge view is cached per call; a long-lived session
+    running LPA over many graphs must not accumulate executor blocks —
+    the eager final checkpoint + unpersist must leave the cache manager
+    no fuller than it started."""
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    before = jcm.isEmpty()
+    label_propagation(graph, max_iter=2).count()
+    assert jcm.isEmpty() or not before
+
+
+def test_clustering_coefficients_leave_no_cached_blocks(spark):
+    """Same hygiene for the three working caches of
+    clustering_coefficients (bench loops call it repeatedly)."""
+    from goodreads_pyspark_spark.graph.frames import clustering_coefficients
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], ["src", "dst"]
+    )
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    before = jcm.isEmpty()
+    got = {
+        r["id"]: r["clustering_coeff"]
+        for r in clustering_coefficients(e).collect()
+    }
+    assert abs(got[1] - 1.0) < 1e-12 and abs(got[3] - 1 / 3) < 1e-12
+    assert jcm.isEmpty() or not before
+
+
 def test_connected_components(spark):
     from goodreads_pyspark_spark.graph.pregel import connected_components
 

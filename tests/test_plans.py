@@ -108,7 +108,7 @@ def test_d19_broadcasts_incoming_batch(spark):
     # Ingestion dedup must broadcast the small batch's band keys against
     # the corpus index — a SortMergeJoin here would shuffle the corpus
     # per batch, which defeats the incremental design.
-    plan = plan_of(spark, "a_d19_incremental_ingest_dedup")
+    plan = plan_of(spark, "d19_incremental_ingest_dedup")
     assert "BroadcastHashJoin" in plan
     exchanges = [
         seg.splitlines()[0] for seg in plan.split("Exchange hashpartitioning")[1:]
@@ -195,13 +195,13 @@ def test_plan_audit_helpers(spark):
 def test_q29_broadcasts_all_dims_single_fact_shuffle(spark):
     # Q5 shape: region/nation/supplier/customer broadcast; the only
     # SortMergeJoin (if any) is the orderkey fact-fact join.
-    plan = plan_of(spark, "a_q29_local_supplier_volume")
+    plan = plan_of(spark, "q29_local_supplier_volume")
     assert plan.count("BroadcastHashJoin") >= 4
     assert "o_orderdate" in plan.split("PushedFilters")[1]
 
 
 def test_q30_pushes_returnflag_and_folds_topk(spark):
-    plan = plan_of(spark, "a_q30_returned_item_customers")
+    plan = plan_of(spark, "q30_returned_item_customers")
     assert "TakeOrderedAndProject" in plan
     flt = [seg.splitlines()[0] for seg in plan.split("PushedFilters:")[1:]]
     assert any("l_returnflag" in f for f in flt)
@@ -251,7 +251,7 @@ def test_compaction_layout_properties(spark, tmp_path):
 def test_e09_broadcasts_query_block(spark):
     # The batch-kNN query side must ride a broadcast; the corpus side
     # must NOT appear in a cartesian/nested-loop join.
-    plan = plan_of(spark, "a_e09_batch_knn")
+    plan = plan_of(spark, "e09_batch_knn")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -259,7 +259,7 @@ def test_e09_broadcasts_query_block(spark):
 def test_g07_no_cartesian_and_pruned_scan(spark):
     # Degree-ordered triangle counting: every stage is a keyed join;
     # the lineitem scan reads only the two join columns.
-    plan = plan_of(spark, "a_g07_triangle_count")
+    plan = plan_of(spark, "g07_triangle_count")
     assert "CartesianProduct" not in plan
     schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
     assert schemas and all(
@@ -270,7 +270,7 @@ def test_g07_no_cartesian_and_pruned_scan(spark):
 def test_d20_broadcasts_corpus_count_only(spark):
     # The single-row corpus count joins via broadcast; term/doc shuffles
     # carry ids and terms, never the documents text column.
-    plan = plan_of(spark, "a_d20_tfidf_top_terms")
+    plan = plan_of(spark, "d20_tfidf_top_terms")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     ex_segs = plan.split("Exchange")[1:]
     assert ex_segs and all("text" not in seg.splitlines()[0] for seg in ex_segs)
@@ -280,7 +280,7 @@ def test_e14_adc_broadcasts_lut_and_codebooks(spark):
     """ADC must never shuffle raw vectors for the LUT/codebook sides: the
     64-row LUT and ksub codebooks broadcast; the only exchanges key the
     (id, sub, cid) assignment rows."""
-    plan = plan_of(spark, "b_e14_pq_adc_topk")
+    plan = plan_of(spark, "e14_pq_adc_topk")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k folds, no global sort
@@ -289,7 +289,7 @@ def test_e14_adc_broadcasts_lut_and_codebooks(spark):
 def test_d27_shuffles_shingles_not_documents(spark):
     """The doc-frequency join carries (id, shingle) rows only — the raw
     text column must not survive past the scan projection."""
-    plan = plan_of(spark, "b_d27_dup_shingle_fraction")
+    plan = plan_of(spark, "d27_dup_shingle_fraction")
     exchanges = [
         seg.splitlines()[0] for seg in plan.split("Arguments: ")[1:]
         if seg.splitlines()[0].startswith("hashpartitioning")
@@ -302,7 +302,7 @@ def test_d29_quota_window_is_partitioned(spark):
     """The rank cut must run per-stratum: a window partitioned by the
     stratum key, never an Exchange SinglePartition (the global-window
     funnel that dies at scale)."""
-    plan = plan_of(spark, "b_d29_quota_sample")
+    plan = plan_of(spark, "d29_quota_sample")
     assert "SinglePartition" not in plan
     assert "RunningWindowFunction" in plan or "Window" in plan
 
@@ -310,7 +310,7 @@ def test_d29_quota_window_is_partitioned(spark):
 def test_g10_ppr_state_is_id_and_bigint_only(spark):
     """Per-superstep shuffles carry (id, pr/msg) pairs — no vertex
     attributes balloon the iteration state."""
-    plan = plan_of(spark, "b_g10_personalized_pagerank")
+    plan = plan_of(spark, "g10_personalized_pagerank")
     assert "CartesianProduct" not in plan
     assert "text" not in plan and "l_comment" not in plan
 
@@ -413,7 +413,7 @@ def test_zorder_layout_prunes_box_queries(spark, tmp_path):
 def test_q36_broadcasts_dims_single_fact_shuffle(spark):
     # Q7 shape: supplier + both nation aliases broadcast; lineitem date
     # filter reaches the scan.
-    plan = plan_of(spark, "q36_nation_trade_volume")
+    plan = plan_of(spark, "a_q36_nation_trade_volume")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "l_shipdate" in plan.split("PushedFilters")[1]
 
@@ -421,7 +421,7 @@ def test_q36_broadcasts_dims_single_fact_shuffle(spark):
 def test_q37_compiles_to_semi_and_anti(spark):
     # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti; never a row-exploding
     # inner join plus dedup.
-    plan = plan_of(spark, "q37_sole_late_suppliers")
+    plan = plan_of(spark, "a_q37_sole_late_suppliers")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
 
@@ -433,7 +433,7 @@ def test_d31_token_arrays_never_cross_a_shuffle(spark):
     # (AQE + the cached token base can hide hash exchanges behind
     # InMemoryRelation in the formatted plan, so scan every Exchange
     # flavor rather than requiring one to be present.)
-    plan = plan_of(spark, "d31_span_scrub")
+    plan = plan_of(spark, "a_d31_span_scrub")
     exchanges = [
         line for line in plan.splitlines() if "Exchange" in line
     ]
@@ -447,7 +447,7 @@ def test_d32_vocab_window_is_bounded_by_takeordered(spark):
     # The global row_number ranks only the TakeOrdered top-1000 cut —
     # the plan must contain TakeOrderedAndProject feeding the window,
     # not a whole-vocabulary single-partition sort.
-    plan = plan_of(spark, "d32_token_rank_fluency")
+    plan = plan_of(spark, "a_d32_token_rank_fluency")
     assert "TakeOrderedAndProject" in plan
 
 
@@ -486,6 +486,8 @@ def test_aqe_splits_skewed_join_partitions(spark):
         assert "skew=true" in plan and "skewed" in plan, plan[:2000]
     finally:
         for key in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",

@@ -1,0 +1,32 @@
+#!/usr/bin/env bash
+# S5 bootstrap (SURVEY.md §2.1): fetch the UCSD Goodreads dumps the
+# reference pipeline ingests (reference: goodreads.py:25-28 — `%sh gdown`
+# of two Google Drive objects + gunzip). Out-of-band by SURVEY's own
+# scoping — this is data acquisition, not an engine operator — and
+# NETWORK-GATED: the build/test sandbox has no egress, so this script is
+# documentation-made-runnable for environments that do.
+#
+# Usage:  tools/fetch_goodreads.sh [DEST_DIR]
+# Then:   export GOODREADS_DATA_DIR=DEST_DIR
+#         python -m pytest tests/test_golden_goodreads.py   # golden replay
+#
+# The golden replay additionally needs the three Kaggle "goodbooks-10k"
+# CSVs the reference loads from /FileStore/tables (books.csv, ratings.csv,
+# to_read.csv) — place them in DEST_DIR alongside the JSON dumps.
+set -euo pipefail
+
+DEST="${1:-./goodreads_data}"
+mkdir -p "$DEST"
+cd "$DEST"
+
+command -v gdown >/dev/null 2>&1 || python -m pip install gdown
+
+# Full books table + per-book genre tags (UCSD Book Graph dumps; the same
+# Drive object ids the reference notebook pulls).
+gdown 'https://drive.google.com/uc?id=1LXpK1UfqtP89H1tYy0pBGHjYk8IhigUK'
+gdown 'https://drive.google.com/uc?id=1ah0_KpUterVi-AHxJ03iKD6O0NfbK0md'
+gzip -d -f goodreads_books.json.gz goodreads_book_genres_initial.json.gz
+
+echo "Fetched into $DEST:"
+ls -lh goodreads_books.json goodreads_book_genres_initial.json
+echo "export GOODREADS_DATA_DIR=$(pwd)  # to enable the golden replay tests"
