@@ -245,7 +245,12 @@ def kcore_trim(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .unionAll(cur.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        # Per-vertex result is small: checkpoint it eagerly so the final
+        # round's cached edge set can be released before returning — no
+        # leaked executor blocks across repeated calls.
+        .localCheckpoint(eager=True)
     )
+    cur.unpersist()
     return deg
 
 

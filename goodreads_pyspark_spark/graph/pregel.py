@@ -529,9 +529,15 @@ def connected_components_alternating(
             f"alternating CC did not converge in {max_rounds} rounds"
         )
 
-    out = graph.vertices.join(
-        star.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left"
-    ).select(
+    # The star forest is one row per non-root vertex: checkpoint it eagerly
+    # (data is already cached, so this is a copy not a recompute) and
+    # release the loop's final cached edge set before returning — no
+    # leaked executor blocks across repeated calls.
+    roots = star.select(
+        F.col("u").alias("id"), F.col("v").alias("root")
+    ).localCheckpoint(eager=True)
+    star.unpersist()
+    out = graph.vertices.join(roots, "id", "left").select(
         *[F.col(c) for c in graph.vertices.columns],
         F.coalesce("root", F.col("id")).alias("component"),
     )

@@ -1997,3 +1997,226 @@ def a_c03_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").cast("bigint").alias("total_tokens"),
     )
+
+
+# ============================ round-4 additions ==============================
+def _band_tuning_oracle(num_hashes: int = 8, max_bucket: int = D07_MAX_BUCKET) -> str:
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(num_hashes)
+    )
+    blocks = []
+    for bands in (8, 4, 2):
+        r = num_hashes // bands
+        band_rows = "\n      UNION ALL\n".join(
+            f"      SELECT doc_id, {b} AS band, "
+            f"md5({' || '.join(f'mh{b * r + k}' for k in range(r))}) AS key FROM mh"
+            for b in range(bands)
+        )
+        blocks.append(
+            f"""bands_{bands} AS (
+{band_rows}),
+    bc_{bands} AS (SELECT band, key, count(*) AS n
+                   FROM bands_{bands} GROUP BY band, key),
+    bf_{bands} AS (SELECT bands_{bands}.* FROM bands_{bands}
+                   JOIN bc_{bands} USING (band, key) WHERE n <= {max_bucket}),
+    cand_{bands} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bf_{bands} a JOIN bf_{bands} b USING (band, key)
+      WHERE a.doc_id < b.doc_id),
+    row_{bands} AS (
+      SELECT {bands} AS bands, {r} AS rows_per_band,
+             (SELECT count(*) FROM cand_{bands}) AS n_candidates,
+             (SELECT count(*) FROM cand_{bands} c
+              JOIN truep t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+               AS n_true_captured)"""
+        )
+    rows = ",\n    ".join(blocks)
+    unions = "\n    UNION ALL\n    ".join(
+        f"SELECT * FROM row_{b}" for b in (8, 4, 2)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    mh AS (SELECT doc_id,
+           {mins}
+           FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
+    shf AS (SELECT s.doc_id, s.sh FROM sh s
+            JOIN dfreq USING (sh) WHERE df <= {D06_MAX_DF}),
+    sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM shf a JOIN shf b USING (sh) WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truep AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sz sa ON sa.doc_id = doc_a
+      JOIN sz sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.5),
+    {rows},
+    allrows AS ({unions})
+    SELECT CAST(bands AS INTEGER) AS bands,
+           CAST(rows_per_band AS INTEGER) AS rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true_captured AS BIGINT) AS n_true_captured,
+           CAST(n_true_captured AS DOUBLE)
+             / greatest((SELECT count(*) FROM truep), 1) AS recall,
+           CAST(n_true_captured AS DOUBLE)
+             / greatest(n_candidates, 1) AS precision
+    FROM allrows ORDER BY bands DESC
+    """
+
+
+@query(
+    "b_d34_lsh_band_tuning",
+    oracle=_band_tuning_oracle(),
+    doc="MinHash-LSH band-tuning audit: candidate volume, true-pair "
+    "capture, recall and precision for (bands, rows/band) = (8,1), "
+    "(4,2), (2,4) over the same 8 minhashes, judged against the exact "
+    "Jaccard>=0.5 pair set (d06 semantics). THE tuning table for the "
+    "S-curve trade — more bands / fewer rows = higher recall, more "
+    "junk candidates; this measures both sides instead of trusting "
+    "the 1-(1-s^r)^b formula. One shingle pass and one signature "
+    "table feed all three configs (tokenize-once discipline); each "
+    "config adds only its banded equi-join, all hot buckets capped.",
+)
+def b_d34_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.minhash import (
+        lsh_candidate_pairs_from_shingles,
+    )
+    from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, out_id="doc_id").cache()
+    truep = (
+        jaccard_pairs(docs, threshold=0.5, max_df=D06_MAX_DF)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    sweeps = None
+    for bands in (8, 4, 2):
+        cand = lsh_candidate_pairs_from_shingles(
+            sh, num_hashes=8, bands=bands, max_bucket=D07_MAX_BUCKET
+        ).select(
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(8 // bands).cast("int").alias("rows_per_band"),
+            "doc_a",
+            "doc_b",
+        )
+        sweeps = cand if sweeps is None else sweeps.unionByName(cand)
+    n_cand = sweeps.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    n_capt = (
+        sweeps.join(truep, ["doc_a", "doc_b"])
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_true_captured"))
+    )
+    tot = truep.agg(F.count(F.lit(1)).alias("n_true"))
+    out = (
+        n_cand.join(n_capt, "bands", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bands",
+            "rows_per_band",
+            "n_candidates",
+            F.coalesce("n_true_captured", F.lit(0))
+            .cast("bigint")
+            .alias("n_true_captured"),
+            (
+                F.coalesce("n_true_captured", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_true"), F.lit(1))
+            ).alias("recall"),
+            (
+                F.coalesce("n_true_captured", F.lit(0)).cast("double")
+                / F.greatest(F.col("n_candidates"), F.lit(1))
+            ).alias("precision"),
+        )
+        .orderBy(F.col("bands").desc())
+        .localCheckpoint(eager=True)
+    )
+    sh.unpersist()
+    truep.unpersist()
+    return out
+
+
+@query(
+    "b_d35_shingle_novelty",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    ds AS (SELECT s.doc_id, s.sh, d.source
+           FROM sh s JOIN documents d USING (doc_id)),
+    per_sh AS (SELECT sh, count(DISTINCT source) AS n_sources FROM ds GROUP BY sh),
+    per_src AS (
+      SELECT source,
+             count(DISTINCT doc_id) AS n_docs,
+             count(*) AS n_shingle_rows,
+             count(DISTINCT sh) AS n_distinct
+      FROM ds GROUP BY source),
+    uniq AS (
+      SELECT source, count(DISTINCT sh) AS n_exclusive
+      FROM ds JOIN per_sh USING (sh) WHERE n_sources = 1
+      GROUP BY source)
+    SELECT p.source,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_shingle_rows AS BIGINT) AS n_shingle_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_distinct AS DOUBLE) / n_shingle_rows AS novelty,
+           CAST(COALESCE(n_exclusive, 0) AS BIGINT) AS n_exclusive,
+           CAST(COALESCE(n_exclusive, 0) AS DOUBLE) / n_distinct
+             AS exclusivity
+    FROM per_src p LEFT JOIN uniq USING (source)
+    """,
+    doc="Per-source shingle novelty: distinct-to-total 3-shingle ratio "
+    "(how repetitive a source is internally) and the share of its "
+    "shingle vocabulary found in NO other source (how much unique "
+    "signal it adds to the mix) — the two numbers a data-mixing "
+    "decision actually needs (cf. d33 length drift, a_d18 mix "
+    "rollup). All exact integer counts off ONE tokenize pass; the "
+    "cross-source exclusivity table is a (shingle)-keyed count "
+    "capped at the vocabulary size, never a pairwise source join.",
+)
+def b_d35_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    ds = (
+        shingle_rows(docs, out_id="doc_id")
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .cache()
+    )
+    per_sh = ds.groupBy("sh").agg(
+        F.countDistinct("source").alias("n_sources")
+    )
+    per_src = ds.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shingle_rows"),
+        F.countDistinct("sh").cast("bigint").alias("n_distinct"),
+    )
+    uniq = (
+        ds.join(per_sh.filter(F.col("n_sources") == 1), "sh")
+        .groupBy("source")
+        .agg(F.countDistinct("sh").cast("bigint").alias("n_exclusive"))
+    )
+    out = (
+        per_src.join(uniq, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_shingle_rows",
+            "n_distinct",
+            (
+                F.col("n_distinct").cast("double") / F.col("n_shingle_rows")
+            ).alias("novelty"),
+            F.coalesce("n_exclusive", F.lit(0))
+            .cast("bigint")
+            .alias("n_exclusive"),
+            (
+                F.coalesce("n_exclusive", F.lit(0)).cast("double")
+                / F.col("n_distinct")
+            ).alias("exclusivity"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ds.unpersist()
+    return out

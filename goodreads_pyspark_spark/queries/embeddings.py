@@ -852,3 +852,206 @@ def a_e18_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.round(F.sqrt(F.col("sq").cast("double")), 6).alias("drift_l2"),
     )
+
+
+# ============================ round-4 additions ==============================
+
+
+@query(
+    "b_e19_ivf_nprobe_sweep",
+    oracle=f"""
+    WITH {_LONG},
+    cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, v AS cval
+              FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_DSUM.format(expr='v * cval')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='cval * cval')} AS c2
+      FROM e JOIN cents c USING (pos)
+      GROUP BY e.vec_id, c.cid),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY dot / (SQRT(n2) * SQRT(c2)) DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    qcent AS (
+      SELECT cid,
+             ROW_NUMBER() OVER (
+               ORDER BY dot / (SQRT(n2) * SQRT(c2)) DESC, cid) AS rn
+      FROM scored WHERE vec_id = 1),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 1),
+    allcomps AS (
+      SELECT e.vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos)
+      WHERE e.vec_id <> 1
+      GROUP BY e.vec_id),
+    exact AS (
+      SELECT vec_id FROM allcomps
+      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id LIMIT 10),
+    nps AS (SELECT CAST(unnest([1, 2, 4, 8]) AS INTEGER) AS nprobe),
+    assigned AS (SELECT b.vec_id, qc.rn FROM best b JOIN qcent qc USING (cid)),
+    ivf AS (
+      SELECT nprobe, vec_id FROM (
+        SELECT n.nprobe, ac.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY n.nprobe
+                 ORDER BY ROUND(ac.dot / (SQRT(ac.n2) * SQRT(ac.q2)), 6)
+                          DESC, ac.vec_id) AS rn2
+        FROM nps n
+        JOIN assigned a ON a.rn <= n.nprobe
+        JOIN allcomps ac ON ac.vec_id = a.vec_id)
+      WHERE rn2 <= 10),
+    hits AS (SELECT nprobe, COUNT(*) AS c
+             FROM ivf JOIN exact USING (vec_id) GROUP BY nprobe)
+    SELECT n.nprobe, CAST(10 AS INTEGER) AS k,
+           CAST(COALESCE(c, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(c, 0) AS DOUBLE) / 10 AS recall
+    FROM nps n LEFT JOIN hits USING (nprobe)
+    ORDER BY n.nprobe
+    """,
+    doc="IVF recall-vs-cost CURVE: recall@10 for the same query at "
+    "nprobe = 1, 2, 4, 8 of 8 lists (a_e12 pins one point; this pins "
+    "the whole dial, including the nprobe = nlist end where IVF "
+    "provably equals exhaustive search — recall 1.0 is asserted "
+    "below, so a routing regression anywhere on the curve fails the "
+    "gate). Work scales with the probed fraction: the candidate "
+    "restriction is a semi-join on the assignment table before any "
+    "distance math, which is the entire point of IVF at 100 TB.",
+)
+def b_e19_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+    from goodreads_pyspark_spark.similarity.ivf import ivf_knn, sampled_centroids
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, k=8)
+    exact = brute_force_knn(emb, query_id=1, k=10).select("vec_id")
+    sweeps = None
+    for np_ in (1, 2, 4, 8):
+        got = ivf_knn(
+            emb, query_id=1, k=10, nprobe=np_, centroids_long=cents
+        ).select(F.lit(np_).cast("int").alias("nprobe"), "vec_id")
+        sweeps = got if sweeps is None else sweeps.unionByName(got)
+    hits = (
+        sweeps.join(exact, "vec_id")
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    nps = spark.createDataFrame([(n,) for n in (1, 2, 4, 8)], "nprobe int")
+    out = (
+        nps.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.lit(10).cast("int").alias("k"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)).cast("double") / 10).alias("recall"),
+        )
+        .orderBy("nprobe")
+    )
+    full_probe = [r for r in out.collect() if r["nprobe"] == 8]
+    if not full_probe or full_probe[0]["recall"] != 1.0:
+        raise AssertionError("nprobe == nlist must equal exhaustive search")
+    return out
+
+
+@query(
+    "b_e20_centroid_separation",
+    oracle=f"""
+    WITH {_LONG},
+    cents AS (
+      SELECT label, pos,
+             ROUND({_DSUM.format(expr='v')} / COUNT(*), 6) AS c
+      FROM e JOIN embeddings USING (vec_id)
+      GROUP BY label, pos),
+    d AS (
+      SELECT c1.label AS l1, c2.label AS l2,
+             SUM(CAST(c1.c - c2.c AS DECIMAL(18,9))
+                 * CAST(c1.c - c2.c AS DECIMAL(18,9))) AS sq
+      FROM cents c1 JOIN cents c2
+        ON c1.pos = c2.pos AND c1.label <> c2.label
+      GROUP BY 1, 2),
+    dist AS (SELECT l1, l2, ROUND(SQRT(CAST(sq AS DOUBLE)), 6) AS dd FROM d),
+    ranked AS (
+      SELECT l1, l2, dd,
+             ROW_NUMBER() OVER (PARTITION BY l1 ORDER BY dd, l2) AS rn
+      FROM dist)
+    SELECT r.l1 AS label, r.l2 AS nearest_label, r.dd AS nearest_dist,
+           CAST(SUM(CAST(a.dd AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS mean_separation
+    FROM ranked r JOIN dist a ON a.l1 = r.l1
+    WHERE r.rn = 1
+    GROUP BY r.l1, r.l2, r.dd
+    """,
+    doc="Inter-centroid separation audit: per label, the nearest other "
+    "label's centroid distance and the mean distance to all others — "
+    "the index-health metric that says whether an IVF/cluster routing "
+    "layer can discriminate classes at all (companion to a_e18's "
+    "temporal drift: e18 watches one label move, this watches the "
+    "geometry between labels collapse). Exactness: 6dp-rounded "
+    "centroid components (e05 convention), diffs re-quantized to "
+    "decimal so squared sums are order-independent; the per-label "
+    "mean runs over 6dp-quantized distances.",
+)
+def b_e20_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.functions.vectors import explode_vector
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    emb = fan_out(tbl(spark, sf_dir, "embeddings"))
+    e = explode_vector(emb, "vec_id").withColumn("pos", F.col("pos") + 1)
+    cents = (
+        e.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("label", "pos")
+        .agg(
+            F.round(
+                F.sum(F.col("v").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("c")
+        )
+    )
+    c1 = cents.select(
+        F.col("label").alias("l1"), "pos", F.col("c").alias("ca")
+    )
+    c2 = cents.select(
+        F.col("label").alias("l2"), "pos", F.col("c").alias("cb")
+    )
+    diff = (F.col("ca") - F.col("cb")).cast("decimal(18,9)")
+    dist = (
+        c1.join(c2, "pos")
+        .filter(F.col("l1") != F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(F.round(F.sqrt(F.sum(diff * diff).cast("double")), 6).alias("dd"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l1").orderBy("dd", "l2")
+    nearest = (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l1", F.col("l2").alias("nearest_label"),
+                F.col("dd").alias("nearest_dist"))
+    )
+    means = dist.groupBy("l1").agg(
+        (
+            F.sum(F.col("dd").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_separation")
+    )
+    return (
+        nearest.join(means, "l1")
+        .select(
+            F.col("l1").alias("label"),
+            "nearest_label",
+            "nearest_dist",
+            "mean_separation",
+        )
+    )

@@ -653,3 +653,117 @@ def a_g12_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy(F.col("d").cast("bigint").alias("degree")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_vertices")
     )
+
+
+# ============================ round-4 additions ==============================
+_G13_DEG_CAP = 40
+_G13_TOP = 20
+
+
+@query(
+    "b_g13_link_prediction",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    deg AS (SELECT id, COUNT(*) AS d FROM (
+      SELECT pa AS id FROM pairs UNION ALL SELECT pb AS id FROM pairs)
+      GROUP BY id),
+    keep AS (SELECT id FROM deg WHERE d <= {_G13_DEG_CAP}),
+    e AS (SELECT pa, pb FROM pairs
+          JOIN keep ka ON ka.id = pa JOIN keep kb ON kb.id = pb),
+    und AS (SELECT pa AS s, pb AS t FROM e
+            UNION ALL SELECT pb AS s, pa AS t FROM e),
+    cn AS (
+      SELECT u1.t AS lo, u2.t AS hi, COUNT(*) AS common_cnt
+      FROM und u1 JOIN und u2 ON u1.s = u2.s AND u1.t < u2.t
+      GROUP BY u1.t, u2.t),
+    nonadj AS (
+      SELECT cn.* FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM e
+                        WHERE e.pa = cn.lo AND e.pb = cn.hi)),
+    kd AS (SELECT id, COUNT(*) AS d FROM (
+      SELECT pa AS id FROM e UNION ALL SELECT pb AS id FROM e) GROUP BY id)
+    SELECT lo, hi, CAST(common_cnt AS BIGINT) AS common_cnt,
+           CAST(common_cnt AS DOUBLE)
+             / (d1.d + d2.d - common_cnt) AS jaccard
+    FROM nonadj JOIN kd d1 ON d1.id = lo JOIN kd d2 ON d2.id = hi
+    ORDER BY common_cnt DESC, lo, hi
+    LIMIT {_G13_TOP}
+    """,
+    doc="Link prediction on the part co-occurrence graph: common-neighbor "
+    "count and neighborhood Jaccard for the top non-adjacent pairs — "
+    "the classic 'customers who bought X also bought Y' candidate "
+    f"generator. Scale guard: vertices with degree > {_G13_DEG_CAP} are "
+    "dropped BEFORE wedge enumeration (the same hub-cap discipline as "
+    "d06's max_df / LSH's max_bucket — wedge count is sum(deg²), so "
+    "hubs alone decide whether this is linear or quadratic; hub "
+    "neighborhoods are also the least informative for CN scoring). "
+    "One wedge shuffle on the center vertex, one (lo,hi) count "
+    "shuffle, an anti-join to drop existing edges; integer counts and "
+    "a single exact-integer-derived division.",
+)
+def b_g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    li = fan_out(tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .select("pa", "pb")
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("pa").alias("id"))
+        .unionAll(pairs.select(F.col("pb").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    keep = deg.filter(F.col("d") <= _G13_DEG_CAP).select("id")
+    e = pairs.join(
+        keep.withColumnRenamed("id", "pa"), "pa", "left_semi"
+    ).join(keep.withColumnRenamed("id", "pb"), "pb", "left_semi")
+    und = e.select(F.col("pa").alias("s"), F.col("pb").alias("t")).unionAll(
+        e.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
+    )
+    u1 = und.alias("u1")
+    u2 = und.alias("u2")
+    cn = (
+        u1.join(
+            u2,
+            (F.col("u1.s") == F.col("u2.s")) & (F.col("u1.t") < F.col("u2.t")),
+        )
+        .groupBy(F.col("u1.t").alias("lo"), F.col("u2.t").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("common_cnt"))
+    )
+    nonadj = cn.join(
+        e.select(F.col("pa").alias("lo"), F.col("pb").alias("hi")),
+        ["lo", "hi"],
+        "left_anti",
+    )
+    kd = (
+        e.select(F.col("pa").alias("id"))
+        .unionAll(e.select(F.col("pb").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = kd.select(F.col("id").alias("lo"), F.col("d").alias("d1"))
+    d2 = kd.select(F.col("id").alias("hi"), F.col("d").alias("d2"))
+    return (
+        nonadj.join(d1, "lo")
+        .join(d2, "hi")
+        .select(
+            "lo",
+            "hi",
+            F.col("common_cnt").cast("bigint").alias("common_cnt"),
+            (
+                F.col("common_cnt").cast("double")
+                / (F.col("d1") + F.col("d2") - F.col("common_cnt"))
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("common_cnt").desc(), "lo", "hi")
+        .limit(_G13_TOP)
+    )

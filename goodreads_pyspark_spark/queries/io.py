@@ -324,3 +324,50 @@ def a_io07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy("status").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows")
     )
+
+
+# ============================ round-4 additions ==============================
+@query(
+    "b_io08_partition_pruning_audit",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+             AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="Hive-style partition pruning, PROVEN in the gate: events are "
+    "written partitioned by event_type, read back with an equality "
+    "filter, and the query inspects its own physical plan — the scan "
+    "must carry the filter as a PartitionFilter (directory-level "
+    "pruning: non-matching partitions are never listed into tasks) or "
+    "an AssertionError fails the driver row. The returned hourly "
+    "counts then hash-check that pruning lost no rows. At 100 TB this "
+    "is the difference between scanning one event type and scanning "
+    "the lake; the same mechanism drives date-partition pruning in "
+    "every incremental job (a_io06).",
+)
+def b_io08_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from goodreads_pyspark_spark.queries._helpers import events_tbl
+
+    base = tempfile.mkdtemp(prefix="io08_pruned_")
+    events_tbl(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(base)
+    pruned = spark.read.parquet(base).filter(F.col("event_type") == "purchase")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    if "PartitionFilters" not in plan or "purchase" not in plan:
+        raise AssertionError(
+            "event_type filter did not reach the scan's PartitionFilters:\n"
+            + plan[:2000]
+        )
+    return (
+        pruned.groupBy(F.date_trunc("hour", "ts").alias("hs"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+        .select(
+            F.date_format("hs", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "n_events",
+        )
+    )

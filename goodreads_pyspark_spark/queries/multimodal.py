@@ -187,3 +187,53 @@ def mm04_audio_window_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (8000 * (1 + F.col("doc_id") % 10)).cast("bigint").alias("meta_n_samples"),
     )
     return plan_audio_windows(media)
+
+
+# ============================ round-4 additions ==============================
+#: Blob-content modulus for the dedup query: docs whose ids are congruent
+#: mod this share byte-identical blobs, giving a known duplicate structure.
+_MM05_MOD = 400
+
+
+@query(
+    "b_mm05_media_exact_dedup",
+    oracle=f"""
+    WITH k AS (SELECT doc_id, doc_id % {_MM05_MOD} AS kk FROM documents),
+    g AS (SELECT md5('46494D47'
+                     || {_le4hex(f"16 + kk % 1024")}
+                     || {_le4hex(f"16 + (kk * 7) % 768")}
+                     || {_le4hex(f"kk % 256")}) AS digest,
+                 MIN(doc_id) AS canonical_id,
+                 COUNT(*) AS n_copies
+          FROM k GROUP BY kk)
+    SELECT digest, CAST(canonical_id AS BIGINT) AS canonical_id,
+           CAST(n_copies AS BIGINT) AS n_copies,
+           n_copies > 1 AS has_duplicates
+    FROM g
+    """,
+    doc="Exact media dedup by content digest — the image-dedup primitive "
+    "of a multimodal training pipeline: digest the opaque binary "
+    "column, group by digest, keep the lowest id as canonical. Blobs "
+    f"are synthesized from doc_id % {_MM05_MOD} so the duplicate "
+    "structure is known and the oracle can rebuild each digest "
+    "arithmetically (md5 over the canonical hex rendering — a "
+    "content-addressed storage key both engines derive identically). "
+    "Scale shape: only (digest, id) pairs shuffle — never blob bytes; "
+    "at 100 TB the digest is computed scan-side and the blobs stay "
+    "in object storage.",
+)
+def b_mm05_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    k = docs.select("doc_id", (F.col("doc_id") % _MM05_MOD).alias("kk"))
+    blob = F.concat(
+        F.lit(b"FIMG"),
+        _le4(16 + F.col("kk") % 1024),
+        _le4(16 + (F.col("kk") * 7) % 768),
+        _le4(F.col("kk") % 256),
+    )
+    media = k.select("doc_id", F.md5(F.hex(blob)).alias("digest"))
+    return media.groupBy("digest").agg(
+        F.min("doc_id").cast("bigint").alias("canonical_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        (F.count(F.lit(1)) > 1).alias("has_duplicates"),
+    )

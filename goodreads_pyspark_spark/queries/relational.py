@@ -1277,3 +1277,340 @@ def a_q41_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     orders.unpersist()
     return out
+
+
+# ============================ round-4 additions ==============================
+# TPC-H's remaining heavy shapes, adapted to the testdata schema (no
+# partsupp / c_phone / supplycost columns — each adaptation is noted on the
+# query). All follow the house rules: decimal-exact money math, broadcast
+# dims, one fact shuffle per aggregate, unique total order under LIMIT.
+
+
+# --- TPC-H Q8: market share (conditional-sum ratio) --------------------------
+@query(
+    "b_q42_market_share",
+    oracle=f"""
+    WITH all_rev AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region    ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01')
+    SELECT o_year,
+           {sql_dsum("CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END", 6)}
+             / {sql_dsum('volume', 6)} AS mkt_share
+    FROM all_rev GROUP BY o_year
+    """,
+    doc="TPC-H Q8 shape (no p_type leg in the testdata join path): the "
+    "NATION_3 suppliers' share of revenue from ASIA customers per year. "
+    "A conditional-sum ratio — numerator and denominator come out of "
+    "ONE aggregate pass (sum of CASE), not two queries; both sums ride "
+    "the decimal-exact path so the final double division is bit-equal "
+    "across engines. Plan: every dim broadcasts, the fact shuffles once "
+    "on the year.",
+)
+def b_q42_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = tbl(spark, sf_dir, "customer")
+    sup = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    region = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = nation.select("n_nationkey", "n_regionkey")
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey)
+        .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    num = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        joined.groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (dsum(num, 6) / dsum(volume, 6)).alias("mkt_share"),
+        )
+    )
+
+
+# --- TPC-H Q9: product-type profit ------------------------------------------
+@query(
+    "b_q43_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+           {sql_dsum('l_extendedprice * (1 - l_discount)'
+                     ' - 0.5 * p_retailprice * l_quantity', 6)} AS sum_profit
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%ring%'
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q9 shape (testdata has no ps_supplycost; cost is modeled "
+    "as 0.5 * p_retailprice per unit): profit by supplier nation and "
+    "order year for parts whose name matches a LIKE pattern. The LIKE "
+    "prunes part BEFORE the join (predicate pushdown into the dim "
+    "scan); part/supplier/nation broadcast; orders co-shuffles with "
+    "lineitem on the order key; profit arithmetic is decimal-exact.",
+)
+def b_q43_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
+    sup = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    orders = tbl(spark, sf_dir, "orders")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.5 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit, 6, "sum_profit"))
+    )
+
+
+# --- TPC-H Q13: customer order-count distribution ----------------------------
+@query(
+    "b_q44_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey) c_orders
+    GROUP BY c_count
+    """,
+    doc="TPC-H Q13: distribution of customers by order count, INCLUDING "
+    "zero-order customers — the left join with the filter in the JOIN "
+    "condition (not WHERE, which would silently turn it inner) is the "
+    "whole point of the shape. Double aggregation: per-customer count, "
+    "then histogram over the tiny count domain.",
+)
+def b_q44_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(
+            orders,
+            (cust.c_custkey == orders.o_custkey)
+            & (orders.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("bigint").alias("custdist")
+    )
+
+
+# --- TPC-H Q16: supplier variety per part class -------------------------------
+@query(
+    "b_q45_supplier_part_variety",
+    oracle="""
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'PROMO%'
+      AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="TPC-H Q16 shape (lineitem's (part, supplier) pairs stand in for "
+    "partsupp): how many distinct suppliers serve each surviving "
+    "(brand, type, size) class after NOT-equal / NOT-LIKE / IN-list "
+    "dim predicates. COUNT(DISTINCT) expands to a two-phase exact "
+    "aggregate (distinct shuffle then count) — no sketch approximation "
+    "in the gated path (q27 covers the approx variant).",
+)
+def b_q45_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H Q18: large-volume orders (HAVING over a join-back) -----------------
+@query(
+    "b_q46_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(30,2))) > 110)
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+           o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q18: orders whose total line quantity clears a threshold, "
+    "joined back to customer. The HAVING comparison runs on the exact "
+    "DECIMAL sum (not the post-cast double), so the survivor set is "
+    "identical across engines — a float HAVING at a threshold boundary "
+    "is exactly the kind of flaky filter the dsum convention exists to "
+    "kill. Top-100 by price with the order key as unique tiebreak.",
+)
+def b_q46_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    orders = tbl(spark, sf_dir, "orders")
+    cust = tbl(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("qty_dec"))
+        .filter(F.col("qty_dec") > 110)
+        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_totalprice",
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
+
+
+# --- TPC-H Q20: excess-inventory suppliers (nested semi-join chain) ----------
+@query(
+    "b_q47_excess_inventory_suppliers",
+    oracle="""
+    WITH per_sp AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(30,2))) AS total_qty,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                      THEN CAST(l_quantity AS DECIMAL(30,2))
+                      ELSE CAST(0 AS DECIMAL(30,2)) END) AS recent_qty
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+      GROUP BY l_suppkey, l_partkey)
+    SELECT DISTINCT s_name, n_name AS nation
+    FROM per_sp
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE total_qty > 2 * recent_qty
+    ORDER BY s_name
+    """,
+    doc="TPC-H Q20 shape (no partsupp availqty; 'excess' = a supplier's "
+    "all-time shipped quantity of a PROMO part more than double its "
+    "recent-demand quantity): suppliers holding excess inventory of "
+    "promotional parts. The qualifying comparison runs on exact "
+    "DECIMAL sums from ONE aggregate pass (conditional sum for the "
+    "recent leg); the supplier/nation legs broadcast onto the "
+    "distinct survivor keys.",
+)
+def b_q47_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = tbl(spark, sf_dir, "supplier")
+    nation = tbl(spark, sf_dir, "nation")
+    qty_dec = F.col("l_quantity").cast("decimal(30,2)")
+    recent = F.when(
+        F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"), qty_dec
+    ).otherwise(F.lit(0).cast("decimal(30,2)"))
+    per_sp = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(qty_dec).alias("total_qty"),
+            F.sum(recent).alias("recent_qty"),
+        )
+        .filter(F.col("total_qty") > 2 * F.col("recent_qty"))
+    )
+    return (
+        per_sp.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.col("n_name").alias("nation"))
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+# --- TPC-H Q22: dormant high-balance customers --------------------------------
+@query(
+    "b_q48_dormant_customers",
+    oracle=f"""
+    WITH avg_bal AS (
+      SELECT {sql_davg('c_acctbal', 2)} AS ab
+      FROM customer WHERE c_acctbal > 0.0)
+    SELECT CAST(c_custkey % 10 AS INTEGER) AS cust_bucket,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {sql_dsum('c_acctbal')} AS totacctbal
+    FROM customer, avg_bal
+    WHERE c_acctbal > ab
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY cust_bucket
+    """,
+    doc="TPC-H Q22 shape (no c_phone; the country-code bucket becomes "
+    "c_custkey % 10; and since every testdata customer has SOME order, "
+    "dormant means no order since 1999-01-01 rather than none ever): "
+    "customers with above-average positive balance "
+    "who have gone dormant. The scalar average is a one-row broadcast "
+    "cross join (never a per-row subquery), computed decimal-exact so "
+    "the > cutoff picks the identical customer set in both engines; "
+    "NOT EXISTS compiles to a left-anti join against orders.",
+)
+def b_q48_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = tbl(spark, sf_dir, "customer")
+    orders = tbl(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", 2, "ab")
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+            ),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy((F.col("c_custkey") % 10).cast("int").alias("cust_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("numcust"),
+            dsum("c_acctbal", 2, "totacctbal"),
+        )
+    )

@@ -1169,12 +1169,34 @@ def a_t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "a_s07_streaming_session_window",
-    oracle=None,
+    oracle=f"""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
     doc="Session windows through Structured Streaming (streaming/windows.py "
     "sessionized_by_user): watermarked 30-min-gap sessions per user over "
-    "the staged events stream, complete-mode memory sink. Rows-only at "
-    "the gate; the query asserts the stream's sessions equal the batch "
-    "run of the same helper (t17's oracled face) before returning.",
+    "the staged events stream, complete-mode memory sink. HASH-GATED "
+    "(upgraded from rows-only, VERDICT r3 #3): session boundaries and "
+    "counts are pure timestamp/integer outputs, so the stream result "
+    "is deterministic and shares the batch twin a_t17's relational "
+    "lag/cumsum-island oracle (strictly-greater-than-gap break = "
+    "Spark's touching-sessions-merge semantics). The query still "
+    "asserts stream == batch row-for-row before returning.",
 )
 def a_s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
@@ -1362,4 +1384,165 @@ def a_t19_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("wsum").cast("double") / (F.lit(1e6) * F.col("total_micros")), 6
         ).alias("twap"),
+    )
+
+
+# ============================ round-4 additions ==============================
+
+
+@query(
+    "b_t20_interarrival_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS dt_us
+      FROM events)
+    SELECT event_type,
+           CAST(COUNT(dt_us) AS BIGINT) AS n_gaps,
+           CAST(SUM(dt_us) AS DOUBLE) / (COUNT(dt_us) * 1e6) AS avg_gap_s,
+           CAST(MIN(dt_us) AS DOUBLE) / 1e6 AS min_gap_s,
+           CAST(MAX(dt_us) AS DOUBLE) / 1e6 AS max_gap_s
+    FROM gaps WHERE dt_us IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="Per-type inter-arrival statistics of each user's event stream — "
+    "the workload-characterization primitive behind rate limiting and "
+    "session-gap tuning (t04's 30-minute threshold should come FROM "
+    "this table, not folklore). Gap arithmetic stays in exact integer "
+    "microseconds (unix_micros lag diffs); the only float op is the "
+    "final division of an exactly-summed BIGINT, identical in both "
+    "engines. One (user)-partitioned window then one tiny per-type "
+    "aggregate — the lag never sees a cross-user frame.",
+)
+def b_t20_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = ev.select(
+        "event_type", (us - F.lag(us).over(w)).alias("dt_us")
+    ).filter(F.col("dt_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("dt_us").cast("bigint").alias("n_gaps"),
+        (
+            F.sum("dt_us").cast("double") / (F.count("dt_us") * F.lit(1e6))
+        ).alias("avg_gap_s"),
+        (F.min("dt_us").cast("double") / F.lit(1e6)).alias("min_gap_s"),
+        (F.max("dt_us").cast("double") / F.lit(1e6)).alias("max_gap_s"),
+    )
+
+
+@query(
+    "b_t21_ohlc_bars",
+    oracle="""
+    WITH x AS (
+      SELECT event_type, date_trunc('hour', ts) AS hs, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_o,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_c
+      FROM events)
+    SELECT event_type,
+           strftime(hs, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           MAX(CASE WHEN rn_o = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_c = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM x GROUP BY 1, 2
+    """,
+    doc="OHLC resampling (the financial bar-chart primitive): per "
+    "(type, hour), the first/max/min/last value. Spark-first plan: "
+    "min_by/max_by keyed on the unique (ts, event_id) struct collapse "
+    "open/close into the SAME single-shuffle hash aggregate as "
+    "high/low — no sort window, no second shuffle, map-side partials "
+    "apply. The oracle states the same thing relationally (two "
+    "row_number windows) since DuckDB's arg_min on a composite key "
+    "isn't portable SQL; values are raw untouched doubles on both "
+    "sides so equality is exact.",
+)
+def b_t21_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hs")
+        )
+        .agg(
+            F.expr("min_by(value, struct(ts, event_id))").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr("max_by(value, struct(ts, event_id))").alias("close"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format("hs", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+        )
+    )
+
+
+@query(
+    "b_s08_foreachbatch_sink",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
+             AS total_micros
+    FROM events GROUP BY event_type
+    """,
+    doc="The PRODUCTION streaming sink path: events stream -> "
+    "foreachBatch -> append-mode parquet with a checkpoint location "
+    "(run_to_memory_sink is the test harness; foreachBatch+checkpoint "
+    "is what a real pipeline deploys — it also unlocks merge/upsert "
+    "sinks Structured Streaming lacks natively). The gate re-reads "
+    "the written files and hash-checks per-type counts and the exact "
+    "integer-micros value sum against the batch SQL — proving no "
+    "micro-batch was lost or doubled across the stream->disk->scan "
+    "round trip. Checkpointed offsets are what make a restart resume "
+    "instead of re-emit (recovery is pinned by the checkpoint-restart "
+    "pytest).",
+)
+def b_s08_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from goodreads_pyspark_spark.streaming import stream_events_from_dir
+
+    configure_for_oracle(spark)
+    stage = tempfile.mkdtemp(prefix="s08_stage_")
+    out = tempfile.mkdtemp(prefix="s08_out_")
+    chk = tempfile.mkdtemp(prefix="s08_chk_")
+    events = events_tbl(spark, sf_dir)
+    events.write.mode("overwrite").parquet(stage)
+
+    def write_batch(bdf: DataFrame, batch_id: int) -> None:
+        bdf.write.mode("append").parquet(out)
+
+    q = (
+        stream_events_from_dir(spark, stage)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", chk)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    written = spark.read.parquet(out)
+    n_written, n_src = written.count(), events.count()
+    if n_written != n_src:
+        raise AssertionError(
+            f"foreachBatch sink wrote {n_written} rows, source has {n_src}"
+        )
+    return written.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+        .cast("bigint")
+        .alias("total_micros"),
     )

@@ -173,6 +173,21 @@ def test_label_propagation_leaves_no_cached_blocks(spark, graph):
     assert jcm.isEmpty() or not before
 
 
+def test_cc_alternating_and_kcore_leave_no_cached_blocks(spark, graph):
+    """The loop's final cached edge set must be released on return (the
+    result rides an eager checkpoint of the small per-vertex output)."""
+    from goodreads_pyspark_spark.graph.frames import kcore_trim
+    from goodreads_pyspark_spark.graph.pregel import (
+        connected_components_alternating,
+    )
+
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    before = jcm.isEmpty()
+    connected_components_alternating(graph).count()
+    kcore_trim(graph.edges, k=2, rounds=2).count()
+    assert jcm.isEmpty() or not before
+
+
 def test_clustering_coefficients_leave_no_cached_blocks(spark):
     """Same hygiene for the three working caches of
     clustering_coefficients (bench loops call it repeatedly)."""

@@ -152,12 +152,22 @@ def test_parquet_table_sink_roundtrip(spark, tmp_path):
     spark.sql("DROP TABLE sink_check")
 
 
-def test_fan_out_noop_when_wide_enough(spark):
+def test_fan_out_noop_when_wide_enough(spark, tmp_path_factory):
+    """The probe is plan-free (inputFiles, not df.rdd): a source that
+    already arrives as >= target files — the cluster-scale case — must
+    pass through untouched (never adds a shuffle at scale), while
+    narrow or file-less frames widen."""
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    df = spark.range(1000).repartition(target)
-    assert fan_out(df) is df  # guard: never adds a shuffle at scale
+    base = str(tmp_path_factory.mktemp("fanout"))
+    spark.range(10_000).repartition(target).write.mode("overwrite").parquet(base)
+    wide = spark.read.parquet(base)
+    assert len(wide.inputFiles()) >= target
+    assert fan_out(wide) is wide  # guard: never adds a shuffle at scale
+    # under-partitioned source widens; in-memory frames err toward widening
+    narrow = spark.range(1000).coalesce(1)
+    assert fan_out(narrow) is not narrow
 
 
 def test_approx_sketches_within_tolerance(spark):

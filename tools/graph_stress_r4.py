@@ -1,0 +1,122 @@
+"""Pregel stress probe at 1x and 10x: does superstep cost scale linearly?
+
+Round-3's SCALING.md PROJECTED ~linear superstep growth for the iterative
+graph loops from a single 600k-edge measurement; this probe measures it.
+The 10x graph is ten disjoint, id-offset copies of the sf0.1 bipartite
+orderkey→partkey graph (~6M edges — reference scale: the goodreads
+ratings graph is 5.6M edges), so the expected cost curve is exactly
+linear-in-edges and any super-linear growth is the engine's own overhead
+(shuffle fan-in, driver bookkeeping, cache pressure), which is what we
+want to see.
+
+Also checks CACHE RESIDENCY after each algorithm: every Pregel loop
+unpersists its working sets (fixed in round 4 for label_propagation), so
+the cache manager must be empty between runs — O(1) residency no matter
+how many graphs a session processes.
+
+Usage: python tools/graph_stress_r4.py [replicas]   (default 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.graph import PropertyGraph, label_propagation
+from goodreads_pyspark_spark.graph.frames import kcore_trim
+from goodreads_pyspark_spark.graph.pregel import (
+    connected_components_alternating,
+    pagerank_scaled,
+)
+from goodreads_pyspark_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+
+
+def build_graph(spark, replicas: int) -> PropertyGraph:
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    base = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + 10_000_000).alias("dst"),
+    )
+    if replicas > 1:
+        reps = spark.range(replicas).select(
+            (F.col("id") * 100_000_000).alias("off")
+        )
+        base = base.crossJoin(reps).select(
+            (F.col("src") + F.col("off")).alias("src"),
+            (F.col("dst") + F.col("off")).alias("dst"),
+        )
+    edges = base.cache()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionAll(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .cache()
+    )
+    n_e, n_v = edges.count(), vertices.count()
+    print(f"  graph: {n_v:,} vertices, {n_e:,} edges")
+    return PropertyGraph(vertices, edges)
+
+
+def cache_state(spark) -> str:
+    jcm = spark._jsparkSession.sharedState().cacheManager()
+    return "empty" if jcm.isEmpty() else "NON-EMPTY"
+
+
+def run_suite(spark, replicas: int) -> dict[str, float]:
+    print(f"--- {replicas}x ---")
+    g = build_graph(spark, replicas)
+    out: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    pr = pagerank_scaled(g, n_iter=10)
+    top = pr.orderBy(F.col("pr_scaled").desc(), "id").limit(3).collect()
+    out["pagerank_10it"] = time.perf_counter() - t0
+    print(f"  pagerank_scaled 10 iters: {out['pagerank_10it']:.1f}s "
+          f"top={[r['id'] for r in top]}")
+
+    t0 = time.perf_counter()
+    lp = label_propagation(g, max_iter=2)
+    n_comm = lp.select(F.countDistinct("label")).first()[0]
+    out["lpa_2it"] = time.perf_counter() - t0
+    print(f"  label_propagation 2 iters: {out['lpa_2it']:.1f}s "
+          f"labels={n_comm:,} cache={cache_state(spark)}")
+
+    t0 = time.perf_counter()
+    cc = connected_components_alternating(g)
+    n_cc = cc.select(F.countDistinct("component")).first()[0]
+    out["cc_alternating"] = time.perf_counter() - t0
+    print(f"  cc_alternating: {out['cc_alternating']:.1f}s "
+          f"components={n_cc:,}")
+
+    t0 = time.perf_counter()
+    kc = kcore_trim(g.edges, k=40, rounds=3)
+    n_core = kc.count()
+    out["kcore_3r"] = time.perf_counter() - t0
+    print(f"  kcore k=40 3 rounds: {out['kcore_3r']:.1f}s "
+          f"survivors={n_core:,}")
+
+    g.edges.unpersist()
+    g.vertices.unpersist()
+    print(f"  cache after suite: {cache_state(spark)}")
+    return out
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("graph_stress_r4")
+    one = run_suite(spark, 1)
+    ten = run_suite(spark, replicas)
+    print(f"--- ratios ({replicas}x / 1x; linear == {replicas}.0) ---")
+    for k in one:
+        print(f"  {k}: {ten[k] / one[k]:.1f}x")
+
+
+if __name__ == "__main__":
+    main()
