@@ -66,6 +66,27 @@ def lsh_candidate_pairs_from_shingles(
     verifier) share it — the signature aggregation then reads the cached
     shingles instead of re-tokenizing the corpus.
     """
+    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
+    return lsh_candidate_pairs_from_signatures(
+        sigs, id_col, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket
+    )
+
+
+def lsh_candidate_pairs_from_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs from a prebuilt ``mh0..mh{K-1}`` signature table.
+
+    The banding entry point for band-tuning sweeps (b_d34): the signature
+    aggregation is the expensive pass (one min-hash scan over every
+    shingle), and it is identical for every (bands, rows) split of the
+    same ``num_hashes`` — so a sweep computes signatures ONCE and calls
+    this per config.
+    """
     if bands > num_hashes or num_hashes % bands != 0:
         raise ValueError(
             f"bands ({bands}) must divide num_hashes ({num_hashes}) evenly; "
@@ -73,8 +94,8 @@ def lsh_candidate_pairs_from_shingles(
             "from every band and change candidate recall"
         )
     # Cache: both sides of the self-join consume this subtree; uncached,
-    # the whole shingle→minhash computation runs twice.
-    banded = _banded_keys(sh, id_col, num_hashes, bands).cache()
+    # the whole signature computation runs twice.
+    banded = _band_signatures(sigs, id_col, num_hashes, bands).cache()
     if max_bucket is not None:
         # Guard against degenerate buckets (e.g. boilerplate-heavy corpora):
         # a bucket of size m yields m^2 join rows.
@@ -115,8 +136,15 @@ def _banded_keys(
     sh: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
     """(id_col, band, key) rows from a shingle table — the LSH index form."""
-    rows_per_band = num_hashes // bands
     sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
+    return _band_signatures(sigs, id_col, num_hashes, bands)
+
+
+def _band_signatures(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id_col, band, key) rows from a signature table."""
+    rows_per_band = num_hashes // bands
     band_keys = [
         F.md5(
             F.concat(*[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])

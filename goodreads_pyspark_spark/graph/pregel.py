@@ -508,13 +508,19 @@ def connected_components_alternating(
     prev_sig = None
     for _ in range(max_rounds):
         obs = Observation()
+        # ONE materialization per round: the eager localCheckpoint runs the
+        # round's job (firing the observation — no separate count() action),
+        # stores the result blocks the next round reads, and truncates
+        # lineage. Per-round truncation is mandatory here: a star-contraction
+        # round references its input several times, so an untruncated plan
+        # grows COMBINATORIALLY with round count (measured: the loop stops
+        # completing at ~8 rounds). The earlier cache+lazy-checkpoint+count
+        # formulation stored every round's edge set twice and ran two jobs.
         nxt = (
             _small_star(_large_star(e))
-            .localCheckpoint(eager=False)
             .observe(obs, *_sig_metrics())
-            .cache()
+            .localCheckpoint(eager=True)
         )
-        nxt.count()  # materializes nxt (and the metrics) before unpersist
         got = obs.get
         sig = (got["n"], got["h"])
         e.unpersist()

@@ -2081,22 +2081,32 @@ def _band_tuning_oracle(num_hashes: int = 8, max_bucket: int = D07_MAX_BUCKET) -
 )
 def b_d34_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.minhash import (
-        lsh_candidate_pairs_from_shingles,
+        lsh_candidate_pairs_from_signatures,
+        minhash_signatures_from_shingles,
     )
-    from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
+    from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs_from_shingles
     from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 
     docs = tbl(spark, sf_dir, "documents")
+    # ONE shingle pass feeds the exact-Jaccard truth set AND one signature
+    # aggregation; the three band configs are then pure re-bandings of the
+    # same 8 minhashes (lsh_candidate_pairs_from_signatures).
     sh = shingle_rows(docs, out_id="doc_id").cache()
+    sigs = minhash_signatures_from_shingles(sh, "doc_id", num_hashes=8).cache()
     truep = (
-        jaccard_pairs(docs, threshold=0.5, max_df=D06_MAX_DF)
+        jaccard_pairs_from_shingles(
+            sh.withColumnRenamed("doc_id", "id"),
+            threshold=0.5,
+            max_df=D06_MAX_DF,
+            already_cached=True,
+        )
         .select("doc_a", "doc_b")
         .cache()
     )
     sweeps = None
     for bands in (8, 4, 2):
-        cand = lsh_candidate_pairs_from_shingles(
-            sh, num_hashes=8, bands=bands, max_bucket=D07_MAX_BUCKET
+        cand = lsh_candidate_pairs_from_signatures(
+            sigs, num_hashes=8, bands=bands, max_bucket=D07_MAX_BUCKET
         ).select(
             F.lit(bands).cast("int").alias("bands"),
             F.lit(8 // bands).cast("int").alias("rows_per_band"),
@@ -2136,6 +2146,7 @@ def b_d34_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     sh.unpersist()
+    sigs.unpersist()
     truep.unpersist()
     return out
 

@@ -925,26 +925,65 @@ def a_e18_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distance math, which is the entire point of IVF at 100 TB.",
 )
 def b_e19_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
-    from goodreads_pyspark_spark.similarity.ivf import ivf_knn, sampled_centroids
+    from goodreads_pyspark_spark.similarity.ann import all_cosines
+    from goodreads_pyspark_spark.similarity.ivf import ivf_assign, sampled_centroids
 
+    # ONE exact scoring pass + ONE assignment pass serve the whole curve:
+    # the nprobe=p candidate set is just "assigned centroid ranks <= p",
+    # so every sweep point is a filter + window-rank over the same scored
+    # table — not four independent IVF pipelines (the first formulation
+    # ran 4x the jobs for identical numbers; same scoring/tie-break
+    # conventions as ivf_knn, which a_e08/a_e12 gate directly).
     emb = tbl(spark, sf_dir, "embeddings")
-    cents = sampled_centroids(emb, k=8)
-    exact = brute_force_knn(emb, query_id=1, k=10).select("vec_id")
-    sweeps = None
-    for np_ in (1, 2, 4, 8):
-        got = ivf_knn(
-            emb, query_id=1, k=10, nprobe=np_, centroids_long=cents
-        ).select(F.lit(np_).cast("int").alias("nprobe"), "vec_id")
-        sweeps = got if sweeps is None else sweeps.unionByName(got)
+    cents = sampled_centroids(emb, k=8).cache()
+    assign = ivf_assign(emb, cents)
+    scores = all_cosines(emb, query_id=1).localCheckpoint(eager=True)
+    exact = scores.orderBy(F.col("cosine").desc(), "vec_id").limit(10).select(
+        "vec_id"
+    )
+    # the query's centroid ranking (unrounded cosine, cid tiebreak — the
+    # same ordering ivf_knn's probe selection uses)
+    from goodreads_pyspark_spark.functions.vectors import explode_vector
+
+    qe = explode_vector(emb.filter(F.col("vec_id") == 1), "vec_id")
+    q_scored = (
+        qe.join(F.broadcast(cents), "pos")
+        .groupBy("cid")
+        .agg(
+            F.sum((F.col("v") * F.col("cval")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("dot"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("n2"),
+            F.sum((F.col("cval") * F.col("cval")).cast("decimal(38,12)"))
+            .cast("double")
+            .alias("c2"),
+        )
+        .select(
+            "cid",
+            (F.col("dot") / (F.sqrt("n2") * F.sqrt("c2"))).alias("qcos"),
+        )
+    )
+    wq = Window.orderBy(F.col("qcos").desc(), "cid")
+    qrank = q_scored.select("cid", F.row_number().over(wq).alias("rn"))
+    cand = assign.join(F.broadcast(qrank), "cid").select("vec_id", "rn")
+    nps = spark.createDataFrame([(n,) for n in (1, 2, 4, 8)], "nprobe int")
+    sweep = nps.join(cand, cand.rn <= nps.nprobe).join(scores, "vec_id")
+    wr = Window.partitionBy("nprobe").orderBy(F.col("cosine").desc(), "vec_id")
+    ivf10 = (
+        sweep.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") <= 10)
+        .select("nprobe", "vec_id")
+    )
     hits = (
-        sweeps.join(exact, "vec_id")
+        ivf10.join(exact, "vec_id")
         .groupBy("nprobe")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
     )
-    nps = spark.createDataFrame([(n,) for n in (1, 2, 4, 8)], "nprobe int")
     out = (
         nps.join(hits, "nprobe", "left")
         .select(
@@ -954,7 +993,9 @@ def b_e19_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)).cast("double") / 10).alias("recall"),
         )
         .orderBy("nprobe")
+        .localCheckpoint(eager=True)
     )
+    cents.unpersist()
     full_probe = [r for r in out.collect() if r["nprobe"] == 8]
     if not full_probe or full_probe[0]["recall"] != 1.0:
         raise AssertionError("nprobe == nlist must equal exhaustive search")

@@ -38,21 +38,21 @@ def _long_form(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     return explode_vector(fan_out(df), id_col, vec_col)
 
 
-def brute_force_knn(
+def all_cosines(
     df: DataFrame,
     query_id: int,
-    k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     round_to: int = 6,
 ) -> DataFrame:
-    """Exact top-k cosine neighbors of ``query_id``'s vector.
-
-    Returns (vec_id, cosine) with cosine rounded to ``round_to`` digits —
-    the rounding defines a deterministic total order for the cut, and
-    6dp absorbs the ~1e-14 Spark-vs-DuckDB double->decimal divergence
-    (see e05's docstring) with negligible flip risk.
-    """
+    """(id, cosine) of EVERY other vector against ``query_id``'s vector —
+    the full scoring pass behind :func:`brute_force_knn` and the shared
+    substrate for recall audits that cut the same ranking several ways
+    (b_e19's nprobe sweep scores ONCE and derives every curve point).
+    Cosine is rounded to ``round_to`` digits — the rounding defines a
+    deterministic total order for any later cut, and 6dp absorbs the
+    ~1e-14 Spark-vs-DuckDB double->decimal divergence (see e05's
+    docstring) with negligible flip risk."""
     e = _long_form(df, id_col, vec_col)
     q = (
         e.filter(F.col(id_col) == query_id)
@@ -67,8 +67,21 @@ def brute_force_knn(
     cos = F.round(
         F.col("dot") / (F.sqrt(F.col("n2")) * F.sqrt(F.col("q2"))), round_to
     )
+    return comps.select(F.col(id_col), cos.alias("cosine"))
+
+
+def brute_force_knn(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of ``query_id``'s vector (see
+    :func:`all_cosines` for the scoring/rounding contract)."""
     return (
-        comps.select(F.col(id_col), cos.alias("cosine"))
+        all_cosines(df, query_id, id_col, vec_col, round_to)
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )

@@ -494,3 +494,43 @@ def test_aqe_splits_skewed_join_partitions(spark):
             "spark.sql.autoBroadcastJoinThreshold",
         ):
             spark.conf.unset(key)
+
+
+# --- round-4 TPC-H heavy shapes ---------------------------------------------
+def test_q42_dims_broadcast_like_pushdown(spark):
+    """Q8 shape: all five dim legs broadcast; the only sort-merge join
+    allowed is the lineitem-orders fact-fact co-shuffle."""
+    plan = plan_of(spark, "b_q42_market_share")
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q43_like_filter_prunes_part_scan(spark):
+    """Q9 shape: the p_name LIKE predicate must reach the part scan."""
+    plan = plan_of(spark, "b_q43_product_profit")
+    pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "p_name" in ln
+    ]
+    assert pushed, "p_name LIKE not pushed to the part scan"
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q44_left_join_preserved(spark):
+    """Q13: the filter lives in the join condition, so the join must stay
+    a LEFT OUTER (a WHERE placement would let Catalyst make it inner
+    and silently drop zero-order customers)."""
+    plan = plan_of(spark, "b_q44_order_count_distribution")
+    assert "LeftOuter" in plan
+
+
+def test_q46_topk_physical_operator(spark):
+    plan = plan_of(spark, "b_q46_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q48_anti_join_and_broadcast_scalar(spark):
+    """Q22: NOT EXISTS compiles to LeftAnti; the scalar average rides a
+    broadcast nested-loop cross join (1 row), never a per-row subquery."""
+    plan = plan_of(spark, "b_q48_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan
