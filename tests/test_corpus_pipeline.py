@@ -289,3 +289,55 @@ def test_chunk_overlap_geometry(spark, tmp_path):
         assert s2 == s1 + _CHUNK_ST and e1 > s2  # stride + genuine overlap
     for r in by_doc[1]:
         assert len(r.chunk_text.split(" ")) == r.tok_end - r.tok_start
+
+
+def test_banding_from_signatures_equals_from_shingles(spark):
+    """The band-tuning entry point (signatures precomputed once) must
+    produce the identical candidate set as the one-shot shingle path for
+    every (bands, rows) split."""
+    from goodreads_pyspark_spark.dedup.minhash import (
+        lsh_candidate_pairs_from_shingles,
+        lsh_candidate_pairs_from_signatures,
+        minhash_signatures_from_shingles,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text with no overlap at all here"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = shingle_rows(docs, out_id="doc_id").cache()
+    sigs = minhash_signatures_from_shingles(sh, "doc_id", num_hashes=8)
+    for bands in (8, 4, 2):
+        a = {
+            (r["doc_a"], r["doc_b"])
+            for r in lsh_candidate_pairs_from_shingles(
+                sh, num_hashes=8, bands=bands
+            ).collect()
+        }
+        b = {
+            (r["doc_a"], r["doc_b"])
+            for r in lsh_candidate_pairs_from_signatures(
+                sigs, num_hashes=8, bands=bands
+            ).collect()
+        }
+        assert a == b, f"bands={bands}: {a} != {b}"
+        assert (1, 4) in a  # identical docs always collide
+    sh.unpersist()
+
+
+def test_all_cosines_is_superset_of_brute_force_knn(spark):
+    """brute_force_knn must be exactly the top-k cut of all_cosines."""
+    from goodreads_pyspark_spark.similarity.ann import all_cosines, brute_force_knn
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    full = {r["vec_id"]: r["cosine"] for r in all_cosines(emb, 0).collect()}
+    top = brute_force_knn(emb, 0, k=5).collect()
+    assert len(full) == emb.count() - 1
+    expected = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert [(r["vec_id"], r["cosine"]) for r in top] == expected
