@@ -657,6 +657,7 @@ def a_g12_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ============================ round-4 additions ==============================
 _G13_DEG_CAP = 40
+_G13_MIN_SUPPORT = 2
 _G13_TOP = 20
 
 
@@ -664,9 +665,10 @@ _G13_TOP = 20
     "b_g13_link_prediction",
     oracle=f"""
     WITH pairs AS (
-      SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
       FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_G13_MIN_SUPPORT}),
     deg AS (SELECT id, COUNT(*) AS d FROM (
       SELECT pa AS id FROM pairs UNION ALL SELECT pb AS id FROM pairs)
       GROUP BY id),
@@ -695,11 +697,16 @@ _G13_TOP = 20
     doc="Link prediction on the part co-occurrence graph: common-neighbor "
     "count and neighborhood Jaccard for the top non-adjacent pairs — "
     "the classic 'customers who bought X also bought Y' candidate "
-    f"generator. Scale guard: vertices with degree > {_G13_DEG_CAP} are "
-    "dropped BEFORE wedge enumeration (the same hub-cap discipline as "
-    "d06's max_df / LSH's max_bucket — wedge count is sum(deg²), so "
-    "hubs alone decide whether this is linear or quadratic; hub "
-    "neighborhoods are also the least informative for CN scoring). "
+    f"generator. TWO scale guards. (1) Edges need co-occurrence "
+    f"support >= {_G13_MIN_SUPPORT}: a raw co-occurrence graph "
+    "DENSIFIES as data grows (10x the orders ~ 10x every part's "
+    "degree), so single co-occurrences — which are noise for "
+    "recommendation anyway — must be thresholded out or any fixed "
+    "budget eventually empties/explodes; the support filter is what "
+    "keeps the graph sparse at every sf (measured: ~4k edges at both "
+    f"sf0.01 and sf0.1). (2) Vertices with degree > {_G13_DEG_CAP} "
+    "are dropped BEFORE wedge enumeration (the hub-cap discipline of "
+    "d06's max_df / LSH's max_bucket — wedge count is sum(deg²)). "
     "One wedge shuffle on the center vertex, one (lo,hi) count "
     "shuffle, an anti-join to drop existing edges; integer counts and "
     "a single exact-integer-derived division.",
@@ -713,8 +720,10 @@ def b_g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         a.join(b, "l_orderkey")
         .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= _G13_MIN_SUPPORT)
         .select("pa", "pb")
-        .distinct()
     )
     deg = (
         pairs.select(F.col("pa").alias("id"))

@@ -433,15 +433,26 @@ def test_overwrite_partitions_touches_only_present_partitions(spark):
             .collect()
         }
         assert len(before) >= 2
-        # Re-land flag 'A' only, with halved rows (deterministic subset).
+        # Re-land flag 'A' only, with halved rows (deterministic subset) —
+        # deliberately in a DIFFERENT column order than the table layout:
+        # the helper must realign before the positional insertInto, or
+        # compatible-typed columns land swapped.
         patch = (
             li.filter("l_returnflag = 'A' AND l_orderkey % 2 = 0")
-            # insertInto matches columns BY POSITION; keep schema order with
-            # the partition column last, as saveAsTable laid it out.
-            .select("l_orderkey", "l_quantity", "l_returnflag")
+            .select("l_returnflag", "l_quantity", "l_orderkey")
         )
         n_patch = patch.count()
+        expect_qty = patch.agg(
+            F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("s")
+        ).first()["s"]
         overwrite_partitions(patch, "dp_lineitem")
+        got_qty = (
+            spark.table("dp_lineitem")
+            .filter("l_returnflag = 'A'")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(30,2)")).alias("s"))
+            .first()["s"]
+        )
+        assert got_qty == expect_qty  # values landed in the right columns
         after = {
             r["l_returnflag"]: r["n"]
             for r in spark.table("dp_lineitem")

@@ -1,0 +1,98 @@
+"""Round-4 scaling probe — the session's new heavy operators.
+
+Replicates sf0.1 inputs 1x/2x/4x (tools/scaling_probe.replicate: id
+offsets + copymark suffixes) and measures:
+  * b_d34 LSH band tuning on replicated documents — one shingle pass,
+    one signature table, three band configs; the quadratic parts are
+    bucket-scoped (max_bucket) and df-capped (max_df), so expected
+    ~linear;
+  * b_d35 shingle novelty — pure keyed counts off one shingle pass,
+    expected linear;
+  * b_g13 link prediction on the replicated lineitem co-occurrence
+    graph — wedge volume is sum(deg^2) but the probe's degree cap
+    bounds it; replication multiplies orders (graph copies are NOT
+    disjoint here: part ids repeat across copies, so degree grows with
+    factor and this measures the cap doing its job);
+  * b_q43 product profit (5-way join) on replicated lineitem+orders —
+    expected linear in fact rows.
+
+Usage: python tools/scaling_probe_r4.py [factors...]
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import SRC, replicate
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark("scaling_probe_r4")
+
+    from goodreads_pyspark_spark.queries.documents import (
+        b_d34_lsh_band_tuning,
+        b_d35_shingle_novelty,
+    )
+    from goodreads_pyspark_spark.queries.graph import b_g13_link_prediction
+    from goodreads_pyspark_spark.queries.relational import b_q43_product_profit
+
+    from pyspark.sql import functions as F
+
+    def replicate_shared_offset(f: int, stage: str) -> None:
+        """lineitem+orders replicas must share ONE order-key offset or the
+        fact-fact join loses its matches across copies (replicate() derives
+        a per-table offset, which differs between the two)."""
+        li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SRC}/orders.parquet")
+        off = (
+            max(
+                li.agg(F.max("l_orderkey")).first()[0],
+                orders.agg(F.max("o_orderkey")).first()[0],
+            )
+            + 1
+        )
+        for table, base, key in (
+            ("lineitem", li, "l_orderkey"),
+            ("orders", orders, "o_orderkey"),
+        ):
+            df = base
+            parts = [base.withColumn(key, F.col(key) + F.lit(i * off)) for i in range(f)]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            path = f"{stage}/{table}_x{f}"
+            df.repartition(32).write.mode("overwrite").parquet(path)
+            (Path(stage) / f"{table}.parquet").symlink_to(path)
+
+    for f in factors:
+        stage = tempfile.mkdtemp(prefix=f"r4_x{f}_")
+        p = replicate(spark, "documents", f, "doc_id", stage)
+        (Path(stage) / "documents.parquet").symlink_to(p)
+        replicate_shared_offset(f, stage)
+        # dims are not replicated — link the originals
+        for t in ("part", "supplier", "nation", "region", "customer"):
+            link = Path(stage) / f"{t}.parquet"
+            if not link.exists():
+                link.symlink_to(f"{SRC}/{t}.parquet")
+
+        for name, fn in (
+            ("b_d34_lsh_band_tuning", b_d34_lsh_band_tuning),
+            ("b_d35_shingle_novelty", b_d35_shingle_novelty),
+            ("b_g13_link_prediction", b_g13_link_prediction),
+            ("b_q43_product_profit", b_q43_product_profit),
+        ):
+            t0 = time.perf_counter()
+            n = fn(spark, stage).count()
+            print(f"x{f} {name}: {time.perf_counter() - t0:.1f}s ({n} rows)")
+            spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
