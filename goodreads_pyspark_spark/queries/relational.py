@@ -1614,3 +1614,83 @@ def b_q48_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", 2, "totacctbal"),
         )
     )
+
+
+# --- TPC-H Q14: promotion revenue share (queued for r5 rotation) -------------
+@query(
+    "q49_promo_revenue_share",
+    oracle=f"""
+    SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' "
+                             "THEN l_extendedprice * (1 - l_discount) "
+                             "ELSE 0 END", 6)}
+             / {sql_dsum('l_extendedprice * (1 - l_discount)', 6)}
+             AS promo_revenue_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l_shipdate <  TIMESTAMP '1997-10-01'
+    """,
+    doc="TPC-H Q14: promotional parts' share of one month's revenue — the "
+    "conditional-sum ratio again (one aggregate pass, decimal-exact "
+    "numerator and denominator, bit-equal division), with the date "
+    "range pushed into the lineitem scan and the part dim broadcast.",
+)
+def q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    part = tbl(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+        (100.0 * dsum(promo, 6) / dsum(rev, 6)).alias("promo_revenue_pct")
+    )
+
+
+# --- TPC-H Q19: disjunctive bracket predicates (queued for r5 rotation) ------
+@query(
+    "q50_bracket_disjunction_revenue",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19 shape: an OR of three multi-column bracket predicates "
+    "spanning BOTH join sides (brand+size from part, quantity from "
+    "lineitem). Catalyst can push only the per-side residuals "
+    "(brand/size disjunction to the part scan, the quantity range "
+    "hull to lineitem); the cross-side conjunctions must evaluate "
+    "post-join — the query shape that punishes engines without "
+    "predicate decomposition. Part broadcasts; one aggregate row out.",
+)
+def q50_bracket_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem")
+    part = tbl(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    br = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return j.filter(br).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, "revenue"),
+    )

@@ -1546,3 +1546,98 @@ def b_s08_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_micros"),
     )
+
+
+# --- association rules from co-purchase supports (queued for r5 rotation) ----
+T22_TOP = 20
+
+
+@query(
+    "t22_association_rules",
+    oracle=f"""
+    WITH pur AS (
+      SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+      FROM events WHERE event_type = 'purchase'),
+    ok_users AS (SELECT user_id FROM pur GROUP BY user_id
+                 HAVING COUNT(*) <= {T14_MAX_BASKET}),
+    basket AS (SELECT pur.user_id, item FROM pur JOIN ok_users USING (user_id)),
+    n AS (SELECT COUNT(*) AS n_users FROM ok_users),
+    cnt AS (SELECT item, COUNT(*) AS c FROM basket GROUP BY item),
+    pairs AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS support
+      FROM basket a JOIN basket b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {T14_MIN_SUPPORT})
+    SELECT item_a, item_b,
+           CAST(support AS BIGINT) AS support,
+           CAST(support AS DOUBLE) / ca.c AS confidence,
+           CAST(support * n_users AS DOUBLE) / (ca.c * cb.c) AS lift
+    FROM pairs
+    JOIN cnt ca ON ca.item = item_a
+    JOIN cnt cb ON cb.item = item_b
+    CROSS JOIN n
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT {T22_TOP}
+    """,
+    doc="Association rules on top of a_t14's support table: confidence "
+    "(P(b|a)) and lift (support over independence) per co-purchased "
+    "pair, top rules by lift — the scoring pass that turns raw "
+    "support counts into a rankable item-to-item recommender. All "
+    "inputs are exact integers (supports, item counts, user count), "
+    "so the two divisions are bit-equal across engines; the "
+    "single-row user-count rides a broadcast cross join. Same basket "
+    "cap as t14 bounds the pair space.",
+)
+def t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    ok = (
+        pur.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("b"))
+        .filter(F.col("b") <= T14_MAX_BASKET)
+        .select("user_id")
+    )
+    basket = pur.join(ok, "user_id", "left_semi").cache()
+    n_users = basket.select("user_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    cnt = basket.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
+    a = basket.select("user_id", F.col("item").alias("item_a"))
+    b = basket.select("user_id", F.col("item").alias("item_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= T14_MIN_SUPPORT)
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
+    out = (
+        pairs.join(F.broadcast(ca), "item_a")
+        .join(F.broadcast(cb), "item_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "item_a",
+            "item_b",
+            F.col("support").cast("bigint").alias("support"),
+            (F.col("support").cast("double") / F.col("ca")).alias("confidence"),
+            (
+                (F.col("support") * F.col("n_users")).cast("double")
+                / (F.col("ca") * F.col("cb"))
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "item_a", "item_b")
+        .limit(T22_TOP)
+        .localCheckpoint(eager=True)
+    )
+    basket.unpersist()
+    return out
