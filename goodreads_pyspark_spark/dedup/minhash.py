@@ -81,7 +81,7 @@ def lsh_candidate_pairs_from_signatures(
 ) -> DataFrame:
     """LSH candidate pairs from a prebuilt ``mh0..mh{K-1}`` signature table.
 
-    The banding entry point for band-tuning sweeps (b_d34): the signature
+    The banding entry point for band-tuning sweeps (d34): the signature
     aggregation is the expensive pass (one min-hash scan over every
     shingle), and it is identical for every (bands, rows) split of the
     same ``num_hashes`` — so a sweep computes signatures ONCE and calls

@@ -23,10 +23,15 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     outside AQE on every call — measurable on the hot path of every
     similarity/dedup query that starts with ``fan_out(tbl(...))``. File
     count under-estimates scan partitions (big files split by
-    maxPartitionBytes), so this errs toward widening, which is the safe
-    direction: at cluster scale the source arrives as thousands of files
-    and the call is a no-op; a frame with no file lineage (in-memory
-    test data) counts as 0 files and widens.
+    maxPartitionBytes). To keep that under-estimate from ever NARROWING —
+    few huge files already split into more scan partitions than
+    ``target`` would be squashed by an unconditional repartition — the
+    rare ``n_input < target`` branch confirms with the real partition
+    count before shuffling. That secondary probe compiles the physical
+    plan, but only on the branch that was about to pay a full shuffle
+    anyway; the at-scale path (thousands of files) stays plan-free. A
+    frame with no file lineage (in-memory test data) counts as 0 files
+    and falls through to the same confirmed check.
     """
     spark = df.sparkSession
     if target is None:
@@ -38,7 +43,7 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
         n_input = len(df.inputFiles())
     except Exception:  # noqa: BLE001 — exotic plans; fall back to widening
         n_input = 0
-    if n_input < target:
+    if n_input < target and df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df
 

@@ -1628,7 +1628,7 @@ def _d30_point(k: int) -> str:
 
 
 @query(
-    "a_d30_vocab_coverage",
+    "d30_vocab_coverage",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     ex AS (SELECT unnest(t) AS term FROM tk),
@@ -1648,7 +1648,7 @@ def _d30_point(k: int) -> str:
     "cut is an orderBy+limit (TakeOrderedAndProject, per-partition "
     "top-k + merge) over the term-frequency table, then a 1-row sum.",
 )
-def a_d30_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d30_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
     docs = fan_out(tbl(spark, sf_dir, "documents"))
@@ -1678,7 +1678,7 @@ D31_SPAN = 3
 
 
 @query(
-    "a_d31_span_scrub",
+    "d31_span_scrub",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     idx AS (SELECT doc_id, t, unnest(range(1, len(t)+1)) AS i FROM tk),
@@ -1714,7 +1714,7 @@ D31_SPAN = 3
     "join — and shuffles carry (id, pos, span) rows, never full "
     "documents, until the final per-doc concat.",
 )
-def a_d31_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d31_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.text import tokens
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
@@ -1769,7 +1769,7 @@ _D32_VOCAB = 1000
 
 
 @query(
-    "a_d32_token_rank_fluency",
+    "d32_token_rank_fluency",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
@@ -1798,7 +1798,7 @@ _D32_VOCAB = 1000
     "over those bounded 1000 rows only; it broadcasts into the token "
     "join; token rows shuffle once for the per-doc aggregate.",
 )
-def a_d32_token_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d32_token_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from goodreads_pyspark_spark.operators.partitioning import fan_out
@@ -1838,7 +1838,7 @@ _D33_MAX_BIN = 19
 
 
 @query(
-    "a_d33_source_length_drift",
+    "d33_source_length_drift",
     oracle=f"""
     WITH b AS (
       SELECT source,
@@ -1871,7 +1871,7 @@ _D33_MAX_BIN = 19
     "Scale shape: two count aggregates and a (source x 20-bin) join — "
     "the histogram table is tiny regardless of corpus size.",
 )
-def a_d33_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d33_source_length_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.text import tokens
 
     docs = tbl(spark, sf_dir, "documents")
@@ -1948,7 +1948,7 @@ def _c03_oracle() -> str:
 
 
 @query(
-    "a_c03_corpus_to_shards",
+    "c03_corpus_to_shards",
     oracle=_c03_oracle(),
     doc="The END-TO-END training-data pipeline in one plan: quality gate "
     "-> exact dedup -> LSH+verify near-dup removal (pipelines/corpus."
@@ -1966,7 +1966,7 @@ def _c03_oracle() -> str:
     "shape: union of the component shapes — nothing here adds a new "
     "shuffle class; stages hand off (doc_id)-keyed frames.",
 )
-def a_c03_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c03_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.decontaminate import contamination_stats
     from goodreads_pyspark_spark.dedup.shingles import shingle_rows
     from goodreads_pyspark_spark.functions.text import tokens as toks_fn
@@ -2067,7 +2067,7 @@ def _band_tuning_oracle(num_hashes: int = 8, max_bucket: int = D07_MAX_BUCKET) -
 
 
 @query(
-    "b_d34_lsh_band_tuning",
+    "d34_lsh_band_tuning",
     oracle=_band_tuning_oracle(),
     doc="MinHash-LSH band-tuning audit: candidate volume, true-pair "
     "capture, recall and precision for (bands, rows/band) = (8,1), "
@@ -2079,7 +2079,7 @@ def _band_tuning_oracle(num_hashes: int = 8, max_bucket: int = D07_MAX_BUCKET) -
     "table feed all three configs (tokenize-once discipline); each "
     "config adds only its banded equi-join, all hot buckets capped.",
 )
-def b_d34_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d34_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.minhash import (
         lsh_candidate_pairs_from_signatures,
         minhash_signatures_from_shingles,
@@ -2152,7 +2152,7 @@ def b_d34_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b_d35_shingle_novelty",
+    "d35_shingle_novelty",
     oracle=f"""
     WITH {_SHINGLE_CTES},
     ds AS (SELECT s.doc_id, s.sh, d.source
@@ -2182,12 +2182,12 @@ def b_d34_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(how repetitive a source is internally) and the share of its "
     "shingle vocabulary found in NO other source (how much unique "
     "signal it adds to the mix) — the two numbers a data-mixing "
-    "decision actually needs (cf. d33 length drift, a_d18 mix "
+    "decision actually needs (cf. d33 length drift, d18 mix "
     "rollup). All exact integer counts off ONE tokenize pass; the "
     "cross-source exclusivity table is a (shingle)-keyed count "
     "capped at the vocabulary size, never a pairwise source join.",
 )
-def b_d35_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d35_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 
     docs = tbl(spark, sf_dir, "documents")

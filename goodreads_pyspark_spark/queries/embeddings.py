@@ -502,10 +502,10 @@ def e11_ann_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS DOUBLE) / 10 AS recall
     """,
     doc="IVF quality audit: recall@10 of the nprobe=2-of-8 partial-probe "
-    "IVF (a_e08) against the exact top-10 for the same query — the "
+    "IVF (e08) against the exact top-10 for the same query — the "
     "recall side of the recall-vs-cost dial, itself hash-gated "
     "(deterministic sampled quantizer + decimal-exact scoring). "
-    "Companion to a_e11's LSH recall audit.",
+    "Companion to e11's LSH recall audit.",
 )
 def e12_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -616,7 +616,7 @@ def e14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ADC recall audit --------------------------------------------------------
 @query(
-    "a_e15_adc_recall_audit",
+    "e15_adc_recall_audit",
     oracle=f"""
     WITH {_LONG},
     c AS (SELECT vec_id AS cid, pos, v AS cval FROM e WHERE vec_id < 16),
@@ -662,7 +662,7 @@ def e14_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unlike the cosine-based e11). Deterministic on both sides, so "
     "the recall number itself is hash-gated.",
 )
-def a_e15_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e15_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.similarity.ann import _ACC, _long_form
@@ -702,7 +702,7 @@ _E16_K = 5
 
 
 @query(
-    "a_e16_truncated_dim_recall",
+    "e16_truncated_dim_recall",
     oracle=f"""
     WITH {_LONG},
     q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
@@ -740,7 +740,7 @@ _E16_K = 5
     "audits. Truncation is a metadata-only F.slice before the kernel; "
     "both sides reuse the e01 decimal-exact cosine.",
 )
-def a_e16_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e16_truncated_dim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.similarity.ann import brute_force_knn
@@ -767,7 +767,7 @@ _E17_MIN_COS = 0.25
 
 
 @query(
-    "a_e17_cosine_range_search",
+    "e17_cosine_range_search",
     oracle=f"""
     WITH {_LONG},
     q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
@@ -790,7 +790,7 @@ _E17_MIN_COS = 0.25
     "engine-deterministic; at scale the kernel runs per LSH bucket "
     "exactly like e04.",
 )
-def a_e17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.similarity.ann import cosine_range_search
 
     emb = tbl(spark, sf_dir, "embeddings")
@@ -799,7 +799,7 @@ def a_e17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- embedding population drift audit ----------------------------------------
 @query(
-    "a_e18_centroid_drift",
+    "e18_centroid_drift",
     oracle=f"""
     WITH {_LONG},
     cents AS (
@@ -827,7 +827,7 @@ def a_e17_cosine_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to decimal(18,9) so the squared sum is exact and order-"
     "independent, one final sqrt+round.",
 )
-def a_e18_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e18_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.functions.vectors import explode_vector
@@ -858,7 +858,7 @@ def a_e18_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b_e19_ivf_nprobe_sweep",
+    "e19_ivf_nprobe_sweep",
     oracle=f"""
     WITH {_LONG},
     cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, v AS cval
@@ -916,7 +916,7 @@ def a_e18_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY n.nprobe
     """,
     doc="IVF recall-vs-cost CURVE: recall@10 for the same query at "
-    "nprobe = 1, 2, 4, 8 of 8 lists (a_e12 pins one point; this pins "
+    "nprobe = 1, 2, 4, 8 of 8 lists (e12 pins one point; this pins "
     "the whole dial, including the nprobe = nlist end where IVF "
     "provably equals exhaustive search — recall 1.0 is asserted "
     "below, so a routing regression anywhere on the curve fails the "
@@ -924,7 +924,7 @@ def a_e18_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "restriction is a semi-join on the assignment table before any "
     "distance math, which is the entire point of IVF at 100 TB.",
 )
-def b_e19_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e19_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -936,7 +936,7 @@ def b_e19_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so every sweep point is a filter + window-rank over the same scored
     # table — not four independent IVF pipelines (the first formulation
     # ran 4x the jobs for identical numbers; same scoring/tie-break
-    # conventions as ivf_knn, which a_e08/a_e12 gate directly).
+    # conventions as ivf_knn, which e08/e12 gate directly).
     emb = tbl(spark, sf_dir, "embeddings")
     cents = sampled_centroids(emb, k=8).cache()
     assign = ivf_assign(emb, cents)
@@ -1003,7 +1003,7 @@ def b_e19_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b_e20_centroid_separation",
+    "e20_centroid_separation",
     oracle=f"""
     WITH {_LONG},
     cents AS (
@@ -1033,14 +1033,14 @@ def b_e19_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Inter-centroid separation audit: per label, the nearest other "
     "label's centroid distance and the mean distance to all others — "
     "the index-health metric that says whether an IVF/cluster routing "
-    "layer can discriminate classes at all (companion to a_e18's "
+    "layer can discriminate classes at all (companion to e18's "
     "temporal drift: e18 watches one label move, this watches the "
     "geometry between labels collapse). Exactness: 6dp-rounded "
     "centroid components (e05 convention), diffs re-quantized to "
     "decimal so squared sums are order-independent; the per-label "
     "mean runs over 6dp-quantized distances.",
 )
-def b_e20_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e20_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.functions.vectors import explode_vector

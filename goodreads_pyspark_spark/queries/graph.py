@@ -23,6 +23,7 @@ from goodreads_pyspark_spark.graph.frames import PropertyGraph
 from goodreads_pyspark_spark.graph.pregel import label_propagation, pagerank_scaled
 from goodreads_pyspark_spark.queries import query
 from goodreads_pyspark_spark.queries._helpers import tbl
+from goodreads_pyspark_spark.queries.timeseries import T14_MAX_BASKET
 
 #: Part-vertex id offset — disjoint id spaces, the reference's +100000 trick.
 _OFFSET = 10_000_000
@@ -563,7 +564,7 @@ def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- G-extension: per-vertex clustering coefficient --------------------------
 @query(
-    "a_g11_clustering_coefficient",
+    "g11_clustering_coefficient",
     oracle="""
     WITH pairs AS (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -596,7 +597,7 @@ def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cc = 2*tri/(d*(d-1)) from exact integers through identical "
     "double ops.",
 )
-def a_g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.frames import clustering_coefficients
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
@@ -613,7 +614,7 @@ def a_g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- G-extension: exact degree distribution ----------------------------------
 @query(
-    "a_g12_degree_distribution",
+    "g12_degree_distribution",
     oracle="""
     WITH pairs AS (
       SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -632,7 +633,7 @@ def a_g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     "degree-ordered orientation and the salting/AQE-skew machinery. "
     "Two integer aggregates, nothing else.",
 )
-def a_g12_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g12_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
     li = fan_out(tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
@@ -662,11 +663,16 @@ _G13_TOP = 20
 
 
 @query(
-    "b_g13_link_prediction",
+    "g13_link_prediction",
     oracle=f"""
-    WITH pairs AS (
+    WITH ok_orders AS (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING COUNT(*) <= {T14_MAX_BASKET}),
+    li AS (SELECT l.l_orderkey, l.l_partkey
+           FROM lineitem l JOIN ok_orders USING (l_orderkey)),
+    pairs AS (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      FROM lineitem a JOIN lineitem b
+      FROM li a JOIN li b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       GROUP BY 1, 2 HAVING COUNT(*) >= {_G13_MIN_SUPPORT}),
     deg AS (SELECT id, COUNT(*) AS d FROM (
@@ -697,7 +703,12 @@ _G13_TOP = 20
     doc="Link prediction on the part co-occurrence graph: common-neighbor "
     "count and neighborhood Jaccard for the top non-adjacent pairs — "
     "the classic 'customers who bought X also bought Y' candidate "
-    f"generator. TWO scale guards. (1) Edges need co-occurrence "
+    f"generator. THREE scale guards. (0) Orders with more than "
+    f"{T14_MAX_BASKET} lineitems are dropped BEFORE the per-order pair "
+    "self-join (reusing t14's basket cap), bounding every order's "
+    "contribution at b(b-1)/2 pairs — TPC-H caps baskets at 7, but "
+    "arbitrary 100 TB data does not, and one mega-order would "
+    f"otherwise be quadratic. (1) Edges need co-occurrence "
     f"support >= {_G13_MIN_SUPPORT}: a raw co-occurrence graph "
     "DENSIFIES as data grows (10x the orders ~ 10x every part's "
     "degree), so single co-occurrences — which are noise for "
@@ -711,10 +722,17 @@ _G13_TOP = 20
     "shuffle, an anti-join to drop existing edges; integer counts and "
     "a single exact-integer-derived division.",
 )
-def b_g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
-    li = fan_out(tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    raw = fan_out(tbl(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey"))
+    ok = (
+        raw.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__b"))
+        .filter(F.col("__b") <= T14_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    li = raw.join(ok, "l_orderkey", "left_semi")
     a = li.select("l_orderkey", F.col("l_partkey").alias("pa"))
     b = li.select("l_orderkey", F.col("l_partkey").alias("pb"))
     pairs = (

@@ -31,7 +31,7 @@ FUSE_DEPTH = 50
 
 
 @query(
-    "a_h01_hybrid_search_rrf",
+    "h01_hybrid_search_rrf",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
@@ -86,7 +86,7 @@ FUSE_DEPTH = 50
     "candidate list is a TakeOrdered top-50 and the fusion window "
     "runs over 2x50 bounded rows — constant, scale-independent.",
 )
-def a_h01_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def h01_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.partitioning import fan_out
     from goodreads_pyspark_spark.similarity.ann import brute_force_knn
 

@@ -192,7 +192,7 @@ def _io05_zkey_sql(cols: tuple[str, ...], bits: int) -> str:
 
 
 @query(
-    "a_io05_zorder_key",
+    "io05_zorder_key",
     oracle=f"""
     SELECT o_orderkey, o_custkey,
            CAST({_io05_zkey_sql(('o_custkey', 'o_orderkey'), _IO05_BITS)}
@@ -208,7 +208,7 @@ def _io05_zkey_sql(cols: tuple[str, ...], bits: int) -> str:
     "single-column sort). Pure bit arithmetic inside codegen — the "
     "oracle spells out the identical shift/mask expression.",
 )
-def a_io05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+def io05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.partitioning import zorder_key
 
     orders = tbl(spark, sf_dir, "orders")
@@ -225,7 +225,7 @@ def a_io05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- incremental aggregate maintenance ---------------------------------------
 @query(
-    "a_io06_incremental_rollup",
+    "io06_incremental_rollup",
     oracle="""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            event_type,
@@ -242,7 +242,7 @@ def a_io05_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     "delta is ~1/365th of a rescan; the merge shuffles only the "
     "(day, type) state table.",
 )
-def a_io06_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def io06_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.relational import (
         merge_aggregate_states,
     )
@@ -274,7 +274,7 @@ def a_io06_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- snapshot diff (data-diff between two table versions) --------------------
 @query(
-    "a_io07_snapshot_diff",
+    "io07_snapshot_diff",
     oracle="""
     WITH old AS (SELECT event_id, value FROM events WHERE event_id % 7 <> 0),
     new AS (SELECT event_id,
@@ -299,7 +299,7 @@ def a_io06_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "comparison is on doubles carried unchanged from the source, so "
     "equality is bit-exact on both engines.",
 )
-def a_io07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+def io07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.queries._helpers import events_tbl
     from goodreads_pyspark_spark.session import configure_for_oracle
 
@@ -328,7 +328,7 @@ def a_io07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ============================ round-4 additions ==============================
 @query(
-    "b_io08_partition_pruning_audit",
+    "io08_partition_pruning_audit",
     oracle="""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
              AS hour_start,
@@ -345,9 +345,9 @@ def a_io07_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts then hash-check that pruning lost no rows. At 100 TB this "
     "is the difference between scanning one event type and scanning "
     "the lake; the same mechanism drives date-partition pruning in "
-    "every incremental job (a_io06).",
+    "every incremental job (io06).",
 )
-def b_io08_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def io08_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from goodreads_pyspark_spark.queries._helpers import events_tbl
@@ -358,10 +358,18 @@ def b_io08_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFram
     ).parquet(base)
     pruned = spark.read.parquet(base).filter(F.col("event_type") == "purchase")
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    if "PartitionFilters" not in plan or "purchase" not in plan:
+    # The predicate must sit INSIDE a PartitionFilters bracket: a
+    # partitioned scan always prints "PartitionFilters: [...]" (empty when
+    # pruning failed) and "purchase" would still appear in a post-scan
+    # Filter node, so checking each substring anywhere in the plan can
+    # never fire — parse the bracket contents instead.
+    import re
+
+    brackets = re.findall(r"PartitionFilters:\s*\[([^\]]*)\]", plan)
+    if not any("purchase" in b for b in brackets):
         raise AssertionError(
-            "event_type filter did not reach the scan's PartitionFilters:\n"
-            + plan[:2000]
+            "event_type filter did not reach the scan's PartitionFilters "
+            f"(brackets={brackets!r}):\n" + plan[:2000]
         )
     return (
         pruned.groupBy(F.date_trunc("hour", "ts").alias("hs"))

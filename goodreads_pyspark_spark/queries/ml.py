@@ -172,7 +172,7 @@ def m05_tfidf_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- U2: seeded randomSplit -------------------------------------------------
 @query(
-    "a_u01_seeded_split_invariants",
+    "u01_seeded_split_invariants",
     oracle="""
     WITH r AS (
       SELECT l_suppkey AS user_id, l_partkey AS book_id

@@ -196,7 +196,7 @@ _MM05_MOD = 400
 
 
 @query(
-    "b_mm05_media_exact_dedup",
+    "mm05_media_exact_dedup",
     oracle=f"""
     WITH k AS (SELECT doc_id, doc_id % {_MM05_MOD} AS kk FROM documents),
     g AS (SELECT md5('46494D47'
@@ -222,7 +222,7 @@ _MM05_MOD = 400
     "at 100 TB the digest is computed scan-side and the blobs stay "
     "in object storage.",
 )
-def b_mm05_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm05_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     k = docs.select("doc_id", (F.col("doc_id") % _MM05_MOD).alias("kk"))
     blob = F.concat(

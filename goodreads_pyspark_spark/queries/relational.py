@@ -816,7 +816,7 @@ def q31_distributed_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(n-1)*p order-statistic interpolation, verified bit-identical. "
     "Exact percentile is an ObjectHashAggregate buffering each "
     "group's values; at 100 TB switch to approx_percentile (q27) or "
-    "the two-phase histogram median (a_q31) — this query is the "
+    "the two-phase histogram median (q31) — this query is the "
     "exactness baseline those are judged against.",
 )
 def q32_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -897,7 +897,7 @@ def q34_price_rank_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- correlated scalar subquery (TPC-H Q17 shape) ----------------------------
 @query(
-    "a_q35_small_qty_part_revenue",
+    "q35_small_qty_part_revenue",
     oracle=f"""
     WITH pa AS (
       SELECT l_partkey, {sql_davg("l_quantity", 2)} AS avg_qty
@@ -920,7 +920,7 @@ def q34_price_rank_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "threshold compares exact decimal-derived doubles so the boundary "
     "is engine-independent.",
 )
-def a_q35_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q35_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     part = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     part_avg = li.groupBy("l_partkey").agg(davg("l_quantity", 2, "avg_qty"))
@@ -938,7 +938,7 @@ def a_q35_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- two-sided dim predicate over a 5-way join (TPC-H Q7 shape) --------------
 @query(
-    "a_q36_nation_trade_volume",
+    "q36_nation_trade_volume",
     oracle=f"""
     SELECT supp_nation, cust_nation, l_year,
            {sql_dsum("volume", 6)} AS revenue
@@ -965,7 +965,7 @@ def a_q35_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shuffle for the final aggregate; the OR predicate can only be "
     "applied post-join, which is exactly where it lands.",
 )
-def a_q36_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q36_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -1008,7 +1008,7 @@ def a_q36_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- EXISTS / NOT EXISTS self-joins (TPC-H Q21 shape) ------------------------
 @query(
-    "a_q37_sole_late_suppliers",
+    "q37_sole_late_suppliers",
     oracle="""
     WITH late AS (
       SELECT l_orderkey, l_suppkey
@@ -1035,7 +1035,7 @@ def a_q36_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one — both (l_orderkey)-keyed shuffles against the already-"
     "distinct late set, no row explosion; supplier dim broadcasts.",
 )
-def a_q37_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q37_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     orders = tbl(spark, sf_dir, "orders")
     sup = tbl(spark, sf_dir, "supplier")
@@ -1099,7 +1099,7 @@ def _q38_oracle() -> str:
 
 
 @query(
-    "a_q38_fk_integrity_audit",
+    "q38_fk_integrity_audit",
     oracle=_q38_oracle(),
     doc="Referential-integrity audit across every FK edge of the star "
     "schema: child row count and orphan count (child keys with no "
@@ -1109,7 +1109,7 @@ def _q38_oracle() -> str:
     "the two fact-fact edges shuffle on their natural keys. Integer-"
     "only output.",
 )
-def a_q38_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q38_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for rel, child, ck, parent, pk in _Q38_RELS:
         c = tbl(spark, sf_dir, child)
@@ -1131,7 +1131,7 @@ def a_q38_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- scalar-max subquery (TPC-H Q15 shape) -----------------------------------
 @query(
-    "a_q39_top_supplier_revenue",
+    "q39_top_supplier_revenue",
     oracle=f"""
     WITH rev AS (
       SELECT l_suppkey,
@@ -1153,7 +1153,7 @@ def a_q38_fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast back as a filter, supplier dim broadcast — the revenue "
     "table is scanned once and reused, never recomputed per row.",
 )
-def a_q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -1174,7 +1174,7 @@ def a_q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- explicit GROUPING SETS with grouping_id ---------------------------------
 @query(
-    "a_q40_grouping_sets",
+    "q40_grouping_sets",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
@@ -1191,7 +1191,7 @@ def a_q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouping-sets builder); one Expand + one hash aggregate, same "
     "shuffle class as a plain groupBy.",
 )
-def a_q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q40_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     orders.createOrReplaceTempView("q40_orders")
     return spark.sql("""
@@ -1227,7 +1227,7 @@ def _q41_oracle() -> str:
 
 
 @query(
-    "a_q41_column_profile",
+    "q41_column_profile",
     oracle=_q41_oracle(),
     doc="Column-statistics profile of a table (ANALYZE TABLE / Deequ "
     "shape): per column, null count, distinct count, min/max rendered "
@@ -1238,7 +1238,7 @@ def _q41_oracle() -> str:
     "render via an explicit format so both engines agree on the text "
     "form.",
 )
-def a_q41_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q41_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.session import configure_for_oracle
 
     configure_for_oracle(spark)
@@ -1288,7 +1288,7 @@ def a_q41_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q8: market share (conditional-sum ratio) --------------------------
 @query(
-    "b_q42_market_share",
+    "q42_market_share",
     oracle=f"""
     WITH all_rev AS (
       SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
@@ -1317,7 +1317,7 @@ def a_q41_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "across engines. Plan: every dim broadcasts, the fact shuffles once "
     "on the year.",
 )
-def b_q42_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q42_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     orders = tbl(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -1351,7 +1351,7 @@ def b_q42_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q9: product-type profit ------------------------------------------
 @query(
-    "b_q43_product_profit",
+    "q43_product_profit",
     oracle=f"""
     SELECT n_name AS nation,
            CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
@@ -1372,7 +1372,7 @@ def b_q42_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan); part/supplier/nation broadcast; orders co-shuffles with "
     "lineitem on the order key; profit arithmetic is decimal-exact.",
 )
-def b_q43_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q43_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     part = tbl(spark, sf_dir, "part").filter(F.col("p_name").like("%ring%"))
     sup = tbl(spark, sf_dir, "supplier")
@@ -1396,7 +1396,7 @@ def b_q43_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q13: customer order-count distribution ----------------------------
 @query(
-    "b_q44_order_count_distribution",
+    "q44_order_count_distribution",
     oracle="""
     SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
     FROM (
@@ -1412,7 +1412,7 @@ def b_q43_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "whole point of the shape. Double aggregation: per-customer count, "
     "then histogram over the tiny count domain.",
 )
-def b_q44_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q44_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tbl(spark, sf_dir, "customer")
     orders = tbl(spark, sf_dir, "orders")
     per_cust = (
@@ -1432,7 +1432,7 @@ def b_q44_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 
 # --- TPC-H Q16: supplier variety per part class -------------------------------
 @query(
-    "b_q45_supplier_part_variety",
+    "q45_supplier_part_variety",
     oracle="""
     SELECT p_brand, p_type, p_size,
            CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
@@ -1448,7 +1448,7 @@ def b_q44_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     "aggregate (distinct shuffle then count) — no sketch approximation "
     "in the gated path (q27 covers the approx variant).",
 )
-def b_q45_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q45_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     part = tbl(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -1464,7 +1464,7 @@ def b_q45_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q18: large-volume orders (HAVING over a join-back) -----------------
 @query(
-    "b_q46_large_volume_customers",
+    "q46_large_volume_customers",
     oracle=f"""
     WITH big AS (
       SELECT l_orderkey, {sql_dsum('l_quantity')} AS total_qty
@@ -1486,7 +1486,7 @@ def b_q45_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is exactly the kind of flaky filter the dsum convention exists to "
     "kill. Top-100 by price with the order key as unique tiebreak.",
 )
-def b_q46_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q46_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     orders = tbl(spark, sf_dir, "orders")
     cust = tbl(spark, sf_dir, "customer")
@@ -1514,7 +1514,7 @@ def b_q46_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q20: excess-inventory suppliers (nested semi-join chain) ----------
 @query(
-    "b_q47_excess_inventory_suppliers",
+    "q47_excess_inventory_suppliers",
     oracle="""
     WITH per_sp AS (
       SELECT l_suppkey, l_partkey,
@@ -1540,7 +1540,7 @@ def b_q46_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recent leg); the supplier/nation legs broadcast onto the "
     "distinct survivor keys.",
 )
-def b_q47_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q47_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     part = tbl(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     sup = tbl(spark, sf_dir, "supplier")
@@ -1569,7 +1569,7 @@ def b_q47_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
 
 # --- TPC-H Q22: dormant high-balance customers --------------------------------
 @query(
-    "b_q48_dormant_customers",
+    "q48_dormant_customers",
     oracle=f"""
     WITH avg_bal AS (
       SELECT {sql_davg('c_acctbal', 2)} AS ab
@@ -1592,7 +1592,7 @@ def b_q47_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFr
     "the > cutoff picks the identical customer set in both engines; "
     "NOT EXISTS compiles to a left-anti join against orders.",
 )
-def b_q48_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q48_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = tbl(spark, sf_dir, "customer")
     orders = tbl(spark, sf_dir, "orders")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
@@ -1618,7 +1618,7 @@ def b_q48_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q14: promotion revenue share (queued for r5 rotation) -------------
 @query(
-    "q49_promo_revenue_share",
+    "a_q49_promo_revenue_share",
     oracle=f"""
     SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' "
                              "THEN l_extendedprice * (1 - l_discount) "
@@ -1634,7 +1634,7 @@ def b_q48_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "numerator and denominator, bit-equal division), with the date "
     "range pushed into the lineitem scan and the part dim broadcast.",
 )
-def q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
@@ -1649,7 +1649,7 @@ def q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q19: disjunctive bracket predicates (queued for r5 rotation) ------
 @query(
-    "q50_bracket_disjunction_revenue",
+    "a_q50_bracket_disjunction_revenue",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
            {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
@@ -1669,7 +1669,7 @@ def q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "post-join — the query shape that punishes engines without "
     "predicate decomposition. Part broadcasts; one aggregate row out.",
 )
-def q50_bracket_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_q50_bracket_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     part = tbl(spark, sf_dir, "part")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1693,4 +1693,180 @@ def q50_bracket_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     return j.filter(br).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6, "revenue"),
+    )
+
+
+# --- TPC-H Q2: correlated min-cost supplier (new in r5) ----------------------
+@query(
+    "a_q51_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON n_nationkey = s_nationkey
+                    JOIN region ON r_regionkey = n_regionkey
+      WHERE r_name = 'EUROPE'),
+    cost AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS cost
+      FROM lineitem JOIN eu ON s_suppkey = l_suppkey
+      GROUP BY 1, 2)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+    FROM cost JOIN eu ON s_suppkey = l_suppkey
+              JOIN part ON p_partkey = l_partkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+      AND cost = (SELECT MIN(c2.cost) FROM cost c2
+                  WHERE c2.l_partkey = cost.l_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (adapted: the driver testdata has no partsupp, so "
+    "the part-supplier cost relation is derived as MIN unit price per "
+    "(l_partkey, l_suppkey) over lineitem — MIN of doubles is order-"
+    "independent, so no decimal detour is needed): for each "
+    "size-10..20 LARGE part, the European supplier(s) whose cost equals "
+    "the per-part minimum. This is the one decorrelation shape the "
+    "suite lacked — the oracle keeps Q2's correlated scalar subquery; "
+    "the Spark side decorrelates it BY CONSTRUCTION into a per-part "
+    "min aggregate joined back on (partkey, cost), i.e. one extra "
+    "shuffle on partkey instead of a per-row subquery. supplier-"
+    "nation-region collapses to a broadcast; the filtered part dim "
+    "broadcasts too; equality on cost is sound because both engines "
+    "compute the identical IEEE division and MIN.",
+)
+def a_q51_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = tbl(spark, sf_dir, "nation")
+    reg = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eu = (
+        tbl(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(reg), F.col("r_regionkey") == F.col("n_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    cost = (
+        li.join(F.broadcast(eu.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    min_cost = cost.groupBy("l_partkey").agg(F.min("cost").alias("__min_cost"))
+    best = cost.join(min_cost, "l_partkey").filter(
+        F.col("cost") == F.col("__min_cost")
+    )
+    part = tbl(spark, sf_dir, "part").filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
+    )
+    return (
+        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
+        .join(F.broadcast(eu), best.l_suppkey == eu.s_suppkey)
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- TPC-H Q11: group HAVING vs a global-scalar fraction (new in r5) ---------
+_Q52_FRACTION = 0.001
+
+
+@query(
+    "a_q52_important_parts",
+    oracle=f"""
+    WITH nsup AS (
+      SELECT s_suppkey FROM supplier
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = 'NATION_1'),
+    val AS (
+      SELECT l_partkey,
+             {sql_dsum('l_extendedprice * l_quantity', 6)} AS value
+      FROM lineitem JOIN nsup ON s_suppkey = l_suppkey
+      GROUP BY 1)
+    SELECT l_partkey, value FROM val
+    WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE)
+                            * {_Q52_FRACTION}
+                   FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape (adapted: part 'stock value' for one nation's "
+    "suppliers is derived from lineitem as dsum(extendedprice * "
+    "quantity) since there is no partsupp): keep the parts whose value "
+    f"exceeds fraction {_Q52_FRACTION} of the nation's total — the "
+    "group-HAVING-against-a-global-scalar shape. The Spark side "
+    "computes the per-part values ONCE, derives the scalar threshold "
+    "from that same frame, and broadcasts the 1-row threshold into a "
+    "cross join (no second scan, no collect); both sides run the "
+    "threshold through the same decimal-exact sum so the > comparison "
+    "is bit-deterministic. The supplier-nation filter broadcasts into "
+    "the lineitem scan as a semi-join.",
+)
+def a_q52_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nat = tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    nsup = (
+        tbl(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_suppkey")
+    )
+    li = tbl(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    val = (
+        li.join(F.broadcast(nsup), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), 6, "value"))
+    )
+    threshold = val.agg(
+        (
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double")
+            * F.lit(_Q52_FRACTION)
+        ).alias("__thr")
+    )
+    return (
+        val.crossJoin(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("__thr"))
+        .select("l_partkey", "value")
+        .orderBy(F.col("value").desc(), "l_partkey")
+    )
+
+
+# --- TPC-H Q12: conditional priority counts by ship class (new in r5) --------
+@query(
+    "a_q53_priority_shipclass",
+    oracle="""
+    SELECT l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="TPC-H Q12 shape (adapted: no l_shipmode column, so l_returnflag "
+    "stands in as the two-valued ship class, mirroring Q12's "
+    "IN ('MAIL','SHIP')): per class, how many 1997 shipments belonged "
+    "to high- vs low-priority orders — the CASE-conditional count "
+    "pair over a large-large join. Neither side broadcasts at 100 TB; "
+    "the IN + date filters prune the lineitem scan BEFORE the "
+    "o_orderkey shuffle join, integer conditional sums are exact, and "
+    "partial aggregation collapses each side to at most two rows per "
+    "task before the final exchange.",
+)
+def a_q53_priority_shipclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = tbl(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+        .orderBy("ship_class")
     )

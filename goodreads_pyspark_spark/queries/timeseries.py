@@ -302,7 +302,7 @@ def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a_s02_stateful_user_totals",
+    "s02_stateful_user_totals",
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -377,7 +377,7 @@ def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a_s03_streaming_dedup",
+    "s03_streaming_dedup",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
     FROM (SELECT DISTINCT event_id, event_type FROM events)
@@ -472,7 +472,7 @@ def t08_sliding_window_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a_s04_streaming_sliding_window",
+    "s04_streaming_sliding_window",
     oracle=f"""
     WITH k AS (SELECT unnest(generate_series(0, 1)) AS k),
     x AS (SELECT e.event_type, e.value,
@@ -490,7 +490,7 @@ def t08_sliding_window_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(upgraded from rows-only, VERDICT r3 #3): the stream aggregates "
     "value through the decimal-exact dsum path (exact_scale=6), which "
     "is order-independent, so streaming execution is bit-identical to "
-    "the batch twin a_t08 and shares its relational sliding-window "
+    "the batch twin t08 and shares its relational sliding-window "
     "oracle. The query still asserts stream == batch row-for-row "
     "(null-safe, both sides exact) before returning.",
 )
@@ -933,7 +933,7 @@ T14_MAX_BASKET = 50
 T14_MIN_SUPPORT = 2
 
 @query(
-    "a_t14_copurchase_pairs",
+    "t14_copurchase_pairs",
     oracle=f"""
     WITH pur AS (
       SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
@@ -959,7 +959,7 @@ T14_MIN_SUPPORT = 2
     "user), the market-basket analog of the d06/d07 blowup guards; "
     "pair aggregation is one (item_a, item_b)-keyed shuffle.",
 )
-def a_t14_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t14_copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_tbl(spark, sf_dir)
     pur = (
         ev.filter(F.col("event_type") == "purchase")
@@ -993,7 +993,7 @@ T15_Z_THRESHOLD = 2.0
 
 
 @query(
-    "a_t15_hourly_anomaly",
+    "t15_hourly_anomaly",
     oracle=f"""
     WITH hourly AS (
       SELECT event_type, date_trunc('hour', ts) AS hour_start,
@@ -1038,7 +1038,7 @@ T15_Z_THRESHOLD = 2.0
     "the per-type sort is over thousands of rows regardless of raw "
     "event volume.",
 )
-def a_t15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     ev = events_tbl(spark, sf_dir)
     hourly = ev.groupBy(
@@ -1080,7 +1080,7 @@ def a_t15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- RANGE-frame rolling window (time-based, not row-based) ------------------
 @query(
-    "a_t16_rolling_range_revenue",
+    "t16_rolling_range_revenue",
     oracle="""
     SELECT o_orderkey, o_custkey,
            strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS orderdate,
@@ -1100,7 +1100,7 @@ def a_t15_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window sort; the filter bounds the demo, at scale the partition "
     "key spreads the sort across executors.",
 )
-def a_t16_rolling_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t16_rolling_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     orders = tbl(spark, sf_dir, "orders").filter(F.col("o_custkey") < 300)
     sec = F.unix_timestamp("o_orderdate")
@@ -1123,7 +1123,7 @@ def a_t16_rolling_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- native session windows (batch face of the streaming operator) -----------
 @query(
-    "a_t17_session_windows_native",
+    "t17_session_windows_native",
     oracle=f"""
     WITH x AS (
       SELECT user_id, ts,
@@ -1152,7 +1152,7 @@ def a_t16_rolling_range_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lag/cumsum sessionization with the operator a streaming job "
     "actually runs.",
 )
-def a_t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.streaming import sessionized_by_user
 
     configure_for_oracle(spark)
@@ -1168,7 +1168,7 @@ def a_t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a_s07_streaming_session_window",
+    "s07_streaming_session_window",
     oracle=f"""
     WITH x AS (
       SELECT user_id, ts,
@@ -1193,12 +1193,12 @@ def a_t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the staged events stream, complete-mode memory sink. HASH-GATED "
     "(upgraded from rows-only, VERDICT r3 #3): session boundaries and "
     "counts are pure timestamp/integer outputs, so the stream result "
-    "is deterministic and shares the batch twin a_t17's relational "
+    "is deterministic and shares the batch twin t17's relational "
     "lag/cumsum-island oracle (strictly-greater-than-gap break = "
     "Spark's touching-sessions-merge semantics). The query still "
     "asserts stream == batch row-for-row before returning.",
 )
-def a_s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
@@ -1253,7 +1253,7 @@ T18_WEIGHTS = [(0, 1.0), (1, 0.5), (2, 0.25), (3, 0.125), (4, 0.0625), (5, 0.031
 
 
 @query(
-    "a_t18_ewma_hourly_volume",
+    "t18_ewma_hourly_volume",
     oracle=f"""
     WITH hourly AS (
       SELECT event_type,
@@ -1285,7 +1285,7 @@ T18_WEIGHTS = [(0, 1.0), (1, 0.5), (2, 0.25), (3, 0.125), (4, 0.0625), (5, 0.031
     "collapses raw volume first; the 24-offset expansion multiplies "
     "the tiny series, not the events."
 )
-def a_t18_ewma_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t18_ewma_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     ev = events_tbl(spark, sf_dir)
     hourly = (
@@ -1328,7 +1328,7 @@ def a_t18_ewma_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- time-weighted average value (TWAP) --------------------------------------
 @query(
-    "a_t19_time_weighted_value",
+    "t19_time_weighted_value",
     oracle="""
     WITH x AS (
       SELECT user_id, ts,
@@ -1360,7 +1360,7 @@ def a_t18_ewma_hourly_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "measured, not assumed. Scale shape: "
     "one (user)-keyed window sort then a keyed aggregate.",
 )
-def a_t19_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t19_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     ev = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1391,7 +1391,7 @@ def a_t19_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b_t20_interarrival_stats",
+    "t20_interarrival_stats",
     oracle="""
     WITH gaps AS (
       SELECT event_type,
@@ -1415,7 +1415,7 @@ def a_t19_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines. One (user)-partitioned window then one tiny per-type "
     "aggregate — the lag never sees a cross-user frame.",
 )
-def b_t20_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t20_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     ev = events_tbl(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -1434,7 +1434,7 @@ def b_t20_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b_t21_ohlc_bars",
+    "t21_ohlc_bars",
     oracle="""
     WITH x AS (
       SELECT event_type, date_trunc('hour', ts) AS hs, value,
@@ -1462,7 +1462,7 @@ def b_t20_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "isn't portable SQL; values are raw untouched doubles on both "
     "sides so equality is exact.",
 )
-def b_t21_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t21_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     ev = events_tbl(spark, sf_dir)
     return (
@@ -1489,7 +1489,7 @@ def b_t21_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "b_s08_foreachbatch_sink",
+    "s08_foreachbatch_sink",
     oracle="""
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -1509,7 +1509,7 @@ def b_t21_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "instead of re-emit (recovery is pinned by the checkpoint-restart "
     "pytest).",
 )
-def b_s08_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s08_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from goodreads_pyspark_spark.streaming import stream_events_from_dir
@@ -1553,7 +1553,7 @@ T22_TOP = 20
 
 
 @query(
-    "t22_association_rules",
+    "a_t22_association_rules",
     oracle=f"""
     WITH pur AS (
       SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
@@ -1580,7 +1580,7 @@ T22_TOP = 20
     ORDER BY lift DESC, item_a, item_b
     LIMIT {T22_TOP}
     """,
-    doc="Association rules on top of a_t14's support table: confidence "
+    doc="Association rules on top of t14's support table: confidence "
     "(P(b|a)) and lift (support over independence) per co-purchased "
     "pair, top rules by lift — the scoring pass that turns raw "
     "support counts into a rankable item-to-item recommender. All "
@@ -1589,7 +1589,7 @@ T22_TOP = 20
     "single-row user-count rides a broadcast cross join. Same basket "
     "cap as t14 bounds the pair space.",
 )
-def t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_tbl(spark, sf_dir)
     pur = (
         ev.filter(F.col("event_type") == "purchase")

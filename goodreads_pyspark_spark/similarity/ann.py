@@ -48,7 +48,7 @@ def all_cosines(
     """(id, cosine) of EVERY other vector against ``query_id``'s vector —
     the full scoring pass behind :func:`brute_force_knn` and the shared
     substrate for recall audits that cut the same ranking several ways
-    (b_e19's nprobe sweep scores ONCE and derives every curve point).
+    (e19's nprobe sweep scores ONCE and derives every curve point).
     Cosine is rounded to ``round_to`` digits — the rounding defines a
     deterministic total order for any later cut, and 6dp absorbs the
     ~1e-14 Spark-vs-DuckDB double->decimal divergence (see e05's

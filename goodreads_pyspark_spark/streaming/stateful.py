@@ -21,6 +21,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, total_micros long"
+# STATE SCHEMA v2 (round 4): grew from (n, total) to (n, total, micros).
+# applyInPandasWithState does NOT support state-schema evolution — Spark's
+# state store rejects the mismatch at restore time, before the handler
+# runs, so a v1 2-field checkpoint cannot be resumed by this operator
+# (there is no in-handler padding hook). External consumers restarting a
+# v1 checkpoint must either drain it with the old schema or start a fresh
+# checkpoint dir; the in-repo harness always uses a fresh tempdir.
 STATE_SCHEMA = "n long, total double, micros long"
 
 
@@ -35,7 +42,7 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     count the store can hold, so ``total_micros`` is bit-identical to the
     batch aggregate of the same expression — that exactness is what lets
     the driver hash-gate this operator against a SQL oracle
-    (queries/timeseries.py a_s02) instead of a rows-only check.
+    (queries/timeseries.py s02) instead of a rows-only check.
 
     The state handler is a NESTED function so cloudpickle serializes it by
     value: Python workers then need no import of this package (a

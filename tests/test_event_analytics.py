@@ -142,7 +142,7 @@ def test_hybrid_rrf_fusion_ordering(spark, tmp_path_factory):
     """Doc sharing MOST terms wins over a doc with balanced mid ranks by
     the exact RRF arithmetic (1/61+1/63 > 2/62); vector-only and
     lexical-only candidates still surface with the other rank = 0."""
-    from goodreads_pyspark_spark.queries.hybrid import a_h01_hybrid_search_rrf
+    from goodreads_pyspark_spark.queries.hybrid import h01_hybrid_search_rrf
 
     p = str(tmp_path_factory.mktemp("hy"))
     docs = [
@@ -164,7 +164,7 @@ def test_hybrid_rrf_fusion_ordering(spark, tmp_path_factory):
         vecs, "vec_id long, embedding array<float>, label int"
     ).coalesce(1).write.mode("overwrite").parquet(f"{p}/embeddings.parquet")
 
-    rows = a_h01_hybrid_search_rrf(spark, p).collect()
+    rows = h01_hybrid_search_rrf(spark, p).collect()
     assert [r.doc_id for r in rows] == [1, 3, 2]
     r1, r3, r2 = rows
     assert (r1.lex_rank, r1.vec_rank) == (1, 3)

@@ -413,7 +413,7 @@ def test_zorder_layout_prunes_box_queries(spark, tmp_path):
 def test_q36_broadcasts_dims_single_fact_shuffle(spark):
     # Q7 shape: supplier + both nation aliases broadcast; lineitem date
     # filter reaches the scan.
-    plan = plan_of(spark, "a_q36_nation_trade_volume")
+    plan = plan_of(spark, "q36_nation_trade_volume")
     assert plan.count("BroadcastHashJoin") >= 3
     assert "l_shipdate" in plan.split("PushedFilters")[1]
 
@@ -421,7 +421,7 @@ def test_q36_broadcasts_dims_single_fact_shuffle(spark):
 def test_q37_compiles_to_semi_and_anti(spark):
     # EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti; never a row-exploding
     # inner join plus dedup.
-    plan = plan_of(spark, "a_q37_sole_late_suppliers")
+    plan = plan_of(spark, "q37_sole_late_suppliers")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
 
@@ -433,7 +433,7 @@ def test_d31_token_arrays_never_cross_a_shuffle(spark):
     # (AQE + the cached token base can hide hash exchanges behind
     # InMemoryRelation in the formatted plan, so scan every Exchange
     # flavor rather than requiring one to be present.)
-    plan = plan_of(spark, "a_d31_span_scrub")
+    plan = plan_of(spark, "d31_span_scrub")
     exchanges = [
         line for line in plan.splitlines() if "Exchange" in line
     ]
@@ -447,7 +447,7 @@ def test_d32_vocab_window_is_bounded_by_takeordered(spark):
     # The global row_number ranks only the TakeOrdered top-1000 cut —
     # the plan must contain TakeOrderedAndProject feeding the window,
     # not a whole-vocabulary single-partition sort.
-    plan = plan_of(spark, "a_d32_token_rank_fluency")
+    plan = plan_of(spark, "d32_token_rank_fluency")
     assert "TakeOrderedAndProject" in plan
 
 
@@ -500,14 +500,14 @@ def test_aqe_splits_skewed_join_partitions(spark):
 def test_q42_dims_broadcast_like_pushdown(spark):
     """Q8 shape: all five dim legs broadcast; the only sort-merge join
     allowed is the lineitem-orders fact-fact co-shuffle."""
-    plan = plan_of(spark, "b_q42_market_share")
+    plan = plan_of(spark, "q42_market_share")
     assert plan.count("BroadcastHashJoin") >= 4
     assert plan.count("SortMergeJoin") <= 1
 
 
 def test_q43_like_filter_prunes_part_scan(spark):
     """Q9 shape: the p_name LIKE predicate must reach the part scan."""
-    plan = plan_of(spark, "b_q43_product_profit")
+    plan = plan_of(spark, "q43_product_profit")
     pushed = [
         ln for ln in plan.splitlines() if "PushedFilters" in ln and "p_name" in ln
     ]
@@ -519,18 +519,18 @@ def test_q44_left_join_preserved(spark):
     """Q13: the filter lives in the join condition, so the join must stay
     a LEFT OUTER (a WHERE placement would let Catalyst make it inner
     and silently drop zero-order customers)."""
-    plan = plan_of(spark, "b_q44_order_count_distribution")
+    plan = plan_of(spark, "q44_order_count_distribution")
     assert "LeftOuter" in plan
 
 
 def test_q46_topk_physical_operator(spark):
-    plan = plan_of(spark, "b_q46_large_volume_customers")
+    plan = plan_of(spark, "q46_large_volume_customers")
     assert "TakeOrderedAndProject" in plan
 
 
 def test_q48_anti_join_and_broadcast_scalar(spark):
     """Q22: NOT EXISTS compiles to LeftAnti; the scalar average rides a
     broadcast nested-loop cross join (1 row), never a per-row subquery."""
-    plan = plan_of(spark, "b_q48_dormant_customers")
+    plan = plan_of(spark, "q48_dormant_customers")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan

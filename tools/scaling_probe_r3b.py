@@ -54,7 +54,7 @@ def main() -> None:
             d27_dup_shingle_fraction,
         )
         from goodreads_pyspark_spark.queries.embeddings import e14_pq_adc_topk
-        from goodreads_pyspark_spark.queries.hybrid import a_h01_hybrid_search_rrf
+        from goodreads_pyspark_spark.queries.hybrid import h01_hybrid_search_rrf
 
         class _Dir(str):
             pass
@@ -69,7 +69,7 @@ def main() -> None:
         for name, fn in (
             ("d27_dup_shingle_fraction", d27_dup_shingle_fraction),
             ("e14_pq_adc_topk", e14_pq_adc_topk),
-            ("a_h01_hybrid_search_rrf", a_h01_hybrid_search_rrf),
+            ("h01_hybrid_search_rrf", h01_hybrid_search_rrf),
         ):
             t0 = time.perf_counter()
             n = fn(spark, sf_dir).count()

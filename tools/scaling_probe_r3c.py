@@ -36,9 +36,9 @@ def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
     spark = get_spark("scaling_probe_r3c")
 
-    from goodreads_pyspark_spark.queries.documents import a_d31_span_scrub
-    from goodreads_pyspark_spark.queries.io import a_io05_zorder_key
-    from goodreads_pyspark_spark.queries.timeseries import a_t15_hourly_anomaly
+    from goodreads_pyspark_spark.queries.documents import d31_span_scrub
+    from goodreads_pyspark_spark.queries.io import io05_zorder_key
+    from goodreads_pyspark_spark.queries.timeseries import t15_hourly_anomaly
 
     for f in factors:
         stage = tempfile.mkdtemp(prefix=f"r3c_x{f}_")
@@ -65,9 +65,9 @@ def main() -> None:
                 link.symlink_to(p)
 
         for name, fn in (
-            ("a_d31_span_scrub", a_d31_span_scrub),
-            ("a_t15_hourly_anomaly", a_t15_hourly_anomaly),
-            ("a_io05_zorder_key", a_io05_zorder_key),
+            ("d31_span_scrub", d31_span_scrub),
+            ("t15_hourly_anomaly", t15_hourly_anomaly),
+            ("io05_zorder_key", io05_zorder_key),
         ):
             t0 = time.perf_counter()
             n = len(fn(spark, sf_dir).collect())

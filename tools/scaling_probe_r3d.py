@@ -62,7 +62,7 @@ def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 2]
     spark = get_spark("scaling_probe_r3d")
 
-    from goodreads_pyspark_spark.queries.documents import a_c03_corpus_to_shards
+    from goodreads_pyspark_spark.queries.documents import c03_corpus_to_shards
 
     for f in factors:
         pairs = co_pairs(spark, f)
@@ -100,8 +100,8 @@ def main() -> None:
         if not link.exists():
             link.symlink_to(dpath)
         t0 = time.perf_counter()
-        n = a_c03_corpus_to_shards(spark, stage).count()
-        print(f"x{f} a_c03_corpus_to_shards: {time.perf_counter()-t0:.1f}s ({n} shards)")
+        n = c03_corpus_to_shards(spark, stage).count()
+        print(f"x{f} c03_corpus_to_shards: {time.perf_counter()-t0:.1f}s ({n} shards)")
         spark.catalog.clearCache()
 
 

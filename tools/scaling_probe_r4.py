@@ -2,18 +2,18 @@
 
 Replicates sf0.1 inputs 1x/2x/4x (tools/scaling_probe.replicate: id
 offsets + copymark suffixes) and measures:
-  * b_d34 LSH band tuning on replicated documents — one shingle pass,
+  * d34 LSH band tuning on replicated documents — one shingle pass,
     one signature table, three band configs; the quadratic parts are
     bucket-scoped (max_bucket) and df-capped (max_df), so expected
     ~linear;
-  * b_d35 shingle novelty — pure keyed counts off one shingle pass,
+  * d35 shingle novelty — pure keyed counts off one shingle pass,
     expected linear;
-  * b_g13 link prediction on the replicated lineitem co-occurrence
+  * g13 link prediction on the replicated lineitem co-occurrence
     graph — wedge volume is sum(deg^2) but the probe's degree cap
     bounds it; replication multiplies orders (graph copies are NOT
     disjoint here: part ids repeat across copies, so degree grows with
     factor and this measures the cap doing its job);
-  * b_q43 product profit (5-way join) on replicated lineitem+orders —
+  * q43 product profit (5-way join) on replicated lineitem+orders —
     expected linear in fact rows.
 
 Usage: python tools/scaling_probe_r4.py [factors...]
@@ -37,11 +37,11 @@ def main() -> None:
     spark = get_spark("scaling_probe_r4")
 
     from goodreads_pyspark_spark.queries.documents import (
-        b_d34_lsh_band_tuning,
-        b_d35_shingle_novelty,
+        d34_lsh_band_tuning,
+        d35_shingle_novelty,
     )
-    from goodreads_pyspark_spark.queries.graph import b_g13_link_prediction
-    from goodreads_pyspark_spark.queries.relational import b_q43_product_profit
+    from goodreads_pyspark_spark.queries.graph import g13_link_prediction
+    from goodreads_pyspark_spark.queries.relational import q43_product_profit
 
     from pyspark.sql import functions as F
 
@@ -83,10 +83,10 @@ def main() -> None:
                 link.symlink_to(f"{SRC}/{t}.parquet")
 
         for name, fn in (
-            ("b_d34_lsh_band_tuning", b_d34_lsh_band_tuning),
-            ("b_d35_shingle_novelty", b_d35_shingle_novelty),
-            ("b_g13_link_prediction", b_g13_link_prediction),
-            ("b_q43_product_profit", b_q43_product_profit),
+            ("d34_lsh_band_tuning", d34_lsh_band_tuning),
+            ("d35_shingle_novelty", d35_shingle_novelty),
+            ("g13_link_prediction", g13_link_prediction),
+            ("q43_product_profit", q43_product_profit),
         ):
             t0 = time.perf_counter()
             n = fn(spark, stage).count()
