@@ -19,6 +19,30 @@ from goodreads_pyspark_spark.operators.relational import semi_join
 from goodreads_pyspark_spark.pipelines.goodreads import GoodreadsTables
 
 
+def _truncate(
+    df: DataFrame, *, eager: bool = True, checkpoint_dir: str | None = None
+) -> DataFrame:
+    """Truncate lineage at a superstep boundary.
+
+    ``checkpoint_dir=None`` (default) uses ``localCheckpoint``: blocks
+    live in executor storage — fastest, and correct on a healthy
+    cluster, but an executor loss mid-run invalidates its blocks and
+    fails the job (lineage is gone, there is nothing to recompute from).
+    Setting ``checkpoint_dir`` switches every truncation to a RELIABLE
+    ``checkpoint()`` into that directory (HDFS/S3/DBFS on a cluster):
+    each superstep's state is persisted to fault-tolerant storage, so
+    lost executors merely re-read it. That is the right trade for long
+    Pregel runs on preemptible/spot executors; locally it just costs a
+    disk round-trip per truncation.
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 @dataclass
 class PropertyGraph:
     """vertices(id, ...) + edges(src, dst, ...)."""
@@ -192,7 +216,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return nv.crossJoin(F.broadcast(ne)).crossJoin(F.broadcast(tri))
 
 
-def kcore_trim(edges: DataFrame, k: int, rounds: int) -> DataFrame:
+def kcore_trim(
+    edges: DataFrame, k: int, rounds: int, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Fixed-round k-core peeling: iteratively drop vertices with
     degree < k, ``rounds`` times; return survivors with final degree.
 
@@ -245,16 +271,18 @@ def kcore_trim(edges: DataFrame, k: int, rounds: int) -> DataFrame:
         .unionAll(cur.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
-        # Per-vertex result is small: checkpoint it eagerly so the final
-        # round's cached edge set can be released before returning — no
-        # leaked executor blocks across repeated calls.
-        .localCheckpoint(eager=True)
     )
+    # Per-vertex result is small: checkpoint it eagerly so the final
+    # round's cached edge set can be released before returning — no
+    # leaked executor blocks across repeated calls.
+    deg = _truncate(deg, checkpoint_dir=checkpoint_dir)
     cur.unpersist()
     return deg
 
 
-def clustering_coefficients(edges: DataFrame) -> DataFrame:
+def clustering_coefficients(
+    edges: DataFrame, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Per-vertex local clustering coefficient, exactly.
 
     Same degree-ordered forward counting as ``triangle_count`` (see its
@@ -331,11 +359,11 @@ def clustering_coefficients(edges: DataFrame) -> DataFrame:
                 / (F.col("d").cast("double") * (F.col("d") - 1))
             ).alias("clustering_coeff"),
         )
-        # Eager checkpoint of the (small, per-vertex) result lets the three
-        # working caches be dropped before returning — repeated calls in a
-        # bench loop or scaling probe no longer accumulate executor blocks.
-        .localCheckpoint(eager=True)
     )
+    # Eager checkpoint of the (small, per-vertex) result lets the three
+    # working caches be dropped before returning — repeated calls in a
+    # bench loop or scaling probe no longer accumulate executor blocks.
+    result = _truncate(result, checkpoint_dir=checkpoint_dir)
     o.unpersist()
     deg.unpersist()
     und.unpersist()

@@ -9,8 +9,10 @@ produces, expressed declaratively. Scale guards built in:
 * state is cached per superstep and the previous iteration unpersisted —
   without this the lineage doubles per iteration and stage planning
   blows up long before data size matters;
-* ``checkpoint_every`` truncates lineage via localCheckpoint for long
-  runs (tol-driven PageRank on adversarial graphs).
+* ``checkpoint_every`` truncates lineage for long runs (tol-driven
+  PageRank on adversarial graphs) — via ``localCheckpoint`` by
+  default, or a RELIABLE ``checkpoint()`` when ``checkpoint_dir`` is
+  set (survives executor loss; see ``frames._truncate``).
 
 Algorithm bases are the public formulations: PageRank (Page et al.;
 GraphX's resetProb form), LPA (Raghavan et al.), BFS frontier expansion.
@@ -21,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from goodreads_pyspark_spark.graph.frames import PropertyGraph
+from goodreads_pyspark_spark.graph.frames import PropertyGraph, _truncate
 
 
 def _out_degrees(edges: DataFrame) -> DataFrame:
@@ -36,6 +38,7 @@ def pagerank(
     tol: float = 0.01,
     max_iter: int = 40,
     checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """GraphX-style PageRank: PR(v) = ρ + (1−ρ)·Σ PR(u)/outdeg(u).
 
@@ -74,11 +77,11 @@ def pagerank(
             # stays lazy, with eager checkpoints truncating lineage. One
             # driver round-trip per checkpoint instead of two per round.
             if (i + 1) % checkpoint_every == 0 or i == max_iter - 1:
-                new_ranks = new_ranks.localCheckpoint(eager=True)
+                new_ranks = _truncate(new_ranks, checkpoint_dir=checkpoint_dir)
             ranks = new_ranks
             continue
         if (i + 1) % checkpoint_every == 0:
-            new_ranks = new_ranks.localCheckpoint(eager=False)
+            new_ranks = _truncate(new_ranks, eager=False, checkpoint_dir=checkpoint_dir)
         new_ranks = new_ranks.cache()
         delta = (
             new_ranks.join(ranks.withColumnRenamed("pr", "prev"), "id")
@@ -108,6 +111,7 @@ def pagerank_scaled(
     reset_num: int = 15,
     reset_den: int = 100,
     checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank in fixed-point integer arithmetic — bit-identical across
     engines and runs.
@@ -154,7 +158,7 @@ def pagerank_scaled(
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _truncate(ranks, checkpoint_dir=checkpoint_dir)
 
     edges.unpersist()
     deg.unpersist()
@@ -169,6 +173,7 @@ def personalized_pagerank_scaled(
     reset_num: int = 15,
     reset_den: int = 100,
     checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Topic-sensitive (personalized) PageRank in the same fixed-point
     integer arithmetic as :func:`pagerank_scaled`.
@@ -213,7 +218,7 @@ def personalized_pagerank_scaled(
             )
         )
         if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
-            ranks = ranks.localCheckpoint(eager=True)
+            ranks = _truncate(ranks, checkpoint_dir=checkpoint_dir)
 
     edges.unpersist()
     deg.unpersist()
@@ -222,7 +227,10 @@ def personalized_pagerank_scaled(
 
 
 def label_propagation(
-    graph: PropertyGraph, max_iter: int = 4, checkpoint_every: int = 8
+    graph: PropertyGraph,
+    max_iter: int = 4,
+    checkpoint_every: int = 8,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Community detection by label propagation (GraphFrames
     ``labelPropagation``, reference: goodreads.py:594). Synchronous LPA
@@ -258,13 +266,13 @@ def label_propagation(
             .select("id", F.coalesce("label", "id").alias("label"))
         )
         if (i + 1) % checkpoint_every == 0:
-            labels = labels.localCheckpoint(eager=True)
+            labels = _truncate(labels, checkpoint_dir=checkpoint_dir)
 
     # Eager final checkpoint materializes the label fixpoint so the
     # undirected edge view can be unpersisted NOW (same hygiene as
     # pagerank_scaled): a long-lived session running LPA over many graphs
     # no longer accumulates cached executor blocks.
-    labels = labels.localCheckpoint(eager=True)
+    labels = _truncate(labels, checkpoint_dir=checkpoint_dir)
     both.unpersist()
     return graph.vertices.join(labels, "id", "left")
 
@@ -385,7 +393,10 @@ def bfs_paths(
 
 
 def connected_components(
-    graph: PropertyGraph, max_iter: int = 20, checkpoint_every: int = 5
+    graph: PropertyGraph,
+    max_iter: int = 20,
+    checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by iterated min-id propagation (the classic
     hash-min Pregel algorithm; GraphFrames exposes the same surface as
@@ -415,7 +426,7 @@ def connected_components(
             )
         )
         if (i + 1) % checkpoint_every == 0:
-            new_comp = new_comp.localCheckpoint(eager=False)
+            new_comp = _truncate(new_comp, eager=False, checkpoint_dir=checkpoint_dir)
         new_comp = new_comp.cache()
         changed = (
             new_comp.join(
@@ -468,7 +479,9 @@ def _small_star(e: DataFrame) -> DataFrame:
 
 
 def connected_components_alternating(
-    graph: PropertyGraph, max_rounds: int = 16
+    graph: PropertyGraph,
+    max_rounds: int = 16,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction (Kiveris et al., "Connected Components in MapReduce and
@@ -516,10 +529,9 @@ def connected_components_alternating(
         # grows COMBINATORIALLY with round count (measured: the loop stops
         # completing at ~8 rounds). The earlier cache+lazy-checkpoint+count
         # formulation stored every round's edge set twice and ran two jobs.
-        nxt = (
-            _small_star(_large_star(e))
-            .observe(obs, *_sig_metrics())
-            .localCheckpoint(eager=True)
+        nxt = _truncate(
+            _small_star(_large_star(e)).observe(obs, *_sig_metrics()),
+            checkpoint_dir=checkpoint_dir,
         )
         got = obs.get
         sig = (got["n"], got["h"])
@@ -539,9 +551,10 @@ def connected_components_alternating(
     # (data is already cached, so this is a copy not a recompute) and
     # release the loop's final cached edge set before returning — no
     # leaked executor blocks across repeated calls.
-    roots = star.select(
-        F.col("u").alias("id"), F.col("v").alias("root")
-    ).localCheckpoint(eager=True)
+    roots = _truncate(
+        star.select(F.col("u").alias("id"), F.col("v").alias("root")),
+        checkpoint_dir=checkpoint_dir,
+    )
     star.unpersist()
     out = graph.vertices.join(roots, "id", "left").select(
         *[F.col(c) for c in graph.vertices.columns],

@@ -321,3 +321,74 @@ def test_clustering_coefficients_known_graph(spark):
     assert out[2]["n_triangles"] == 1 and out[2]["clustering_coeff"] == 1.0
     assert out[3]["degree"] == 3 and out[3]["n_triangles"] == 1
     assert abs(out[3]["clustering_coeff"] - 1 / 3) < 1e-12
+
+
+def test_checkpoint_dir_mode_matches_local(spark, tmp_path):
+    """Differential: every Pregel-family loop produces IDENTICAL results
+    whether lineage is truncated by localCheckpoint (default; fast, but
+    executor loss invalidates the blocks mid-run) or by a reliable
+    checkpoint() into ``checkpoint_dir`` (cluster-hardening mode: state
+    persists to fault-tolerant storage, lost executors re-read it)."""
+    from goodreads_pyspark_spark.graph.frames import kcore_trim
+    from goodreads_pyspark_spark.graph.pregel import (
+        connected_components_alternating,
+        label_propagation,
+        pagerank_scaled,
+    )
+
+    edges = [(i, (i * 7) % 10) for i in range(10) if i != (i * 7) % 10]
+    edges += [(100 + i, 100 + (i + 1) % 6) for i in range(6)]
+    v = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(100 + i,) for i in range(6)], ["id"]
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = PropertyGraph(v, e)
+    ckpt = str(tmp_path / "reliable_ckpt")
+
+    # checkpoint_every=1 so the reliable path actually exercises every round
+    pr_local = {
+        r["id"]: r["pr_scaled"]
+        for r in pagerank_scaled(g, n_iter=3, checkpoint_every=1).collect()
+    }
+    pr_rel = {
+        r["id"]: r["pr_scaled"]
+        for r in pagerank_scaled(
+            g, n_iter=3, checkpoint_every=1, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert pr_local == pr_rel
+
+    lpa_local = {
+        r["id"]: r["label"]
+        for r in label_propagation(g, max_iter=3, checkpoint_every=1).collect()
+    }
+    lpa_rel = {
+        r["id"]: r["label"]
+        for r in label_propagation(
+            g, max_iter=3, checkpoint_every=1, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert lpa_local == lpa_rel
+
+    cc_local = {
+        r["id"]: r["component"] for r in connected_components_alternating(g).collect()
+    }
+    cc_rel = {
+        r["id"]: r["component"]
+        for r in connected_components_alternating(g, checkpoint_dir=ckpt).collect()
+    }
+    assert cc_local == cc_rel
+
+    kc_local = {
+        r["id"]: r["degree"] for r in kcore_trim(e, k=2, rounds=3).collect()
+    }
+    kc_rel = {
+        r["id"]: r["degree"]
+        for r in kcore_trim(e, k=2, rounds=3, checkpoint_dir=ckpt).collect()
+    }
+    assert kc_local == kc_rel
+
+    # the reliable mode actually wrote checkpoint data
+    import os
+
+    assert any(os.scandir(ckpt))
