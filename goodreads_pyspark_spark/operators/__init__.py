@@ -1,5 +1,6 @@
 from goodreads_pyspark_spark.operators.relational import (  # noqa: F401
     anti_join,
+    bounded_rank,
     argmax_per_group,
     dedup_latest,
     lookup,

@@ -136,3 +136,46 @@ def merge_aggregate_states(
     return merged.groupBy(*keys).agg(
         *[F.sum(c).alias(c) for c in cols]
     )
+
+
+def bounded_rank(
+    df: DataFrame,
+    order: Sequence[tuple[str, str]],
+    alias: str = "rnk",
+) -> DataFrame:
+    """``row_number()`` over a BOUNDED frame, without a window.
+
+    ``order`` is a list of ``(column, 'asc'|'desc')`` pairs that must form
+    a total order (append a unique key as tiebreak). The rank of a row is
+    1 + the number of rows strictly before it lexicographically, computed
+    as a broadcast self-join + count — O(n²) comparisons, which is the
+    point: this is ONLY for frames already reduced to a bounded cut
+    (top-k results, centroid lists, fusion depths), where an
+    unpartitioned ``Window.orderBy`` would be correct but (a) logs the
+    "No Partition Defined" single-partition warning on every run and
+    (b) makes "no unpartitioned windows in the tree" un-greppable. For
+    unbounded frames use a per-group window (top_k_per_group) instead.
+
+    Returns ``df`` with ``alias`` appended.
+    """
+    from functools import reduce as _reduce
+
+    left = df.alias("__l")
+    right = df.alias("__r")
+    strictly_before = []
+    prefix_eq: list[Column] = []
+    for col, direction in order:
+        lt = (
+            F.col(f"__r.{col}") < F.col(f"__l.{col}")
+            if direction == "asc"
+            else F.col(f"__r.{col}") > F.col(f"__l.{col}")
+        )
+        strictly_before.append(_reduce(lambda a, b: a & b, prefix_eq + [lt]))
+        prefix_eq.append(F.col(f"__r.{col}") == F.col(f"__l.{col}"))
+    before = _reduce(lambda a, b: a | b, strictly_before)
+    probe = order[0][0]
+    return (
+        left.join(F.broadcast(right), before, "left")
+        .groupBy(*[F.col(f"__l.{c}").alias(c) for c in df.columns])
+        .agg((F.count(F.col(f"__r.{probe}")) + 1).cast("int").alias(alias))
+    )

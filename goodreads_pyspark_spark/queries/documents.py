@@ -1799,23 +1799,23 @@ _D32_VOCAB = 1000
     "join; token rows shuffle once for the per-doc aggregate.",
 )
 def d32_token_rank_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+    from goodreads_pyspark_spark.operators import bounded_rank
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
     docs = fan_out(tbl(spark, sf_dir, "documents"))
     ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
     # TakeOrdered cut first (scale path, see d25), then rank the bounded
-    # 1000 rows with a window — the single-partition window is over the
-    # vocab cut only, never the corpus.
+    # 1000 rows via bounded_rank — never an unpartitioned window, never
+    # the corpus.
     top = (
         ex.groupBy("term")
         .agg(F.count(F.lit(1)).alias("tf"))
         .orderBy(F.col("tf").desc(), F.col("term"))
         .limit(_D32_VOCAB)
     )
-    w = Window.orderBy(F.col("tf").desc(), F.col("term"))
-    vocab = top.select("term", F.row_number().over(w).alias("rnk"))
+    vocab = bounded_rank(top, [("tf", "desc"), ("term", "asc")]).select(
+        "term", "rnk"
+    )
     per_doc = (
         ex.join(F.broadcast(vocab), "term", "left")
         .groupBy("doc_id")

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from goodreads_pyspark_spark.operators import bounded_rank
 from goodreads_pyspark_spark.queries import query
 from goodreads_pyspark_spark.queries._helpers import tbl
 from goodreads_pyspark_spark.similarity import (
@@ -968,8 +969,9 @@ def e19_ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dot") / (F.sqrt("n2") * F.sqrt("c2"))).alias("qcos"),
         )
     )
-    wq = Window.orderBy(F.col("qcos").desc(), "cid")
-    qrank = q_scored.select("cid", F.row_number().over(wq).alias("rn"))
+    qrank = bounded_rank(q_scored, [("qcos", "desc"), ("cid", "asc")], "rn").select(
+        "cid", "rn"
+    )
     cand = assign.join(F.broadcast(qrank), "cid").select("vec_id", "rn")
     nps = spark.createDataFrame([(n,) for n in (1, 2, 4, 8)], "nprobe int")
     sweep = nps.join(cand, cand.rn <= nps.nprobe).join(scores, "vec_id")

@@ -13,10 +13,11 @@ where fusing raw scores would drown in accumulation-order noise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.functions.text import tokens
+from goodreads_pyspark_spark.operators import bounded_rank
 from goodreads_pyspark_spark.queries import query
 from goodreads_pyspark_spark.queries._helpers import tbl
 
@@ -123,12 +124,14 @@ def h01_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # TakeOrdered cut first (scale path), then rank the bounded 50 rows.
     ltop = lex.orderBy(F.col("lscore").desc(), "doc_id").limit(FUSE_DEPTH)
-    lw = Window.orderBy(F.col("lscore").desc(), "doc_id")
-    ltop = ltop.select("doc_id", F.row_number().over(lw).alias("lrank"))
+    ltop = bounded_rank(ltop, [("lscore", "desc"), ("doc_id", "asc")], "lrank").select(
+        "doc_id", "lrank"
+    )
 
     knn = brute_force_knn(emb, query_id=0, k=FUSE_DEPTH)
-    vw = Window.orderBy(F.col("cosine").desc(), "vec_id")
-    vtop = knn.select(F.col("vec_id"), F.row_number().over(vw).alias("vrank"))
+    vtop = bounded_rank(knn, [("cosine", "desc"), ("vec_id", "asc")], "vrank").select(
+        "vec_id", "vrank"
+    )
 
     fused = (
         ltop.join(vtop, ltop["doc_id"] == vtop["vec_id"], "full_outer")

@@ -663,14 +663,22 @@ def t10_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = first_seen.groupBy("day").agg(
         F.count(F.lit(1)).alias("n_new_users")
     )
-    w = (
-        Window.orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Running sum over the bounded day series WITHOUT an unpartitioned
+    # window: broadcast self-join on day <= day (every row matches itself,
+    # so no null handling) and sum — O(days²) on a frame already reduced
+    # to one row per day.
+    prior = daily.select(
+        F.col("day").alias("__d"), F.col("n_new_users").alias("__n")
     )
-    return daily.select(
-        "day",
-        F.col("n_new_users").cast("bigint").alias("n_new_users"),
-        F.sum("n_new_users").over(w).cast("bigint").alias("cum_users"),
+    return (
+        daily.join(F.broadcast(prior), F.col("__d") <= F.col("day"))
+        .groupBy("day", "n_new_users")
+        .agg(F.sum("__n").cast("bigint").alias("cum_users"))
+        .select(
+            "day",
+            F.col("n_new_users").cast("bigint").alias("n_new_users"),
+            "cum_users",
+        )
     )
 
 
