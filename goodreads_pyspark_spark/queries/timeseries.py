@@ -1645,7 +1645,11 @@ def a_t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lift").desc(), "item_a", "item_b")
         .limit(T22_TOP)
-        .localCheckpoint(eager=True)
     )
+    result = out.localCheckpoint(eager=True)
     basket.unpersist()
-    return out
+    # The checkpointed frame's plan is an opaque RDD scan; keep the lazy
+    # frame reachable so plan audits (tests/test_plans.py) can assert on
+    # the REAL join/aggregate shape.
+    result.pre_materialization = out
+    return result

@@ -33,6 +33,10 @@ def _uncached_scans(spark):
 
 def plan_of(spark, name: str) -> str:
     df = REGISTRY[name].spark_fn(spark, SF)
+    # Queries that checkpoint their (small) result to release working
+    # caches expose the lazy frame as `pre_materialization` — the
+    # checkpointed frame's own plan is an opaque RDD scan.
+    df = getattr(df, "pre_materialization", df)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -534,3 +538,96 @@ def test_q48_anti_join_and_broadcast_scalar(spark):
     plan = plan_of(spark, "q48_dormant_customers")
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_q49_date_range_pushed_part_broadcast(spark):
+    """Q14 shape: the one-month shipdate range must reach the lineitem
+    scan; the part dim broadcasts."""
+    plan = plan_of(spark, "a_q49_promo_revenue_share")
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "l_shipdate" in ln
+    ]
+    assert pushed, "l_shipdate range not pushed to the lineitem scan"
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q50_bracket_residuals_pushed_per_side(spark):
+    """Q19 shape: Catalyst must push the per-side residuals of the OR —
+    the brand/size disjunction hull to the part scan and the quantity
+    hull to lineitem — while the cross-side conjunctions evaluate
+    post-join."""
+    plan = plan_of(spark, "a_q50_bracket_disjunction_revenue")
+    part_pushed = [
+        ln for ln in plan.splitlines() if "PushedFilters" in ln and "p_brand" in ln
+    ]
+    li_pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "l_quantity" in ln
+    ]
+    assert part_pushed, "brand/size residual not pushed to the part scan"
+    assert li_pushed, "quantity hull not pushed to the lineitem scan"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_t22_association_rules_broadcasts_bounded_sides(spark):
+    """Association rules derive from the bounded support table: no
+    sort-merge join may appear past the support aggregation — item-level
+    stats and rule joins all broadcast."""
+    plan = plan_of(spark, "a_t22_association_rules")
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("SortMergeJoin") <= 1
+
+
+def test_q51_decorrelates_to_joins_dims_broadcast(spark):
+    """Q2 shape: the per-part min must compile to an aggregate + join
+    (never a per-row correlated subquery — no nested-loop join against
+    the cost relation), with supplier/nation/region and the filtered
+    part dim all broadcast."""
+    plan = plan_of(spark, "a_q51_min_cost_supplier")
+    assert plan.count("BroadcastHashJoin") >= 4
+    # a nested-loop join would mean the correlated subquery survived
+    # decorrelation and runs per row
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only shuffle join allowed is cost ⋈ per-part-min — both sides
+    # are lineitem aggregates keyed on l_partkey, large at scale, so a
+    # co-shuffled sort-merge there is the plan you want
+    assert plan.count("SortMergeJoin Inner") <= 1
+    # the final order-by-limit folds to top-k
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q52_single_scan_threshold_broadcast(spark):
+    """Q11 shape: per-part values and the global threshold share ONE
+    lineitem scan pass each (two scans max), the 1-row threshold rides a
+    broadcast nested-loop cross join, and the nation-supplier filter
+    reaches lineitem as a broadcast semi-join."""
+    plan = plan_of(spark, "a_q52_important_parts")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q53_filters_pushed_before_fact_fact_shuffle(spark):
+    """Q12 shape: the returnflag IN + shipdate range prune the lineitem
+    scan BEFORE the o_orderkey shuffle join; orders reads only the two
+    needed columns."""
+    plan = plan_of(spark, "a_q53_priority_shipclass")
+    pushed = [
+        ln
+        for ln in plan.splitlines()
+        if "PushedFilters" in ln and "l_returnflag" in ln
+    ]
+    assert pushed, "returnflag/shipdate filters not pushed to lineitem"
+    # orders side: ReadSchema pruned to orderkey + priority
+    orders_schema = [
+        ln
+        for ln in plan.splitlines()
+        if "ReadSchema" in ln and "o_orderpriority" in ln
+    ]
+    assert orders_schema and all(
+        "o_totalprice" not in ln for ln in orders_schema
+    ), "orders scan not column-pruned"
