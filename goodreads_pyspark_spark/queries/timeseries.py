@@ -1653,3 +1653,100 @@ def a_t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the REAL join/aggregate shape.
     result.pre_materialization = out
     return result
+
+
+# --- streaming CDC upsert (foreachBatch merge; new in r5) --------------------
+@query(
+    "a_s09_streaming_cdc_upsert",
+    oracle="""
+    WITH changes AS (
+      SELECT 'D' AS op, doc_id, text, lang, source, n_chars
+      FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT 'U' AS op, doc_id, upper(text) AS text, lang, source,
+             n_chars + 1000 AS n_chars
+      FROM documents WHERE doc_id % 5 = 1
+      UNION ALL
+      SELECT 'I' AS op, doc_id + 1000000 AS doc_id, text, lang,
+             'ingest_v2' AS source, n_chars
+      FROM documents WHERE doc_id % 5 = 2)
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE doc_id NOT IN (SELECT doc_id FROM changes)
+    UNION ALL
+    SELECT doc_id, text, lang, source, n_chars
+    FROM changes WHERE op <> 'D'
+    """,
+    doc="STREAMING CDC: the io04 change feed (deletes %5=0, updates %5=1, "
+    "inserts %5=2) arrives as a stream — one file per op class, "
+    "maxFilesPerTrigger=1, so the merge genuinely applies "
+    "INCREMENTALLY across >=3 micro-batches — and foreachBatch runs "
+    "operators/cdc.apply_cdc against the current snapshot, writing a "
+    "new versioned snapshot per batch (the copy-on-write MERGE loop "
+    "Delta/Hudi deploy; foreachBatch is how Structured Streaming "
+    "reaches a merge sink it lacks natively). Keys are disjoint "
+    "across batches here, so the final snapshot is order-independent "
+    "and hash-gates against the SAME batch oracle as io04 — proving "
+    "stream-incremental merge == one-shot batch merge. Per batch the "
+    "touched-key set broadcasts into an anti join; the base snapshot "
+    "never shuffles.",
+)
+def a_s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from goodreads_pyspark_spark.operators.cdc import apply_cdc
+
+    configure_for_oracle(spark)
+    docs = tbl(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="s09_")
+    v0 = f"{base}/v0"
+    docs.write.parquet(v0)
+
+    deletes = docs.filter(F.col("doc_id") % 5 == 0).withColumn("op", F.lit("D"))
+    updates = (
+        docs.filter(F.col("doc_id") % 5 == 1)
+        .withColumn("text", F.upper("text"))
+        .withColumn("n_chars", F.col("n_chars") + 1000)
+        .withColumn("op", F.lit("U"))
+    )
+    inserts = (
+        docs.filter(F.col("doc_id") % 5 == 2)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+        .withColumn("source", F.lit("ingest_v2"))
+        .withColumn("op", F.lit("I"))
+    )
+    feed = f"{base}/feed"
+    for part in (deletes, updates, inserts):
+        part.coalesce(1).write.mode("append").parquet(feed)
+    feed_schema = spark.read.parquet(feed).schema
+
+    state = {"cur": v0, "version": 0, "batches": 0}
+
+    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+        if bdf.isEmpty():
+            return
+        snap = spark.read.parquet(state["cur"])
+        state["version"] += 1
+        state["batches"] += 1
+        nxt = f"{base}/v{state['version']}"
+        apply_cdc(snap, bdf, key="doc_id").write.parquet(nxt)
+        state["cur"] = nxt
+
+    q = (
+        spark.readStream.schema(feed_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", f"{base}/chk")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    if state["batches"] < 3:
+        raise AssertionError(
+            f"expected >=3 incremental merge batches, saw {state['batches']}"
+        )
+    return spark.read.parquet(state["cur"]).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )

@@ -1,0 +1,95 @@
+"""Round-5 corpus-side stress probe: c03/d34/d35/e19 at 1x and 10x.
+
+The graph loops were measured at 10x in round 4 (1.8-2.1x wall for 10x
+edges); this is the matching measurement for the corpus/embedding paths.
+Documents replicate with per-copy text suffixes (copymark) so replicas
+are NEAR-duplicates — the banded near-dup paths see real candidate
+growth, not degenerate exact copies. Embeddings replicate with a
+deterministic per-copy perturbation of the first component so cosine
+ties never straddle copies (exact top-k stays a unique set and e19's
+internal full-probe recall gate is meaningful at every factor).
+
+Expected shapes: c03 and d34 are one-shingle-pass pipelines whose
+quadratic kernels are bucket-capped (max_bucket) and df-capped (max_df)
+— ~linear; d35 is keyed integer counts — linear; e19 is a fixed-k IVF
+sweep over n vectors — linear in n with a fixed centroid count.
+
+Usage: python tools/corpus_stress_r5.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import SRC, replicate
+
+
+def replicate_embeddings(spark, factor: int, out_dir: str) -> str:
+    base = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n = base.agg(F.max("vec_id")).first()[0] + 1
+    parts = []
+    for i in range(factor):
+        c = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+        if i > 0:
+            # deterministic per-copy nudge on component 0: replicas are
+            # near-identical but never cosine-tied with the originals
+            c = c.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda v, p: F.when(
+                        p == 0, v + F.lit(float(i) * 1e-3)
+                    ).otherwise(v).cast("float"),
+                ),
+            )
+        parts.append(c)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    path = f"{out_dir}/embeddings_x{factor}"
+    df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark("corpus_stress_r5")
+
+    from goodreads_pyspark_spark.queries.documents import (
+        c03_corpus_to_shards,
+        d34_lsh_band_tuning,
+        d35_shingle_novelty,
+    )
+    from goodreads_pyspark_spark.queries.embeddings import e19_ivf_nprobe_sweep
+
+    for f in factors:
+        stage = tempfile.mkdtemp(prefix=f"r5_x{f}_")
+        docs = replicate(spark, "documents", f, "doc_id", stage)
+        (Path(stage) / "documents.parquet").symlink_to(docs)
+        emb = replicate_embeddings(spark, f, stage)
+        (Path(stage) / "embeddings.parquet").symlink_to(emb)
+
+        print(f"--- {f}x ({spark.read.parquet(docs).count():,} docs, "
+              f"{spark.read.parquet(emb).count():,} vectors) ---")
+        for name, fn in (
+            ("c03_corpus_to_shards", c03_corpus_to_shards),
+            ("d34_lsh_band_tuning", d34_lsh_band_tuning),
+            ("d35_shingle_novelty", d35_shingle_novelty),
+            ("e19_ivf_nprobe_sweep", e19_ivf_nprobe_sweep),
+        ):
+            t0 = time.perf_counter()
+            n = fn(spark, stage).count()
+            print(f"x{f} {name}: {time.perf_counter() - t0:.1f}s ({n} rows)", flush=True)
+            spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
