@@ -2231,3 +2231,67 @@ def d35_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ds.unpersist()
     return out
+
+
+# --- temperature-weighted source mixing (new in r5) --------------------------
+_D36_TARGET_DOCS = 1_000_000
+
+
+@query(
+    "a_d36_temperature_mix",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    weighted AS (
+      SELECT *, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS w
+      FROM per_source),
+    tot AS (SELECT SUM(w) AS sw FROM weighted)
+    SELECT source, n_docs, n_tokens, w AS weight,
+           CAST(w AS DOUBLE) / sw AS share,
+           CAST((({_D36_TARGET_DOCS} * w) // sw) AS BIGINT) AS target_docs
+    FROM weighted CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="Temperature-weighted training-mix allocation (the multilingual / "
+    "UniMax sampling shape, alpha = 0.5): per-source token counts, "
+    "sqrt-tempered weights, each source's share of a fixed document "
+    "budget. Down-weights head sources and up-weights tails exactly "
+    "the way multilingual LM data mixes are built. Exactness "
+    "discipline: the weight is the INTEGER floor(sqrt(tokens)) — "
+    "sqrt of an integer-valued double is IEEE-identical in both "
+    "engines, floor makes it an exact integer — so the weight sum, "
+    "the budget allocation ((budget * w) div sum) and the final "
+    "double division are all bit-deterministic, with no "
+    "order-dependent float accumulation anywhere. One token-count "
+    "aggregate per source (map-side partial), a 1-row broadcast "
+    "total; allocation is arithmetic on a handful of rows.",
+)
+def a_d36_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens"),
+    )
+    weighted = per_source.withColumn(
+        "w", F.floor(F.sqrt(F.col("n_tokens"))).cast("bigint")
+    )
+    tot = weighted.agg(F.sum("w").alias("sw"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.col("w").alias("weight"),
+            (F.col("w").cast("double") / F.col("sw")).alias("share"),
+            F.expr(f"({_D36_TARGET_DOCS} * w) div sw").cast("bigint").alias(
+                "target_docs"
+            ),
+        )
+        .orderBy("source")
+    )

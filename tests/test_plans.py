@@ -631,3 +631,13 @@ def test_q53_filters_pushed_before_fact_fact_shuffle(spark):
     assert orders_schema and all(
         "o_totalprice" not in ln for ln in orders_schema
     ), "orders scan not column-pruned"
+
+
+def test_d36_mix_single_agg_broadcast_total(spark):
+    """Temperature mix: one per-source aggregate (partial_count/sum
+    map-side), the 1-row weight total rides a broadcast nested-loop
+    cross join — never a second corpus scan past the aggregate, never a
+    shuffle join."""
+    plan = plan_of(spark, "a_d36_temperature_mix")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
