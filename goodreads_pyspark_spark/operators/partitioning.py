@@ -23,15 +23,18 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     outside AQE on every call — measurable on the hot path of every
     similarity/dedup query that starts with ``fan_out(tbl(...))``. File
     count under-estimates scan partitions (big files split by
-    maxPartitionBytes). To keep that under-estimate from ever NARROWING —
-    few huge files already split into more scan partitions than
-    ``target`` would be squashed by an unconditional repartition — the
-    rare ``n_input < target`` branch confirms with the real partition
-    count before shuffling. That secondary probe compiles the physical
-    plan, but only on the branch that was about to pay a full shuffle
-    anyway; the at-scale path (thousands of files) stays plan-free. A
-    frame with no file lineage (in-memory test data) counts as 0 files
-    and falls through to the same confirmed check.
+    maxPartitionBytes), so raw count alone could NARROW: few huge files
+    already split into more scan partitions than ``target`` would be
+    squashed by an unconditional repartition. The guard against that is
+    still metadata-only: when every input file fits in
+    ``maxPartitionBytes``, scan partitions cannot exceed the file count
+    (Spark only ever packs small files together, never splits them), so
+    ``n_input < target`` proves the repartition widens. Only when some
+    file is oversized — or sizes can't be read locally — does the probe
+    fall back to the precise (plan-compiling) partition count, and that
+    branch is doubly rare: big-file sources are exactly the ones whose
+    split count usually reaches ``target`` on its own. A frame with no
+    file lineage (in-memory test data) counts as 0 files and widens.
     """
     spark = df.sparkSession
     if target is None:
@@ -40,12 +43,40 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
         except Exception:  # noqa: BLE001 — e.g. "auto" under some AQE configs
             target = spark.sparkContext.defaultParallelism
     try:
-        n_input = len(df.inputFiles())
+        files = df.inputFiles()
     except Exception:  # noqa: BLE001 — exotic plans; fall back to widening
-        n_input = 0
-    if n_input < target and df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+        files = []
+    if len(files) >= target:
+        return df
+    if files and not _all_files_fit(spark, files):
+        # oversized or non-local files: the scan may already be wider
+        # than target — confirm with the real partition count
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    return df.repartition(target)
+
+
+def _all_files_fit(spark, files: list[str]) -> bool:
+    """True iff every local input file is <= spark.sql.files.maxPartitionBytes
+    (then scan partitions <= file count). False on any oversized file or
+    any path whose size can't be checked driver-side (non-file scheme)."""
+    import os
+
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    digits = "".join(ch for ch in raw if ch.isdigit())
+    max_bytes = int(digits) if digits else 128 * 1024 * 1024
+    for uri in files:
+        if not uri.startswith("file:"):
+            return False
+        path = uri[len("file:"):]
+        while path.startswith("//"):
+            path = path[1:]
+        try:
+            if os.path.getsize(path) > max_bytes:
+                return False
+        except OSError:
+            return False
+    return True
 
 
 def zorder_key(cols, bits: int = 16):
