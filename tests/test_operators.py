@@ -481,3 +481,48 @@ def test_missing_sf_dir_raises_analysis_exception(spark):
     q = REGISTRY["q01_pricing_summary"].spark_fn
     with pytest.raises(AnalysisException):
         q(spark, "/root/testdata/sf_does_not_exist").collect()
+
+
+def test_bounded_rank_matches_window_row_number_hypothesis(spark):
+    """Property: on ANY bounded frame with a total order, bounded_rank
+    (broadcast self-join + count) equals Window row_number over the same
+    (desc, asc) order — the differential that licenses replacing the
+    unpartitioned windows at d32/h01/e19."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.operators import bounded_rank
+
+    @given(
+        rows=st.lists(
+            st.tuples(st.integers(0, 5), st.integers(0, 1000)),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda r: r[1],  # unique key => total order
+        )
+    )
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def check(rows):
+        df = spark.createDataFrame(rows, ["score", "key"])
+        got = {
+            r.key: r.rnk
+            for r in bounded_rank(
+                df, [("score", "desc"), ("key", "asc")]
+            ).collect()
+        }
+        w = Window.orderBy(F.col("score").desc(), F.col("key"))
+        want = {
+            r.key: r.rnk
+            for r in df.select(
+                "key", F.row_number().over(w).alias("rnk")
+            ).collect()
+        }
+        assert got == want
+
+    check()
