@@ -1098,3 +1098,89 @@ def e20_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_separation",
         )
     )
+
+
+# --- SemDeDup-style semantic dedup clusters (new in r5) ----------------------
+_E21_TAU = 0.4
+_E21_CC_ROUNDS = 8
+
+
+def _e21_oracle() -> str:
+    """Unrolled min-label propagation with pointer doubling over the
+    cosine>=tau pair graph (the g05 _cc_oracle pattern; 8 rounds covers
+    radius 255 — embedding near-dup clusters are near-cliques, diameter
+    is tiny)."""
+    steps = []
+    for r in range(1, _E21_CC_ROUNDS + 1):
+        p = r - 1
+        steps.append(f"""
+    l{r} AS MATERIALIZED (SELECT t.id, MIN(t.x) AS label FROM (
+               SELECT id, label AS x FROM l{p}
+               UNION ALL
+               SELECT a.id, b.label AS x FROM l{p} a JOIN l{p} b ON a.label = b.id
+               UNION ALL
+               SELECT e.u AS id, l.label AS x FROM und e JOIN l{p} l ON l.id = e.v
+             ) t GROUP BY t.id)""")
+    return f"""
+    WITH {_LONG},
+    norms AS (SELECT vec_id, {_DSUM.format(expr='v * v')} AS n2
+              FROM e GROUP BY vec_id),
+    dots AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_DSUM.format(expr='a.v * b.v')} AS dot
+      FROM e a JOIN e b USING (pos) WHERE a.vec_id < b.vec_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b FROM dots
+      JOIN norms na ON na.vec_id = id_a
+      JOIN norms nb ON nb.vec_id = id_b
+      WHERE ROUND(dot / (SQRT(na.n2) * SQRT(nb.n2)), 6) >= {_E21_TAU}),
+    und AS MATERIALIZED (SELECT id_a AS u, id_b AS v FROM pairs
+            UNION ALL SELECT id_b, id_a FROM pairs),
+    l0 AS MATERIALIZED (SELECT vec_id AS id, vec_id AS label
+                        FROM embeddings),{",".join(steps)}
+    SELECT CAST(label AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+    FROM l{_E21_CC_ROUNDS}
+    GROUP BY label
+    """
+
+
+@query(
+    "a_e21_semdedup_clusters",
+    oracle=_e21_oracle(),
+    doc="SemDeDup-style semantic dedup (Abbas et al. 2023, public "
+    "literature): connected components over the exact cosine>= "
+    f"{_E21_TAU} pair graph, keeping the min-id vector per cluster — "
+    "cluster_id IS the survivor, n_dropped is the dedup yield. "
+    "Composition of two already-gated primitives, end to end: e02's "
+    "decimal-exact pair generation (two-phase numpy screen + decimal "
+    "rescore; at corpus scale the pairs come from LSH buckets, e13) "
+    "feeds the alternating-star CC loop (g05's operator), whose "
+    "min-reachable-id fixpoint is algorithm-independent — so the "
+    "DuckDB oracle replays it as unrolled pointer-doubling "
+    "min-propagation and the cluster rollup hash-matches exactly. "
+    "Singleton clusters are reported too (n_dropped = 0): the output "
+    "is the complete per-cluster retention ledger for the corpus.",
+)
+def a_e21_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.graph.frames import PropertyGraph
+    from goodreads_pyspark_spark.graph.pregel import (
+        connected_components_alternating,
+    )
+    from goodreads_pyspark_spark.similarity.ann import cosine_neardup_pairs
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    pairs = cosine_neardup_pairs(emb, threshold=_E21_TAU)
+    vertices = emb.select(F.col("vec_id").alias("id"))
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    comp = connected_components_alternating(PropertyGraph(vertices, edges))
+    return comp.groupBy(F.col("component").cast("bigint").alias("cluster_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        (F.count(F.lit(1)) - 1).cast("bigint").alias("n_dropped"),
+    )
