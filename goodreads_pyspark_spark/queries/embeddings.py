@@ -1102,14 +1102,17 @@ def e20_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SemDeDup-style semantic dedup clusters (new in r5) ----------------------
 _E21_TAU = 0.4
-_E21_CC_ROUNDS = 8
+_E21_CC_ROUNDS = 12
 
 
 def _e21_oracle() -> str:
     """Unrolled min-label propagation with pointer doubling over the
-    cosine>=tau pair graph (the g05 _cc_oracle pattern; 8 rounds covers
-    radius 255 — embedding near-dup clusters are near-cliques, diameter
-    is tiny)."""
+    cosine>=tau pair graph (the g05 _cc_oracle pattern). 12 rounds
+    covers radius 8191: 8 rounds (radius 255) under-converged at sf0.1
+    — at tau=0.4 the pair graph grows CHAINS, not just near-cliques,
+    and the local sf0.1 sweep caught the oracle 10 clusters short
+    (the same lesson as g05; near-clique intuition does not survive a
+    loose threshold)."""
     steps = []
     for r in range(1, _E21_CC_ROUNDS + 1):
         p = r - 1
