@@ -1750,3 +1750,95 @@ def a_s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(state["cur"]).select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
+
+
+# --- stream-stream LEFT OUTER join (watermark-driven null emission; r5) ------
+@query(
+    "a_s10_stream_stream_left_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
+    FROM events p LEFT JOIN events v
+      ON v.event_type = 'view'
+     AND v.user_id = p.user_id
+     AND v.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts
+    WHERE p.event_type = 'purchase'
+    """,
+    doc="Stream-stream LEFT OUTER interval join: every purchase emits — "
+    "matched against same-user views from the preceding hour, or with "
+    "a NULL view_id once the watermark PROVES no match can still "
+    "arrive. The semantics s06's inner join lacks: unmatched left "
+    "rows sit in the join state until watermark expiry, so attribution "
+    "never silently drops a purchase. Harness detail that makes the "
+    "batch oracle exact: a far-future sentinel row PER SIDE — typed "
+    "'purchase'/'view' so it survives each side's type filter and "
+    "reaches the watermark node (a neutral type would be filtered out "
+    "upstream and never advance it), keyed user_id=-1 and dropped "
+    "from the result by id — pushes the final watermark past every "
+    "real event, forcing Spark's end-of-stream "
+    "no-data batch to evict ALL remaining state and emit the tail "
+    "unmatched purchases — without it the last hours of purchases "
+    "would be stuck in state forever and the append-mode result would "
+    "be a prefix of the truth. Both sides carry 2-hour watermarks; "
+    "state is bounded by (watermark + interval), the production "
+    "requirement for an unbounded attribution join.",
+)
+def a_s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from goodreads_pyspark_spark.streaming import (
+        run_to_memory_sink,
+        stream_events_from_dir,
+    )
+
+    configure_for_oracle(spark)
+    stage = tempfile.mkdtemp(prefix="stream_ssloj_")
+    ev = events_tbl(spark, sf_dir)
+    ev.write.mode("overwrite").parquet(stage)
+    # far-future sentinel per side: advances the watermark past every real
+    # event so the final no-data batch evicts and emits all unmatched rows
+    mx = ev.agg(F.max("ts").alias("m"))
+    sentinels = None
+    for etype in ("purchase", "view"):
+        row = mx.select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("m") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit(etype).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        sentinels = row if sentinels is None else sentinels.unionByName(row)
+    sentinels.write.mode("append").parquet(stage)
+
+    purchases = (
+        stream_events_from_dir(spark, stage)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    views = (
+        stream_events_from_dir(spark, stage)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    joined = purchases.join(
+        views,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select(F.col("p_user").alias("user_id"), "purchase_id", "view_id")
+    name = f"s10_sink_{uuid.uuid4().hex[:8]}"
+    run_to_memory_sink(joined, name, output_mode="append")
+    # drop the sentinel purchase (it joins only the view sentinel)
+    return spark.table(name).filter(F.col("purchase_id") >= 0)
