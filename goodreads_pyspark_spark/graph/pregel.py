@@ -125,7 +125,9 @@ def pagerank_scaled(
     vs true PageRank is ≤ n_iter·outdeg/scale — irrelevant at 1e12.
 
     Same lazy fixed-iteration shape as :func:`pagerank` (tol<=0): no
-    per-round driver action, eager localCheckpoint to truncate lineage.
+    per-round driver action, eager truncation (localCheckpoint, or a
+    reliable checkpoint when ``checkpoint_dir`` is set) per
+    ``checkpoint_every`` rounds.
     Returns (id, pr_scaled) — divide by ``scale`` for real scores.
     Overflow headroom: total mass ≈ |V|·scale must stay under 2^63/den;
     with the default scale that's ~10^5 vertices — lower ``scale`` for
