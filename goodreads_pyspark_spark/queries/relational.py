@@ -1870,3 +1870,62 @@ def a_q53_priority_shipclass(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_class")
     )
+
+
+# --- blocked edit-distance fuzzy matching (entity resolution; new in r5) -----
+_Q54_MAX_DIST = 3
+
+
+@query(
+    "a_q54_fuzzy_name_match",
+    oracle=f"""
+    WITH names AS (
+      SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY p_name),
+    blocked AS (
+      SELECT *, split_part(p_name, ' ', 2) AS blk FROM names)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS distance,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= {_Q54_MAX_DIST}
+    """,
+    doc="Blocked edit-distance fuzzy matching — the entity-resolution "
+    "primitive (name/title near-duplicates that hashing cannot catch): "
+    "collapse to DISTINCT names first (values dedup BEFORE the "
+    "quadratic kernel — the corpus-dedup discipline applied to "
+    "entities), block on the head noun so candidate pairs come from "
+    "one key-equality shuffle join instead of a global cross join, "
+    f"then exact Levenshtein <= {_Q54_MAX_DIST} inside each block. "
+    "Distance is an exact integer in both engines, so the gate is a "
+    "hash match, not a similarity band. At 100 TB the block key is the "
+    "guard: candidate volume is sum(block²) over DISTINCT values, and "
+    "a skewed block gets the same cap/salt treatment as d06's max_df.",
+)
+def a_q54_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    names = (
+        tbl(spark, sf_dir, "part")
+        .groupBy("p_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(1))
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.col("n_parts").alias("n_parts_a"),
+        "blk",
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.col("n_parts").alias("n_parts_b"),
+        "blk",
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn(
+            "distance", F.levenshtein(F.col("name_a"), F.col("name_b")).cast("int")
+        )
+        .filter(F.col("distance") <= _Q54_MAX_DIST)
+        .select("name_a", "name_b", "distance", "n_parts_a", "n_parts_b")
+    )
