@@ -2238,7 +2238,7 @@ _D36_TARGET_DOCS = 1_000_000
 
 
 @query(
-    "a_d36_temperature_mix",
+    "d36_temperature_mix",
     oracle=f"""
     WITH per_source AS (
       SELECT source,
@@ -2269,7 +2269,7 @@ _D36_TARGET_DOCS = 1_000_000
     "aggregate per source (map-side partial), a 1-row broadcast "
     "total; allocation is arithmetic on a handful of rows.",
 )
-def a_d36_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d36_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
     docs = fan_out(tbl(spark, sf_dir, "documents"))

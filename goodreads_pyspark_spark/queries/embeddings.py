@@ -1151,7 +1151,7 @@ def _e21_oracle() -> str:
 
 
 @query(
-    "a_e21_semdedup_clusters",
+    "e21_semdedup_clusters",
     oracle=_e21_oracle(),
     doc="SemDeDup-style semantic dedup (Abbas et al. 2023, public "
     "literature): connected components over the exact cosine>= "
@@ -1167,7 +1167,7 @@ def _e21_oracle() -> str:
     "Singleton clusters are reported too (n_dropped = 0): the output "
     "is the complete per-cluster retention ledger for the corpus.",
 )
-def a_e21_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e21_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.graph.frames import PropertyGraph

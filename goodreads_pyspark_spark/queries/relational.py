@@ -608,14 +608,14 @@ def q26_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- approximate sketches (rows-only: sketch algorithms differ by engine) ---
 @query(
-    "q27_approx_sketches",
+    "a_q27_approx_sketches",
     oracle=None,
     doc="HyperLogLog distinct + t-digest quantiles per group — THE forms "
     "actually used at 100 TB (bounded memory, one pass, mergeable "
     "partials). Rows-only check: sketch internals differ across engines; "
     "tests/test_operators pins error vs exact within tolerance.",
 )
-def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     return orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
@@ -1618,7 +1618,7 @@ def q48_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q14: promotion revenue share (queued for r5 rotation) -------------
 @query(
-    "a_q49_promo_revenue_share",
+    "q49_promo_revenue_share",
     oracle=f"""
     SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' "
                              "THEN l_extendedprice * (1 - l_discount) "
@@ -1634,7 +1634,7 @@ def q48_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "numerator and denominator, bit-equal division), with the date "
     "range pushed into the lineitem scan and the part dim broadcast.",
 )
-def a_q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
@@ -1649,7 +1649,7 @@ def a_q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q19: disjunctive bracket predicates (queued for r5 rotation) ------
 @query(
-    "a_q50_bracket_disjunction_revenue",
+    "q50_bracket_disjunction_revenue",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_lineitems,
            {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
@@ -1669,7 +1669,7 @@ def a_q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "post-join — the query shape that punishes engines without "
     "predicate decomposition. Part broadcasts; one aggregate row out.",
 )
-def a_q50_bracket_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q50_bracket_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     part = tbl(spark, sf_dir, "part")
     j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -1698,7 +1698,7 @@ def a_q50_bracket_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataF
 
 # --- TPC-H Q2: correlated min-cost supplier (new in r5) ----------------------
 @query(
-    "a_q51_min_cost_supplier",
+    "q51_min_cost_supplier",
     oracle="""
     WITH eu AS (
       SELECT s_suppkey, s_name, s_acctbal, n_name
@@ -1732,7 +1732,7 @@ def a_q50_bracket_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataF
     "broadcasts too; equality on cost is sound because both engines "
     "compute the identical IEEE division and MIN.",
 )
-def a_q51_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q51_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = tbl(spark, sf_dir, "nation")
     reg = tbl(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     eu = (
@@ -1770,7 +1770,7 @@ _Q52_FRACTION = 0.001
 
 
 @query(
-    "a_q52_important_parts",
+    "q52_important_parts",
     oracle=f"""
     WITH nsup AS (
       SELECT s_suppkey FROM supplier
@@ -1799,7 +1799,7 @@ _Q52_FRACTION = 0.001
     "is bit-deterministic. The supplier-nation filter broadcasts into "
     "the lineitem scan as a semi-join.",
 )
-def a_q52_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q52_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = tbl(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
     nsup = (
         tbl(spark, sf_dir, "supplier")
@@ -1830,7 +1830,7 @@ def a_q52_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q12: conditional priority counts by ship class (new in r5) --------
 @query(
-    "a_q53_priority_shipclass",
+    "q53_priority_shipclass",
     oracle="""
     SELECT l_returnflag AS ship_class,
            CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -1853,7 +1853,7 @@ def a_q52_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial aggregation collapses each side to at most two rows per "
     "task before the final exchange.",
 )
-def a_q53_priority_shipclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q53_priority_shipclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem").filter(
         F.col("l_returnflag").isin("A", "R")
         & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
@@ -1877,7 +1877,7 @@ _Q54_MAX_DIST = 3
 
 
 @query(
-    "a_q54_fuzzy_name_match",
+    "q54_fuzzy_name_match",
     oracle=f"""
     WITH names AS (
       SELECT p_name, CAST(COUNT(*) AS BIGINT) AS n_parts
@@ -1903,7 +1903,7 @@ _Q54_MAX_DIST = 3
     "guard: candidate volume is sum(block²) over DISTINCT values, and "
     "a skewed block gets the same cap/salt treatment as d06's max_df.",
 )
-def a_q54_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q54_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     names = (
         tbl(spark, sf_dir, "part")
         .groupBy("p_name")

@@ -258,7 +258,7 @@ def t07_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- streaming (rows-only: no SQL-expressible oracle for a stream run) ------
 @query(
-    "s01_streaming_hourly_counts",
+    "a_s01_streaming_hourly_counts",
     oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
              AS window_start,
@@ -273,7 +273,7 @@ def t07_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(exact_scale=6, order-independent), so the finite-input streaming "
     "result is bit-identical to the tumbling-window batch SQL.",
 )
-def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
@@ -1561,7 +1561,7 @@ T22_TOP = 20
 
 
 @query(
-    "a_t22_association_rules",
+    "t22_association_rules",
     oracle=f"""
     WITH pur AS (
       SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
@@ -1597,7 +1597,7 @@ T22_TOP = 20
     "single-row user-count rides a broadcast cross join. Same basket "
     "cap as t14 bounds the pair space.",
 )
-def a_t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = events_tbl(spark, sf_dir)
     pur = (
         ev.filter(F.col("event_type") == "purchase")
@@ -1657,7 +1657,7 @@ def a_t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- streaming CDC upsert (foreachBatch merge; new in r5) --------------------
 @query(
-    "a_s09_streaming_cdc_upsert",
+    "s09_streaming_cdc_upsert",
     oracle="""
     WITH changes AS (
       SELECT 'D' AS op, doc_id, text, lang, source, n_chars
@@ -1690,7 +1690,7 @@ def a_t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "touched-key set broadcasts into an anti join; the base snapshot "
     "never shuffles.",
 )
-def a_s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from goodreads_pyspark_spark.operators.cdc import apply_cdc
@@ -1754,7 +1754,7 @@ def a_s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- stream-stream LEFT OUTER join (watermark-driven null emission; r5) ------
 @query(
-    "a_s10_stream_stream_left_join",
+    "s10_stream_stream_left_join",
     oracle="""
     SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id
     FROM events p LEFT JOIN events v
@@ -1782,7 +1782,7 @@ def a_s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "state is bounded by (watermark + interval), the production "
     "requirement for an unbounded attribution join.",
 )
-def a_s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 

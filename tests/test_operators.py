@@ -176,7 +176,7 @@ def test_approx_sketches_within_tolerance(spark):
     _load_all()
     approx = {
         r["o_orderstatus"]: (r["approx_customers"], r["price_p50"])
-        for r in REGISTRY["q27_approx_sketches"]
+        for r in REGISTRY["a_q27_approx_sketches"]
         .spark_fn(spark, "/root/testdata/sf0.01")
         .collect()
     }

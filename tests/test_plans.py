@@ -543,7 +543,7 @@ def test_q48_anti_join_and_broadcast_scalar(spark):
 def test_q49_date_range_pushed_part_broadcast(spark):
     """Q14 shape: the one-month shipdate range must reach the lineitem
     scan; the part dim broadcasts."""
-    plan = plan_of(spark, "a_q49_promo_revenue_share")
+    plan = plan_of(spark, "q49_promo_revenue_share")
     pushed = [
         ln
         for ln in plan.splitlines()
@@ -559,7 +559,7 @@ def test_q50_bracket_residuals_pushed_per_side(spark):
     the brand/size disjunction hull to the part scan and the quantity
     hull to lineitem — while the cross-side conjunctions evaluate
     post-join."""
-    plan = plan_of(spark, "a_q50_bracket_disjunction_revenue")
+    plan = plan_of(spark, "q50_bracket_disjunction_revenue")
     part_pushed = [
         ln for ln in plan.splitlines() if "PushedFilters" in ln and "p_brand" in ln
     ]
@@ -577,7 +577,7 @@ def test_t22_association_rules_broadcasts_bounded_sides(spark):
     """Association rules derive from the bounded support table: no
     sort-merge join may appear past the support aggregation — item-level
     stats and rule joins all broadcast."""
-    plan = plan_of(spark, "a_t22_association_rules")
+    plan = plan_of(spark, "t22_association_rules")
     assert "BroadcastHashJoin" in plan
     assert plan.count("SortMergeJoin") <= 1
 
@@ -587,7 +587,7 @@ def test_q51_decorrelates_to_joins_dims_broadcast(spark):
     (never a per-row correlated subquery — no nested-loop join against
     the cost relation), with supplier/nation/region and the filtered
     part dim all broadcast."""
-    plan = plan_of(spark, "a_q51_min_cost_supplier")
+    plan = plan_of(spark, "q51_min_cost_supplier")
     assert plan.count("BroadcastHashJoin") >= 4
     # a nested-loop join would mean the correlated subquery survived
     # decorrelation and runs per row
@@ -605,7 +605,7 @@ def test_q52_single_scan_threshold_broadcast(spark):
     lineitem scan pass each (two scans max), the 1-row threshold rides a
     broadcast nested-loop cross join, and the nation-supplier filter
     reaches lineitem as a broadcast semi-join."""
-    plan = plan_of(spark, "a_q52_important_parts")
+    plan = plan_of(spark, "q52_important_parts")
     assert "BroadcastNestedLoopJoin" in plan
     assert "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
@@ -615,7 +615,7 @@ def test_q53_filters_pushed_before_fact_fact_shuffle(spark):
     """Q12 shape: the returnflag IN + shipdate range prune the lineitem
     scan BEFORE the o_orderkey shuffle join; orders reads only the two
     needed columns."""
-    plan = plan_of(spark, "a_q53_priority_shipclass")
+    plan = plan_of(spark, "q53_priority_shipclass")
     pushed = [
         ln
         for ln in plan.splitlines()
@@ -638,6 +638,6 @@ def test_d36_mix_single_agg_broadcast_total(spark):
     map-side), the 1-row weight total rides a broadcast nested-loop
     cross join — never a second corpus scan past the aggregate, never a
     shuffle join."""
-    plan = plan_of(spark, "a_d36_temperature_mix")
+    plan = plan_of(spark, "d36_temperature_mix")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
