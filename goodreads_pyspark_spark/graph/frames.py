@@ -38,8 +38,16 @@ def _truncate(
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() != checkpoint_dir:
+    # setCheckpointDir stores a fully-qualified path + random UUID subdir,
+    # so getCheckpointDir() never equals the raw argument — comparing
+    # against it would re-set (and re-create a fresh UUID subdir) on every
+    # truncation. Track the last RAW dir on the context instead; one UUID
+    # subdir then serves the whole run. (Old checkpoint data within it is
+    # reclaimed by spark.cleaner.referenceTracking.cleanCheckpoints=true
+    # once the RDDs are GC'd, or by deleting the dir after the job.)
+    if getattr(sc, "_gps_checkpoint_dir", None) != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
+        sc._gps_checkpoint_dir = checkpoint_dir
     return df.checkpoint(eager=eager)
 
 

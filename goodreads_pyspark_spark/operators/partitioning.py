@@ -63,8 +63,7 @@ def _all_files_fit(spark, files: list[str]) -> bool:
     import os
 
     raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
-    digits = "".join(ch for ch in raw if ch.isdigit())
-    max_bytes = int(digits) if digits else 128 * 1024 * 1024
+    max_bytes = _byte_string_as_bytes(raw)
     for uri in files:
         if not uri.startswith("file:"):
             return False
@@ -77,6 +76,31 @@ def _all_files_fit(spark, files: list[str]) -> bool:
         except OSError:
             return False
     return True
+
+
+_BYTE_SUFFIXES = {
+    "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _byte_string_as_bytes(raw: str) -> int:
+    """Parse Spark byte-size strings ('128m', '134217728b', '1g') the way
+    JavaUtils.byteStringAsBytes does (bare numbers are bytes). Keeping only
+    digits would turn '128m' into 128 BYTES, making every file look
+    oversized and forcing the plan-compiling fallback path."""
+    s = raw.strip().lower()
+    i = len(s)
+    while i > 0 and not s[i - 1].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    if not num or suffix not in ({"": None} | _BYTE_SUFFIXES).keys():
+        return 128 * 1024 * 1024
+    return int(num) * _BYTE_SUFFIXES.get(suffix, 1)
 
 
 def zorder_key(cols, bits: int = 16):

@@ -156,9 +156,30 @@ def bounded_rank(
     (b) makes "no unpartitioned windows in the tree" un-greppable. For
     unbounded frames use a per-group window (top_k_per_group) instead.
 
+    Contract violations FAIL FAST instead of returning plausible wrong
+    ranks: a NULL in an order column would make the before-comparison
+    evaluate to NULL (row counted as neither before nor after, deflating
+    ranks), and fully-duplicate rows would be merged by the groupBy over
+    all columns. Both are detected by a one-row broadcast aggregate
+    crossJoined into the plan, which ``raise_error``s at execution time.
+
     Returns ``df`` with ``alias`` appended.
     """
     from functools import reduce as _reduce
+
+    order_cols = [c for c, _ in order]
+    contract = (
+        df.groupBy(*df.columns)
+        .agg(F.count(F.lit(1)).alias("__dup"))
+        .agg(
+            F.max("__dup").alias("__max_dup"),
+            F.max(
+                _reduce(
+                    lambda a, b: a | b, [F.col(c).isNull() for c in order_cols]
+                ).cast("int")
+            ).alias("__null_order"),
+        )
+    )
 
     left = df.alias("__l")
     right = df.alias("__r")
@@ -174,8 +195,30 @@ def bounded_rank(
         prefix_eq.append(F.col(f"__r.{col}") == F.col(f"__l.{col}"))
     before = _reduce(lambda a, b: a | b, strictly_before)
     probe = order[0][0]
-    return (
+    ranked = (
         left.join(F.broadcast(right), before, "left")
         .groupBy(*[F.col(f"__l.{c}").alias(c) for c in df.columns])
         .agg((F.count(F.col(f"__r.{probe}")) + 1).cast("int").alias(alias))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(contract))
+        .where(
+            F.when(
+                F.col("__max_dup") > 1,
+                F.raise_error(
+                    F.lit(
+                        "bounded_rank contract violated: fully-duplicate rows "
+                        "(no total order) — append a unique key column"
+                    )
+                ).cast("boolean"),
+            )
+            .when(
+                F.col("__null_order") == 1,
+                F.raise_error(
+                    F.lit("bounded_rank contract violated: NULL in an order column")
+                ).cast("boolean"),
+            )
+            .otherwise(F.lit(True))
+        )
+        .drop("__max_dup", "__null_order")
     )

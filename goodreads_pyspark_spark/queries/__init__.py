@@ -37,6 +37,15 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Queries that checkpoint their (small) result to release working caches
+# return a frame whose plan is an opaque RDD scan. They expose the LAZY
+# pre-checkpoint frame here, keyed by registered query name, so plan
+# audits (tests/test_plans.py) can assert on the real join/aggregate
+# shape. A side registry rather than an attribute on the DataFrame: an
+# attribute is silently lost through any further transformation/copy,
+# which would make the plan test vacuous instead of failing.
+PRE_MATERIALIZATION: dict[str, DataFrame] = {}
+
 
 def query(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator registering a Spark query (and its DuckDB oracle)."""

@@ -1908,7 +1908,12 @@ def q54_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl(spark, sf_dir, "part")
         .groupBy("p_name")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
-        .withColumn("blk", F.split(F.col("p_name"), " ").getItem(1))
+        # Single-token names: DuckDB split_part yields '' while Spark
+        # getItem(1) yields NULL (row silently dropped from the join) —
+        # coalesce to '' so both engines block spaceless names together.
+        .withColumn(
+            "blk", F.coalesce(F.split(F.col("p_name"), " ").getItem(1), F.lit(""))
+        )
     )
     a = names.select(
         F.col("p_name").alias("name_a"),

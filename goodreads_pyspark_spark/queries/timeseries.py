@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries import PRE_MATERIALIZATION, query
 from goodreads_pyspark_spark.queries._helpers import (
     davg,
     dsum,
@@ -1651,7 +1651,7 @@ def t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The checkpointed frame's plan is an opaque RDD scan; keep the lazy
     # frame reachable so plan audits (tests/test_plans.py) can assert on
     # the REAL join/aggregate shape.
-    result.pre_materialization = out
+    PRE_MATERIALIZATION["t22_association_rules"] = out
     return result
 
 

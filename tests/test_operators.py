@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.operators import (
@@ -526,3 +527,53 @@ def test_bounded_rank_matches_window_row_number_hypothesis(spark):
         assert got == want
 
     check()
+
+
+def test_bounded_rank_fails_fast_on_contract_violation(spark):
+    """ADVICE r5: contract violations must raise, not return plausible
+    wrong ranks — duplicate rows would be merged by the groupBy, NULLs in
+    order columns would deflate the before-count."""
+    from goodreads_pyspark_spark.operators import bounded_rank
+
+    dup = spark.createDataFrame([(1, 10), (1, 10), (2, 20)], ["score", "key"])
+    with pytest.raises(Exception, match="duplicate"):
+        bounded_rank(dup, [("score", "desc"), ("key", "asc")]).collect()
+
+    withnull = spark.createDataFrame(
+        [(1, 10), (None, 20)], "score int, key int"
+    )
+    with pytest.raises(Exception, match="NULL in an order column"):
+        bounded_rank(withnull, [("score", "desc"), ("key", "asc")]).collect()
+
+
+def test_byte_string_as_bytes_suffixes():
+    """ADVICE r5: '128m' must parse as 128 MiB, not 128 bytes (which made
+    every file look oversized and forced the plan-compiling fallback)."""
+    from goodreads_pyspark_spark.operators.partitioning import (
+        _byte_string_as_bytes,
+    )
+
+    assert _byte_string_as_bytes("134217728b") == 134217728
+    assert _byte_string_as_bytes("128m") == 128 * 1024 * 1024
+    assert _byte_string_as_bytes("128MB") == 128 * 1024 * 1024
+    assert _byte_string_as_bytes("1g") == 1 << 30
+    assert _byte_string_as_bytes("64k") == 64 * 1024
+    assert _byte_string_as_bytes("4194304") == 4194304  # bare => bytes
+    assert _byte_string_as_bytes("garbage") == 128 * 1024 * 1024  # fallback
+
+
+def test_reliable_checkpoint_dir_set_once(spark, tmp_path):
+    """ADVICE r5: _truncate must not re-setCheckpointDir per call (each
+    set creates a fresh UUID subdir and orphans prior state). The raw-dir
+    sentinel keeps one UUID subdir for the whole run."""
+    import os
+
+    from goodreads_pyspark_spark.graph.frames import _truncate
+
+    ckpt = str(tmp_path / "ck")
+    df = spark.range(10)
+    for _ in range(3):
+        df = _truncate(df.selectExpr("id + 1 AS id"), checkpoint_dir=ckpt)
+    subdirs = [d for d in os.listdir(ckpt)]
+    assert len(subdirs) == 1, subdirs
+    assert sorted(r.id for r in df.collect()) == list(range(3, 13))

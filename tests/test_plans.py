@@ -14,7 +14,7 @@ import io
 
 import pytest
 
-from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+from goodreads_pyspark_spark.queries import PRE_MATERIALIZATION, REGISTRY, _load_all
 
 SF = "/root/testdata/sf0.001"
 
@@ -31,12 +31,25 @@ def _uncached_scans(spark):
     yield
 
 
+# Queries whose RETURNED frame is an eager checkpoint of the final result
+# (to release working caches): each must register its lazy pre-checkpoint
+# frame in queries.PRE_MATERIALIZATION, and plan_of fails loudly if it
+# didn't — a silent fallback would audit the opaque RDD-scan plan and make
+# the plan test vacuous. (Iterative Pregel queries also show ExistingRDD
+# mid-plan from per-superstep truncation; their surrounding plan is real,
+# so they don't belong in this set.)
+CHECKPOINTED_RESULTS = {"t22_association_rules"}
+
+
 def plan_of(spark, name: str) -> str:
+    PRE_MATERIALIZATION.pop(name, None)
     df = REGISTRY[name].spark_fn(spark, SF)
-    # Queries that checkpoint their (small) result to release working
-    # caches expose the lazy frame as `pre_materialization` — the
-    # checkpointed frame's own plan is an opaque RDD scan.
-    df = getattr(df, "pre_materialization", df)
+    if name in CHECKPOINTED_RESULTS:
+        assert name in PRE_MATERIALIZATION, (
+            f"{name}: checkpointing query did not register its lazy frame "
+            "in queries.PRE_MATERIALIZATION — plan audit would be vacuous"
+        )
+        df = PRE_MATERIALIZATION[name]
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
