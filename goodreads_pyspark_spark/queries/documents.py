@@ -2295,3 +2295,75 @@ def d36_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- distributed BPE tokenizer fit (new in r6) -------------------------------
+_D37_MERGES = 8
+
+
+def _d37_oracle(n: int = _D37_MERGES) -> str:
+    """Unrolled per-round CTEs replaying functions/bpe.py exactly: round k
+    = adjacent-pair count over the marker-prefixed symbol strings, winner
+    by (count DESC, a, b), merge applied via the same left-to-right
+    non-overlapping `replace` (the leading-marker encoding makes the
+    string op equal to the greedy symbol fold — see bpe.py docstring)."""
+    rounds = []
+    for k in range(1, n + 1):
+        p = k - 1
+        rounds.append(f"""
+    s{k} AS (
+      SELECT word, freq,
+             generate_subscripts(string_split(ltrim(r, ' '), ' '), 1) AS pos,
+             unnest(string_split(ltrim(r, ' '), ' ')) AS s
+      FROM w{p}),
+    p{k} AS (
+      SELECT sa.s AS a, sb.s AS b, CAST(SUM(sa.freq) AS BIGINT) AS c
+      FROM s{k} sa JOIN s{k} sb ON sa.word = sb.word AND sb.pos = sa.pos + 1
+      GROUP BY 1, 2),
+    m{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
+    w{k} AS MATERIALIZED (
+      SELECT word, freq,
+             replace(r, ' ' || (SELECT a FROM m{k}) || ' ' || (SELECT b FROM m{k}),
+                        ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k})) AS r
+      FROM w{p})""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT {k} AS step, a AS sym_a, b AS sym_b, a || b AS merged, "
+        f"c AS pair_count FROM m{k}"
+        for k in range(1, n + 1)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                x -> x <> '')) AS word
+      FROM documents),
+    w0 AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             regexp_replace(word, '(.)', ' \\1', 'g') AS r
+      FROM tok WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY word),{",".join(rounds)}
+    SELECT CAST(step AS INTEGER) AS step, sym_a, sym_b, merged, pair_count
+    FROM ({unions})
+    """
+
+
+@query(
+    "a_d37_bpe_fit",
+    oracle=_d37_oracle(),
+    doc="Distributed BPE tokenizer FIT (VERDICT r5 missing-piece #1): "
+    f"learn the first {_D37_MERGES} merges from the corpus "
+    "(functions/bpe.py). The corpus collapses ONCE to a word-frequency "
+    "table (all further work is vocab-sized, the Sennrich 2016 trick); "
+    "each round is one keyed pair-count aggregation (map-side partials) "
+    "+ one merge-applying projection; driver state is only the merge "
+    "list. Deterministic: exact integer counts, lexicographic "
+    "tie-break, [a-z]-only tokens pin binary collation. The oracle "
+    "unrolls the rounds as CTEs and reproduces the merge table "
+    "bit-exactly — including the greedy left-to-right merge-application "
+    "semantics, which the marker-prefixed string encoding maps onto "
+    "plain non-overlapping `replace` in BOTH engines.",
+)
+def a_d37_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.bpe import bpe_fit
+
+    docs = tbl(spark, sf_dir, "documents")
+    return bpe_fit(spark, docs, n_merges=_D37_MERGES)
