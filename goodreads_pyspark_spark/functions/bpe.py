@@ -13,15 +13,20 @@ has LEARNED. This module learns it, Spark-first:
   weighted by word frequency, map-side partials) + ONE projection
   (applying the merge via a literal `replace`). No shuffle grows with
   rounds; the only driver state is the merge list itself (N rows).
-* Symbol sequences are encoded as a marker-prefixed string
-  (`' a b c'` — one space BEFORE each symbol, none after), so applying
-  merge (a, b) is `replace(r, ' a b', ' ab')`: the leading marker makes
-  token-tail false matches impossible (`'xa'` never matches `' a'`),
-  and because the pattern does not consume the NEXT token's marker,
-  left-to-right non-overlapping `replace` reproduces exactly the greedy
-  fold semantics of reference BPE (consecutive occurrences like
-  `b a b a b` both merge in one round). Both Spark and DuckDB `replace`
-  scan left-to-right non-overlapping, so the oracle replays bit-equal.
+* Symbol sequences are encoded as space-WRAPPED symbols concatenated:
+  each symbol renders as `' sym '`, so the string is `' a  b  c '` and
+  every inter-symbol boundary is a DOUBLE space. Applying merge (a, b)
+  is `replace(r, ' a  b ', ' ab ')`. This encoding is the unique one
+  (for plain `replace`) that satisfies both correctness constraints at
+  once: the pattern's trailing `' '` proves the second symbol is
+  COMPLETE (`' ba  b '` cannot prefix-match into `' ba  ba ...'` — a
+  leading-marker-only encoding fails exactly there, caught by the
+  differential test), while the double-space boundary means the match
+  consumes only ONE of the two boundary spaces, leaving the other as
+  the next occurrence's leading marker — so consecutive occurrences
+  (`b a b a b`) all merge in one left-to-right pass, exactly the greedy
+  fold of reference BPE. Both Spark and DuckDB `replace` scan
+  left-to-right non-overlapping, so the oracle replays bit-equal.
 * Ties on pair count break lexicographically (a ASC, b ASC); tokens are
   restricted to `^[a-z]+$` so string comparison is binary-identical in
   both engines (no collation surprises).
@@ -69,7 +74,7 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
         .filter(F.col("word").rlike("^[a-z]+$"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
-        .withColumn("r", F.regexp_replace("word", "(.)", " $1"))
+        .withColumn("r", F.regexp_replace("word", "(.)", " $1 "))
     )
 
 
@@ -90,7 +95,7 @@ def bpe_fit(
     try:
         for step in range(1, n_merges + 1):
             pairs = (
-                cur.select("freq", F.split(F.ltrim(F.col("r")), " ").alias("syms"))
+                cur.select("freq", F.split(F.trim(F.col("r")), " +").alias("syms"))
                 .filter(F.size("syms") >= 2)
                 .select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
                 .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
@@ -103,7 +108,7 @@ def bpe_fit(
             merges.append((step, a, b, a + b, c))
             cur = cur.withColumn(
                 "r",
-                F.replace(F.col("r"), F.lit(f" {a} {b}"), F.lit(f" {a}{b}")),
+                F.replace(F.col("r"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
             )
     finally:
         words.unpersist()

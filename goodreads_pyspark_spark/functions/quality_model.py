@@ -1,0 +1,102 @@
+"""Model-based quality scoring — fastText/CCNet-shape linear inference.
+
+The standard pretraining quality gate (Wenzek et al. 2020 CCNet; Joulin
+et al. 2017 fastText, public literature) is a LINEAR classifier over
+hashed n-gram features. Inference is just: hash each feature into a
+fixed bucket table, look up a weight, average, threshold — which means
+it is expressible entirely in JVM codegen (md5 → conv → modular
+arithmetic → one aggregation), with NO Python workers and no model
+server in the hot path. That is the point of this module: at 100 TB the
+quality gate runs as a map-side projection + one keyed aggregation per
+document, exactly like any other query.
+
+Here the weight table is *synthetic but fixed*: weight(bucket) is
+derived from md5 of the bucket id, giving a deterministic stand-in with
+the exact shape (hash → lookup → dot → threshold) of a trained model.
+Swapping in real trained weights = replacing `_weight_expr` with a
+broadcast join against a (bucket, weight) table — the plan is identical.
+
+Determinism contract: weights are exact integers in [-1000, 1000]
+(scaled millis), summed as BIGINT; the logit is ONE double division of
+exact integers, so it is bit-equal in any IEEE-754 engine, and the
+keep-gate compares integers only (sum_w > thr·n). No exp()/sigmoid in
+the gated output — libm differences across engines make sigmoid tails
+hash-unstable, and the gate is monotone in the logit anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: fastText-style feature-hash bucket count.
+N_BUCKETS = 4096
+#: Keep-gate: logit > THR_NUM / (1000 * THR_DEN) i.e. sum_w > 50 * n.
+THR_MILLIS = 50
+
+
+def _hashed_bucket(feature: Column, salt: str = "qv1_") -> Column:
+    """Feature -> bucket in [0, N_BUCKETS): first 8 md5 hex chars as int.
+    Engine-portable (same construction as pipelines.sampling.portable_bucket)."""
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), feature)), 1, 8), 16, 10)
+    return h.cast("bigint") % N_BUCKETS
+
+
+def _weight_expr(bucket: Column, salt: str = "qw1_") -> Column:
+    """Bucket -> fixed integer weight in [-1000, 1000] (milli-units)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), bucket.cast("string"))), 1, 8),
+        16,
+        10,
+    )
+    return h.cast("bigint") % 2001 - 1000
+
+
+def ngram_features(toks: Column) -> Column:
+    """Unigrams + '_'-joined bigrams as one array<string> — the fastText
+    feature set. Pure higher-order functions, no explode until the caller
+    chooses to."""
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit("_"), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    return F.concat(toks, bigrams)
+
+
+def quality_scores(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_feats, sum_w, logit, keep) per document.
+
+    logit = sum_w / (1000·n_feats); keep = 1 iff sum_w > THR_MILLIS·n_feats.
+    Documents with no features score 0.0 / keep 0. One explode + one
+    (doc_id)-keyed aggregation with map-side partials — linear, no UDFs.
+    """
+    from goodreads_pyspark_spark.functions.text import tokens
+
+    feats = docs.select(
+        "doc_id", F.explode(ngram_features(tokens(text_col))).alias("f")
+    )
+    scored = feats.select("doc_id", _weight_expr(_hashed_bucket(F.col("f"))).alias("w"))
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_feats"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+    )
+    n = F.coalesce(F.col("n_feats"), F.lit(0).cast("bigint"))
+    sw = F.coalesce(F.col("sum_w"), F.lit(0).cast("bigint"))
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            n.alias("n_feats"),
+            sw.alias("sum_w"),
+            F.when(n == 0, F.lit(0.0))
+            .otherwise(F.col("sum_w") / (F.col("n_feats") * F.lit(1000.0)))
+            .alias("logit"),
+            (sw > F.lit(THR_MILLIS) * n).cast("int").alias("keep"),
+        )
+    )

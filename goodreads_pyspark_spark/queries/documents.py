@@ -2313,8 +2313,8 @@ def _d37_oracle(n: int = _D37_MERGES) -> str:
         rounds.append(f"""
     s{k} AS (
       SELECT word, freq,
-             generate_subscripts(string_split(ltrim(r, ' '), ' '), 1) AS pos,
-             unnest(string_split(ltrim(r, ' '), ' ')) AS s
+             generate_subscripts(string_split_regex(trim(r), ' +'), 1) AS pos,
+             unnest(string_split_regex(trim(r), ' +')) AS s
       FROM w{p}),
     p{k} AS (
       SELECT sa.s AS a, sb.s AS b, CAST(SUM(sa.freq) AS BIGINT) AS c
@@ -2323,8 +2323,9 @@ def _d37_oracle(n: int = _D37_MERGES) -> str:
     m{k} AS MATERIALIZED (SELECT a, b, c FROM p{k} ORDER BY c DESC, a, b LIMIT 1),
     w{k} AS MATERIALIZED (
       SELECT word, freq,
-             replace(r, ' ' || (SELECT a FROM m{k}) || ' ' || (SELECT b FROM m{k}),
-                        ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k})) AS r
+             replace(r,
+               ' ' || (SELECT a FROM m{k}) || '  ' || (SELECT b FROM m{k}) || ' ',
+               ' ' || (SELECT a FROM m{k}) || (SELECT b FROM m{k}) || ' ') AS r
       FROM w{p})""")
     unions = "\n      UNION ALL ".join(
         f"SELECT {k} AS step, a AS sym_a, b AS sym_b, a || b AS merged, "
@@ -2338,7 +2339,7 @@ def _d37_oracle(n: int = _D37_MERGES) -> str:
       FROM documents),
     w0 AS MATERIALIZED (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
-             regexp_replace(word, '(.)', ' \\1', 'g') AS r
+             regexp_replace(word, '(.)', ' \\1 ', 'g') AS r
       FROM tok WHERE regexp_matches(word, '^[a-z]+$')
       GROUP BY word),{",".join(rounds)}
     SELECT CAST(step AS INTEGER) AS step, sym_a, sym_b, merged, pair_count
@@ -2367,3 +2368,50 @@ def a_d37_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tbl(spark, sf_dir, "documents")
     return bpe_fit(spark, docs, n_merges=_D37_MERGES)
+
+
+# --- learned quality-gate inference (new in r6) ------------------------------
+@query(
+    "a_d38_quality_classifier",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               [t[i] || '_' || t[i + 1] for i in range(1, len(t))])) AS f
+      FROM tk),
+    wts AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qw1_' || CAST(
+                ('0x' || substr(md5('qv1_' || f), 1, 8))::BIGINT % 4096
+              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+      FROM feats),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(w) AS BIGINT) AS sum_w
+      FROM wts GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(n_feats, 0) AS n_feats,
+           COALESCE(sum_w, 0) AS sum_w,
+           CASE WHEN COALESCE(n_feats, 0) = 0 THEN 0.0
+                ELSE sum_w / (n_feats * 1000.0) END AS logit,
+           CAST(CASE WHEN COALESCE(sum_w, 0) > 50 * COALESCE(n_feats, 0)
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    doc="Model-based quality gate (VERDICT r5 missing-piece #2): "
+    "fastText/CCNet-shape LINEAR classifier inference — hashed "
+    "unigram+bigram features (4096 md5 buckets), fixed md5-derived "
+    "integer weight table, per-doc mean weight as the logit, integer "
+    "keep-gate (functions/quality_model.py). Entirely JVM codegen: one "
+    "explode + one doc_id-keyed aggregation, zero Python workers "
+    "(plan-tested), which is why a learned gate can run as a "
+    "first-class map-side stage at 100 TB. Weights are exact millis "
+    "summed as BIGINT; the logit is one IEEE division of exact "
+    "integers; no sigmoid in the gated output (libm tails are not "
+    "engine-portable; the gate is monotone in the logit).",
+)
+def a_d38_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.quality_model import quality_scores
+
+    return quality_scores(tbl(spark, sf_dir, "documents"))

@@ -379,3 +379,69 @@ def io08_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ============================ round-6 additions ==============================
+@query(
+    "a_io09_dynamic_partition_pruning",
+    oracle="""
+    WITH d AS (
+      SELECT event_type FROM events GROUP BY event_type
+      HAVING COUNT(*) > (SELECT COUNT(*) * 1.0 / COUNT(DISTINCT event_type)
+                         FROM events))
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e JOIN d USING (event_type)
+    GROUP BY 1
+    """,
+    doc="DYNAMIC partition pruning, proven in the gate (VERDICT r5 #6): "
+    "io08 pins static hive pruning; this is the join-driven form — the "
+    "fact (events, written partitioned by event_type) joins a dim "
+    "whose filter (per-type count above the per-type mean) CANNOT be "
+    "statically inferred onto the fact side, so the only way the scan "
+    "prunes is Spark planting a dynamicpruning subquery into the "
+    "scan's PartitionFilters at runtime. The query asserts exactly "
+    "that (dynamicpruningexpression inside the PartitionFilters "
+    "bracket) or fails its driver row; the hash then proves pruning "
+    "lost no rows. At 100 TB DPP is the single biggest scan-killer "
+    "for star joins: the fact scan lists only partitions the filtered "
+    "dim survives, without the user writing the partition predicate.",
+)
+def a_io09_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+    import tempfile
+
+    from goodreads_pyspark_spark.queries._helpers import events_tbl
+
+    base = tempfile.mkdtemp(prefix="io09_dpp_")
+    events_tbl(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "event_type"
+    ).parquet(base)
+    fact = spark.read.parquet(base)
+    # The threshold must reach the dim filter as a LITERAL: DPP's
+    # selective-predicate detection doesn't see through a crossJoined
+    # scalar aggregate. One driver-side scalar fetch (a single-row agg);
+    # the oracle recomputes the identical scalar, so the gate still
+    # hash-matches.
+    avg_n = fact.agg(
+        (F.count(F.lit(1)) / F.countDistinct("event_type")).alias("avg_n")
+    ).first()["avg_n"]
+    dim = (
+        fact.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > F.lit(avg_n))
+        .select("event_type")
+    )
+    out = (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    brackets = re.findall(r"PartitionFilters:\s*\[([^\]]*)\]", plan)
+    if not any("dynamicpruning" in b for b in brackets):
+        raise AssertionError(
+            "no dynamicpruning expression reached the fact scan's "
+            f"PartitionFilters (brackets={brackets!r}):\n" + plan[:2000]
+        )
+    return out

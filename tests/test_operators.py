@@ -577,3 +577,72 @@ def test_reliable_checkpoint_dir_set_once(spark, tmp_path):
     subdirs = [d for d in os.listdir(ckpt)]
     assert len(subdirs) == 1, subdirs
     assert sorted(r.id for r in df.collect()) == list(range(3, 13))
+
+
+def _reference_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Pure-Python greedy BPE (Sennrich-style) for the differential."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+                )
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, a, b, a + b, c))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_fit_matches_reference_greedy_semantics(spark):
+    """Differential: the marker-prefixed string-replace merge application
+    must equal the greedy symbol fold — including the consecutive-
+    occurrence case (b a b a b -> b ab ab) and self-pairs (aaaa -> aa aa)
+    that naive space-joined replace gets wrong."""
+    from goodreads_pyspark_spark.functions.bpe import bpe_fit
+
+    corpus = (
+        ["babab"] * 6  # consecutive (a,b) occurrences sharing a boundary
+        + ["aaaa"] * 5  # overlapping self-pair
+        + ["banana"] * 4
+        + ["bandana"] * 3
+        + ["aba"] * 2
+    )
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"])
+    got = [
+        (r.step, r.sym_a, r.sym_b, r.merged, r.pair_count)
+        for r in bpe_fit(spark, docs, n_merges=6).collect()
+    ]
+    freqs: dict[str, int] = {}
+    for w in corpus:
+        freqs[w] = freqs.get(w, 0) + 1
+    want = _reference_bpe(freqs, 6)
+    assert got == want
+
+
+def test_quality_classifier_zero_token_doc_scores_zero(spark):
+    from goodreads_pyspark_spark.functions.quality_model import quality_scores
+
+    docs = spark.createDataFrame(
+        [(1, "good clean text here"), (2, "!!! ??? ..."), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert rows[2].n_feats == 0 and rows[2].logit == 0.0 and rows[2].keep == 0
+    assert rows[3].n_feats == 0 and rows[3].keep == 0
+    assert rows[1].n_feats == 7  # 4 unigrams + 3 bigrams

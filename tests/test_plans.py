@@ -654,3 +654,31 @@ def test_d36_mix_single_agg_broadcast_total(spark):
     plan = plan_of(spark, "d36_temperature_mix")
     assert "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_d38_quality_classifier_no_python_workers(spark):
+    """The learned quality gate must be pure JVM codegen — hashed n-gram
+    features, weight lookup, integer gate — with zero Python worker
+    boundaries (that's what licenses running it map-side at 100 TB)."""
+    plan = plan_of(spark, "a_d38_quality_classifier")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, f"Python worker in plan: {marker}"
+    assert "SortMergeJoin" not in plan  # doc_id join stays shuffle-hash/broadcast
+
+
+def test_e22_bucketed_semdedup_no_quadratic_kernel(spark):
+    """The scale-true SemDeDup pair source must be the bucket-keyed
+    self-join — no CartesianProduct, no global all-pairs screen — and
+    the shuffles must carry ids/signatures, never the raw embedding
+    array past the long-form explode."""
+    from goodreads_pyspark_spark.queries._helpers import tbl
+    from goodreads_pyspark_spark.similarity.ann import bucketed_neardup_pairs
+
+    emb = tbl(spark, SF, "embeddings")
+    pairs = bucketed_neardup_pairs(emb, threshold=0.4, planes=8)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pairs.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
