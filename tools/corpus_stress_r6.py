@@ -1,0 +1,82 @@
+"""Round-6 stress probe: the SemDeDup pair-source swap and the new
+corpus-fit operators at 1x and 10x.
+
+Measures, on replicated embeddings/documents (same near-duplicate
+replication scheme as r5 — see corpus_stress_r5.py):
+
+* e22_semdedup_bucketed — the scale-true path (sign-LSH bucketed pairs
+  -> alternating-star CC). Expected ~linear in vectors at fixed bucket
+  occupancy; this is the measurement VERDICT r5 #2 asked for.
+* e21_semdedup_clusters — the exact-recall audit (global quadratic
+  screen, hard-capped). Expected superlinear; recorded for contrast so
+  SCALING.md shows WHY e22 is the registered production path.
+* d37_bpe_fit — corpus collapses to a word histogram once; rounds are
+  vocab-sized. Expected sublinear in corpus bytes (vocab saturates).
+* d38_quality_classifier — one explode + one keyed agg. Expected linear.
+
+Usage: python tools/corpus_stress_r6.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from goodreads_pyspark_spark.session import get_spark
+from tools.corpus_stress_r5 import replicate_embeddings
+from tools.scaling_probe import replicate
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark("corpus_stress_r6")
+
+    from goodreads_pyspark_spark.queries.documents import (
+        a_d37_bpe_fit,
+        a_d38_quality_classifier,
+    )
+    from goodreads_pyspark_spark.queries.embeddings import (
+        a_e22_semdedup_bucketed,
+        e21_semdedup_clusters,
+    )
+
+    for f in factors:
+        stage = tempfile.mkdtemp(prefix=f"r6_x{f}_")
+        docs = replicate(spark, "documents", f, "doc_id", stage)
+        (Path(stage) / "documents.parquet").symlink_to(docs)
+        emb = replicate_embeddings(spark, f, stage)
+        (Path(stage) / "embeddings.parquet").symlink_to(emb)
+
+        print(
+            f"--- {f}x ({spark.read.parquet(docs).count():,} docs, "
+            f"{spark.read.parquet(emb).count():,} vectors) ---"
+        )
+        for name, fn in (
+            ("e22_semdedup_bucketed", a_e22_semdedup_bucketed),
+            ("e21_semdedup_clusters", e21_semdedup_clusters),
+            ("d37_bpe_fit", a_d37_bpe_fit),
+            ("d38_quality_classifier", a_d38_quality_classifier),
+        ):
+            t0 = time.perf_counter()
+            try:
+                n = fn(spark, stage).count()
+                print(
+                    f"x{f} {name}: {time.perf_counter() - t0:.1f}s ({n} rows)",
+                    flush=True,
+                )
+            except Exception as exc:  # noqa: BLE001 — e21's cap raising IS a result
+                print(
+                    f"x{f} {name}: capped/failed after "
+                    f"{time.perf_counter() - t0:.1f}s ({type(exc).__name__}: "
+                    f"{str(exc)[:120]})",
+                    flush=True,
+                )
+            spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
