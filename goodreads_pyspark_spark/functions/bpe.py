@@ -90,26 +90,79 @@ def bpe_fit(
     tie-break.
     """
     words = word_frequencies(docs, text_col).cache()
-    merges: list[tuple[int, str, str, str, int]] = []
-    cur = words
     try:
-        for step in range(1, n_merges + 1):
-            pairs = (
-                cur.select("freq", F.split(F.trim(F.col("r")), " +").alias("syms"))
-                .filter(F.size("syms") >= 2)
-                .select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
-                .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-                .agg(F.sum("freq").cast("bigint").alias("c"))
-            )
-            win = pairs.orderBy(F.col("c").desc(), "a", "b").first()
-            if win is None:
-                break
-            a, b, c = win["a"], win["b"], int(win["c"])
-            merges.append((step, a, b, a + b, c))
-            cur = cur.withColumn(
-                "r",
-                F.replace(F.col("r"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
-            )
+        merges, _ = _fit_loop(words, n_merges)
     finally:
         words.unpersist()
     return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def _fit_loop(
+    words: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run the merge-learning rounds; returns (merge list, final word
+    frame with fully-merged symbol strings)."""
+    merges: list[tuple[int, str, str, str, int]] = []
+    cur = words
+    for step in range(1, n_merges + 1):
+        pairs = (
+            cur.select("freq", F.split(F.trim(F.col("r")), " +").alias("syms"))
+            .filter(F.size("syms") >= 2)
+            .select("freq", F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("bigint").alias("c"))
+        )
+        win = pairs.orderBy(F.col("c").desc(), "a", "b").first()
+        if win is None:
+            break
+        a, b, c = win["a"], win["b"], int(win["c"])
+        merges.append((step, a, b, a + b, c))
+        cur = cur.withColumn(
+            "r",
+            F.replace(F.col("r"), F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")),
+        )
+    return merges, cur
+
+
+def bpe_segment_words(
+    docs: DataFrame,
+    n_merges: int = 8,
+    top_k: int = 200,
+    text_col: str = "text",
+) -> DataFrame:
+    """The ENCODE side of the tokenizer: fit ``n_merges`` merges, then
+    return the ``top_k``-by-frequency segmented words
+    (word, freq, n_symbols, segmentation), segmentation as a '|'-joined
+    symbol string (serialized, not an array — array result cells break
+    order-insensitive canonicalizers; the q27 lesson). Order is total
+    (freq DESC, word ASC), so the cut is deterministic.
+
+    Fit-then-encode shares the word-histogram collapse: encoding costs
+    nothing beyond the fit, because the merge application already
+    produced every word's final symbol string — the corpus is NOT
+    re-tokenized (tokenize-once discipline). At serving time the learned
+    merge table applies to unseen words the same way: N sequential
+    literal replaces, a pure projection over the full vocab (the top-k
+    cut here just bounds the *returned* sample; nothing in the fit or
+    the application is top-k-limited). The bounded result is eagerly
+    checkpointed so the cached histogram can be released without a
+    recompute on first use.
+    """
+    words = word_frequencies(docs, text_col).cache()
+    try:
+        _, segmented = _fit_loop(words, n_merges)
+        syms = F.split(F.trim(F.col("r")), " +")
+        out = (
+            segmented.select(
+                "word",
+                "freq",
+                F.size(syms).cast("int").alias("n_symbols"),
+                F.array_join(syms, "|").alias("segmentation"),
+            )
+            .orderBy(F.col("freq").desc(), "word")
+            .limit(top_k)
+        )
+        result = out.localCheckpoint(eager=True)
+    finally:
+        words.unpersist()
+    return result

@@ -34,10 +34,19 @@ def as_of_join(
     right_ts: str,
     payload: Sequence[str],
     tiebreak: str | None = None,
+    tolerance: Column | None = None,
 ) -> DataFrame:
     """Backward as-of join; returns ``left`` + ``payload`` columns (null
     when no right row precedes). ``payload`` names must not collide with
     left's columns; ``right_ts`` itself may be included in ``payload``.
+
+    ``tolerance`` (pandas merge_asof semantics): a Column the matched
+    right timestamp must satisfy ``right_ts >= left_ts - tolerance``
+    (e.g. ``F.expr("INTERVAL 1 HOUR")`` for timestamps, a numeric
+    literal for numeric ts). A stale match nulls the WHOLE payload —
+    the bounded-staleness contract (quote too old to price against,
+    sensor reading expired). Applied as a post-fill predicate: the plan
+    is unchanged (one shuffle, linear fill); no re-scan, no range join.
     """
     on = list(on)
     payload = list(payload)
@@ -50,6 +59,8 @@ def as_of_join(
     # whenever the newest one has a null field.
     r_fields = {f.name: f.dataType for f in right.schema.fields}
     carried = payload + ([tiebreak] if tiebreak and tiebreak not in payload else [])
+    if tolerance is not None and right_ts not in carried:
+        carried = carried + [right_ts]
     p_type = StructType([StructField(c, r_fields[c]) for c in carried])
 
     l_tag = left.select(
@@ -81,10 +92,18 @@ def as_of_join(
     filled = merged.select(
         "*", F.last(F.col("__p"), ignorenulls=True).over(w).alias("__f")
     )
+    fresh = (
+        F.lit(True)
+        if tolerance is None
+        else F.col("__f").getField(right_ts) >= F.col("__ts") - tolerance
+    )
     out = filled.filter(F.col("__is_right") == 0).select(
         *on,
         F.col("__ts").alias(left_ts),
         *[F.col(c) for c in left_cols if c not in on and c != left_ts],
-        *[F.col("__f").getField(c).alias(c) for c in payload],
+        *[
+            F.when(fresh, F.col("__f").getField(c)).alias(c)
+            for c in payload
+        ],
     )
     return out

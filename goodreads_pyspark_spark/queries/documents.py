@@ -2301,12 +2301,13 @@ def d36_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _D37_MERGES = 8
 
 
-def _d37_oracle(n: int = _D37_MERGES) -> str:
-    """Unrolled per-round CTEs replaying functions/bpe.py exactly: round k
-    = adjacent-pair count over the marker-prefixed symbol strings, winner
-    by (count DESC, a, b), merge applied via the same left-to-right
-    non-overlapping `replace` (the leading-marker encoding makes the
-    string op equal to the greedy symbol fold — see bpe.py docstring)."""
+def _bpe_cte_chain(n: int = _D37_MERGES) -> tuple[str, str]:
+    """(WITH-body, merge-union select) for the unrolled BPE rounds —
+    shared by the d37 (merge table) and d39 (segmentation) oracles.
+    Round k = adjacent-pair count over the space-wrapped symbol strings,
+    winner by (count DESC, a, b), merge applied via the same
+    left-to-right non-overlapping `replace` (the space-wrapped encoding
+    makes the string op equal to the greedy symbol fold — see bpe.py)."""
     rounds = []
     for k in range(1, n + 1):
         p = k - 1
@@ -2332,7 +2333,7 @@ def _d37_oracle(n: int = _D37_MERGES) -> str:
         f"c AS pair_count FROM m{k}"
         for k in range(1, n + 1)
     )
-    return f"""
+    body = f"""
     WITH tok AS (
       SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                                 x -> x <> '')) AS word
@@ -2341,7 +2342,13 @@ def _d37_oracle(n: int = _D37_MERGES) -> str:
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
              regexp_replace(word, '(.)', ' \\1 ', 'g') AS r
       FROM tok WHERE regexp_matches(word, '^[a-z]+$')
-      GROUP BY word),{",".join(rounds)}
+      GROUP BY word),{",".join(rounds)}"""
+    return body, unions
+
+
+def _d37_oracle(n: int = _D37_MERGES) -> str:
+    body, unions = _bpe_cte_chain(n)
+    return f"""{body}
     SELECT CAST(step AS INTEGER) AS step, sym_a, sym_b, merged, pair_count
     FROM ({unions})
     """
@@ -2415,3 +2422,39 @@ def a_d38_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.quality_model import quality_scores
 
     return quality_scores(tbl(spark, sf_dir, "documents"))
+
+
+# --- BPE encode: segment the vocab with the learned merges (new in r6) -------
+def _d39_oracle(n: int = _D37_MERGES, top_k: int = 200) -> str:
+    body, _ = _bpe_cte_chain(n)
+    return f"""{body}
+    SELECT word, freq,
+           CAST(len(string_split_regex(trim(r), ' +')) AS INTEGER) AS n_symbols,
+           array_to_string(string_split_regex(trim(r), ' +'), '|')
+             AS segmentation
+    FROM w{n}
+    ORDER BY freq DESC, word
+    LIMIT {top_k}
+    """
+
+
+@query(
+    "a_d39_bpe_segmentation",
+    oracle=_d39_oracle(),
+    doc="The ENCODE side of d37's tokenizer fit: apply the learned "
+    f"{_D37_MERGES} merges and emit the top-200-by-frequency words with "
+    "their symbol segmentation and per-word token count "
+    "(functions/bpe.py bpe_segment_words). Fit and encode share the "
+    "one corpus collapse — the merge application already produced "
+    "every word's final symbol string, so encoding adds NO corpus "
+    "pass (tokenize-once). Segmentation is serialized '|'-joined "
+    "(array result cells break canonicalizers — the q27 lesson); the "
+    "cut is a total order (freq DESC, word ASC). The oracle replays "
+    "the same unrolled rounds and reads the final word state.",
+)
+def a_d39_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.bpe import bpe_segment_words
+
+    return bpe_segment_words(
+        tbl(spark, sf_dir, "documents"), n_merges=_D37_MERGES, top_k=200
+    )

@@ -1341,3 +1341,65 @@ def a_e23_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hit").cast("double") / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+# --- DataFrame-native Lloyd k-means, bit-exact across engines (new in r6) ----
+_E24_K = 8
+_E24_ROUNDS = 2
+
+
+def _e24_oracle(k: int = _E24_K, rounds: int = _E24_ROUNDS) -> str:
+    """Unrolled Lloyd rounds: decimal-exact squared distances, argmin by
+    (d2, cid), mean update = one IEEE division of the exact decimal sum
+    — every round bit-reproducible, so the fit itself hash-gates."""
+    steps = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(f"""
+    a{r} AS (
+      SELECT e.vec_id, c.cid,
+             SUM(CAST((e.v - c.cval) * (e.v - c.cval) AS DECIMAL(38,12))) AS d2
+      FROM e JOIN c{p} c USING (pos)
+      GROUP BY e.vec_id, c.cid),
+    g{r} AS MATERIALIZED (
+      SELECT vec_id, cid, d2 FROM (
+        SELECT vec_id, cid, d2,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM a{r}) WHERE rn = 1)""")
+        if r < rounds:
+            steps.append(f"""
+    c{r} AS MATERIALIZED (
+      SELECT g.cid, e.pos,
+             CAST(SUM(CAST(e.v AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*) AS cval
+      FROM g{r} g JOIN e ON e.vec_id = g.vec_id
+      GROUP BY g.cid, e.pos)""")
+    return f"""
+    WITH {_LONG},
+    c0 AS (SELECT vec_id AS cid, pos, v AS cval FROM e WHERE vec_id < {k}),{",".join(steps)}
+    SELECT CAST(cid AS BIGINT) AS cid,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           ROUND(CAST(SUM(d2) AS DOUBLE), 6) AS inertia
+    FROM g{rounds}
+    GROUP BY cid
+    """
+
+
+@query(
+    "a_e24_lloyd_kmeans",
+    oracle=_e24_oracle(),
+    doc="Distributed Lloyd k-means whose FIT hash-gates across engines "
+    "(similarity/lloyd.py) — the existence proof that iterative ML is "
+    "not inherently rows-only (ml/'s ALS/LDA ceiling is unconstrained "
+    "float accumulation, not iteration): deterministic lowest-id init, "
+    "decimal-exact distance sums, argmin tie-broken by cid, mean "
+    "update as one IEEE division of the exact decimal total. Two "
+    "rounds unrolled in the oracle; output is the final per-cluster "
+    "membership + inertia. Per round the corpus shuffles (id, cid, "
+    "partial-d2) against broadcast k·d centroid rows — linear, "
+    "centroid state independent of corpus size.",
+)
+def a_e24_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.lloyd import lloyd_fit
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return lloyd_fit(emb, k=_E24_K, rounds=_E24_ROUNDS)

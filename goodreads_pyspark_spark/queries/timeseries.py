@@ -1842,3 +1842,71 @@ def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_to_memory_sink(joined, name, output_mode="append")
     # drop the sentinel purchase (it joins only the view sentinel)
     return spark.table(name).filter(F.col("purchase_id") >= 0)
+
+
+# --- as-of join with tolerance (bounded staleness; new in r6) ----------------
+@query(
+    "a_t23_asof_with_tolerance",
+    oracle="""
+    WITH tagged AS (
+      SELECT user_id, ts AS __ts, 0 AS is_right, event_id,
+             CAST(NULL AS BIGINT) AS view_event_id,
+             CAST(NULL AS TIMESTAMP) AS view_ts
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 1, NULL, event_id, ts
+      FROM events WHERE event_type = 'view'),
+    filled AS (
+      SELECT *,
+             last_value(view_event_id IGNORE NULLS) OVER w AS f_id,
+             last_value(view_ts IGNORE NULLS) OVER w AS f_ts
+      FROM tagged
+      WINDOW w AS (PARTITION BY user_id
+                   ORDER BY __ts, is_right DESC, view_event_id ASC NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT event_id, user_id,
+           strftime(__ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           CASE WHEN f_ts >= __ts - INTERVAL 1 HOUR THEN f_id END
+             AS view_event_id,
+           CASE WHEN f_ts >= __ts - INTERVAL 1 HOUR
+                THEN epoch(__ts) - epoch(f_ts) END AS gap_s
+    FROM filled WHERE is_right = 0
+    """,
+    doc="t07's as-of join under a 1-hour TOLERANCE (pandas merge_asof "
+    "semantics; operators/asof.py tolerance param): a prior view older "
+    "than an hour is too stale to attribute, so the whole payload "
+    "nulls — the bounded-staleness contract of every quote/sensor "
+    "pipeline. Applied as a post-fill predicate on the SAME one-"
+    "shuffle union-marker plan: tolerance costs nothing, where a "
+    "range-join formulation would pay per-key quadratic expansion "
+    "precisely when tolerance windows are wide.",
+)
+def a_t23_asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.asof import as_of_join
+
+    ev = events_tbl(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_event_id"),
+    )
+    joined = as_of_join(
+        purchases,
+        views,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="view_ts",
+        payload=["view_event_id", "view_ts"],
+        tiebreak="view_event_id",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        "view_event_id",
+        (F.col("ts").cast("double") - F.col("view_ts").cast("double")).alias("gap_s"),
+    )

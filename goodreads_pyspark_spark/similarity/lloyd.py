@@ -1,0 +1,88 @@
+"""DataFrame-native Lloyd k-means — an iterative ML fit with a
+CROSS-ENGINE BIT-EXACT gate.
+
+The MLlib fits (ALS, KMeans, LDA — ml/) are gated rows-only because no
+cross-engine bit-oracle exists for their float optimizers. This module
+shows the ceiling is not inherent to *iterative ML*, only to
+unconstrained float accumulation: with (a) a deterministic init (the k
+lowest-id corpus vectors, same as similarity/ivf.sampled_centroids),
+(b) decimal-exact distance sums (accumulation-order-free), and (c) mean
+updates that are ONE IEEE division of an exact decimal total, every
+Lloyd round is bit-reproducible in any engine — so DuckDB can replay
+the whole fit as unrolled CTEs and the final assignment + inertia
+hash-match exactly.
+
+Scale shape (each round):
+  * assignment — long-form (id, pos, v) joined to the tiny (cid, pos,
+    cval) centroid table on ``pos`` (centroids broadcast), then one
+    (vec_id, cid)-keyed aggregation with map-side partials and an
+    argmin per vector. The corpus shuffles (id, cid, partial-d2), never
+    raw vectors beyond the one explode.
+  * update — one (cid, pos)-keyed aggregation. Centroid state is k·d
+    rows, independent of corpus size.
+Rounds are fixed (no convergence test ⇒ no extra driver round-trips);
+lineage stays flat because each round's centroid table is tiny.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_ACC = "decimal(38,12)"
+
+
+def lloyd_fit(
+    df: DataFrame,
+    k: int = 8,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Run ``rounds`` Lloyd iterations from the k lowest-id vectors;
+    returns the per-cluster summary (cid, n_members, inertia) of the
+    FINAL assignment, inertia = round(sum of decimal-exact squared
+    distances, 6). Empty clusters drop out (deterministically — both
+    engines assign identically)."""
+    from goodreads_pyspark_spark.similarity.ann import _long_form
+
+    e = _long_form(df, id_col, vec_col).select(
+        F.col(id_col).alias("vec_id"), "pos", F.col("v").cast("double").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), "pos", F.col("v").alias("cval")
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = None
+    for r in range(rounds):
+        d2 = (
+            e.join(F.broadcast(cents), "pos")
+            .groupBy("vec_id", "cid")
+            .agg(
+                F.sum(
+                    ((F.col("v") - F.col("cval")) * (F.col("v") - F.col("cval"))).cast(
+                        _ACC
+                    )
+                ).alias("d2")
+            )
+        )
+        assigned = (
+            d2.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cid", "d2")
+        )
+        if r < rounds - 1:
+            cents = (
+                assigned.join(e, "vec_id")
+                .groupBy("cid", "pos")
+                .agg(
+                    (
+                        F.sum(F.col("v").cast(_ACC)).cast("double")
+                        / F.count(F.lit(1))
+                    ).alias("cval")
+                )
+            )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.round(F.sum("d2").cast("double"), 6).alias("inertia"),
+    )

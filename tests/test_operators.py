@@ -646,3 +646,21 @@ def test_quality_classifier_zero_token_doc_scores_zero(spark):
     assert rows[2].n_feats == 0 and rows[2].logit == 0.0 and rows[2].keep == 0
     assert rows[3].n_feats == 0 and rows[3].keep == 0
     assert rows[1].n_feats == 7  # 4 unigrams + 3 bigrams
+
+
+def test_as_of_join_tolerance_nulls_stale_payload(spark):
+    """merge_asof tolerance: a match older than the bound nulls the WHOLE
+    payload (not per-field), matches inside the bound are untouched."""
+    from goodreads_pyspark_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 100, "p1"), (1, 200, "p2")], ["k", "t", "nm"])
+    right = spark.createDataFrame(
+        [(1, 95, 7), (1, 110, 8)], ["k", "rt", "rid"]
+    )
+    out = as_of_join(
+        left, right, on=["k"], left_ts="t", right_ts="rt",
+        payload=["rid", "rt"], tiebreak="rid", tolerance=F.lit(50),
+    )
+    got = {r["nm"]: (r["rid"], r["rt"]) for r in out.collect()}
+    assert got["p1"] == (7, 95)          # within 50
+    assert got["p2"] == (None, None)     # rt=110 < 200-50 -> stale
