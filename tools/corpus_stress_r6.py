@@ -63,7 +63,11 @@ def main() -> None:
         ):
             t0 = time.perf_counter()
             try:
-                n = fn(spark, stage).count()
+                # collect(), not count(): d38's doc_id left join is
+                # provably-unique on the right, so Catalyst ELIMINATES the
+                # whole join (and the hashing underneath) for a bare count
+                # — the 0.4s it "measures" is a row-count scan.
+                n = len(fn(spark, stage).collect())
                 print(
                     f"x{f} {name}: {time.perf_counter() - t0:.1f}s ({n} rows)",
                     flush=True,
