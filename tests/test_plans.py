@@ -682,3 +682,23 @@ def test_e22_bucketed_semdedup_no_quadratic_kernel(spark):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_e24_lloyd_broadcasts_centroids(spark):
+    """Each Lloyd round joins the corpus long-form to the k·d centroid
+    table — the centroid side must broadcast (corpus never re-shuffles
+    against iteration state), and nothing may cartesian."""
+    plan = plan_of(spark, "a_e24_lloyd_kmeans")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_t23_tolerance_same_plan_as_asof(spark):
+    """The tolerance variant must stay the union-marker one-shuffle plan:
+    a single Window over the union — no extra join, no range join (a
+    range-join formulation would explode per key exactly when tolerance
+    windows are wide)."""
+    plan = plan_of(spark, "a_t23_asof_with_tolerance")
+    assert plan.count("Window") >= 1
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert bad not in plan, bad
