@@ -1910,3 +1910,204 @@ def a_t23_asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "view_event_id",
         (F.col("ts").cast("double") - F.col("view_ts").cast("double")).alias("gap_s"),
     )
+
+
+# --- session close by state timeout (silence as signal; new in r6) -----------
+@query(
+    "a_s11_session_timeout_close",
+    oracle="""
+    WITH x AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM events WHERE user_id < 100
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    s AS (SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM x)
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Sessions that close by SILENCE (VERDICT r5 #7): per-user session "
+    "state in applyInPandasWithState with an EVENT-TIME TIMEOUT at "
+    "last_event + gap — when the watermark passes it with no further "
+    "data for the key, Spark fires the close callback and the session "
+    "emits from the timeout path, not from a later event "
+    "(streaming/stateful.py session_close_by_timeout). Harness: events "
+    "staged as ~6 time waves plus a far-future sentinel, "
+    "maxFilesPerTrigger=1 with strictly ordered mtimes; two wave cuts "
+    "sit inside the largest intra-user silence, so that wave is silent "
+    "for that user, its batch's watermark is past the open deadline, "
+    "and the timeout fires MID-STREAM (asserted: a timeout-closed "
+    "session followed by a later session of the same user) while "
+    "gap-closes keep happening inline; the "
+    "sentinel forces the final no-data batch that flushes every tail "
+    "session. Both close paths emit the identical (start, last+gap, n) "
+    "integer-micros row, so the union is exactly the batch island set "
+    "— hash-gated against t17's relational oracle, plus an internal "
+    "row-for-row assert against the native session_window batch face.",
+)
+def a_s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import tempfile
+    import time
+    import uuid
+
+    from goodreads_pyspark_spark.streaming import (
+        run_to_memory_sink,
+        session_close_by_timeout,
+        sessionized_by_user,
+    )
+    from goodreads_pyspark_spark.streaming.windows import EVENT_SCHEMA
+
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
+
+    # Stage the stream as ~6 time waves in ONE partitioned write job. Wave
+    # boundaries are quartiles of the span PLUS two cuts placed inside the
+    # single largest intra-user silence (~100h at both sfs): the wave
+    # between those cuts contains no event for that user while the
+    # preceding wave's watermark has already passed their open session's
+    # deadline — the timeout path MUST fire mid-stream, with micro-batch
+    # count (and per-batch state-store overhead) independent of span.
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    wgap = Window.partitionBy("user_id").orderBy("ts")
+    top_gap = (
+        ev.select("user_id", "ts", F.lag("ts").over(wgap).alias("prev"))
+        .filter(F.col("prev").isNotNull())
+        .select(
+            "prev",
+            "ts",
+            (F.col("ts").cast("double") - F.col("prev").cast("double")).alias(
+                "g"
+            ),
+        )
+        .orderBy(F.desc("g"), "prev")
+        .first()
+    )
+    if top_gap["g"] < 6 * 3600:
+        raise AssertionError("fixture lacks a >6h intra-user silence")
+    import datetime as _dt
+
+    span = hi - lo
+    cuts = sorted(
+        {
+            lo + span / 4,
+            lo + span / 2,
+            lo + 3 * span / 4,
+            top_gap["prev"] + _dt.timedelta(hours=4),
+            top_gap["ts"] - _dt.timedelta(minutes=5),
+        }
+    )
+    wave_col = sum(
+        (F.col("ts") >= F.lit(c)).cast("int") for c in cuts
+    )
+    stage = tempfile.mkdtemp(prefix="s11_")
+    waves_dir = os.path.join(stage, "_waves")
+    (
+        ev.withColumn("wave", wave_col)
+        .repartition("wave")
+        .write.partitionBy("wave")
+        .parquet(waves_dir)
+    )
+    base = time.time() - 86400  # past mtimes keep maxFileAge irrelevant
+    wave_files = sorted(
+        glob.glob(os.path.join(waves_dir, "wave=*/*.parquet")),
+        key=lambda f: int(os.path.basename(os.path.dirname(f)).split("=")[1]),
+    )
+    for i, f in enumerate(wave_files):
+        # ascending mtimes pin the file source's oldest-first batch order
+        dst = os.path.join(stage, f"wave-{i:04d}.parquet")
+        os.rename(f, dst)
+        os.utime(dst, (base + i, base + i))
+    # typed sentinel (the s10 trick): passes the user filter via user_id -1,
+    # pushes the final watermark past every real deadline
+    sentinel = ev.agg(F.max("ts").alias("m")).select(
+        F.lit(-1).cast("long").alias("event_id"),
+        (F.col("m") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+        F.lit(-1).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    )
+    before = set(glob.glob(os.path.join(stage, "*.parquet")))
+    sentinel.coalesce(1).write.mode("append").parquet(stage)
+    for f in set(glob.glob(os.path.join(stage, "*.parquet"))) - before:
+        os.utime(f, (base + len(wave_files) + 1,) * 2)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .filter(F.col("user_id") < 100)
+        .withWatermark("ts", "1 hour")
+    )
+    name = f"s11_sink_{uuid.uuid4().hex[:8]}"
+    # ~31 micro-batches each pay per-partition state-store maintenance;
+    # state here is ~100 keys, so 4 partitions, not 32 (at scale this knob
+    # follows state size — the store shards by key across executors)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        run_to_memory_sink(
+            session_close_by_timeout(stream, gap_minutes=30),
+            name,
+            output_mode="update",
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    got = spark.table(name).filter(F.col("user_id") >= 0)
+
+    # fixture property: a timeout-closed session for a user who has a LATER
+    # session is provably a MID-STREAM silence close — had the user's next
+    # event been processed first, the handler would have closed the old
+    # session inline as 'gap'; 'timeout' means the callback fired in a
+    # batch strictly before the one carrying that user's next event.
+    later = got.select(
+        F.col("user_id").alias("u"), F.col("session_start").alias("nxt")
+    )
+    mid_stream = (
+        got.filter(F.col("closed_by") == "timeout")
+        .join(
+            later,
+            (F.col("user_id") == F.col("u"))
+            & (F.col("nxt") > F.col("session_end")),
+            "left_semi",
+        )
+        .count()
+    )
+    if not mid_stream:
+        raise AssertionError("no mid-stream timeout-closed session in fixture")
+    if not got.filter(F.col("closed_by") == "gap").count():
+        raise AssertionError("no gap-closed session in fixture")
+
+    # stream == batch, row for row (the s07 convention)
+    expected = sessionized_by_user(ev)
+    bad = (
+        got.join(expected, ["user_id", "session_start"], "full")
+        .filter(
+            ~got["n_events"].eqNullSafe(expected["n_events"])
+            | ~got["session_end"].eqNullSafe(expected["session_end"])
+        )
+        .count()
+    )
+    if bad:
+        raise AssertionError(
+            f"timeout-closed sessions diverge from batch for {bad} sessions"
+        )
+    return got.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        "n_events",
+    )

@@ -6,5 +6,8 @@ from goodreads_pyspark_spark.streaming.windows import (  # noqa: F401
     run_to_memory_sink,
     stream_events_from_dir,
 )
-from goodreads_pyspark_spark.streaming.stateful import running_user_totals  # noqa: F401
+from goodreads_pyspark_spark.streaming.stateful import (  # noqa: F401
+    running_user_totals,
+    session_close_by_timeout,
+)
 from goodreads_pyspark_spark.streaming.dedup import dedup_events  # noqa: F401

@@ -80,3 +80,109 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, closed_by string"
+)
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long"
+
+
+def session_close_by_timeout(
+    events: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """Per-user sessions that close by SILENCE, not only by data.
+
+    ``sessionized_by_user`` (windows.py) closes a session when the
+    watermark passes its end — but it only ever EMITS through the window
+    aggregation, so the operator observes closure passively. This is the
+    active state-machine face: per-user state holds the open session, and
+    an EVENT-TIME TIMEOUT set at ``last_event + gap`` fires the close
+    callback when the watermark passes it with no further data for that
+    key — the fraud-alert / session-summary-push shape where the ABSENCE
+    of events is itself the signal.
+
+    Close paths (both emit the identical (start, end=last+gap, n) row, so
+    the union is the exact batch island set):
+
+    * ``gap``: a newer event for the SAME key arrives strictly more than
+      ``gap`` after the open session's last event — close inline, start a
+      new session. Strictly-greater break matches ``F.session_window``'s
+      touching-sessions-merge (t17's oracle).
+    * ``timeout``: the watermark passes ``last + gap`` and Spark invokes
+      the handler with ``hasTimedOut`` — the key received nothing; emit
+      and drop state. If a batch's own events land with their deadline
+      ALREADY behind the watermark (``getCurrentWatermarkMs``), the
+      session is silence-expired on arrival: emit immediately rather than
+      set an invalid (past) timeout, which Spark rejects.
+
+    State is (start_us, last_us, n) integer micros — order-independent
+    and exact, so streaming output hash-matches the batch oracle. Scale
+    posture: state per OPEN session only (closed state is removed), one
+    key-shuffle per batch, timeouts evicted by the state store as the
+    watermark advances — bounded state on an unbounded stream.
+
+    Requires ``withWatermark`` upstream (event-time timeout contract).
+    Handler is nested for cloudpickle by-value (see running_user_totals).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def close_sessions(key, pdfs, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        (user_id,) = key
+
+        def row(start_us, last_us, n, how):
+            return {
+                "user_id": user_id,
+                "session_start": pd.Timestamp(start_us, unit="us"),
+                "session_end": pd.Timestamp(last_us + gap_us, unit="us"),
+                "n_events": n,
+                "closed_by": how,
+            }
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame([row(start_us, last_us, n, "timeout")])
+            return
+
+        # np conversion normalizes pandas' datetime64 unit (ns in pandas
+        # 1.x, native us under pandas 2 + Arrow) to micros exactly.
+        stamps = sorted(
+            int(t)
+            for pdf in pdfs
+            for t in np.asarray(pdf["ts"], dtype="datetime64[us]").astype(
+                "int64"
+            )
+        )
+        start_us, last_us, n = state.get if state.exists else (None, 0, 0)
+        closed = []
+        for t in stamps:
+            if start_us is None:
+                start_us, last_us, n = t, t, 1
+            elif t - last_us > gap_us:
+                closed.append(row(start_us, last_us, n, "gap"))
+                start_us, last_us, n = t, t, 1
+            else:
+                last_us, n = max(last_us, t), n + 1
+        if start_us is not None:
+            deadline_ms = (last_us + gap_us) // 1000
+            if deadline_ms <= state.getCurrentWatermarkMs():
+                closed.append(row(start_us, last_us, n, "timeout"))
+                state.remove()
+            else:
+                state.update((start_us, last_us, n))
+                state.setTimeoutTimestamp(deadline_ms)
+        if closed:
+            yield pd.DataFrame(closed)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        close_sessions,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

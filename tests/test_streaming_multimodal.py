@@ -324,3 +324,88 @@ def test_stream_restart_from_checkpoint_is_exactly_once(
     sunk = spark.read.parquet(out)
     assert sunk.count() == a.count() + b.count()
     assert sunk.select("event_id").distinct().count() == events.count()
+
+
+def test_session_timeout_close_paths(spark, tmp_path_factory):
+    """session_close_by_timeout (r6): a constructed 4-wave stream pins both
+    close paths — user 1's first session MUST close via the event-time
+    TIMEOUT in wave 3 (silence: only user 2 flows, watermark passes the
+    deadline), every tail session closes via the sentinel-driven final
+    timeout, and user 3's exactly-gap-apart pair merges (touching sessions
+    are one, the F.session_window rule)."""
+    import datetime as dt
+    import os
+
+    from goodreads_pyspark_spark.streaming import session_close_by_timeout
+    from goodreads_pyspark_spark.streaming.windows import EVENT_SCHEMA
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(user, minutes, eid):
+        return (eid, t0 + dt.timedelta(minutes=minutes), user, "view", 1.0, None)
+
+    waves = [
+        # w1: u1 opens (0,10); u2 opens (5,25); u3 exactly-touching pair;
+        # u4's second event is >gap after the first -> inline 'gap' close
+        # (kept at 40m: a far-future event here would advance the global
+        # watermark past later waves' events and drop them as late)
+        [ev(1, 0, 1), ev(1, 10, 2), ev(2, 5, 3), ev(2, 25, 4),
+         ev(3, 0, 5), ev(3, 30, 6), ev(4, 0, 13), ev(4, 40, 14)],
+        # w2: u2 only — watermark (25-10=15m) still below u1 deadline (40m)
+        [ev(2, 45, 7), ev(2, 65, 8)],
+        # w3: u2 only — watermark (65-10=55m) passes u1 deadline -> TIMEOUT
+        [ev(2, 85, 9), ev(2, 105, 10)],
+        # w4: u1 returns (new session) + far-future sentinel flushes tails
+        [ev(1, 180, 11), ev(1, 185, 12),
+         (99, t0 + dt.timedelta(days=30), -1, "view", 0.0, None)],
+    ]
+    stage = str(tmp_path_factory.mktemp("s11_unit"))
+    base = 1_700_000_000
+    for i, rows in enumerate(waves):
+        sub = os.path.join(stage, "_w")
+        spark.createDataFrame(rows, EVENT_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(sub)
+        import glob as g
+
+        (part,) = g.glob(os.path.join(sub, "*.parquet"))
+        dst = os.path.join(stage, f"wave-{i}.parquet")
+        os.replace(part, dst)
+        os.utime(dst, (base + i, base + i))
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .withWatermark("ts", "10 minutes")
+    )
+    q = (
+        session_close_by_timeout(stream, gap_minutes=30)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("s11_unit")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        (r["user_id"], r["session_start"]): (
+            r["session_end"],
+            r["n_events"],
+            r["closed_by"],
+        )
+        for r in spark.table("s11_unit").filter(F.col("user_id") >= 0).collect()
+    }
+    m = dt.timedelta(minutes=1)
+    assert got == {
+        (1, t0): (t0 + 40 * m, 2, "timeout"),          # mid-stream silence
+        (1, t0 + 180 * m): (t0 + 215 * m, 2, "timeout"),  # tail flush
+        (2, t0 + 5 * m): (t0 + 135 * m, 6, "timeout"),    # tail flush
+        (3, t0): (t0 + 60 * m, 2, "timeout"),  # touching pair = ONE session
+        (4, t0): (t0 + 30 * m, 1, "gap"),      # inline same-batch close
+        (4, t0 + 40 * m): (t0 + 70 * m, 1, "timeout"),  # mid-stream (w4)
+    }
