@@ -2458,3 +2458,81 @@ def a_d39_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment_words(
         tbl(spark, sf_dir, "documents"), n_merges=_D37_MERGES, top_k=200
     )
+
+
+# --- deterministic training-order shuffle (epoch layout; new in r6) ----------
+@query(
+    "a_d40_epoch_shuffle",
+    oracle="""
+    WITH e0 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(concat('epoch0', ':', CAST(doc_id AS VARCHAR))),
+                        doc_id) - 1 AS pos_epoch0
+      FROM documents),
+    e1 AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (
+               ORDER BY md5(concat('epoch1', ':', CAST(doc_id AS VARCHAR))),
+                        doc_id) - 1 AS pos_epoch1
+      FROM documents)
+    SELECT e0.doc_id,
+           CAST(pos_epoch0 AS BIGINT) AS pos_epoch0,
+           CAST(pos_epoch1 AS BIGINT) AS pos_epoch1,
+           CAST(pos_epoch0 // 128 AS BIGINT) AS shard_epoch0
+    FROM e0 JOIN e1 USING (doc_id)
+    """,
+    doc="Deterministic global TRAINING-ORDER shuffle with per-epoch "
+    "reshuffle — the stage between a curated corpus and the trainer's "
+    "data loader: every doc gets a position in a salted-md5 total "
+    "order (portable across engines and runs), a different salt "
+    "re-deals the order each epoch, and positions map to fixed-size "
+    "shards. The global position is assigned WITHOUT a global window "
+    "or zipWithIndex: the md5 key's first hex byte buckets rows into "
+    "256 uniform groups, a PARTITIONED window ranks within each "
+    "bucket, and bucket offsets come from a 256-row broadcast "
+    "self-join prefix sum — because the bucket is a PREFIX of the sort "
+    "key, offset + within-bucket rank equals the global rank. Scale "
+    "shape: one hash shuffle on the bucket + a per-bucket sort "
+    "(Spark's own sort-shuffle machinery), no single-partition "
+    "bottleneck at any size; exactly how you deal a 100 TB corpus "
+    "into train-order shards.",
+)
+def a_d40_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id")
+
+    def epoch_pos(salt: str, alias: str) -> DataFrame:
+        key = F.md5(
+            F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string"))
+        )
+        keyed = docs.select(
+            "doc_id", key.alias("k"), F.substring(key, 1, 2).alias("b")
+        )
+        w = Window.partitionBy("b").orderBy("k", "doc_id")
+        ranked = keyed.withColumn("r", F.row_number().over(w))
+        counts = keyed.groupBy("b").agg(F.count(F.lit(1)).alias("n"))
+        offsets = (
+            counts.alias("l")
+            .join(
+                F.broadcast(counts.alias("r")),
+                F.col("r.b") < F.col("l.b"),
+                "left",
+            )
+            .groupBy(F.col("l.b").alias("b"))
+            .agg(F.coalesce(F.sum("r.n"), F.lit(0)).alias("off"))
+        )
+        return ranked.join(F.broadcast(offsets), "b").select(
+            "doc_id",
+            (F.col("off") + F.col("r") - 1).cast("bigint").alias(alias),
+        )
+
+    e0 = epoch_pos("epoch0", "pos_epoch0")
+    e1 = epoch_pos("epoch1", "pos_epoch1")
+    return e0.join(e1, "doc_id").select(
+        "doc_id",
+        "pos_epoch0",
+        "pos_epoch1",
+        F.expr("pos_epoch0 div 128").cast("bigint").alias("shard_epoch0"),
+    )

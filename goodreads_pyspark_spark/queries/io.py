@@ -445,3 +445,51 @@ def a_io09_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
             f"PartitionFilters (brackets={brackets!r}):\n" + plan[:2000]
         )
     return out
+
+
+@query(
+    "a_io10_orc_roundtrip_pushdown",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_quantity < 10
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="ORC as a second columnar transport (next to parquet): lineitem is "
+    "written to ORC, read back through Spark's native vectorized ORC "
+    "reader with a range predicate, and the gate inspects the executed "
+    "plan — the l_quantity filter must appear in the scan's "
+    "PushedFilters bracket (ORC row-group min/max skipping; at 100 TB "
+    "the difference between decoding every stripe and skipping most) "
+    "or an AssertionError fails the driver row. The decimal-exact "
+    "revenue aggregate then hash-checks the transport was lossless "
+    "against the SAME aggregate on the original parquet (the oracle "
+    "never sees ORC — the format IS what is under test).",
+)
+def a_io10_orc_roundtrip_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="io10_orc_")
+    tbl(spark, sf_dir, "lineitem").write.mode("overwrite").orc(base)
+    li = spark.read.orc(base).filter(F.col("l_quantity") < 10)
+    plan = li._jdf.queryExecution().executedPlan().toString()
+    brackets = re.findall(r"PushedFilters:\s*\[([^\]]*)\]", plan)
+    if not any("l_quantity" in b and "LessThan" in b for b in brackets):
+        raise AssertionError(
+            "l_quantity range predicate did not reach the ORC scan's "
+            f"PushedFilters (brackets={brackets!r}):\n" + plan[:2000]
+        )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(30,6)"
+            )
+        )
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -702,3 +702,22 @@ def test_t23_tolerance_same_plan_as_asof(spark):
     assert plan.count("Window") >= 1
     for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+def test_d40_epoch_shuffle_plan(spark):
+    """Global position assignment must ride the bucket-offset pattern:
+    per-bucket PARTITIONED window + broadcast offsets — never a global
+    sort into one partition, never a cartesian. The 256-row offset
+    prefix-sum self-join is allowed to be a broadcast nested-loop (it is
+    bounded by construction, the bounded_rank convention); the doc-side
+    joins must be hash joins, and the scan must prune to doc_id only."""
+    plan = plan_of(spark, "a_d40_epoch_shuffle")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    # formatted explain mentions each node twice (tree + details):
+    # 2 bounded offset joins -> at most 4 mentions
+    assert plan.count("BroadcastNestedLoopJoin") <= 4
+    import re
+
+    for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
+        assert m == "doc_id:bigint", m
