@@ -746,12 +746,12 @@ def d15_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- near-dup clustering + canonical selection ------------------------------
-def _c02_oracle(rounds: int = 10) -> str:
-    """Jaccard>=0.5 pair graph (d06's exact SQL, same df cap) -> unrolled
-    min-label propagation with pointer doubling (g05's pattern; 10 rounds
-    = radius 2047, far past any near-dup chain) -> per-cluster size and
-    min-id canonical flag. Both engines reach the algorithm-independent
-    fixpoint, so labels compare exactly."""
+def _cc_cluster_ctes(rounds: int = 10) -> str:
+    """Shared CTE chain for the Jaccard>=0.5 near-dup component oracle:
+    d06's exact pair SQL (same df cap) -> unrolled min-label propagation
+    with pointer doubling (g05's pattern; ``rounds``=10 covers radius
+    2047, far past any near-dup chain) -> per-cluster sizes. Used by c02
+    (min-id canonical) and c04 (quality-argmax survivor)."""
     steps = []
     for r in range(1, rounds + 1):
         p = r - 1
@@ -763,8 +763,7 @@ def _c02_oracle(rounds: int = 10) -> str:
                UNION ALL
                SELECT e.u AS id, l.label AS x FROM und e JOIN l{p} l ON l.id = e.v
              ) t GROUP BY t.id)""")
-    return f"""
-    WITH {_SHINGLE_CTES},
+    return f"""{_SHINGLE_CTES},
     dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
     shf AS MATERIALIZED (SELECT s.doc_id, s.sh FROM sh s
             JOIN dfreq USING (sh) WHERE df <= {D06_MAX_DF}),
@@ -780,7 +779,13 @@ def _c02_oracle(rounds: int = 10) -> str:
     und AS MATERIALIZED (SELECT doc_a AS u, doc_b AS v FROM pairs
             UNION ALL SELECT doc_b, doc_a FROM pairs),
     l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS label FROM und),{",".join(steps)},
-    sizes AS (SELECT label, count(*) AS cluster_size FROM l{rounds} GROUP BY label)
+    sizes AS (SELECT label, count(*) AS cluster_size FROM l{rounds} GROUP BY label)"""
+
+
+def _c02_oracle(rounds: int = 10) -> str:
+    """Component labels + min-id canonical flag (see _cc_cluster_ctes)."""
+    return f"""
+    WITH {_cc_cluster_ctes(rounds)}
     SELECT l.id AS doc_id, CAST(l.label AS BIGINT) AS cluster_id,
            CAST(s.cluster_size AS BIGINT) AS cluster_size,
            CAST(l.id = l.label AS INTEGER) AS is_canonical
@@ -2535,4 +2540,96 @@ def a_d40_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos_epoch0",
         "pos_epoch1",
         F.expr("pos_epoch0 div 128").cast("bigint").alias("shard_epoch0"),
+    )
+
+
+# --- quality-weighted canonical survivor (new in r6) -------------------------
+def _c04_oracle(rounds: int = 10) -> str:
+    return f"""
+    WITH {_cc_cluster_ctes(rounds)},
+    qtk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               [t[i] || '_' || t[i + 1] for i in range(1, len(t))])) AS f
+      FROM qtk),
+    wts AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qw1_' || CAST(
+                ('0x' || substr(md5('qv1_' || f), 1, 8))::BIGINT % 4096
+              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+      FROM feats),
+    qagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(w) AS BIGINT) AS sum_w
+      FROM wts GROUP BY doc_id),
+    scored AS (
+      SELECT l.id AS doc_id, l.label AS cluster_id, s.cluster_size,
+             CASE WHEN COALESCE(q.n_feats, 0) = 0 THEN 0.0
+                  ELSE q.sum_w / (q.n_feats * 1000.0) END AS quality
+      FROM l{rounds} l JOIN sizes s ON l.label = s.label
+      LEFT JOIN qagg q ON q.doc_id = l.id),
+    rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                       ORDER BY quality DESC, doc_id) AS r FROM scored)
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size, quality,
+           CAST(CASE WHEN r = 1 THEN 1 ELSE 0 END AS INTEGER) AS is_survivor
+    FROM rk
+    """
+
+
+@query(
+    "a_c04_quality_survivor",
+    oracle=_c04_oracle(),
+    doc="Quality-WEIGHTED canonical selection: c02's near-dup components "
+    "(same Jaccard>=0.5 pairs, same alternating-star CC) but the "
+    "survivor of each cluster is the argmax of d38's learned quality "
+    "logit (tie: lowest doc_id), not the min id — what a production "
+    "dedup actually keeps (the best-written copy, not the "
+    "lowest-numbered one). Composition is two already-gated stages "
+    "plus one PARTITIONED window over cluster members; the logit is "
+    "one IEEE division of exact integers, so the cross-engine argmax "
+    "ordering is exact. Scale shape: CC cost unchanged, scoring is "
+    "map-side linear, the window partitions by cluster id.",
+)
+def a_c04_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
+    from goodreads_pyspark_spark.functions.quality_model import quality_scores
+    from goodreads_pyspark_spark.graph.frames import PropertyGraph
+    from goodreads_pyspark_spark.graph.pregel import (
+        connected_components_alternating,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.5, max_df=D06_MAX_DF)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    cc = connected_components_alternating(PropertyGraph(verts, edges))
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    scored = (
+        cc.join(sizes, "component")
+        .join(
+            quality_scores(docs).select("doc_id", F.col("logit").alias("quality")),
+            cc["id"] == F.col("doc_id"),
+            "left",
+        )
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("component").cast("bigint").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            F.coalesce(F.col("quality"), F.lit(0.0)).alias("quality"),
+        )
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id")
+    )
+    return scored.withColumn(
+        "is_survivor",
+        (F.row_number().over(w) == 1).cast("int"),
     )

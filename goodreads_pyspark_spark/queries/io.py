@@ -493,3 +493,88 @@ def a_io10_orc_roundtrip_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("revenue"),
     )
+
+
+@query(
+    "a_io11_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_custkey, c.c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(30,2))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY o.o_custkey, c.c_mktsegment
+    """,
+    doc="Bucketed CO-LOCATED join, proven shuffle-free from the executed "
+    "plan: orders and customer are persisted as managed tables bucketed "
+    "8 ways on the customer key (sources/sinks.py write_parquet_table "
+    "bucket_by), broadcast is disabled for the gate so the join must "
+    "pick SortMergeJoin, and the plan is asserted to contain ZERO "
+    "Exchange nodes — both scans report the bucket hash distribution, "
+    "so the join AND the post-join per-customer aggregate (grouping "
+    "keys contain the bucket key) run entirely within pre-placed "
+    "partitions. At 100 TB this is the "
+    "bucketing payoff: the fact table's join shuffle (the single "
+    "largest data movement in a star join) is paid ONCE at write time "
+    "and amortized over every subsequent join on that key. The "
+    "decimal-exact aggregate hash-checks that co-location lost "
+    "nothing.",
+)
+def a_io11_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from goodreads_pyspark_spark.sources.sinks import write_parquet_table
+
+    # a crashed prior run can leave the managed-table LOCATION without its
+    # catalog entry; saveAsTable(overwrite) then refuses — clean both
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").replace("file:", "")
+    for t in ("io11_orders_bucketed", "io11_customer_bucketed"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    write_parquet_table(
+        tbl(spark, sf_dir, "orders"),
+        "io11_orders_bucketed",
+        bucket_by=(8, ["o_custkey"]),
+    )
+    write_parquet_table(
+        tbl(spark, sf_dir, "customer"),
+        "io11_customer_bucketed",
+        bucket_by=(8, ["c_custkey"]),
+    )
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("io11_orders_bucketed").join(
+            spark.table("io11_customer_bucketed"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        out = joined.groupBy("o_custkey", "c_mktsegment").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(30,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "SortMergeJoin" not in plan:
+            raise AssertionError("bucketed join did not pick SMJ:\n" + plan[:2000])
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed co-located join still shuffles:\n" + plan[:2000]
+            )
+        # force execution while the no-broadcast confs are still in place
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out
