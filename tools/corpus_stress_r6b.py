@@ -1,0 +1,57 @@
+"""Round-6 second stress probe: the late-round additions at 1x and 10x.
+
+* c04_quality_survivor — c02's pair graph + CC with a per-cluster
+  quality argmax window. Expected ~c02's curve (CC dominates; scoring is
+  one linear keyed agg; the window partitions by cluster id).
+* d40_epoch_shuffle — salted-md5 total order via bucket-offset ranks.
+  Expected ~linear (one hash shuffle on the 256-way bucket + per-bucket
+  sort, twice; the offset join is constant-size).
+
+Same near-duplicate replication scheme as corpus_stress_r5/r6.
+
+Usage: python tools/corpus_stress_r6b.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import replicate
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark("corpus_stress_r6b")
+
+    from goodreads_pyspark_spark.queries.documents import (
+        a_c04_quality_survivor,
+        a_d40_epoch_shuffle,
+    )
+
+    for f in factors:
+        stage = tempfile.mkdtemp(prefix=f"r6b_x{f}_")
+        docs = replicate(spark, "documents", f, "doc_id", stage)
+        (Path(stage) / "documents.parquet").symlink_to(docs)
+
+        print(f"--- {f}x ({spark.read.parquet(docs).count():,} docs) ---")
+        for name, fn in (
+            ("c04_quality_survivor", a_c04_quality_survivor),
+            ("d40_epoch_shuffle", a_d40_epoch_shuffle),
+        ):
+            t0 = time.perf_counter()
+            n = len(fn(spark, stage).collect())
+            print(
+                f"x{f} {name}: {time.perf_counter() - t0:.1f}s ({n} rows)",
+                flush=True,
+            )
+            spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
