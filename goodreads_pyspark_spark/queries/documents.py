@@ -2612,10 +2612,18 @@ def a_c04_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cc = connected_components_alternating(PropertyGraph(verts, edges))
     sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    # score only cluster members — the quality join is LEFT from cc, so
+    # restricting the scorer's input is result-identical and skips
+    # exploding features for the (vast) unclustered majority
+    clustered_docs = docs.join(
+        verts.withColumnRenamed("id", "doc_id"), "doc_id", "left_semi"
+    )
     scored = (
         cc.join(sizes, "component")
         .join(
-            quality_scores(docs).select("doc_id", F.col("logit").alias("quality")),
+            quality_scores(clustered_docs).select(
+                "doc_id", F.col("logit").alias("quality")
+            ),
             cc["id"] == F.col("doc_id"),
             "left",
         )
