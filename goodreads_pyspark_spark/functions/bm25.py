@@ -1,0 +1,126 @@
+"""Integer-exact BM25 ranked retrieval (presence variant).
+
+Classic BM25 (Robertson & Sparck Jones probabilistic relevance; the
+Okapi formulation used by Lucene/Elasticsearch) is
+``sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` with
+``idf = ln(1 + (N-df+0.5)/(df+0.5))``. Two parts of that are NOT
+portable across engines at the bit level: ``ln`` (libm implementations
+legitimately differ in the last ulp) and float division (fine alone,
+but downstream rounding/thresholding amplifies ulp differences into
+hash mismatches). This module therefore computes a deterministic
+integer-exact BM25 variant suitable for a cross-engine gate:
+
+* **presence tf** (tf clamped to 0/1). With binary tf the saturation
+  denominator depends only on the document — every matched term shares
+  it — so the whole score is ONE rational with integer numerator and
+  denominator (no per-term float sums).
+* **bit-length idf**: ``idf2(t) = bitlen(2N+2) - bitlen(2*df+1)``, an
+  integer-arithmetic surrogate for ``floor(log2(1+(N-df+.5)/(df+.5)))``
+  (within ±1 of the true floor; ``bitlen(x) = length(bin(x))`` in both
+  Spark and DuckDB). Coarse — that is the price of bit-exactness; a
+  production deployment on ONE engine would use the double-precision
+  idf and skip the gate trick. Always ≥ 0 (Lucene-shape ``1 +`` form),
+  so stop-like terms saturate to zero contribution rather than going
+  negative.
+* **k1=1.2, b=0.75** as exact rationals. With tf=1 the per-doc factor
+  is ``(k1+1) / (1 + k1*(1-b) + k1*b*dl/avgdl)``; substituting
+  ``avgdl = L/N`` and clearing denominators gives
+  ``score = 22*L*idf_sum / (13*L + 9*dl*N)`` — all BIGINT products
+  (~1e13 at sf0.1; switch the numerator to DECIMAL(38,0) beyond ~1e12
+  tokens), ranked via one integer division scaled by 1e5.
+
+Scale shape: tokenize once, one explode → (doc, term) hits filtered to
+the query's terms BEFORE the shuffle (the hit stream is |query|-bounded
+per doc, not |vocab|), df/N/L are tiny aggregates that broadcast, and
+the final ranking is a TakeOrdered top-k — no global sort. At 100 TB
+this is one corpus scan plus broadcast joins.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.functions.text import tokens
+from goodreads_pyspark_spark.operators.relational import top_k
+
+#: score = (SCALE * 22 * L * idf_sum) DIV (13*L + 9*dl*N)  [k1=6/5, b=3/4]
+_SCALE = 100_000
+
+
+def bm25_presence_rank(
+    docs: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` documents for ``query_terms`` under integer-exact BM25.
+
+    Returns (doc_id, n_hits, idf_sum, dl, score_scaled) ordered by
+    (score_scaled DESC, doc_id) — a unique total order under LIMIT.
+    Documents matching no term score 0 and still compete on doc_id
+    tie-break, so the result is total-order deterministic even when
+    fewer than ``k`` documents match.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    ).select("doc_id", "t", F.size("t").cast("bigint").alias("dl"))
+
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_toks"),
+    )
+
+    # presence hits: distinct (doc, term) restricted to the query's terms
+    # before any shuffle — the exploded stream a keyed agg sees is at most
+    # |query_terms| rows per document.
+    hits = (
+        toks.select("doc_id", F.explode(F.array_distinct("t")).alias("tok"))
+        .filter(F.col("tok").isin(*[str(t) for t in query_terms]))
+    )
+
+    idf = (
+        hits.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+        .crossJoin(F.broadcast(stats))  # one-row aggregate — broadcast
+        .select(
+            "tok",
+            (
+                F.length(F.bin(F.lit(2) * F.col("n_docs") + F.lit(2)))
+                - F.length(F.bin(F.lit(2) * F.col("df") + F.lit(1)))
+            )
+            .cast("bigint")
+            .alias("idf"),
+        )
+    )
+
+    per_doc = hits.join(F.broadcast(idf), "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.sum("idf").cast("bigint").alias("idf_sum"),
+    )
+
+    scored = (
+        toks.select("doc_id", "dl")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce("idf_sum", F.lit(0)).cast("bigint").alias("idf_sum"),
+            "dl",
+        )
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "n_hits",
+            "idf_sum",
+            "dl",
+            F.expr(
+                f"CAST((22 * n_toks * idf_sum * {_SCALE}) "
+                "DIV (13 * n_toks + 9 * dl * n_docs) AS BIGINT)"
+            ).alias("score_scaled"),
+        )
+    )
+    return top_k(scored, k, [F.desc("score_scaled"), F.asc("doc_id")])

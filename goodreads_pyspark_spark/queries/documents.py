@@ -2641,3 +2641,99 @@ def a_c04_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_survivor",
         (F.row_number().over(w) == 1).cast("int"),
     )
+
+
+# --- integer-exact BM25 ranked retrieval (new in r6) -------------------------
+_D41_TERMS = ("dup", "spark", "batch")
+
+
+@query(
+    "a_d41_bm25_rank",
+    oracle=f"""
+    WITH tkb AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    dtl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tkb),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS n_toks FROM dtl),
+    hit AS (SELECT DISTINCT doc_id, tok
+            FROM (SELECT doc_id, unnest(t) AS tok FROM tkb)
+            WHERE tok IN {_D41_TERMS!r}),
+    dfc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM hit GROUP BY tok),
+    idf AS (SELECT tok,
+                   CAST(length(bin(2 * n_docs + 2))
+                        - length(bin(2 * df + 1)) AS BIGINT) AS idf
+            FROM dfc, stats),
+    hs AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                  CAST(SUM(idf) AS BIGINT) AS idf_sum
+           FROM hit JOIN idf USING (tok) GROUP BY doc_id),
+    sc AS (SELECT d.doc_id,
+                  COALESCE(n_hits, 0) AS n_hits,
+                  COALESCE(idf_sum, 0) AS idf_sum,
+                  dl,
+                  CAST(22 * n_toks * COALESCE(idf_sum, 0) * 100000
+                       // (13 * n_toks + 9 * dl * n_docs) AS BIGINT)
+                    AS score_scaled
+           FROM dtl d LEFT JOIN hs USING (doc_id), stats)
+    SELECT doc_id, n_hits, idf_sum, dl, score_scaled
+    FROM sc ORDER BY score_scaled DESC, doc_id LIMIT 20
+    """,
+    doc="Integer-exact BM25 ranked retrieval (functions/bm25.py): presence "
+    "tf makes the whole score one rational with integer numerator/"
+    "denominator (per-doc saturation factor is term-independent), idf "
+    "is the bit-length integer log2 of the Lucene-shape odds ratio "
+    "(bin() in both engines — no libm ln in the gate), k1=6/5 b=3/4 "
+    "cleared to the BIGINT formula 22*L*idf_sum*1e5 DIV (13L+9*dl*N). "
+    "Scale shape: hits filtered to the query's terms BEFORE the "
+    "shuffle, df/N/L broadcast, TakeOrdered top-20 — one corpus scan. "
+    "Full-precision float BM25 belongs on a single engine; this gate "
+    "pins the portable integer core.",
+)
+def a_d41_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.bm25 import bm25_presence_rank
+
+    return bm25_presence_rank(
+        tbl(spark, sf_dir, "documents"), query_terms=_D41_TERMS, k=20
+    )
+
+
+# --- exact duplicated-substring removal (Lee et al. shape; new in r6) --------
+@query(
+    "a_d42_substring_dedup",
+    oracle=f"""
+    WITH tks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    g AS (SELECT doc_id, i - 1 AS pos,
+                 md5(array_to_string(t[i:i+7], ' ')) AS h
+          FROM tks, unnest(range(1, len(t) - 6)) AS r(i)
+          WHERE len(t) >= 8),
+    freq AS (SELECT h FROM g GROUP BY h HAVING COUNT(*) >= 2),
+    cov AS (SELECT DISTINCT doc_id, pos
+            FROM (SELECT doc_id, unnest(range(pos, pos + 8)) AS pos
+                  FROM g JOIN freq USING (h))),
+    tp AS (SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+                  unnest(t) AS tok FROM tks),
+    kept AS (SELECT tp.doc_id, tp.pos, tp.tok
+             FROM tp ANTI JOIN cov USING (doc_id, pos)),
+    pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+                  md5(string_agg(tok, ' ' ORDER BY pos)) AS kept_md5
+           FROM kept GROUP BY doc_id)
+    SELECT tks.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(t) - COALESCE(n_kept, 0) AS BIGINT) AS n_covered,
+           COALESCE(n_kept, 0) AS n_kept,
+           COALESCE(kept_md5, md5('')) AS kept_md5
+    FROM tks LEFT JOIN pd USING (doc_id)
+    """,
+    doc="Exact duplicated-SUBSTRING removal — the ExactSubstr pass of Lee "
+    "et al. 2022 (dedup/substring.py): every 8-token window with corpus "
+    "frequency >= 2 has its covered positions removed from every "
+    "occurrence, and the gate fingerprints the RECONSTRUCTED text "
+    "(md5 of position-ordered survivors), proving the span surgery "
+    "byte-correct, not just counted. The paper's suffix array does "
+    "not distribute; this is the postings re-expression — md5 gram "
+    "keys (shuffles carry hashes, never text), one keyed count, a "
+    "bounded x8 position explode, one anti-join. Linear in corpus "
+    "tokens at any scale.",
+)
+def a_d42_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.substring import duplicated_span_removal
+
+    return duplicated_span_removal(tbl(spark, sf_dir, "documents"), k=8, min_freq=2)

@@ -1403,3 +1403,77 @@ def a_e24_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     return lloyd_fit(emb, k=_E24_K, rounds=_E24_ROUNDS)
+
+
+# --- MMR diversity re-rank over int8 codes (new in r6) -----------------------
+_E25_POOL = 20
+_E25_K = 8
+
+
+def _e25_oracle(pool: int = _E25_POOL, k: int = _E25_K) -> str:
+    """Unrolled greedy MMR: one (candidate-pick, selected-set) CTE pair
+    per step — the same oracle idiom as the CC / Lloyd round chains."""
+    steps = []
+    for j in range(2, k + 1):
+        p = j - 1
+        steps.append(f"""
+    c{j} AS MATERIALIZED (SELECT p.vec_id, p.rel, CAST(MAX(d.dot) AS BIGINT) AS maxsim,
+                    CAST(7 * p.rel - 3 * MAX(d.dot) AS BIGINT) AS mmr
+             FROM pool p JOIN pd d ON d.ia = p.vec_id
+                  AND d.ib IN (SELECT vec_id FROM s{p})
+             WHERE p.vec_id NOT IN (SELECT vec_id FROM s{p})
+             GROUP BY p.vec_id, p.rel
+             ORDER BY mmr DESC, p.vec_id LIMIT 1),
+    s{j} AS MATERIALIZED (SELECT vec_id FROM s{p} UNION ALL SELECT vec_id FROM c{j})""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({j} AS INTEGER) AS rank, vec_id, rel AS rel_dot, "
+        f"maxsim AS max_sim_prev, mmr AS mmr_scaled FROM c{j}"
+        for j in range(1, k + 1)
+    )
+    return f"""
+    WITH {_LONG},
+    amax AS (SELECT pos, greatest(MAX(abs(v)), 1e-30) AS amax
+             FROM e GROUP BY pos),
+    cd AS MATERIALIZED (SELECT vec_id, e.pos,
+                  CAST(floor(v * 127.0 / amax + 0.5) AS BIGINT) AS code
+           FROM e JOIN amax USING (pos)),
+    q AS (SELECT pos, code AS qc FROM cd WHERE vec_id = 0),
+    rel AS (SELECT cd.vec_id, CAST(SUM(code * qc) AS BIGINT) AS rel
+            FROM cd JOIN q USING (pos) WHERE vec_id <> 0
+            GROUP BY cd.vec_id),
+    pool AS MATERIALIZED (SELECT vec_id, rel FROM rel ORDER BY rel DESC, vec_id
+             LIMIT {pool}),
+    pc AS (SELECT cd.vec_id, pos, code FROM cd JOIN pool USING (vec_id)),
+    pd AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib,
+                  CAST(SUM(a.code * b.code) AS BIGINT) AS dot
+           FROM pc a JOIN pc b ON a.pos = b.pos AND a.vec_id <> b.vec_id
+           GROUP BY 1, 2),
+    c1 AS MATERIALIZED (SELECT vec_id, rel, CAST(0 AS BIGINT) AS maxsim,
+                  CAST(7 * rel AS BIGINT) AS mmr
+           FROM pool ORDER BY rel DESC, vec_id LIMIT 1),
+    s1 AS MATERIALIZED (SELECT vec_id FROM c1),{",".join(steps)}
+    {finals}
+    """
+
+
+@query(
+    "a_e25_mmr_rerank",
+    oracle=_e25_oracle(),
+    doc="Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) "
+    "— the diversity pass between ANN retrieval and the consumer "
+    "(similarity/mmr.py): greedy top-8 from a top-20 relevance pool, "
+    "each step maximizing 7*rel - 3*max_sim_to_selected. Both rel and "
+    "sim are INTEGER dot products of the e07 int8 codes and lambda=0.7 "
+    "is the rational 7/10, so every score is BIGINT-exact — no float "
+    "cosine in the gate. Scale shape: one corpus pass for the pool "
+    "(query codes broadcast, TakeOrdered), distributed pool-squared "
+    "pair dots, then an enforced-cap driver greedy over <=pool^2 tiny "
+    "integer rows — per-query bounded by construction, corpus side "
+    "fully distributed. The oracle unrolls the greedy as one CTE pair "
+    "per step.",
+)
+def a_e25_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.mmr import mmr_rerank
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return mmr_rerank(emb, query_id=0, pool=_E25_POOL, k=_E25_K)

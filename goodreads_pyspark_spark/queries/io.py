@@ -578,3 +578,87 @@ def a_io11_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
             else:
                 spark.conf.set(k, v)
     return out
+
+
+@query(
+    "a_io12_bloom_filter_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(30,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand = 'Brand#1'
+    GROUP BY l.l_returnflag
+    """,
+    doc="Runtime BLOOM-filter join pruning, proven from the executed plan "
+    "— the third member of the scan-killer family the gates pin (io08 "
+    "static partition pruning, io09 dynamic partition pruning): when "
+    "the dim side of a shuffle join carries a selective predicate "
+    "(p_brand) but the FACT side has no partitioning to prune, "
+    "Spark's InjectRuntimeFilter builds a bloom filter over the "
+    "filtered dim's join keys and plants might_contain(l_partkey) "
+    "into the fact scan's filter, discarding non-matching fact rows "
+    "BEFORE the join shuffle. The gate asserts both halves in the "
+    "plan (bloom_filter_agg on the dim, might_contain on the fact) "
+    "and hash-checks the filtered aggregate lost nothing. At 100 TB "
+    "this is the difference between shuffling the full fact table "
+    "and shuffling the ~selectivity fraction that can possibly join; "
+    "broadcast is disabled for the gate because a broadcast join "
+    "subsumes the filter (and the thresholds are lowered because the "
+    "defaults only arm beyond 10 GB scans).",
+)
+def a_io12_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "0",
+    )
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB"
+    )
+    try:
+        li = tbl(spark, sf_dir, "lineitem")
+        part = tbl(spark, sf_dir, "part")
+        dim = part.filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+        out = (
+            li.join(dim, li["l_partkey"] == dim["p_partkey"])
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(30,6)"
+                    )
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        if "might_contain" not in plan or "bloom_filter_agg" not in plan:
+            raise AssertionError(
+                "runtime bloom filter was not injected into the fact scan:\n"
+                + plan[:3000]
+            )
+        # force execution while the no-broadcast/bloom confs are in place
+        out = out.localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return out

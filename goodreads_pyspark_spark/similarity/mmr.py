@@ -1,0 +1,119 @@
+"""Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+over int8-quantized embeddings — integer-exact diversity-aware top-k.
+
+MMR picks results greedily: each step takes the candidate maximizing
+``λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)`` — relevance traded against
+redundancy with what is already selected. It is the standard
+diversification pass between ANN retrieval and the consumer (RAG
+context assembly, dedup-aware sampling, search result diversity).
+
+Exactness: cosine MMR over floats is not cross-engine stable (float
+dot sums are order-dependent). Here both rel and sim are **integer dot
+products of int8 codes** (``quantize.int8_codes_long`` — the same
+quantizer the storage pipeline already applies, e07), and λ=0.7 is the
+rational 7/10, so every score is the BIGINT
+``7·rel − 3·maxsim`` — bit-equal in any engine, no rounding anywhere.
+
+Scale shape: the candidate pool is the top-``pool`` by query dot — one
+corpus pass with the query's 64 codes broadcast, TakeOrdered cut. The
+pairwise dot matrix is pool², computed distributed (codes of pool ids
+self-joined on dim), and only then do ≤ ``max_pool``² tiny integer rows
+reach the driver for the k-step greedy — re-ranking is *per-query
+bounded* work by construction (the pool IS the budget), exactly how a
+re-ranker sits behind retrieval at any corpus size; the cap is
+enforced, not assumed. The corpus-scan side stays fully distributed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from goodreads_pyspark_spark.operators.relational import top_k
+from goodreads_pyspark_spark.similarity.quantize import int8_codes_long
+
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("rel_dot", T.LongType(), False),
+        T.StructField("max_sim_prev", T.LongType(), False),
+        T.StructField("mmr_scaled", T.LongType(), False),
+    ]
+)
+
+
+def mmr_rerank(
+    df: DataFrame,
+    query_id: int = 0,
+    pool: int = 20,
+    k: int = 8,
+    lam_num: int = 7,
+    lam_den: int = 10,
+    max_pool: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MMR top-``k`` for ``query_id`` from a ``pool``-candidate set.
+
+    Returns (rank, vec_id, rel_dot, max_sim_prev, mmr_scaled) with
+    ``mmr_scaled = lam_num·rel − (lam_den−lam_num)·max_sim_prev`` (the
+    first pick uses ``max_sim_prev = 0``: pure relevance, the standard
+    MMR seed). Ties break on vec_id ascending at every step.
+    """
+    if pool > max_pool:
+        raise ValueError(
+            f"candidate pool {pool} exceeds the enforced re-rank cap "
+            f"{max_pool}; MMR is a per-query bounded kernel — raise the "
+            "cap deliberately, not implicitly"
+        )
+    mu = lam_den - lam_num
+    codes = int8_codes_long(df, id_col=id_col, vec_col=vec_col)
+    q = codes.filter(F.col(id_col) == query_id).select(
+        "pos", F.col("code").alias("qc")
+    )
+    rel = (
+        codes.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), "pos")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("code") * F.col("qc")).cast("bigint").alias("rel"))
+    )
+    cand = top_k(rel, pool, [F.desc("rel"), F.asc(id_col)])
+    cand_codes = codes.join(
+        F.broadcast(cand.select(id_col)), id_col
+    )
+    pair_dots = (
+        cand_codes.alias("a")
+        .join(
+            cand_codes.alias("b"),
+            (F.col("a.pos") == F.col("b.pos"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("ia"), F.col(f"b.{id_col}").alias("ib")
+        )
+        .agg(F.sum(F.col("a.code") * F.col("b.code")).cast("bigint").alias("dot"))
+    )
+
+    # ≤ pool + pool² integer rows — the enforced-cap driver kernel.
+    rel_of = {int(r[id_col]): int(r["rel"]) for r in cand.collect()}
+    sim = {(int(r["ia"]), int(r["ib"])): int(r["dot"]) for r in pair_dots.collect()}
+
+    selected: list[tuple[int, int, int, int, int]] = []
+    chosen: list[int] = []
+    remaining = set(rel_of)
+    for step in range(1, min(k, len(rel_of)) + 1):
+        best = None
+        for c in remaining:
+            maxsim = max((sim[(c, s)] for s in chosen), default=0)
+            score = lam_num * rel_of[c] - mu * maxsim
+            key = (-score, c)
+            if best is None or key < best[0]:
+                best = (key, c, rel_of[c], maxsim, score)
+        _, c, r, maxsim, score = best
+        selected.append((step, c, r, maxsim, score))
+        chosen.append(c)
+        remaining.discard(c)
+
+    return df.sparkSession.createDataFrame(selected, _OUT_SCHEMA)

@@ -59,6 +59,35 @@ def int8_quantize(
     )
 
 
+def int8_codes_long(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Long-form int8 codes: (id, pos, code BIGINT), same quantizer as
+    :func:`int8_quantize` (shared floor(x+0.5) contract, so codes are
+    integer-exact across engines). Long form feeds integer dot products
+    — the exact-arithmetic scoring path (e.g. MMR re-rank)."""
+    e = (
+        fan_out(df)
+        .select(F.col(id_col), F.posexplode(vec_col).alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    amax = e.groupBy("pos").agg(
+        F.greatest(F.max(F.abs("v")), F.lit(1e-30)).alias("amax")
+    )
+    return (
+        e.join(F.broadcast(amax), "pos")
+        .select(
+            F.col(id_col),
+            "pos",
+            F.floor(F.col("v") * 127.0 / F.col("amax") + 0.5)
+            .cast("bigint")
+            .alias("code"),
+        )
+    )
+
+
 def pq_codes(
     df: DataFrame,
     n_sub: int = 4,

@@ -341,3 +341,107 @@ def test_all_cosines_is_superset_of_brute_force_knn(spark):
     assert len(full) == emb.count() - 1
     expected = sorted(full.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert [(r["vec_id"], r["cosine"]) for r in top] == expected
+
+
+# --- integer-exact BM25 (functions/bm25.py) ---------------------------------
+def test_bm25_presence_rank_hand_computed(spark):
+    from goodreads_pyspark_spark.functions.bm25 import bm25_presence_rank
+
+    rows = [
+        (1, "apple banana cherry"),
+        (2, "apple apple apple date"),  # presence tf: apple counts once
+        (3, "banana date elderberry fig"),
+        (4, "grape haze iris jack kiwi lemon"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_presence_rank(df, ("apple", "banana"), k=4).collect()
+    # N=4, L=17; df(apple)=df(banana)=2 -> idf = bitlen(10) - bitlen(5) = 1
+    n, length = 4, 17
+
+    def score(idf_sum, dl):
+        return (22 * length * idf_sum * 100_000) // (13 * length + 9 * dl * n)
+
+    expect = [
+        (1, 2, 2, 3, score(2, 3)),  # both terms
+        (2, 1, 1, 4, score(1, 4)),  # apple once despite tf=3
+        (3, 1, 1, 4, score(1, 4)),  # tie with doc 2 -> doc_id order
+        (4, 0, 0, 6, 0),  # no hits still ranked (score 0)
+    ]
+    got = [
+        (r["doc_id"], r["n_hits"], r["idf_sum"], r["dl"], r["score_scaled"])
+        for r in out
+    ]
+    assert got == expect
+
+
+# --- duplicated-substring removal (dedup/substring.py) ----------------------
+def test_substring_dedup_covers_shared_spans(spark):
+    import hashlib
+
+    from goodreads_pyspark_spark.dedup.substring import duplicated_span_removal
+
+    shared = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"  # 10 tokens -> 3 dup 8-grams
+    rows = [
+        (1, shared + " a1 a2 a3"),
+        (2, shared + " b1 b2 b3 b4"),
+        (3, " ".join(f"u{i}" for i in range(20))),  # no duplicated grams
+        (4, "v0 v1 v2 v3 v4"),  # shorter than k: untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_span_removal(df, k=8, min_freq=2).collect()
+    }
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    # docs 1/2: positions 0..9 covered (union of grams at pos 0,1,2)
+    assert (out[1]["n_tokens"], out[1]["n_covered"], out[1]["n_kept"]) == (13, 10, 3)
+    assert out[1]["kept_md5"] == md5("a1 a2 a3")
+    assert (out[2]["n_covered"], out[2]["n_kept"]) == (10, 4)
+    assert out[2]["kept_md5"] == md5("b1 b2 b3 b4")
+    # unique doc: untouched, fingerprint is the full text
+    assert out[3]["n_covered"] == 0
+    assert out[3]["kept_md5"] == md5(" ".join(f"u{i}" for i in range(20)))
+    # sub-k doc: no grams, untouched
+    assert (out[4]["n_covered"], out[4]["n_kept"]) == (0, 5)
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    from goodreads_pyspark_spark.dedup.substring import duplicated_span_removal
+
+    run = "r0 r1 r2 r3 r4 r5 r6 r7"
+    rows = [(1, run + " mid " + run)]  # same 8-gram twice in ONE doc
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    (r,) = duplicated_span_removal(df, k=8, min_freq=2).collect()
+    # both occurrences covered; only 'mid' survives
+    assert (r["n_tokens"], r["n_covered"], r["n_kept"]) == (17, 16, 1)
+
+
+# --- MMR re-rank (similarity/mmr.py) ----------------------------------------
+def test_mmr_demotes_redundant_candidate(spark):
+    from goodreads_pyspark_spark.similarity.mmr import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),  # query
+        (1, [0.9, 0.10, 0.0, 0.0]),  # most relevant
+        (2, [0.9, 0.11, 0.0, 0.0]),  # near-duplicate of 1
+        (3, [0.5, 0.0, 0.8, 0.0]),  # less relevant, diverse
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = mmr_rerank(df, query_id=0, pool=3, k=2).collect()
+    # codes: q=[127,0,0,0] v1=[114,115,0,0] v2=[114,127,0,0] v3=[64,0,127,0]
+    # rel: 1->14478 2->14478 3->8128; pool tie-break picks 1 first.
+    # step2: vec2 scores 7*14478-3*(114*114+127*115)=18543,
+    #        vec3 scores 7*8128-3*(64*114)=35008 -> diversity wins.
+    got = [(r["rank"], r["vec_id"], r["rel_dot"], r["max_sim_prev"], r["mmr_scaled"]) for r in out]
+    assert got == [(1, 1, 14478, 0, 101346), (2, 3, 8128, 7296, 35008)]
+
+
+def test_mmr_pool_cap_enforced(spark):
+    import pytest as _pytest
+
+    from goodreads_pyspark_spark.similarity.mmr import mmr_rerank
+
+    df = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
+    with _pytest.raises(ValueError, match="cap"):
+        mmr_rerank(df, pool=2000, k=4, max_pool=1000)

@@ -721,3 +721,57 @@ def test_d40_epoch_shuffle_plan(spark):
 
     for m in re.findall(r"ReadSchema: struct<([^>]*)>", plan):
         assert m == "doc_id:bigint", m
+
+
+def test_d41_bm25_topk_no_python_workers(spark):
+    """BM25 must be pure JVM codegen end-to-end (the gate of a 100 TB
+    retrieval scorer): hits filtered before any shuffle, df/N/L ride
+    broadcasts, and the final cut folds to TakeOrdered — never a global
+    sort, never a Python worker."""
+    plan = plan_of(spark, "a_d41_bm25_rank")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, f"Python worker in plan: {marker}"
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_d42_substring_dedup_hashed_postings(spark):
+    """ExactSubstr postings must shuffle md5 gram keys (never text
+    bytes), drop covered positions with an anti-join, and stay fully
+    JVM-side — that is what makes the pass linear at corpus scale."""
+    plan = plan_of(spark, "a_d42_substring_dedup")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, f"Python worker in plan: {marker}"
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    # the gram-frequency aggregate shuffles on the md5 key column
+    assert "hashpartitioning(h#" in plan
+
+
+def test_e25_mmr_pool_is_takeordered_broadcast(spark):
+    """MMR's distributed side — the corpus relevance pass — must
+    broadcast the query's 64 code rows and cut the pool with
+    TakeOrdered; the only driver-side step is the enforced-cap greedy
+    over pool-squared integer rows."""
+    import pyspark.sql.functions as F
+
+    from goodreads_pyspark_spark.operators.relational import top_k
+    from goodreads_pyspark_spark.queries._helpers import tbl
+    from goodreads_pyspark_spark.similarity.quantize import int8_codes_long
+
+    codes = int8_codes_long(tbl(spark, SF, "embeddings"))
+    q = codes.filter(F.col("vec_id") == 0).select("pos", F.col("code").alias("qc"))
+    rel = (
+        codes.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("code") * F.col("qc")).cast("bigint").alias("rel"))
+    )
+    pool = top_k(rel, 20, [F.desc("rel"), F.asc("vec_id")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pool.explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
