@@ -1,0 +1,66 @@
+"""Round-6 third stress probe: the retrieval/dedup additions at 1x/10x.
+
+* d41_bm25_rank — presence BM25. Expected ~linear: one tokenize pass,
+  query-term-filtered hit stream, broadcast stats, TakeOrdered cut.
+* d42_substring_dedup — ExactSubstr postings. Expected ~linear in
+  corpus tokens: keyed gram count + bounded x8 explode + anti-join;
+  the 10x corpus plants 10x near-copies so the duplicated-gram set
+  (and thus the covered-position explode) grows ~10x too — the probe
+  exercises the worst direction.
+* e25_mmr_rerank — corpus side (codes + relevance pool) scales with
+  rows; the greedy stays pool-bounded. Expected ~linear with a flat
+  driver tail.
+
+Usage: python tools/corpus_stress_r6c.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import replicate
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark("corpus_stress_r6c")
+
+    from goodreads_pyspark_spark.queries.documents import (
+        a_d41_bm25_rank,
+        a_d42_substring_dedup,
+    )
+    from goodreads_pyspark_spark.queries.embeddings import a_e25_mmr_rerank
+
+    for f in factors:
+        stage = tempfile.mkdtemp(prefix=f"r6c_x{f}_")
+        docs = replicate(spark, "documents", f, "doc_id", stage)
+        (Path(stage) / "documents.parquet").symlink_to(docs)
+        emb = replicate(spark, "embeddings", f, "vec_id", stage)
+        (Path(stage) / "embeddings.parquet").symlink_to(emb)
+
+        print(
+            f"--- {f}x ({spark.read.parquet(docs).count():,} docs, "
+            f"{spark.read.parquet(emb).count():,} vecs) ---"
+        )
+        for name, fn in (
+            ("d41_bm25_rank", a_d41_bm25_rank),
+            ("d42_substring_dedup", a_d42_substring_dedup),
+            ("e25_mmr_rerank", a_e25_mmr_rerank),
+        ):
+            t0 = time.perf_counter()
+            n = len(fn(spark, stage).collect())
+            print(
+                f"x{f} {name}: {time.perf_counter() - t0:.1f}s ({n} rows)",
+                flush=True,
+            )
+            spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
