@@ -1477,3 +1477,72 @@ def a_e25_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = tbl(spark, sf_dir, "embeddings")
     return mmr_rerank(emb, query_id=0, pool=_E25_POOL, k=_E25_K)
+
+
+# --- int8 retrieval-pool recall audit (new in r6) ----------------------------
+@query(
+    "a_e26_int8_pool_recall",
+    oracle=f"""
+    WITH {_LONG},
+    qv AS (SELECT pos, v AS qval FROM e WHERE vec_id = 0),
+    comps AS (
+      SELECT e.vec_id,
+             {_DSUM.format(expr='v * qval')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qval * qval')} AS q2
+      FROM e JOIN qv USING (pos) WHERE vec_id <> 0
+      GROUP BY e.vec_id),
+    exact20 AS (SELECT vec_id FROM comps
+                ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id
+                LIMIT 20),
+    amax AS (SELECT pos, greatest(MAX(abs(v)), 1e-30) AS amax
+             FROM e GROUP BY pos),
+    cd AS (SELECT vec_id, e.pos,
+                  CAST(floor(v * 127.0 / amax + 0.5) AS BIGINT) AS code
+           FROM e JOIN amax USING (pos)),
+    qc AS (SELECT pos, code AS qcode FROM cd WHERE vec_id = 0),
+    int820 AS (SELECT cd.vec_id
+               FROM cd JOIN qc USING (pos) WHERE vec_id <> 0
+               GROUP BY cd.vec_id
+               ORDER BY SUM(code * qcode) DESC, cd.vec_id
+               LIMIT 20),
+    ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_overlap
+           FROM exact20 JOIN int820 USING (vec_id))
+    SELECT n_overlap,
+           CAST(20 - n_overlap AS BIGINT) AS exact_only,
+           CAST(20 - n_overlap AS BIGINT) AS int8_only,
+           CAST(n_overlap * 10000 // (40 - n_overlap) AS BIGINT)
+             AS jaccard_pct_scaled
+    FROM ov
+    """,
+    doc="Recall audit of e25's int8 retrieval pool against the EXACT "
+    "decimal-cosine top-20 (the e01 kernel) — the e23 pattern applied "
+    "to retrieval: every lossy speedup ships with a query that prices "
+    "it. Overlap@20 between two deterministically-ordered lists (both "
+    "unique total orders), Jaccard reported as an integer-scaled pct "
+    "(overlap*10000 DIV (40-overlap)) so the gate stays BIGINT-exact. "
+    "Scale shape: both rankings are one corpus pass with the query "
+    "broadcast + TakeOrdered; the intersection joins two 20-row "
+    "frames.",
+)
+def a_e26_int8_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+    from goodreads_pyspark_spark.similarity.mmr import int8_relevance_pool
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    exact = brute_force_knn(emb, query_id=0, k=20).select("vec_id")
+    pool = int8_relevance_pool(emb, query_id=0, pool=20).select("vec_id")
+    return (
+        exact.join(pool, "vec_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+        .select(
+            "n_overlap",
+            (F.lit(20) - F.col("n_overlap")).cast("bigint").alias("exact_only"),
+            (F.lit(20) - F.col("n_overlap")).cast("bigint").alias("int8_only"),
+            F.expr(
+                "CAST(n_overlap * 10000 DIV (40 - n_overlap) AS BIGINT)"
+            ).alias("jaccard_pct_scaled"),
+        )
+    )

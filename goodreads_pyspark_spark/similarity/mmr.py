@@ -44,6 +44,31 @@ _OUT_SCHEMA = T.StructType(
 )
 
 
+def int8_relevance_pool(
+    df: DataFrame,
+    query_id: int = 0,
+    pool: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-``pool`` candidates by INTEGER dot product of int8 codes with
+    the query vector (one corpus pass, query codes broadcast, TakeOrdered
+    cut; ties break on id). The retrieval stage MMR re-ranks — exposed
+    separately so audits (e26) can price the int8 pool against the exact
+    float ranking."""
+    codes = int8_codes_long(df, id_col=id_col, vec_col=vec_col)
+    q = codes.filter(F.col(id_col) == query_id).select(
+        "pos", F.col("code").alias("qc")
+    )
+    rel = (
+        codes.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), "pos")
+        .groupBy(id_col)
+        .agg(F.sum(F.col("code") * F.col("qc")).cast("bigint").alias("rel"))
+    )
+    return top_k(rel, pool, [F.desc("rel"), F.asc(id_col)])
+
+
 def mmr_rerank(
     df: DataFrame,
     query_id: int = 0,
@@ -70,16 +95,9 @@ def mmr_rerank(
         )
     mu = lam_den - lam_num
     codes = int8_codes_long(df, id_col=id_col, vec_col=vec_col)
-    q = codes.filter(F.col(id_col) == query_id).select(
-        "pos", F.col("code").alias("qc")
+    cand = int8_relevance_pool(
+        df, query_id=query_id, pool=pool, id_col=id_col, vec_col=vec_col
     )
-    rel = (
-        codes.filter(F.col(id_col) != query_id)
-        .join(F.broadcast(q), "pos")
-        .groupBy(id_col)
-        .agg(F.sum(F.col("code") * F.col("qc")).cast("bigint").alias("rel"))
-    )
-    cand = top_k(rel, pool, [F.desc("rel"), F.asc(id_col)])
     cand_codes = codes.join(
         F.broadcast(cand.select(id_col)), id_col
     )
