@@ -445,3 +445,106 @@ def test_mmr_pool_cap_enforced(spark):
     df = spark.createDataFrame([(0, [1.0, 0.0])], ["vec_id", "embedding"])
     with _pytest.raises(ValueError, match="cap"):
         mmr_rerank(df, pool=2000, k=4, max_pool=1000)
+
+
+def test_bm25_matches_pure_python_reference(spark):
+    """Differential: Spark BM25 vs a from-scratch Python implementation
+    on a seeded random corpus (the functions/bpe.py test pattern)."""
+    import random
+    import re as _re
+
+    from goodreads_pyspark_spark.functions.bm25 import bm25_presence_rank
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 30))))
+        for i in range(40)
+    ]
+    terms = ("w0", "w5", "w11")
+
+    def toks(s):
+        return [t for t in _re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    docs = {i: toks(t) for i, t in rows}
+    n, length = len(docs), sum(len(t) for t in docs.values())
+    df = {
+        q: sum(1 for t in docs.values() if q in t)
+        for q in terms
+        if any(q in t for t in docs.values())
+    }
+    idf = {
+        q: (2 * n + 2).bit_length() - (2 * d + 1).bit_length()
+        for q, d in df.items()
+    }
+    expect = []
+    for i, t in docs.items():
+        hit = [q for q in idf if q in t]
+        isum = sum(idf[q] for q in hit)
+        dl = len(t)
+        score = (22 * length * isum * 100_000) // (13 * length + 9 * dl * n)
+        expect.append((i, len(hit), isum, dl, score))
+    expect.sort(key=lambda r: (-r[4], r[0]))
+
+    out = bm25_presence_rank(
+        spark.createDataFrame(rows, ["doc_id", "text"]), terms, k=15
+    ).collect()
+    got = [
+        (r["doc_id"], r["n_hits"], r["idf_sum"], r["dl"], r["score_scaled"])
+        for r in out
+    ]
+    assert got == expect[:15]
+
+
+def test_substring_dedup_matches_pure_python_reference(spark):
+    """Differential: Spark ExactSubstr ledger vs a from-scratch Python
+    suffix-free implementation on a seeded corpus with planted repeats."""
+    import hashlib
+    import random
+    import re as _re
+    from collections import Counter
+
+    from goodreads_pyspark_spark.dedup.substring import duplicated_span_removal
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(15)]
+    boiler = " ".join(rng.choice(vocab) for _ in range(12))
+    rows = []
+    for i in range(30):
+        body = " ".join(rng.choice(vocab) for _ in range(rng.randint(4, 25)))
+        # a third of docs carry the shared boilerplate run
+        rows.append((i, f"{boiler} {body}" if i % 3 == 0 else body))
+
+    k = 8
+
+    def toks(s):
+        return [t for t in _re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    docs = {i: toks(t) for i, t in rows}
+    freq = Counter(
+        " ".join(t[j : j + k])
+        for t in docs.values()
+        for j in range(len(t) - k + 1)
+    )
+    expect = {}
+    for i, t in docs.items():
+        covered = set()
+        for j in range(len(t) - k + 1):
+            if freq[" ".join(t[j : j + k])] >= 2:
+                covered.update(range(j, j + k))
+        kept = [tok for p, tok in enumerate(t) if p not in covered]
+        expect[i] = (
+            len(t),
+            len(covered),
+            len(kept),
+            hashlib.md5(" ".join(kept).encode()).hexdigest(),
+        )
+
+    out = duplicated_span_removal(
+        spark.createDataFrame(rows, ["doc_id", "text"]), k=k, min_freq=2
+    ).collect()
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_covered"], r["n_kept"], r["kept_md5"])
+        for r in out
+    }
+    assert got == expect
