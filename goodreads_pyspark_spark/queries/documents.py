@@ -2737,3 +2737,196 @@ def a_d42_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.substring import duplicated_span_removal
 
     return duplicated_span_removal(tbl(spark, sf_dir, "documents"), k=8, min_freq=2)
+
+
+# --- filter-cascade attribution funnel (new in r6) ---------------------------
+@query(
+    "a_d43_filter_cascade",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, length(text) AS n_chars, {_TOKS} AS toks,
+             len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct,
+             len(regexp_extract_all(text, '[0-9]{{3,}}')) AS n_digit_runs
+      FROM documents),
+    attributed AS (
+      SELECT source,
+             CASE WHEN len(toks) < 20 THEN 1
+                  WHEN len(list_distinct(toks)) * 10 < 3 * len(toks) THEN 2
+                  WHEN n_punct * 5 > n_chars THEN 3
+                  WHEN n_digit_runs * 20 > len(toks) THEN 4
+                  ELSE 0 END AS killed_stage
+      FROM t),
+    totals AS (SELECT source, COUNT(*) AS n_total
+               FROM attributed GROUP BY source),
+    kills AS (SELECT source, killed_stage, COUNT(*) AS n_killed
+              FROM attributed WHERE killed_stage > 0
+              GROUP BY source, killed_stage),
+    stages AS (SELECT * FROM (VALUES
+        (1, 'min_tokens'), (2, 'lexical_diversity'),
+        (3, 'punct_ratio'), (4, 'digit_noise')) s(stage_no, stage)),
+    grid AS (SELECT t.source, s.stage_no, s.stage,
+                    t.n_total, COALESCE(k.n_killed, 0) AS n_killed
+             FROM totals t CROSS JOIN stages s
+             LEFT JOIN kills k
+               ON k.source = t.source AND k.killed_stage = s.stage_no)
+    SELECT source, CAST(stage_no AS INTEGER) AS stage_no, stage,
+           CAST(n_total
+                - COALESCE(SUM(n_killed) OVER (
+                    PARTITION BY source ORDER BY stage_no
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT) AS n_entering,
+           CAST(n_killed AS BIGINT) AS n_killed,
+           CAST(n_total - SUM(n_killed) OVER (
+                    PARTITION BY source ORDER BY stage_no
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS n_surviving
+    FROM grid
+    """,
+    doc="Filter-cascade attribution funnel — the corpus-observability "
+    "report every published pipeline (Dolma, RefinedWeb, Gopher) ships: "
+    "each document is attributed to the FIRST rule that kills it "
+    "(d24's four rules, same integer cross-multiplied predicates, in "
+    "fixed stage order), then per (source, stage) the funnel reports "
+    "docs entering, killed, and surviving. Unlike d24 (per-doc audit "
+    "rows) this is the per-source retention CURVE that tells you which "
+    "stage is eating which corpus. Scale shape: one map-side CASE per "
+    "doc, one (source, stage) count agg, then a 4-row-per-source dense "
+    "grid (stages broadcast) with a partitioned cumulative window — "
+    "output is |sources|x4 rows regardless of corpus size.",
+)
+def a_d43_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = tbl(spark, sf_dir, "documents")
+    toks = tokens("text")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
+        quality_punct_count("text").alias("n_punct"),
+        F.regexp_count("text", F.lit("[0-9]{3,}")).alias("n_digit_runs"),
+    )
+    attributed = t.select(
+        "source",
+        F.when(F.col("n_tokens") < 20, 1)
+        .when(F.col("n_uniq") * 10 < 3 * F.col("n_tokens"), 2)
+        .when(F.col("n_punct") * 5 > F.col("n_chars"), 3)
+        .when(F.col("n_digit_runs") * 20 > F.col("n_tokens"), 4)
+        .otherwise(0)
+        .alias("killed_stage"),
+    )
+    totals = attributed.groupBy("source").agg(F.count(F.lit(1)).alias("n_total"))
+    kills = (
+        attributed.filter(F.col("killed_stage") > 0)
+        .groupBy("source", "killed_stage")
+        .agg(F.count(F.lit(1)).alias("n_killed"))
+    )
+    stages = spark.createDataFrame(
+        [(1, "min_tokens"), (2, "lexical_diversity"),
+         (3, "punct_ratio"), (4, "digit_noise")],
+        "stage_no int, stage string",
+    )
+    grid = (
+        totals.crossJoin(F.broadcast(stages))
+        .join(
+            kills.withColumnRenamed("killed_stage", "stage_no"),
+            ["source", "stage_no"],
+            "left",
+        )
+        .withColumn("n_killed", F.coalesce("n_killed", F.lit(0)))
+    )
+    w = Window.partitionBy("source").orderBy("stage_no")
+    prior = F.coalesce(
+        F.sum("n_killed").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    cum = F.sum("n_killed").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return grid.select(
+        "source",
+        F.col("stage_no").cast("int").alias("stage_no"),
+        "stage",
+        (F.col("n_total") - prior).cast("bigint").alias("n_entering"),
+        F.col("n_killed").cast("bigint").alias("n_killed"),
+        (F.col("n_total") - cum).cast("bigint").alias("n_surviving"),
+    )
+
+
+# --- leakage-safe cluster-aware split (new in r6) ----------------------------
+@query(
+    "a_d44_leakage_safe_split",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id, source, md5(text) AS cluster_key FROM documents),
+    sized AS (
+      SELECT c.*, COUNT(*) OVER (PARTITION BY cluster_key) AS cluster_size
+      FROM c),
+    assigned AS (
+      SELECT *,
+             CASE WHEN ('0x' || substr(md5(cluster_key || 'split-v1'), 1, 8))::BIGINT % 10 < 8
+                    THEN 'train'
+                  WHEN ('0x' || substr(md5(cluster_key || 'split-v1'), 1, 8))::BIGINT % 10 = 8
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM sized),
+    straddle AS (
+      SELECT CAST(MAX(n_splits) AS INTEGER) AS max_splits_per_cluster
+      FROM (SELECT cluster_key, COUNT(DISTINCT split) AS n_splits
+            FROM assigned GROUP BY cluster_key))
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT cluster_key) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_member_docs,
+           (SELECT max_splits_per_cluster FROM straddle)
+             AS max_splits_per_cluster
+    FROM assigned GROUP BY split
+    """,
+    doc="Leakage-safe train/val/test split: the split is assigned to the "
+    "exact-duplicate CLUSTER (md5 of text), never the document, so "
+    "verbatim copies of a training document can never land in the eval "
+    "split — the contamination failure mode group-unaware random splits "
+    "ship at scale. Routing is the portable salted-md5 bucket "
+    "(pipelines/sampling.portable_bucket: buckets 0-7 train, 8 val, 9 "
+    "test), deterministic across engines, runs, and cluster sizes. The "
+    "gate also computes (not assumes) the honest audit: "
+    "max_splits_per_cluster == 1, measured from the assigned table "
+    "itself. Scale shape: one cluster_key window for sizes, one keyed "
+    "agg per split — no joins against a collected ledger; the window "
+    "key is the md5 so hot keys are impossible by construction.",
+)
+def a_d44_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from goodreads_pyspark_spark.pipelines.sampling import portable_bucket
+
+    docs = tbl(spark, sf_dir, "documents")
+    c = docs.select("doc_id", "source", F.md5("text").alias("cluster_key"))
+    sized = c.withColumn(
+        "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("cluster_key"))
+    )
+    b = portable_bucket(F.col("cluster_key"), salt="split-v1", buckets=10)
+    assigned = sized.withColumn(
+        "split",
+        F.when(b < 8, "train").when(b == 8, "val").otherwise("test"),
+    )
+    straddle = (
+        assigned.groupBy("cluster_key")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits").cast("int").alias("max_splits_per_cluster"))
+    )
+    per_split = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("cluster_key").alias("n_clusters"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_member_docs"),
+    )
+    return per_split.crossJoin(F.broadcast(straddle)).select(
+        "split",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("n_clusters").cast("bigint").alias("n_clusters"),
+        "n_dup_member_docs",
+        "max_splits_per_cluster",
+    )

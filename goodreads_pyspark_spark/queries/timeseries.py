@@ -2111,3 +2111,91 @@ def a_s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
         "n_events",
     )
+
+
+# --- LOCF resample: last-observation-carried-forward hourly grid (r6) --------
+@query(
+    "a_t24_locf_resample",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type, date_trunc('hour', ts)
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events),
+    hourly AS (SELECT event_type, hour, value FROM obs WHERE rn = 1),
+    bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+                      date_trunc('hour', MAX(ts)) AS hi FROM events),
+    cal AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+            FROM bounds),
+    grid AS (SELECT t.event_type, c.hour
+             FROM (SELECT DISTINCT event_type FROM events) t
+             CROSS JOIN cal c),
+    joined AS (SELECT g.event_type, g.hour, h.value,
+                      CASE WHEN h.value IS NULL THEN 0 ELSE 1 END AS is_observed
+               FROM grid g LEFT JOIN hourly h
+                 ON g.event_type = h.event_type AND g.hour = h.hour)
+    SELECT event_type,
+           strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+           last_value(value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+           CAST(is_observed AS INTEGER) AS is_observed
+    FROM joined
+    """,
+    doc="Last-observation-carried-forward resample: the irregular event "
+    "stream becomes a dense hourly grid per event_type where missing "
+    "hours repeat the most recent observed value (last event of the "
+    "hour by (ts, event_id) — a deterministic total order). t11 "
+    "gap-fills with zeros (count semantics); LOCF is the state/level "
+    "semantics (sensor readings, account balances, feature-store "
+    "snapshots) and the standard pre-join normalization before an "
+    "as-of-free equi-join on the grid. The carried value is copied, "
+    "never arithmetic'd, so doubles stay bit-identical across engines. "
+    "Scale shape: one (type, hour)-keyed window picks the last "
+    "observation, the calendar grid is |types| x |hours| (tiny, "
+    "broadcast), and the forward-fill window is partitioned by "
+    "event_type over the GRID (bounded rows per partition), never over "
+    "raw events.",
+)
+def a_t24_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    configure_for_oracle(spark)
+    ev = events_tbl(spark, sf_dir)
+    w_pick = Window.partitionBy(
+        "event_type", F.date_trunc("hour", F.col("ts"))
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    hourly = (
+        ev.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.date_trunc("hour", F.col("ts")).alias("hour"),
+            "value",
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = cal.crossJoin(F.broadcast(types))
+    joined = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        "value",
+        F.when(F.col("value").isNull(), 0).otherwise(1).cast("int").alias("is_observed"),
+    )
+    w_fill = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        F.last("value", ignorenulls=True).over(w_fill).alias("value_locf"),
+        "is_observed",
+    )

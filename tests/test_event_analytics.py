@@ -172,3 +172,86 @@ def test_hybrid_rrf_fusion_ordering(spark, tmp_path_factory):
     assert (r2.lex_rank, r2.vec_rank) == (0, 1)
     assert abs(r1.rrf_score - (1 / 61 + 1 / 63)) < 1e-12
     assert abs(r2.rrf_score - 1 / 61) < 1e-12
+
+
+# --- r6: filter cascade, leakage-safe split, LOCF resample -------------------
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_filter_cascade_first_fail_attribution(spark, tmp_path_factory):
+    """A doc failing several rules is killed by the FIRST stage only, and
+    the funnel is conservative (entering - killed == surviving, chained)."""
+    from goodreads_pyspark_spark.queries.documents import a_d43_filter_cascade
+
+    p = str(tmp_path_factory.mktemp("cascade"))
+    long_ok = " ".join(f"w{i}" for i in range(30))
+    rows = [
+        # fails min_tokens AND punct_ratio -> attributed to min_tokens
+        (1, "!!! ??? !!!", "en", "web", 11),
+        # fails lexical_diversity only (30 tokens, 2 distinct)
+        (2, "a b " * 15, "en", "web", 60),
+        # clean survivor
+        (3, long_ok, "en", "web", len(long_ok)),
+    ]
+    _write_docs(spark, p, rows)
+    out = {r.stage: r for r in a_d43_filter_cascade(spark, p).collect()}
+    assert out["min_tokens"].n_killed == 1
+    assert out["lexical_diversity"].n_killed == 1
+    assert out["punct_ratio"].n_killed == 0  # doc 1 already dead upstream
+    assert out["digit_noise"].n_killed == 0
+    # funnel chain: each stage's surviving == next stage's entering
+    rows_sorted = sorted(out.values(), key=lambda r: r.stage_no)
+    for r in rows_sorted:
+        assert r.n_entering - r.n_killed == r.n_surviving
+    for a, b in zip(rows_sorted, rows_sorted[1:]):
+        assert a.n_surviving == b.n_entering
+    assert rows_sorted[-1].n_surviving == 1
+
+
+def test_leakage_safe_split_clusters_never_straddle(spark, tmp_path_factory):
+    from goodreads_pyspark_spark.queries.documents import a_d44_leakage_safe_split
+
+    p = str(tmp_path_factory.mktemp("split"))
+    # 40 distinct texts + one text duplicated 10 times across "sources"
+    rows = [(i, f"unique document number {i} body", "en", "web", 30) for i in range(40)]
+    rows += [(100 + j, "the exact same duplicated text", "en", f"s{j}", 30) for j in range(10)]
+    _write_docs(spark, p, rows)
+    out = a_d44_leakage_safe_split(spark, p).collect()
+    assert sum(r.n_docs for r in out) == 50
+    # the 10-copy cluster contributes all its docs to exactly one split
+    assert all(r.max_splits_per_cluster == 1 for r in out)
+    dup_total = sum(r.n_dup_member_docs for r in out)
+    assert dup_total == 10
+    splits_with_dups = [r.split for r in out if r.n_dup_member_docs > 0]
+    assert len(splits_with_dups) == 1
+
+
+def test_locf_resample_carries_last_value(spark, tmp_path_factory):
+    from goodreads_pyspark_spark.queries.timeseries import a_t24_locf_resample
+
+    p = str(tmp_path_factory.mktemp("locf"))
+    rows = [
+        # hour 0: two readings; LAST by (ts, event_id) is value 7.0
+        (1, _t(0, 0), 1, "sensor", 3.0, "{}"),
+        (2, _t(0, 0), 1, "sensor", 7.0, "{}"),
+        # hour 1: silence -> carries 7.0
+        # hour 2: new reading 9.0
+        (3, _t(0, 2), 1, "sensor", 9.0, "{}"),
+        # a second type observed only at hour 2 -> null until then
+        (4, _t(0, 2), 2, "gauge", 1.5, "{}"),
+    ]
+    _write_events(spark, p, rows)
+    out = a_t24_locf_resample(spark, p).collect()
+    sensor = {r.hour: r for r in out if r.event_type == "sensor"}
+    gauge = {r.hour: r for r in out if r.event_type == "gauge"}
+    assert sensor["2024-01-01 00:00:00"].value_locf == 7.0
+    assert sensor["2024-01-01 01:00:00"].value_locf == 7.0
+    assert sensor["2024-01-01 01:00:00"].is_observed == 0
+    assert sensor["2024-01-01 02:00:00"].value_locf == 9.0
+    assert gauge["2024-01-01 00:00:00"].value_locf is None
+    assert gauge["2024-01-01 02:00:00"].value_locf == 1.5
