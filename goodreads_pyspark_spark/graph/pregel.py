@@ -611,3 +611,90 @@ def sssp_rounds(
         dist.count()
         prev.unpersist()
     return dist
+
+
+def hits_scaled(
+    graph: PropertyGraph,
+    n_iter: int = 2,
+    scale: int = 10**6,
+    checkpoint_every: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) in fixed-point integer
+    arithmetic — bit-identical across engines and runs.
+
+    Per round: ``auth_raw(v) = Σ hub(u) over u→v`` then sum-normalize in
+    integers (``auth = auth_raw·scale div Σauth_raw``), symmetrically for
+    hubs over the fresh authorities. Like :func:`pagerank_scaled`, every
+    step is integer addition + floor division, so a DuckDB CTE unrolling
+    the same recurrence (HUGEINT for the ×scale rescale) reproduces every
+    score exactly — float HITS would drift by partial-aggregation order.
+
+    Overflow headroom at BIGINT: after each normalization Σscore ≤ scale,
+    so the next raw pass is ≤ max_degree·scale per vertex and the rescale
+    multiplier peaks at |E|·scale² on round one — scale=1e6 keeps that
+    under 2^63 up to ~10^6 edges per driver-test graph; production sizes
+    move the rescale to DECIMAL(38,0) unchanged semantics.
+
+    On a bipartite src→dst graph (orders→parts here) this is the co-HITS
+    shape used for user-item importance: sources carry hub mass, sinks
+    authority mass. Returns (id, hub_scaled, auth_scaled).
+    """
+    edges = graph.edges.select("src", "dst").cache()
+    ids = graph.vertices.select("id")
+    scores = ids.select(
+        "id",
+        F.lit(scale).cast("bigint").alias("hub"),
+        F.lit(scale).cast("bigint").alias("auth"),
+    )
+
+    for i in range(n_iter):
+        araw = (
+            edges.join(
+                scores.select(F.col("id").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("hub").alias("araw"))
+        )
+        atot = araw.agg(F.sum("araw").alias("atot"))
+        with_auth = (
+            scores.select("id", "hub")
+            .join(araw, "id", "left")
+            .crossJoin(F.broadcast(atot))
+            .select(
+                "id",
+                "hub",
+                F.expr(f"(coalesce(araw, 0L) * {scale}) div atot")
+                .cast("bigint")
+                .alias("auth"),
+            )
+        )
+        hraw = (
+            edges.join(
+                with_auth.select(F.col("id").alias("dst"), "auth"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("auth").alias("hraw"))
+        )
+        htot = hraw.agg(F.sum("hraw").alias("htot"))
+        scores = (
+            with_auth.select("id", "auth")
+            .join(hraw, "id", "left")
+            .crossJoin(F.broadcast(htot))
+            .select(
+                "id",
+                F.expr(f"(coalesce(hraw, 0L) * {scale}) div htot")
+                .cast("bigint")
+                .alias("hub"),
+                "auth",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
+            scores = _truncate(scores, checkpoint_dir=checkpoint_dir)
+
+    edges.unpersist()
+    return scores.select(
+        "id",
+        F.col("hub").alias("hub_scaled"),
+        F.col("auth").alias("auth_scaled"),
+    )

@@ -2930,3 +2930,217 @@ def a_d44_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_dup_member_docs",
         "max_splits_per_cluster",
     )
+
+
+# --- semantic (paraphrase-level) decontamination (new in r6) ------------------
+#: Eval-set membership: every 50th id — the deterministic stand-in for a
+#: held-out benchmark's embedding table.
+_D45_EVAL_MOD = 50
+#: Cosine at/above which a corpus doc counts as a paraphrase of an eval doc.
+_D45_TAU = 0.4
+
+_D45_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
+
+
+@query(
+    "a_d45_semantic_decontamination",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    ev AS (SELECT vec_id AS eid, pos, v AS ev_v FROM e
+           WHERE vec_id % {_D45_EVAL_MOD} = 0),
+    qn AS (SELECT eid, {_D45_DSUM.format(expr="ev_v * ev_v")} AS q2
+           FROM ev GROUP BY eid),
+    comps AS (SELECT e.vec_id, ev.eid,
+                     {_D45_DSUM.format(expr="v * ev_v")} AS dot,
+                     {_D45_DSUM.format(expr="v * v")} AS n2
+              FROM e JOIN ev USING (pos)
+              WHERE e.vec_id % {_D45_EVAL_MOD} <> 0
+              GROUP BY e.vec_id, ev.eid),
+    flagged AS (SELECT DISTINCT vec_id FROM comps JOIN qn USING (eid)
+                WHERE ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) >= {_D45_TAU}),
+    base AS (SELECT d.source,
+                    CASE WHEN f.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+             FROM documents d
+             JOIN embeddings em ON em.vec_id = d.doc_id
+             LEFT JOIN flagged f ON f.vec_id = d.doc_id
+             WHERE d.doc_id % {_D45_EVAL_MOD} <> 0)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(hit) AS BIGINT) AS n_flagged,
+           ROUND(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS flag_rate
+    FROM base GROUP BY source
+    """,
+    doc="Semantic decontamination — the paraphrase-level complement of "
+    "d15's exact-shingle screen: a corpus document is contamination-"
+    "suspect when its embedding's cosine to ANY eval-set embedding "
+    "reaches tau (0.4), reported as a per-source audit (n_docs, "
+    "n_flagged, flag_rate). Shingle overlap misses reworded benchmark "
+    "leakage; embedding similarity catches it (the Llama/GPT-4 "
+    "report-style decontamination step). Kernel is the e01 decimal-"
+    "exact cosine with the EVAL side broadcast — eval benchmarks are "
+    "tiny (here |corpus|/50) vs a 100 TB corpus, so the corpus streams "
+    "once and never re-partitions, the same asymmetric shape as "
+    "dedup/decontaminate.py. At production scale the exact "
+    "eval-x-corpus product (|eval| keyed partial sums per corpus "
+    "vector) swaps in for e13's sign-LSH bucketed candidates when even "
+    "that is too wide; flag volume is linear in corpus either way.",
+)
+def a_d45_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.vectors import explode_vector
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    _ACC = "decimal(38,12)"
+    emb = fan_out(tbl(spark, sf_dir, "embeddings"))
+    docs = tbl(spark, sf_dir, "documents")
+    e = explode_vector(emb, "vec_id")
+    ev = e.filter(F.col("vec_id") % _D45_EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eid"), "pos", F.col("v").alias("ev_v")
+    )
+    qn = ev.groupBy("eid").agg(
+        F.sum((F.col("ev_v") * F.col("ev_v")).cast(_ACC)).cast("double").alias("q2")
+    )
+    comps = (
+        e.filter(F.col("vec_id") % _D45_EVAL_MOD != 0)
+        .join(F.broadcast(ev), "pos")
+        .groupBy("vec_id", "eid")
+        .agg(
+            F.sum((F.col("v") * F.col("ev_v")).cast(_ACC)).cast("double").alias("dot"),
+            F.sum((F.col("v") * F.col("v")).cast(_ACC)).cast("double").alias("n2"),
+        )
+    )
+    cos = F.round(F.col("dot") / (F.sqrt("n2") * F.sqrt("q2")), 6)
+    flagged = (
+        comps.join(F.broadcast(qn), "eid")
+        .filter(cos >= _D45_TAU)
+        .select("vec_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    base = (
+        docs.filter(F.col("doc_id") % _D45_EVAL_MOD != 0)
+        .join(emb.select(F.col("vec_id").alias("doc_id")), "doc_id")
+        .join(flagged.withColumnRenamed("vec_id", "doc_id"), "doc_id", "left")
+        .select("source", F.coalesce("hit", F.lit(0)).alias("hit"))
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("hit").cast("bigint").alias("n_flagged"),
+        F.round(F.sum("hit").cast("double") / F.count(F.lit(1)), 6).alias(
+            "flag_rate"
+        ),
+    )
+
+
+# --- DSIR-style importance selection (new in r6) ------------------------------
+#: Hashed n-gram feature space size (DSIR uses 10k buckets at corpus scale;
+#: 64 keeps per-bucket counts dense at test sf).
+_D46_BUCKETS = 64
+#: Selection size.
+_D46_TOP = 20
+
+
+@query(
+    "a_d46_dsir_selection",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, lang, source, {{toks}} AS t FROM documents),
+    ex AS (SELECT doc_id, lang, source, unnest(t) AS term FROM tk),
+    b AS (SELECT doc_id, lang, source,
+                 ('0x' || substr(md5(term), 1, 8))::BIGINT % {_D46_BUCKETS} AS bkt
+          FROM ex),
+    tgt AS (SELECT bkt, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY bkt),
+    rw AS (SELECT bkt, COUNT(*) AS cr FROM b WHERE lang <> 'en' GROUP BY bkt),
+    tot AS (SELECT
+              (SELECT COUNT(*) FROM b WHERE lang = 'en') AS tt,
+              (SELECT COUNT(*) FROM b WHERE lang <> 'en') AS tr),
+    w AS (SELECT k.bkt,
+                 CAST((COALESCE(ct, 0) + 1) * (tr + {_D46_BUCKETS}) AS DOUBLE)
+                 / CAST((COALESCE(cr, 0) + 1) * (tt + {_D46_BUCKETS}) AS DOUBLE)
+                   AS wt
+          FROM (SELECT DISTINCT bkt FROM b) k
+          LEFT JOIN tgt USING (bkt) LEFT JOIN rw USING (bkt) CROSS JOIN tot),
+    sc AS (SELECT b.doc_id, MAX(b.source) AS source,
+                  COUNT(*) AS n_tokens,
+                  CAST(SUM(CAST(wt AS DECIMAL(38,12))) AS DOUBLE) AS wsum
+           FROM b JOIN w USING (bkt) WHERE b.lang <> 'en'
+           GROUP BY b.doc_id)
+    SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           ROUND(wsum / n_tokens, 6) AS dsir_score
+    FROM sc ORDER BY dsir_score DESC, doc_id LIMIT {_D46_TOP}
+    """.format(toks=_TOKS),
+    doc="DSIR-shape importance selection (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling'): fit "
+    "hashed-unigram bag distributions over a TARGET set (lang='en', "
+    "the high-quality proxy) and the RAW pool (everything else), score "
+    "each raw document by its mean per-token target/raw importance "
+    "ratio, select the top-20. Faithful to the paper's hashed-feature "
+    "importance estimator with two deliberate determinism swaps, both "
+    "documented: the per-token log-ratio sum becomes a per-token "
+    "RATIO mean (each weight is one exact-integer-ratio IEEE division "
+    "— identical across engines — where ln() is libm-dependent in its "
+    "last ulp), and Gumbel-top-k sampling becomes rank selection. "
+    "Scale shape: the fitted model is 64 add-1-smoothed "
+    "bucket weights — a broadcast table by construction (DSIR's 10k "
+    "buckets is still one broadcast) — so scoring is one map-side "
+    "join + one doc-keyed agg over the raw pool: linear, no shuffle "
+    "wider than (doc_id). md5 feature hashing is the engine-portable "
+    "bucket (pipelines/sampling.py portable_bucket).",
+)
+def a_d46_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+    from goodreads_pyspark_spark.pipelines.sampling import portable_bucket
+
+    _ACC = "decimal(38,12)"
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    ex = docs.select(
+        "doc_id", "lang", "source", F.explode(tokens("text")).alias("term")
+    )
+    b = ex.select(
+        "doc_id",
+        "lang",
+        "source",
+        portable_bucket(F.col("term"), salt="", buckets=_D46_BUCKETS).alias("bkt"),
+    )
+    is_tgt = F.col("lang") == "en"
+    tgt = b.filter(is_tgt).groupBy("bkt").agg(F.count(F.lit(1)).alias("ct"))
+    rw = b.filter(~is_tgt).groupBy("bkt").agg(F.count(F.lit(1)).alias("cr"))
+    tot = b.agg(
+        F.sum(is_tgt.cast("bigint")).alias("tt"),
+        F.sum((~is_tgt).cast("bigint")).alias("tr"),
+    )
+    w = (
+        b.select("bkt")
+        .distinct()
+        .join(tgt, "bkt", "left")
+        .join(rw, "bkt", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bkt",
+            (
+                ((F.coalesce("ct", F.lit(0)) + 1) * (F.col("tr") + _D46_BUCKETS))
+                .cast("double")
+                / ((F.coalesce("cr", F.lit(0)) + 1) * (F.col("tt") + _D46_BUCKETS))
+                .cast("double")
+            ).alias("wt"),
+        )
+    )
+    sc = (
+        b.filter(~is_tgt)
+        .join(F.broadcast(w), "bkt")
+        .groupBy("doc_id")
+        .agg(
+            F.max("source").alias("source"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.col("wt").cast(_ACC)).cast("double").alias("wsum"),
+        )
+    )
+    return (
+        sc.select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round(F.col("wsum") / F.col("n_tokens"), 6).alias("dsir_score"),
+        )
+        .orderBy(F.col("dsir_score").desc(), "doc_id")
+        .limit(_D46_TOP)
+    )

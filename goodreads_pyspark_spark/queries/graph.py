@@ -794,3 +794,62 @@ def g13_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("common_cnt").desc(), "lo", "hi")
         .limit(_G13_TOP)
     )
+
+
+# --- HITS hubs & authorities (new in r6) --------------------------------------
+_HITS_SCALE = 10**6
+
+
+def _hits_oracle(n_iter: int = 2, scale: int = _HITS_SCALE) -> str:
+    """Unrolled fixed-point HITS: per round an in-edge hub sum, a HUGEINT
+    ×scale sum-normalization (floor division — exact), then the symmetric
+    out-edge authority sum. Same integer-recurrence strategy as
+    ``_pagerank_oracle``: every value matches Spark bit-for-bit."""
+    steps = []
+    for r in range(1, n_iter + 1):
+        p = r - 1
+        steps.append(f"""
+    ar{r} AS MATERIALIZED (SELECT e.dst AS id, SUM(s.hub) AS araw
+              FROM edges e JOIN s{p} s ON s.id = e.src GROUP BY e.dst),
+    at{r} AS MATERIALIZED (SELECT SUM(araw) AS atot FROM ar{r}),
+    a{r} AS MATERIALIZED (SELECT v.id,
+                    CAST((CAST(COALESCE(ar.araw, 0) AS HUGEINT) * {scale})
+                         // at.atot AS BIGINT) AS auth
+             FROM vertices v LEFT JOIN ar{r} ar ON ar.id = v.id
+             CROSS JOIN at{r} at),
+    hr{r} AS MATERIALIZED (SELECT e.src AS id, SUM(a.auth) AS hraw
+              FROM edges e JOIN a{r} a ON a.id = e.dst GROUP BY e.src),
+    ht{r} AS MATERIALIZED (SELECT SUM(hraw) AS htot FROM hr{r}),
+    s{r} AS MATERIALIZED (SELECT v.id,
+                    CAST((CAST(COALESCE(hr.hraw, 0) AS HUGEINT) * {scale})
+                         // ht.htot AS BIGINT) AS hub
+             FROM vertices v LEFT JOIN hr{r} hr ON hr.id = v.id
+             CROSS JOIN ht{r} ht)""")
+    return f"""
+    WITH {_GRAPH_CTES},
+    s0 AS MATERIALIZED (SELECT id, CAST({scale} AS BIGINT) AS hub
+                        FROM vertices),{",".join(steps)}
+    SELECT s.id, s.hub AS hub_scaled, a.auth AS auth_scaled
+    FROM s{n_iter} s JOIN a{n_iter} a USING (id)
+    """
+
+
+@query(
+    "a_g14_hits_scores",
+    oracle=_hits_oracle(n_iter=2),
+    doc="HITS hubs & authorities (Kleinberg 1999) in 1e6 fixed-point "
+    "integers, 2 rounds (graph/pregel.py hits_scaled) — the classic "
+    "companion to PageRank the graph stack lacked, and on this "
+    "bipartite order→part graph exactly the co-HITS user-item "
+    "importance shape. Each half-round is one edge⋈score join + one "
+    "keyed sum + an integer sum-normalization against a broadcast "
+    "one-row total; per-round cost is O(|E|) with no shuffle wider "
+    "than the vertex id, same as g04. Integer floor-division "
+    "normalization is exact and order-independent, so the unrolled "
+    "DuckDB recurrence (HUGEINT rescale) matches bit-for-bit.",
+)
+def a_g14_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.graph.pregel import hits_scaled
+
+    g = _graph(spark, sf_dir)
+    return hits_scaled(g, n_iter=2, scale=_HITS_SCALE)

@@ -146,3 +146,69 @@ def h01_hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(10)
+
+
+# --- filtered vector search (new in r6) ---------------------------------------
+#: Metadata predicate: English docs of at least median length.
+_H02_MIN_CHARS = 300
+#: Result depth.
+_H02_K = 10
+
+
+@query(
+    "a_h02_filtered_vector_search",
+    oracle=f"""
+    WITH keep AS (SELECT doc_id, source, n_chars FROM documents
+                  WHERE lang = 'en' AND n_chars >= {_H02_MIN_CHARS}
+                    AND doc_id <> 0),
+    e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    comps AS (
+      SELECT e.vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN keep k ON k.doc_id = e.vec_id
+      JOIN q USING (pos)
+      GROUP BY e.vec_id)
+    SELECT c.vec_id, ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) AS cosine,
+           k.source, k.n_chars
+    FROM comps c JOIN keep k ON k.doc_id = c.vec_id
+    ORDER BY cosine DESC, c.vec_id LIMIT {_H02_K}
+    """,
+    doc="Filtered vector search — top-10 by exact cosine to query vec 0 "
+    "RESTRICTED to documents passing a metadata predicate (lang='en', "
+    "n_chars >= 300), with the metadata joined into the result. The "
+    "other canonical hybrid-retrieval workload next to h01's rank "
+    "fusion: every production vector store serves 'nearest neighbors "
+    "WHERE ...'. This is the PRE-filter strategy: the predicate "
+    "semi-joins the embedding table down before the kernel ever "
+    "scores a vector, so selective filters shrink the scan instead of "
+    "wasting scores on rows the filter would discard (post-filtering "
+    "a top-k can also return <k rows — pre-filtering never does "
+    "while candidates remain). Scale shape: the filtered id set rides "
+    "a broadcast semi-join, the query vector broadcasts, one corpus "
+    "pass, TakeOrdered top-k; with a low-selectivity predicate the "
+    "same kernel runs per IVF/LSH bucket (e06/e04) instead.",
+)
+def a_h02_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+
+    docs = tbl(spark, sf_dir, "documents")
+    emb = tbl(spark, sf_dir, "embeddings")
+    keep = docs.filter(
+        (F.col("lang") == "en")
+        & (F.col("n_chars") >= _H02_MIN_CHARS)
+        & (F.col("doc_id") != 0)
+    ).select("doc_id", "source", "n_chars")
+    base = emb.join(
+        F.broadcast(keep.select(F.col("doc_id").alias("vec_id"))),
+        "vec_id",
+        "left_semi",
+    ).unionByName(emb.filter(F.col("vec_id") == 0))
+    knn = brute_force_knn(base, query_id=0, k=_H02_K)
+    return knn.join(
+        F.broadcast(keep.withColumnRenamed("doc_id", "vec_id")), "vec_id"
+    ).select("vec_id", "cosine", "source", "n_chars")

@@ -392,3 +392,45 @@ def test_checkpoint_dir_mode_matches_local(spark, tmp_path):
     import os
 
     assert any(os.scandir(ckpt))
+
+
+def test_hits_scaled_hand_computed(spark):
+    """1->3, 2->3, 2->4 at scale=100, 1 round — every value checked
+    against the integer recurrence by hand. Round 1: araw={3:200,4:100},
+    atot=300 -> auth 3=(200*100)div300=66, 4=33; hraw={1:66,2:99},
+    htot=165 -> hub 1=(66*100)div165=40, 2=60. Pure sources carry no
+    authority, pure sinks no hub mass."""
+    from goodreads_pyspark_spark.graph.pregel import hits_scaled
+
+    v = spark.createDataFrame([(1,), (2,), (3,), (4,)], ["id"])
+    e = spark.createDataFrame([(1, 3), (2, 3), (2, 4)], ["src", "dst"])
+    out = {
+        r["id"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits_scaled(PropertyGraph(v, e), n_iter=1, scale=100).collect()
+    }
+    assert out == {1: (40, 0), 2: (60, 0), 3: (0, 66), 4: (0, 33)}
+
+
+def test_hits_scaled_checkpoint_dir_matches_local(spark, tmp_path):
+    """Same differential as the other Pregel loops: reliable-checkpoint
+    mode must reproduce localCheckpoint results exactly."""
+    from goodreads_pyspark_spark.graph.pregel import hits_scaled
+
+    edges = [(i, 10 + (i * 3) % 7) for i in range(10)]
+    v = spark.createDataFrame(
+        [(i,) for i in range(10)] + [(10 + i,) for i in range(7)], ["id"]
+    )
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    g = PropertyGraph(v, e)
+    ckpt = str(tmp_path / "hits_ckpt")
+    local = {
+        r["id"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits_scaled(g, n_iter=2, checkpoint_every=1).collect()
+    }
+    rel = {
+        r["id"]: (r["hub_scaled"], r["auth_scaled"])
+        for r in hits_scaled(
+            g, n_iter=2, checkpoint_every=1, checkpoint_dir=ckpt
+        ).collect()
+    }
+    assert local == rel

@@ -775,3 +775,42 @@ def test_e25_mmr_pool_is_takeordered_broadcast(spark):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_d45_decontamination_eval_side_broadcasts(spark):
+    """Semantic decontamination must keep the asymmetric shape: the eval
+    embeddings (the tiny side) ride broadcast joins against the
+    streaming corpus — no cartesian, no Python workers, and no
+    sort-merge join anywhere (every join key is either the broadcast
+    eval side or the doc id)."""
+    plan = plan_of(spark, "a_d45_semantic_decontamination")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python worker in plan: {marker}"
+
+
+def test_d46_dsir_model_broadcasts_no_python(spark):
+    """DSIR scoring must be map-side: the fitted 64-bucket weight table
+    broadcasts into the token stream (one BroadcastHashJoin), the only
+    wide exchange is the doc-keyed score agg, selection is TakeOrdered,
+    and the whole thing is pure JVM codegen."""
+    plan = plan_of(spark, "a_d46_dsir_selection")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
+        assert marker not in plan, f"Python worker in plan: {marker}"
+
+
+def test_h02_filtered_search_prefilters_and_takeordered(spark):
+    """Filtered vector search must PRE-filter: the metadata predicate
+    reaches the documents parquet scan as a pushed filter, the filtered
+    id set semi-joins the embedding table via broadcast, and the top-k
+    is TakeOrdered — never a global sort."""
+    plan = plan_of(spark, "a_h02_filtered_vector_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(lang,en)" in plan  # predicate pushed into the scan
+    assert "GreaterThanOrEqual(n_chars,300)" in plan
