@@ -3144,3 +3144,88 @@ def a_d46_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("dsir_score").desc(), "doc_id")
         .limit(_D46_TOP)
     )
+
+
+# --- CCNet-style quality partitioning (new in r6) -----------------------------
+@query(
+    "a_d47_quality_partitions",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               [t[i] || '_' || t[i + 1] for i in range(1, len(t))])) AS f
+      FROM tk),
+    wts AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qw1_' || CAST(
+                ('0x' || substr(md5('qv1_' || f), 1, 8))::BIGINT % 4096
+              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+      FROM feats),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(w) AS BIGINT) AS sum_w
+      FROM wts GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             CASE WHEN COALESCE(n_feats, 0) = 0 THEN 0.0
+                  ELSE sum_w / (n_feats * 1000.0) END AS logit
+      FROM documents d LEFT JOIN agg USING (doc_id)),
+    tiled AS (
+      SELECT lang, n_chars, logit,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY logit DESC, doc_id) AS tile
+      FROM scored)
+    SELECT lang, CAST(tile AS INTEGER) AS tile,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                     ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(CAST(logit AS DECIMAL(38,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logit
+    FROM tiled GROUP BY lang, tile
+    """,
+    doc="CCNet-style quality partitioning: per language, rank every "
+    "document by the learned d38 logit and cut the corpus into "
+    "head/middle/tail thirds (NTILE over a total order — logit DESC, "
+    "doc_id tiebreak), reporting per (lang, bucket) docs, chars, and "
+    "mean logit. This is CCNet's signature move (Wenzek et al. 2020): "
+    "per-language perplexity terciles decide what gets kept/deferred/"
+    "dropped; the d38 linear scorer stands in for the Kneser-Ney LM, "
+    "same monotone-partitioning semantics. Scale shape: scoring is "
+    "d38's map-side pass; the tercile cut is one window per language "
+    "partition (never unpartitioned); the rollup is a (lang, tile) "
+    "agg — at 100 TB the window sort is the dominant shuffle and is "
+    "exactly what quantile-approx ntile would replace (documented "
+    "trade-off; exact NTILE keeps the gate bit-exact).",
+)
+def a_d47_quality_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from goodreads_pyspark_spark.functions.quality_model import quality_scores
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    _ACC = "decimal(38,12)"
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    scored = quality_scores(docs).join(
+        docs.select("doc_id", "lang", "n_chars"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("logit").desc(), "doc_id")
+    tiled = scored.select("lang", "n_chars", "logit", F.ntile(3).over(w).alias("tile"))
+    return tiled.groupBy("lang", "tile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum(F.col("logit").cast(_ACC)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logit"),
+    ).select(
+        "lang",
+        F.col("tile").cast("int").alias("tile"),
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_docs",
+        "total_chars",
+        "avg_logit",
+    )

@@ -212,3 +212,97 @@ def u01_seeded_split_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "union_rows bigint, overlap_rows bigint, "
         "seed_instability bigint, train_frac_in_band boolean",
     )
+
+
+# --- closed-form OLS via normal equations (new in r6) -------------------------
+#: Cramer's-rule solve of the 3x3 normal equations, written ONCE and spliced
+#: verbatim into both the Spark projection and the DuckDB oracle: identical
+#: expression trees over identical doubles evaluate bit-identically (IEEE
+#: ops are deterministic), so even the division results match exactly.
+_M06_DET = (
+    "(nn*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2) + s2*(s1*s12 - s11*s2))"
+)
+_M06_DET0 = (
+    "(sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y) + s2*(s1y*s12 - s11*s2y))"
+)
+_M06_DET1 = (
+    "(nn*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2) + s2*(s1*s2y - s1y*s2))"
+)
+_M06_DET2 = (
+    "(nn*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2) + sy*(s1*s12 - s11*s2))"
+)
+_M06_B = {
+    "b0": f"({_M06_DET0} / {_M06_DET})",
+    "b1": f"({_M06_DET1} / {_M06_DET})",
+    "b2": f"({_M06_DET2} / {_M06_DET})",
+}
+_M06_SSE = f"(syy - ({_M06_B['b0']}*sy + {_M06_B['b1']}*s1y + {_M06_B['b2']}*s2y))"
+_M06_SST = "(syy - sy*sy/nn)"
+
+_M06_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(38,12))) AS DOUBLE)"
+
+
+@query(
+    "a_m06_ols_normal_equations",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
+             {_M06_DSUM.format(e="l_quantity")} AS s1,
+             {_M06_DSUM.format(e="l_discount")} AS s2,
+             {_M06_DSUM.format(e="l_quantity * l_quantity")} AS s11,
+             {_M06_DSUM.format(e="l_quantity * l_discount")} AS s12,
+             {_M06_DSUM.format(e="l_discount * l_discount")} AS s22,
+             {_M06_DSUM.format(e="l_extendedprice")} AS sy,
+             {_M06_DSUM.format(e="l_quantity * l_extendedprice")} AS s1y,
+             {_M06_DSUM.format(e="l_discount * l_extendedprice")} AS s2y,
+             {_M06_DSUM.format(e="l_extendedprice * l_extendedprice")} AS syy
+      FROM lineitem)
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           ROUND({_M06_B["b0"]}, 6) AS beta_intercept,
+           ROUND({_M06_B["b1"]}, 6) AS beta_qty,
+           ROUND({_M06_B["b2"]}, 6) AS beta_disc,
+           ROUND(1.0 - {_M06_SSE} / {_M06_SST}, 6) AS r2
+    FROM m
+    """,
+    doc="Closed-form distributed OLS — linear regression of "
+    "l_extendedprice on (l_quantity, l_discount) solved by normal "
+    "equations: one decimal-exact aggregation pass builds the 3x3 "
+    "moment matrix, Cramer's rule solves it, R² falls out of the same "
+    "moments (SSE = Σy² − β·Xᵀy, no residual pass). THE counterexample "
+    "to 'ML fits can't be hash-oracled' (m01-m05 are rows-only because "
+    "iterative optimizers are partition-order-sensitive): a closed-form "
+    "fit over order-independent exact sums is deterministic to the "
+    "bit, so this model is FULLY hash-gated cross-engine — the solve "
+    "formula is a single shared string evaluated by both engines. "
+    "Scale shape: the entire fit is ONE map-side partial-agg pass "
+    "producing 10 numbers (the classic 'statistical queries' "
+    "formulation every distributed analytics engine uses for linear "
+    "models); no iteration, no driver matrix beyond 3x3. Extends to "
+    "p features as one p²-moment agg + driver-side solve.",
+)
+def a_m06_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ACC = "decimal(38,12)"
+
+    def dsum(e):
+        return F.sum(F.expr(e).cast(_ACC)).cast("double")
+
+    li = tbl(spark, sf_dir, "lineitem")
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("nn"),
+        dsum("l_quantity").alias("s1"),
+        dsum("l_discount").alias("s2"),
+        dsum("l_quantity * l_quantity").alias("s11"),
+        dsum("l_quantity * l_discount").alias("s12"),
+        dsum("l_discount * l_discount").alias("s22"),
+        dsum("l_extendedprice").alias("sy"),
+        dsum("l_quantity * l_extendedprice").alias("s1y"),
+        dsum("l_discount * l_extendedprice").alias("s2y"),
+        dsum("l_extendedprice * l_extendedprice").alias("syy"),
+    )
+    return m.selectExpr(
+        "CAST(nn AS BIGINT) AS n_rows",
+        f"ROUND({_M06_B['b0']}, 6) AS beta_intercept",
+        f"ROUND({_M06_B['b1']}, 6) AS beta_qty",
+        f"ROUND({_M06_B['b2']}, 6) AS beta_disc",
+        f"ROUND(1.0 - {_M06_SSE} / {_M06_SST}, 6) AS r2",
+    )

@@ -131,3 +131,37 @@ def test_recommend_by_book(goodreads_tables):
         for r in clustered.filter(F.col("book_id").isin(rec_ids)).collect()
     }
     assert rec_clusters <= {target_cluster}
+
+
+def test_m06_ols_matches_numpy_lstsq(spark):
+    """Differential: the normal-equations/Cramer fit must agree with
+    numpy.linalg.lstsq on the same rows — proving the distributed
+    moments + closed-form solve produce the TRUE least-squares
+    solution, not merely a cross-engine-consistent number."""
+    import numpy as np
+
+    from goodreads_pyspark_spark.queries.ml import a_m06_ols_normal_equations
+
+    sf = "/root/testdata/sf0.001"
+    row = a_m06_ols_normal_equations(spark, sf).collect()[0]
+
+    from goodreads_pyspark_spark.queries._helpers import tbl
+
+    pdf = (
+        tbl(spark, sf, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["l_quantity"], pdf["l_discount"]]
+    )
+    y = pdf["l_extendedprice"].to_numpy()
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    r2 = 1.0 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+
+    assert row["n_rows"] == len(pdf)
+    assert abs(row["beta_intercept"] - beta[0]) < 1e-4 * max(1, abs(beta[0]))
+    assert abs(row["beta_qty"] - beta[1]) < 1e-4 * max(1, abs(beta[1]))
+    assert abs(row["beta_disc"] - beta[2]) < 1e-4 * max(1, abs(beta[2]))
+    assert abs(row["r2"] - r2) < 1e-6

@@ -814,3 +814,32 @@ def test_h02_filtered_search_prefilters_and_takeordered(spark):
     assert "CartesianProduct" not in plan
     assert "EqualTo(lang,en)" in plan  # predicate pushed into the scan
     assert "GreaterThanOrEqual(n_chars,300)" in plan
+
+
+def test_m06_ols_single_agg_pass_no_python(spark):
+    """The closed-form OLS fit must be ONE aggregation pass: a partial
+    (map-side) HashAggregate feeding a single-row final aggregate — no
+    join, no window, no Python workers. That one-pass shape is the
+    whole point of the statistical-query formulation at 100 TB."""
+    plan = plan_of(spark, "a_m06_ols_normal_equations")
+    assert "HashAggregate" in plan
+    for marker in (
+        "SortMergeJoin",
+        "BroadcastHashJoin",
+        "Window",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+    ):
+        assert marker not in plan, f"unexpected operator in plan: {marker}"
+
+
+def test_d47_quality_partitions_window_is_partitioned(spark):
+    """The tercile cut must run as a per-language window (never a
+    single-partition global sort) and scoring must stay pure JVM."""
+    plan = plan_of(spark, "a_d47_quality_partitions")
+    assert "Window" in plan
+    # the window's exchange must hash on lang, not a single partition
+    assert "SinglePartition" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python worker in plan: {marker}"
