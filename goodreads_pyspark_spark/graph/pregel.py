@@ -124,10 +124,7 @@ def pagerank_scaled(
     double accumulation, whose sum order differs per partitioning. Error
     vs true PageRank is ≤ n_iter·outdeg/scale — irrelevant at 1e12.
 
-    Same lazy fixed-iteration shape as :func:`pagerank` (tol<=0): no
-    per-round driver action, eager truncation (localCheckpoint, or a
-    reliable checkpoint when ``checkpoint_dir`` is set) per
-    ``checkpoint_every`` rounds.
+
     Returns (id, pr_scaled) — divide by ``scale`` for real scores.
     Overflow headroom: total mass ≈ |V|·scale must stay under 2^63/den;
     with the default scale that's ~10^5 vertices — lower ``scale`` for
@@ -617,7 +614,6 @@ def hits_scaled(
     graph: PropertyGraph,
     n_iter: int = 2,
     scale: int = 10**6,
-    checkpoint_every: int = 4,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) in fixed-point integer
@@ -649,12 +645,19 @@ def hits_scaled(
     )
 
     for i in range(n_iter):
+        # Each half-round frame feeds BOTH its normalization total and the
+        # next join — without a cache every reuse doubles the recompute
+        # tree (4 doubling levels per round made the uncached loop ~10x
+        # slower at sf0.1). Cache per round, truncate the round's output
+        # eagerly, then release the round's caches — the alternating-CC
+        # discipline.
         araw = (
             edges.join(
                 scores.select(F.col("id").alias("src"), "hub"), "src"
             )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("hub").alias("araw"))
+            .cache()
         )
         atot = araw.agg(F.sum("araw").alias("atot"))
         with_auth = (
@@ -668,6 +671,7 @@ def hits_scaled(
                 .cast("bigint")
                 .alias("auth"),
             )
+            .cache()
         )
         hraw = (
             edges.join(
@@ -675,9 +679,10 @@ def hits_scaled(
             )
             .groupBy(F.col("src").alias("id"))
             .agg(F.sum("auth").alias("hraw"))
+            .cache()
         )
         htot = hraw.agg(F.sum("hraw").alias("htot"))
-        scores = (
+        scores = _truncate(
             with_auth.select("id", "auth")
             .join(hraw, "id", "left")
             .crossJoin(F.broadcast(htot))
@@ -687,10 +692,11 @@ def hits_scaled(
                 .cast("bigint")
                 .alias("hub"),
                 "auth",
-            )
+            ),
+            checkpoint_dir=checkpoint_dir,
         )
-        if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
-            scores = _truncate(scores, checkpoint_dir=checkpoint_dir)
+        for frame in (araw, with_auth, hraw):
+            frame.unpersist()
 
     edges.unpersist()
     return scores.select(

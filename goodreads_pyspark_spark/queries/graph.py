@@ -826,7 +826,7 @@ def _hits_oracle(n_iter: int = 2, scale: int = _HITS_SCALE) -> str:
              FROM vertices v LEFT JOIN hr{r} hr ON hr.id = v.id
              CROSS JOIN ht{r} ht)""")
     return f"""
-    WITH {_GRAPH_CTES},
+    WITH {_CC_SAMPLE_CTES},
     s0 AS MATERIALIZED (SELECT id, CAST({scale} AS BIGINT) AS hub
                         FROM vertices),{",".join(steps)}
     SELECT s.id, s.hub AS hub_scaled, a.auth AS auth_scaled
@@ -844,12 +844,13 @@ def _hits_oracle(n_iter: int = 2, scale: int = _HITS_SCALE) -> str:
     "importance shape. Each half-round is one edge⋈score join + one "
     "keyed sum + an integer sum-normalization against a broadcast "
     "one-row total; per-round cost is O(|E|) with no shuffle wider "
-    "than the vertex id, same as g04. Integer floor-division "
+    "than the vertex id, same as g04 (run on the g05 1-in-5 "
+    "subgraph to stay bench-sized). Integer floor-division "
     "normalization is exact and order-independent, so the unrolled "
     "DuckDB recurrence (HUGEINT rescale) matches bit-for-bit.",
 )
 def a_g14_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.pregel import hits_scaled
 
-    g = _graph(spark, sf_dir)
+    g = _cc_graph(spark, sf_dir)  # 1-in-5 subgraph: bench-sized, like g05
     return hits_scaled(g, n_iter=2, scale=_HITS_SCALE)

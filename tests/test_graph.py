@@ -425,12 +425,10 @@ def test_hits_scaled_checkpoint_dir_matches_local(spark, tmp_path):
     ckpt = str(tmp_path / "hits_ckpt")
     local = {
         r["id"]: (r["hub_scaled"], r["auth_scaled"])
-        for r in hits_scaled(g, n_iter=2, checkpoint_every=1).collect()
+        for r in hits_scaled(g, n_iter=2).collect()
     }
     rel = {
         r["id"]: (r["hub_scaled"], r["auth_scaled"])
-        for r in hits_scaled(
-            g, n_iter=2, checkpoint_every=1, checkpoint_dir=ckpt
-        ).collect()
+        for r in hits_scaled(g, n_iter=2, checkpoint_dir=ckpt).collect()
     }
     assert local == rel
