@@ -1,0 +1,79 @@
+"""Round-6 fourth stress probe: this window's late additions at 1x/10x.
+
+* d45_semantic_decontamination — eval side broadcasts (|corpus|/50 rows),
+  corpus streams once. Expected ~linear in corpus vectors; the eval side
+  grows with the replica too (every 50th id), so the probe also widens
+  the broadcast — the adversarial direction.
+* d46_dsir_selection — one tokenize pass, 64-bucket broadcast model,
+  doc-keyed agg, TakeOrdered. Expected ~linear in corpus tokens.
+* d47_quality_partitions — d38 scoring pass + per-language NTILE window.
+  Expected ~linear; the window sort within each language partition is
+  the dominant term.
+* h02_filtered_vector_search — predicate semi-join + one corpus pass +
+  TakeOrdered. Expected ~linear in (filtered) vectors.
+* m06_ols_normal_equations — ONE partial-agg pass to 10 moments.
+  Expected flat-to-linear (scan-bound).
+* g14_hits_scores — 2 fixed HITS rounds on the 1-in-5 lineitem subgraph.
+  Expected ~linear in edges per round.
+
+Usage: python tools/corpus_stress_r6d.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import replicate
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark("corpus_stress_r6d")
+
+    from goodreads_pyspark_spark.queries.documents import (
+        a_d45_semantic_decontamination,
+        a_d46_dsir_selection,
+        a_d47_quality_partitions,
+    )
+    from goodreads_pyspark_spark.queries.graph import a_g14_hits_scores
+    from goodreads_pyspark_spark.queries.hybrid import a_h02_filtered_vector_search
+    from goodreads_pyspark_spark.queries.ml import a_m06_ols_normal_equations
+
+    for f in factors:
+        stage = tempfile.mkdtemp(prefix=f"r6d_x{f}_")
+        docs = replicate(spark, "documents", f, "doc_id", stage)
+        (Path(stage) / "documents.parquet").symlink_to(docs)
+        emb = replicate(spark, "embeddings", f, "vec_id", stage)
+        (Path(stage) / "embeddings.parquet").symlink_to(emb)
+        li = replicate(spark, "lineitem", f, "l_orderkey", stage)
+        (Path(stage) / "lineitem.parquet").symlink_to(li)
+
+        print(
+            f"--- {f}x ({spark.read.parquet(docs).count():,} docs, "
+            f"{spark.read.parquet(emb).count():,} vecs, "
+            f"{spark.read.parquet(li).count():,} lineitems) ---"
+        )
+        for name, fn in (
+            ("d45_semantic_decontamination", a_d45_semantic_decontamination),
+            ("d46_dsir_selection", a_d46_dsir_selection),
+            ("d47_quality_partitions", a_d47_quality_partitions),
+            ("h02_filtered_vector_search", a_h02_filtered_vector_search),
+            ("m06_ols_normal_equations", a_m06_ols_normal_equations),
+            ("g14_hits_scores", a_g14_hits_scores),
+        ):
+            t0 = time.perf_counter()
+            n = len(fn(spark, stage).collect())
+            print(
+                f"x{f} {name}: {time.perf_counter() - t0:.1f}s ({n} rows)",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
