@@ -212,3 +212,106 @@ def a_h02_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn.join(
         F.broadcast(keep.withColumnRenamed("doc_id", "vec_id")), "vec_id"
     ).select("vec_id", "cosine", "source", "n_chars")
+
+
+# --- RAG context packing under a token budget (new in r6) ---------------------
+#: Candidate depth fed to the packer.
+_H03_POOL = 50
+#: Context token budget.
+_H03_BUDGET = 2000
+
+_H03_SUBWORD_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
+
+
+@query(
+    "a_h03_rag_context_pack",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    comps AS (
+      SELECT vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos) WHERE vec_id <> 0
+      GROUP BY vec_id),
+    pool AS (
+      SELECT vec_id, ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC,
+                        vec_id) AS rnk
+      FROM comps QUALIFY rnk <= {_H03_POOL}),
+    toks AS (
+      SELECT p.rnk, p.vec_id, p.cosine,
+             CAST(len(regexp_extract_all(lower(d.text),
+                  '{_H03_SUBWORD_RE}')) AS INTEGER) AS n_tokens
+      FROM pool p JOIN documents d ON d.doc_id = p.vec_id)
+    SELECT CAST(rnk AS INTEGER) AS rnk, vec_id, cosine, n_tokens,
+           CAST(SUM(n_tokens) OVER (
+                  ORDER BY rnk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_tokens,
+           SUM(n_tokens) OVER (
+                  ORDER BY rnk
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             <= {_H03_BUDGET} AS included
+    FROM toks
+    """,
+    doc="RAG context assembly: retrieve the top-50 documents by exact "
+    "cosine to query vec 0 (the h02/e01 kernel), estimate each one's "
+    "token cost with the d12 BPE-pretokenizer regex, and pack them "
+    "into a 2000-token context budget in rank order — a doc is "
+    "included while the running total fits, truncation at first "
+    "overflow (the standard context-builder semantics; greedy "
+    "skip-and-refill is sequential and non-relational, documented "
+    "trade-off). The final retrieval-pipeline stage the engine "
+    "serves: retrieve -> cost -> budget-cut. Scale shape: the corpus "
+    "pass is the one broadcast-query kNN; everything after operates "
+    "on a bounded 50-row frame — rank and cumulative sum run as "
+    "broadcast self-joins over that constant frame (bounded_rank "
+    "discipline: no unpartitioned window anywhere), so the packer "
+    "costs the same at any corpus size.",
+)
+def a_h03_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+
+    docs = tbl(spark, sf_dir, "documents")
+    emb = tbl(spark, sf_dir, "embeddings")
+    pool = bounded_rank(
+        brute_force_knn(emb, query_id=0, k=_H03_POOL),
+        order=[("cosine", "desc"), ("vec_id", "asc")],
+        alias="rnk",
+    )
+    toks = pool.join(
+        F.broadcast(docs.select(F.col("doc_id").alias("vec_id"), "text")),
+        "vec_id",
+    ).select(
+        "rnk",
+        "vec_id",
+        "cosine",
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(_H03_SUBWORD_RE), 0)
+        ).alias("n_tokens"),
+    )
+    a = toks.alias("__a")
+    b = toks.select("rnk", "n_tokens").alias("__b")
+    packed = (
+        a.join(F.broadcast(b), F.col("__b.rnk") <= F.col("__a.rnk"))
+        .groupBy(
+            F.col("__a.rnk").alias("rnk"),
+            F.col("__a.vec_id").alias("vec_id"),
+            F.col("__a.cosine").alias("cosine"),
+            F.col("__a.n_tokens").alias("n_tokens"),
+        )
+        .agg(F.sum("__b.n_tokens").cast("bigint").alias("cum_tokens"))
+    )
+    return packed.select(
+        F.col("rnk").cast("int").alias("rnk"),
+        "vec_id",
+        "cosine",
+        "n_tokens",
+        "cum_tokens",
+        (F.col("cum_tokens") <= _H03_BUDGET).alias("included"),
+    )

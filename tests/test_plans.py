@@ -843,3 +843,15 @@ def test_d47_quality_partitions_window_is_partitioned(spark):
     assert "SinglePartition" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"Python worker in plan: {marker}"
+
+
+def test_h03_context_pack_constant_tail_no_window(spark):
+    """The packer's rank + cumulative sum must run as broadcast
+    self-joins over the bounded 50-row pool — no Window operator at all
+    (the no-unpartitioned-window rule), corpus side cut by TakeOrdered."""
+    plan = plan_of(spark, "a_h03_rag_context_pack")
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"Python worker in plan: {marker}"
