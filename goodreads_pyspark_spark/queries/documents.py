@@ -3229,3 +3229,160 @@ def a_d47_quality_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_chars",
         "avg_logit",
     )
+
+
+# --- incremental ingest admission pipeline (new in r6) ------------------------
+#: Batch membership: doc_id % 7 == 3 — disjoint from d19's demo batch
+#: (doc_id%10==0), and coprime with the source cycle (source = doc_id%20)
+#: so the batch spans every source instead of degenerating to two.
+_C05_MOD = 7
+_C05_REM = 3
+
+
+def _c05_oracle(
+    num_hashes: int = 8, bands: int = 4, max_bucket: int = D07_MAX_BUCKET
+) -> str:
+    r = num_hashes // bands
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(num_hashes)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, "
+        f"md5({' || '.join(f'mh{b * r + k}' for k in range(r))}) AS key FROM mh"
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    mh AS (SELECT doc_id,
+           {mins}
+           FROM sh GROUP BY doc_id),
+    bands AS (
+{band_rows}),
+    cb AS (SELECT doc_id AS corpus_id, band, key FROM bands
+           WHERE doc_id % {_C05_MOD} <> {_C05_REM}),
+    bc AS (SELECT band, key, count(*) AS n FROM cb GROUP BY band, key),
+    cbf AS (SELECT cb.* FROM cb JOIN bc USING (band, key)
+            WHERE n <= {max_bucket}),
+    ib AS (SELECT doc_id AS new_id, band, key FROM bands
+           WHERE doc_id % {_C05_MOD} = {_C05_REM}),
+    near AS (SELECT DISTINCT new_id AS doc_id FROM cbf JOIN ib USING (band, key)),
+    ch AS (SELECT DISTINCT md5(text) AS h FROM documents
+           WHERE doc_id % {_C05_MOD} <> {_C05_REM}),
+    bh AS (SELECT doc_id, md5(text) AS h FROM documents
+           WHERE doc_id % {_C05_MOD} = {_C05_REM}),
+    exact AS (
+      SELECT b.doc_id FROM bh b JOIN ch ON ch.h = b.h
+      UNION
+      SELECT b.doc_id FROM bh b JOIN bh p ON p.h = b.h AND p.doc_id < b.doc_id),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               [t[i] || '_' || t[i + 1] for i in range(1, len(t))])) AS f
+      FROM tk WHERE doc_id % {_C05_MOD} = {_C05_REM}),
+    wts AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qw1_' || CAST(
+                ('0x' || substr(md5('qv1_' || f), 1, 8))::BIGINT % 4096
+              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+      FROM feats),
+    q AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(w) AS sum_w
+          FROM wts GROUP BY doc_id),
+    ledger AS (
+      SELECT d.source,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                  WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                  WHEN COALESCE(q.sum_w, 0) <= 50 * COALESCE(q.n_feats, 0)
+                       THEN 'low_quality'
+                  ELSE 'admitted' END AS verdict,
+             CAST(len(regexp_extract_all(lower(d.text),
+                  '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS BIGINT) AS n_subwords
+      FROM documents d
+      LEFT JOIN exact e ON e.doc_id = d.doc_id
+      LEFT JOIN near n ON n.doc_id = d.doc_id
+      LEFT JOIN q ON q.doc_id = d.doc_id
+      WHERE d.doc_id % {_C05_MOD} = {_C05_REM})
+    SELECT source, verdict, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_subwords) AS BIGINT) AS est_tokens
+    FROM ledger GROUP BY source, verdict
+    """
+
+
+@query(
+    "a_c05_ingest_admission",
+    oracle=_c05_oracle(),
+    doc="Incremental ingest ADMISSION pipeline — the daily-batch ops "
+    "story end-to-end: an incoming batch (doc_id%7==3) is screened "
+    "against the standing corpus in first-kill order — exact content "
+    "hash (vs corpus AND earlier in-batch twins), MinHash-LSH near-dup "
+    "vs the corpus band index (d19's broadcast-batch machinery, same "
+    "hot-bucket cap), then the d38 learned quality gate — and the "
+    "(source, verdict) admission ledger reports docs + estimated "
+    "tokens per outcome. Composes d02+d19+d38 into the c-series "
+    "pipeline shape (c01-c04 are batch corpus builds; c05 is the "
+    "steady-state refresh). Scale shape: every stage is linear in the "
+    "BATCH — content hashes and band keys broadcast against "
+    "precomputed append-only corpus indexes, quality is map-side; "
+    "nothing rescans or re-joins the standing corpus beyond the two "
+    "keyed index lookups.",
+)
+def a_c05_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.minhash import incremental_lsh_matches
+    from goodreads_pyspark_spark.functions.quality_model import quality_scores
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    is_batch = F.col("doc_id") % _C05_MOD == _C05_REM
+    batch = docs.filter(is_batch)
+    corpus = docs.filter(~is_batch)
+
+    near = (
+        incremental_lsh_matches(corpus, batch, max_bucket=D07_MAX_BUCKET)
+        .select(F.col("new_id").alias("doc_id"))
+        .distinct()
+        .withColumn("is_near", F.lit(1))
+    )
+    ch = corpus.select(F.md5("text").alias("h")).distinct()
+    bh = batch.select("doc_id", F.md5("text").alias("h"))
+    exact_corpus = bh.join(ch, "h", "left_semi").select("doc_id")
+    earlier = bh.select(F.col("h").alias("ph"), F.col("doc_id").alias("pid"))
+    exact_batch = (
+        bh.join(
+            earlier,
+            (F.col("ph") == F.col("h")) & (F.col("pid") < F.col("doc_id")),
+            "left_semi",
+        ).select("doc_id")
+    )
+    exact = exact_corpus.unionByName(exact_batch).distinct().withColumn(
+        "is_exact", F.lit(1)
+    )
+    q = quality_scores(batch).select("doc_id", "keep")
+
+    ledger = (
+        batch.select(
+            "doc_id",
+            "source",
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0
+                )
+            )
+            .cast("bigint")
+            .alias("n_subwords"),
+        )
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .join(q, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("is_exact") == 1, "exact_dup")
+            .when(F.col("is_near") == 1, "near_dup")
+            .when(F.coalesce("keep", F.lit(0)) == 0, "low_quality")
+            .otherwise("admitted")
+            .alias("verdict"),
+            "n_subwords",
+        )
+    )
+    return ledger.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_subwords").cast("bigint").alias("est_tokens"),
+    )

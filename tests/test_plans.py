@@ -855,3 +855,17 @@ def test_h03_context_pack_constant_tail_no_window(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"Python worker in plan: {marker}"
+
+
+def test_c05_admission_batch_broadcasts_no_corpus_selfjoin(spark):
+    """The admission pipeline must stay linear in the BATCH: the batch's
+    band keys and content hashes broadcast against corpus indexes — no
+    cartesian, and no shuffle carrying the text column."""
+    plan = plan_of(spark, "a_c05_ingest_admission")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    exchanges = [
+        seg.splitlines()[0] for seg in plan.split("Exchange hashpartitioning")[1:]
+    ]
+    for ex in exchanges:
+        assert "text#" not in ex, f"document text crosses a shuffle: {ex}"
