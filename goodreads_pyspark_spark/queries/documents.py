@@ -3386,3 +3386,130 @@ def a_c05_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("n_subwords").cast("bigint").alias("est_tokens"),
     )
+
+
+# --- window-free quality bucketing via order-statistic thresholds (r6) --------
+@query(
+    "a_d48_threshold_buckets",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               [t[i] || '_' || t[i + 1] for i in range(1, len(t))])) AS f
+      FROM tk),
+    wts AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qw1_' || CAST(
+                ('0x' || substr(md5('qv1_' || f), 1, 8))::BIGINT % 4096
+              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+      FROM feats),
+    agg AS (SELECT doc_id, COUNT(*) AS n_feats, SUM(w) AS sum_w
+            FROM wts GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id, d.lang,
+             CASE WHEN COALESCE(n_feats, 0) = 0 THEN 0.0
+                  ELSE sum_w / (n_feats * 1000.0) END AS logit
+      FROM documents d LEFT JOIN agg USING (doc_id)),
+    th AS (
+      SELECT lang,
+             list_sort(list(logit))[CAST(ceil(COUNT(*) / 3.0) AS INT)] AS t1,
+             list_sort(list(logit))[CAST(ceil(2 * COUNT(*) / 3.0) AS INT)] AS t2
+      FROM scored GROUP BY lang),
+    bucketed AS (
+      SELECT s.lang, s.doc_id, s.logit,
+             CASE WHEN s.logit <= th.t1 THEN 'tail'
+                  WHEN s.logit <= th.t2 THEN 'middle'
+                  ELSE 'head' END AS bucket
+      FROM scored s JOIN th USING (lang)),
+    tiled AS (
+      SELECT lang, doc_id,
+             CASE NTILE(3) OVER (PARTITION BY lang
+                                 ORDER BY logit DESC, doc_id)
+               WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+             END AS ntile_bucket
+      FROM scored)
+    SELECT b.lang,
+           ROUND(MAX(th.t1), 6) AS t1,
+           ROUND(MAX(th.t2), 6) AS t2,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN b.bucket = t.ntile_bucket THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_agree,
+           ROUND(SUM(CASE WHEN b.bucket = t.ntile_bucket THEN 1.0 ELSE 0 END)
+                 / COUNT(*), 6) AS agreement_rate
+    FROM bucketed b
+    JOIN tiled t ON t.lang = b.lang AND t.doc_id = b.doc_id
+    JOIN th ON th.lang = b.lang
+    GROUP BY b.lang
+    """,
+    doc="Window-free tercile bucketing — the scale path d47's docstring "
+    "promises: instead of a per-language NTILE sort over every row, "
+    "compute two ORDER-STATISTIC thresholds per language (the "
+    "ceil(n/3)-th and ceil(2n/3)-th smallest logit — exact data "
+    "values, no interpolation, so bit-identical cross-engine) and "
+    "bucket each doc with two map-side comparisons. The query also "
+    "PRICES the swap: per language it reports agreement vs the exact "
+    "NTILE assignment — disagreement happens exactly where NTILE's "
+    "forced-equal-size cut splits a run of tied logits that "
+    "thresholding keeps together (the honest semantic difference, "
+    "measured not assumed, same discipline as the e11/e12/e23 "
+    "audits). Scale shape: thresholds here use a per-language "
+    "collect_list (fine while one language's logits fit an executor; "
+    "the documented 100 TB swap is approx_percentile or a two-pass "
+    "count-below), after which bucketing is pure map-side — no "
+    "window, no per-row shuffle beyond the (lang) threshold "
+    "broadcast.",
+)
+def a_d48_threshold_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from goodreads_pyspark_spark.functions.quality_model import quality_scores
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    scored = quality_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("lang", "doc_id", "logit")
+    th = scored.groupBy("lang").agg(
+        F.expr(
+            "element_at(sort_array(collect_list(logit)),"
+            " cast(ceil(count(1) / 3.0) as int))"
+        ).alias("t1"),
+        F.expr(
+            "element_at(sort_array(collect_list(logit)),"
+            " cast(ceil(2 * count(1) / 3.0) as int))"
+        ).alias("t2"),
+    )
+    bucketed = scored.join(F.broadcast(th), "lang").select(
+        "lang",
+        "doc_id",
+        "t1",
+        "t2",
+        F.when(F.col("logit") <= F.col("t1"), "tail")
+        .when(F.col("logit") <= F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("logit").desc(), "doc_id")
+    tiled = scored.select(
+        "lang",
+        "doc_id",
+        F.when(F.ntile(3).over(w) == 1, "head")
+        .when(F.ntile(3).over(w) == 2, "middle")
+        .otherwise("tail")
+        .alias("ntile_bucket"),
+    )
+    joined = bucketed.join(tiled, ["lang", "doc_id"])
+    return joined.groupBy("lang").agg(
+        F.round(F.max("t1"), 6).alias("t1"),
+        F.round(F.max("t2"), 6).alias("t2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("bucket") == F.col("ntile_bucket")).cast("int"))
+        .cast("bigint")
+        .alias("n_agree"),
+        F.round(
+            F.sum((F.col("bucket") == F.col("ntile_bucket")).cast("double"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("agreement_rate"),
+    )

@@ -869,3 +869,44 @@ def test_c05_admission_batch_broadcasts_no_corpus_selfjoin(spark):
     ]
     for ex in exchanges:
         assert "text#" not in ex, f"document text crosses a shuffle: {ex}"
+
+
+def test_d48_threshold_bucketing_path_is_window_free(spark):
+    """The production path d48 demonstrates (order-statistic thresholds
+    -> broadcast -> map-side comparisons) must plan with NO Window
+    operator — that's its whole advantage over d47's NTILE. Built here
+    without the in-query NTILE agreement audit (which deliberately
+    reuses the window)."""
+    import pyspark.sql.functions as F
+
+    from goodreads_pyspark_spark.functions.quality_model import quality_scores
+    from goodreads_pyspark_spark.queries._helpers import tbl
+
+    docs = tbl(spark, SF, "documents")
+    scored = quality_scores(docs).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    ).select("lang", "doc_id", "logit")
+    th = scored.groupBy("lang").agg(
+        F.expr(
+            "element_at(sort_array(collect_list(logit)),"
+            " cast(ceil(count(1) / 3.0) as int))"
+        ).alias("t1"),
+        F.expr(
+            "element_at(sort_array(collect_list(logit)),"
+            " cast(ceil(2 * count(1) / 3.0) as int))"
+        ).alias("t2"),
+    )
+    bucketed = scored.join(F.broadcast(th), "lang").select(
+        "lang",
+        "doc_id",
+        F.when(F.col("logit") <= F.col("t1"), "tail")
+        .when(F.col("logit") <= F.col("t2"), "middle")
+        .otherwise("head")
+        .alias("bucket"),
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bucketed.explain("formatted")
+    plan = buf.getvalue()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
