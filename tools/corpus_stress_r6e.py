@@ -1,0 +1,68 @@
+"""Round-6 fifth stress probe: the last-window additions at 1x/10x.
+
+* c05_ingest_admission — exact-hash + LSH-vs-index + quality gate; both
+  the batch (1/7 of docs) and the corpus index grow with the replica.
+  Expected ~linear (keyed joins and aggs only).
+* s12_streaming_ingest_admission — the same screen as foreachBatch
+  micro-batches against static indexes. Expected linear plus the fixed
+  micro-batch engine overhead.
+* h03_rag_context_pack — one corpus kNN pass + constant 50-row packer.
+  Expected ~linear with a flat tail.
+* d48_threshold_buckets — scoring pass + per-lang order-statistic
+  thresholds (collect_list agg) + map-side cut + NTILE audit window.
+  Expected ~linear.
+
+Usage: python tools/corpus_stress_r6e.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import replicate
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    spark = get_spark("corpus_stress_r6e")
+
+    from goodreads_pyspark_spark.queries.documents import (
+        a_c05_ingest_admission,
+        a_d48_threshold_buckets,
+        a_s12_streaming_ingest_admission,
+    )
+    from goodreads_pyspark_spark.queries.hybrid import a_h03_rag_context_pack
+
+    for f in factors:
+        stage = tempfile.mkdtemp(prefix=f"r6e_x{f}_")
+        docs = replicate(spark, "documents", f, "doc_id", stage)
+        (Path(stage) / "documents.parquet").symlink_to(docs)
+        emb = replicate(spark, "embeddings", f, "vec_id", stage)
+        (Path(stage) / "embeddings.parquet").symlink_to(emb)
+
+        print(
+            f"--- {f}x ({spark.read.parquet(docs).count():,} docs, "
+            f"{spark.read.parquet(emb).count():,} vecs) ---"
+        )
+        for name, fn in (
+            ("c05_ingest_admission", a_c05_ingest_admission),
+            ("s12_streaming_ingest_admission", a_s12_streaming_ingest_admission),
+            ("h03_rag_context_pack", a_h03_rag_context_pack),
+            ("d48_threshold_buckets", a_d48_threshold_buckets),
+        ):
+            t0 = time.perf_counter()
+            n = len(fn(spark, stage).collect())
+            print(
+                f"x{f} {name}: {time.perf_counter() - t0:.1f}s ({n} rows)",
+                flush=True,
+            )
+
+
+if __name__ == "__main__":
+    main()
