@@ -1546,3 +1546,125 @@ def a_e26_int8_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_pct_scaled"),
         )
     )
+
+
+# ============================ round-6 additions ===============================
+
+# --- matryoshka dimension sweep (new in r6) -----------------------------------
+_E27_DIMS = (8, 16, 32, 48, 64)
+_E27_K = 10
+
+
+def _e27_oracle() -> str:
+    blocks = []
+    for d in _E27_DIMS:
+        blocks.append(f"""
+    SELECT CAST({d} AS INTEGER) AS n_dims, CAST({_E27_K} AS INTEGER) AS k,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT vec_id FROM (
+                SELECT vec_id,
+                       {_DSUM.format(expr='v * qv')} AS dot,
+                       {_DSUM.format(expr='v * v')} AS n2,
+                       {_DSUM.format(expr='qv * qv')} AS q2
+                FROM e JOIN q USING (pos)
+                WHERE vec_id <> 0 AND pos <= {d} GROUP BY vec_id)
+              ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id
+              LIMIT {_E27_K}) t JOIN exact USING (vec_id)) AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM (
+              SELECT vec_id FROM (
+                SELECT vec_id,
+                       {_DSUM.format(expr='v * qv')} AS dot,
+                       {_DSUM.format(expr='v * v')} AS n2,
+                       {_DSUM.format(expr='qv * qv')} AS q2
+                FROM e JOIN q USING (pos)
+                WHERE vec_id <> 0 AND pos <= {d} GROUP BY vec_id)
+              ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id
+              LIMIT {_E27_K}) t JOIN exact USING (vec_id)) AS DOUBLE)
+             / {_E27_K} AS recall""")
+    union = "\n    UNION ALL".join(blocks)
+    return f"""
+    WITH {_LONG},
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    exact AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               {_DSUM.format(expr='v * qv')} AS dot,
+               {_DSUM.format(expr='v * v')} AS n2,
+               {_DSUM.format(expr='qv * qv')} AS q2
+        FROM e JOIN q USING (pos) WHERE vec_id <> 0 GROUP BY vec_id)
+      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id
+      LIMIT {_E27_K})
+    {union}
+    """
+
+
+@query(
+    "a_e27_matryoshka_dim_sweep",
+    oracle=_e27_oracle(),
+    doc="Matryoshka dimension SWEEP — e16's single truncation point "
+    "extended to the full serving-dimension curve (8/16/32/48/64 dims, "
+    "recall@10 vs the exact full-dimension ranking for each): the "
+    "measurement that picks an MRL serving dimension, where index "
+    "bytes and ANN throughput scale 1/dims IF the recall curve holds. "
+    "One long-form pass computes every prefix kernel: the per-dim "
+    "cosine is a conditional decimal sum over the SAME (vec_id)-keyed "
+    "aggregation (pos<=d partial sums share the scan), so the sweep "
+    "costs one corpus pass + a 5-branch aggregate, not 5 scans. "
+    "Audit-shape caveat as e11/e12: the exact top-k baseline is "
+    "deliberately the quadratic-free brute-force kernel, fine at any "
+    "sf because it is one broadcast-query pass.",
+)
+def a_e27_matryoshka_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.functions.vectors import explode_vector
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    _ACC = "decimal(38,12)"
+    emb = fan_out(tbl(spark, sf_dir, "embeddings"))
+    e = explode_vector(emb, "vec_id").withColumn("pos", F.col("pos") + 1)
+    q = e.filter(F.col("vec_id") == 0).select(
+        "pos", F.col("v").alias("qv")
+    )
+    joined = e.filter(F.col("vec_id") != 0).join(F.broadcast(q), "pos")
+
+    def psum(expr, d):
+        cond = F.when(F.col("pos") <= d, expr).otherwise(F.lit(0.0))
+        return F.sum(cond.cast(_ACC)).cast("double")
+
+    aggs = []
+    for d in _E27_DIMS:
+        aggs += [
+            psum(F.col("v") * F.col("qv"), d).alias(f"dot{d}"),
+            psum(F.col("v") * F.col("v"), d).alias(f"n2_{d}"),
+            psum(F.col("qv") * F.col("qv"), d).alias(f"q2_{d}"),
+        ]
+    comps = joined.groupBy("vec_id").agg(*aggs).cache()
+
+    def topk(d):
+        cos = F.round(
+            F.col(f"dot{d}")
+            / (F.sqrt(F.col(f"n2_{d}")) * F.sqrt(F.col(f"q2_{d}"))),
+            6,
+        )
+        return (
+            comps.select("vec_id", cos.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), "vec_id")
+            .limit(_E27_K)
+            .select("vec_id")
+        )
+
+    exact = topk(64).cache()
+    out = None
+    for d in _E27_DIMS:
+        hits = topk(d).join(exact, "vec_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        row = hits.select(
+            F.lit(d).cast("int").alias("n_dims"),
+            F.lit(_E27_K).cast("int").alias("k"),
+            "n_hits",
+            (F.col("n_hits").cast("double") / _E27_K).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
