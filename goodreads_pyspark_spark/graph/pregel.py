@@ -704,3 +704,50 @@ def hits_scaled(
         F.col("hub").alias("hub_scaled"),
         F.col("auth").alias("auth_scaled"),
     )
+
+
+def multi_source_bfs(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+) -> DataFrame:
+    """Unweighted BFS from EVERY seed at once: ``rounds`` synchronous
+    frontier relaxations over (seed, id)-keyed state.
+
+    ``edges`` is (src, dst) (pass both directions for undirected);
+    ``seeds`` is a 1-column (id) frame. The multi-source generalization
+    of :func:`sssp_rounds` — one loop costs O(|E|·|seeds|) per round
+    worst-case instead of |seeds| separate traversals, and the state
+    shuffle is keyed by (seed, id) so landmark counts scale by adding
+    partitions, not rounds. Same fixed-round integer-exact oracle
+    discipline as sssp/LPA/PageRank. Returns (seed, id, dist) for pairs
+    reached within ``rounds`` hops (dist 0 = the seed itself).
+    """
+    dist = seeds.select(
+        F.col("id").alias("seed"), "id", F.lit(0).cast("bigint").alias("dist")
+    ).cache()
+    dist.count()
+    for _ in range(rounds):
+        msgs = (
+            edges.join(dist.withColumnRenamed("id", "src"), "src")
+            .select("seed", F.col("dst").alias("id"),
+                    (F.col("dist") + 1).alias("nd"))
+            .groupBy("seed", "id")
+            .agg(F.min("nd").alias("nd"))
+        )
+        prev = dist
+        dist = (
+            dist.join(msgs, ["seed", "id"], "full")
+            .select(
+                "seed",
+                "id",
+                F.when(F.col("dist").isNull(), F.col("nd"))
+                .when(F.col("nd").isNull(), F.col("dist"))
+                .otherwise(F.least("dist", "nd"))
+                .alias("dist"),
+            )
+            .cache()
+        )
+        dist.count()
+        prev.unpersist()
+    return dist

@@ -854,3 +854,88 @@ def a_g14_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = _cc_graph(spark, sf_dir)  # 1-in-5 subgraph: bench-sized, like g05
     return hits_scaled(g, n_iter=2, scale=_HITS_SCALE)
+
+
+# --- landmark harmonic centrality (new in r6) ----------------------------------
+_G15_SEEDS = 4
+_G15_ROUNDS = 3
+#: LCM(1..3): 6 div dist is an exact integer for every reachable distance,
+#: so the per-vertex harmonic sum is pure integer addition — order-free.
+_G15_LCM = 6
+
+
+def _g15_oracle(seeds: int = _G15_SEEDS, rounds: int = _G15_ROUNDS) -> str:
+    ctes = [
+        f"""e0 AS (SELECT l_orderkey AS src, l_partkey + {_OFFSET} AS dst
+              FROM lineitem WHERE l_orderkey % 5 = 0),
+    ue AS MATERIALIZED (SELECT src, dst FROM e0
+           UNION ALL SELECT dst, src FROM e0),
+    sd AS (SELECT DISTINCT src AS id FROM e0 ORDER BY id LIMIT {seeds}),
+    d0 AS (SELECT id AS seed, id, CAST(0 AS BIGINT) AS dist FROM sd)"""
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""m{r} AS (SELECT d.seed, ue.dst AS id, MIN(d.dist + 1) AS nd
+             FROM ue JOIN d{r - 1} d ON d.id = ue.src
+             GROUP BY d.seed, ue.dst),
+    d{r} AS MATERIALIZED (
+        SELECT COALESCE(d.seed, m.seed) AS seed,
+               COALESCE(d.id, m.id) AS id,
+               CASE WHEN d.dist IS NULL THEN m.nd
+                    WHEN m.nd IS NULL THEN d.dist
+                    ELSE LEAST(d.dist, m.nd) END AS dist
+        FROM d{r - 1} d FULL JOIN m{r} m ON m.id = d.id AND m.seed = d.seed)"""
+        )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT id,
+           CAST(COUNT(CASE WHEN dist > 0 THEN 1 END) AS BIGINT) AS n_reached,
+           CAST(COALESCE(SUM(CASE WHEN dist > 0 THEN {_G15_LCM} // dist END), 0)
+                AS BIGINT) AS harmonic_x{_G15_LCM}
+    FROM d{rounds} GROUP BY id
+    """
+
+
+@query(
+    "a_g15_landmark_harmonic",
+    oracle=_g15_oracle(),
+    doc="Landmark harmonic-centrality estimate: BFS from 4 deterministic "
+    "landmark vertices at once (graph/pregel.py multi_source_bfs, the "
+    "multi-source generalization of g09's relaxation loop) on the g05 "
+    "1-in-5 subgraph, then per vertex the harmonic sum over reached "
+    "landmarks. Exact closeness/harmonic centrality is O(V·E) — at "
+    "scale everyone ships the landmark estimate (Eppstein-Wang shape) "
+    "instead, and this is that operator. Exactness trick: distances "
+    "within 3 rounds are in {{1,2,3}}, so the sum of LCM(1..3)/dist "
+    "terms is pure INTEGER addition (harmonic_x6) — order-independent, "
+    "bit-equal to the unrolled DuckDB recurrence, no float harmonic "
+    "drift. One loop costs O(|E|·|seeds|) per round keyed by "
+    "(seed, id); landmark count scales with partitions, not rounds.",
+)
+def a_g15_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.graph.pregel import multi_source_bfs
+
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    e0 = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + _OFFSET).alias("dst"),
+    )
+    ue = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    seeds = (
+        e0.select(F.col("src").alias("id"))
+        .distinct()
+        .orderBy("id")
+        .limit(_G15_SEEDS)
+    )
+    dist = multi_source_bfs(ue, seeds, rounds=_G15_ROUNDS)
+    reached = F.when(F.col("dist") > 0, 1)
+    return dist.groupBy("id").agg(
+        F.count(reached).cast("bigint").alias("n_reached"),
+        F.coalesce(
+            F.sum(F.when(F.col("dist") > 0, F.expr(f"{_G15_LCM} div dist"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias(f"harmonic_x{_G15_LCM}"),
+    )

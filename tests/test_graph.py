@@ -432,3 +432,21 @@ def test_hits_scaled_checkpoint_dir_matches_local(spark, tmp_path):
         for r in hits_scaled(g, n_iter=2, checkpoint_dir=ckpt).collect()
     }
     assert local == rel
+
+
+def test_multi_source_bfs_hand_computed(spark):
+    """Path 1-2-3-4 plus isolated 9, seeds {1,3}: distances checked by
+    hand; pairs beyond `rounds` hops are absent, seeds are dist 0."""
+    from goodreads_pyspark_spark.graph.pregel import multi_source_bfs
+
+    e0 = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    ue = e0.unionAll(e0.selectExpr("dst AS src", "src AS dst"))
+    seeds = spark.createDataFrame([(1,), (3,)], ["id"])
+    out = {
+        (r["seed"], r["id"]): r["dist"]
+        for r in multi_source_bfs(ue, seeds, rounds=2).collect()
+    }
+    assert out == {
+        (1, 1): 0, (1, 2): 1, (1, 3): 2,
+        (3, 3): 0, (3, 2): 1, (3, 4): 1, (3, 1): 2,
+    }
