@@ -20,7 +20,7 @@ GraphX's resetProb form), LPA (Raghavan et al.), BFS frontier expansion.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.graph.frames import PropertyGraph, _truncate
@@ -124,6 +124,11 @@ def pagerank_scaled(
     double accumulation, whose sum order differs per partitioning. Error
     vs true PageRank is ≤ n_iter·outdeg/scale — irrelevant at 1e12.
 
+    Iterations run lazily and the plan is truncated every
+    ``checkpoint_every`` rounds via :func:`frames._truncate` —
+    ``checkpoint_dir=None`` uses ``localCheckpoint`` (executor blocks),
+    a directory switches to reliable ``checkpoint()`` for fault-tolerant
+    long runs (see the _truncate docstring for the trade-off).
 
     Returns (id, pr_scaled) — divide by ``scale`` for real scores.
     Overflow headroom: total mass ≈ |V|·scale must stay under 2^63/den;
@@ -626,11 +631,13 @@ def hits_scaled(
     the same recurrence (HUGEINT for the ×scale rescale) reproduces every
     score exactly — float HITS would drift by partial-aggregation order.
 
-    Overflow headroom at BIGINT: after each normalization Σscore ≤ scale,
-    so the next raw pass is ≤ max_degree·scale per vertex and the rescale
-    multiplier peaks at |E|·scale² on round one — scale=1e6 keeps that
-    under 2^63 up to ~10^6 edges per driver-test graph; production sizes
-    move the rescale to DECIMAL(38,0) unchanged semantics.
+    Overflow headroom: the rescale multiplicand peaks at |E|·scale² on
+    round one, so the ``raw·scale`` product runs in DECIMAL(38,0) (exact
+    integers to 1e38, matching the oracle's HUGEINT) rather than BIGINT —
+    at scale=1e6 that lifts the safe edge count from ~1e6 to ~1e26.
+    Degenerate graphs (no edges, or a round where all mass dies) make the
+    normalization total zero/NULL; that raises loudly instead of silently
+    emitting all-NULL scores.
 
     On a bipartite src→dst graph (orders→parts here) this is the co-HITS
     shape used for user-item importance: sources carry hub mass, sinks
@@ -643,6 +650,17 @@ def hits_scaled(
         F.lit(scale).cast("bigint").alias("hub"),
         F.lit(scale).cast("bigint").alias("auth"),
     )
+
+    def _rescale(raw: str, tot: str) -> Column:
+        # raw·scale in DECIMAL(38,0) (exact, HUGEINT-parity with the
+        # oracle); zero/NULL mass fails loudly rather than NULLing out.
+        return F.expr(
+            f"CASE WHEN coalesce({tot}, 0L) <= 0L THEN "
+            f"CAST(raise_error('hits_scaled: zero/NULL {tot} — degenerate "
+            f"graph (no edges or all mass died this round)') AS BIGINT) "
+            f"ELSE CAST((CAST(coalesce({raw}, 0L) AS DECIMAL(38,0)) "
+            f"* {scale}) div {tot} AS BIGINT) END"
+        )
 
     for i in range(n_iter):
         # Each half-round frame feeds BOTH its normalization total and the
@@ -664,13 +682,7 @@ def hits_scaled(
             scores.select("id", "hub")
             .join(araw, "id", "left")
             .crossJoin(F.broadcast(atot))
-            .select(
-                "id",
-                "hub",
-                F.expr(f"(coalesce(araw, 0L) * {scale}) div atot")
-                .cast("bigint")
-                .alias("auth"),
-            )
+            .select("id", "hub", _rescale("araw", "atot").alias("auth"))
             .cache()
         )
         hraw = (
@@ -686,13 +698,7 @@ def hits_scaled(
             with_auth.select("id", "auth")
             .join(hraw, "id", "left")
             .crossJoin(F.broadcast(htot))
-            .select(
-                "id",
-                F.expr(f"(coalesce(hraw, 0L) * {scale}) div htot")
-                .cast("bigint")
-                .alias("hub"),
-                "auth",
-            ),
+            .select("id", _rescale("hraw", "htot").alias("hub"), "auth"),
             checkpoint_dir=checkpoint_dir,
         )
         for frame in (araw, with_auth, hraw):
@@ -722,6 +728,11 @@ def multi_source_bfs(
     partitions, not rounds. Same fixed-round integer-exact oracle
     discipline as sssp/LPA/PageRank. Returns (seed, id, dist) for pairs
     reached within ``rounds`` hops (dist 0 = the seed itself).
+
+    The returned frame is CACHED (it fed the final round's join and a
+    re-materialization would replay every round): the caller owns the
+    handle and must ``unpersist()`` it once its downstream aggregate has
+    materialized, or the state pins executor memory for the session.
     """
     dist = seeds.select(
         F.col("id").alias("seed"), "id", F.lit(0).cast("bigint").alias("dist")

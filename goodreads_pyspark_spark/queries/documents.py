@@ -3572,6 +3572,8 @@ def a_s12_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFr
         .cache()
     )
 
+    import shutil
+
     stage = tempfile.mkdtemp(prefix="s12_stage_")
     out = tempfile.mkdtemp(prefix="s12_out_")
     chk = tempfile.mkdtemp(prefix="s12_chk_")
@@ -3622,28 +3624,35 @@ def a_s12_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFr
         )
         flagged.write.mode("append").parquet(out)
 
-    q = (
-        spark.readStream.schema(incoming.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .writeStream.foreachBatch(screen)
-        .option("checkpointLocation", chk)
-        .start()
-    )
     try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-
-    ledger = spark.read.parquet(out)
-    n_led, n_in = ledger.count(), incoming.count()
-    for frame in (index_keys, corpus_hashes, manifest):
-        frame.unpersist()
-    if n_led != n_in:
-        raise AssertionError(
-            f"streamed ledger has {n_led} rows, incoming batch has {n_in}"
+        q = (
+            spark.readStream.schema(incoming.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .writeStream.foreachBatch(screen)
+            .option("checkpointLocation", chk)
+            .start()
         )
-    return ledger.groupBy("source", "verdict").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_subwords").cast("bigint").alias("est_tokens"),
-    )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        ledger = spark.read.parquet(out)
+        n_led, n_in = ledger.count(), incoming.count()
+        if n_led != n_in:
+            raise AssertionError(
+                f"streamed ledger has {n_led} rows, incoming batch has {n_in}"
+            )
+        # The bounded (source, verdict) ledger aggregate must survive the
+        # finally-block cleanup of the parquet dirs it reads from:
+        # materialize it eagerly before the staged files disappear.
+        return ledger.groupBy("source", "verdict").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_subwords").cast("bigint").alias("est_tokens"),
+        ).localCheckpoint(eager=True)
+    finally:
+        for frame in (index_keys, corpus_hashes, manifest):
+            frame.unpersist()
+        for d in (stage, out, chk):
+            shutil.rmtree(d, ignore_errors=True)

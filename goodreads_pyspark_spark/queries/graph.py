@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.graph.frames import PropertyGraph
 from goodreads_pyspark_spark.graph.pregel import label_propagation, pagerank_scaled
-from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries import PRE_MATERIALIZATION, query
 from goodreads_pyspark_spark.queries._helpers import tbl
 from goodreads_pyspark_spark.queries.timeseries import T14_MAX_BASKET
 
@@ -930,7 +930,7 @@ def a_g15_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = multi_source_bfs(ue, seeds, rounds=_G15_ROUNDS)
     reached = F.when(F.col("dist") > 0, 1)
-    return dist.groupBy("id").agg(
+    out = dist.groupBy("id").agg(
         F.count(reached).cast("bigint").alias("n_reached"),
         F.coalesce(
             F.sum(F.when(F.col("dist") > 0, F.expr(f"{_G15_LCM} div dist"))),
@@ -939,3 +939,10 @@ def a_g15_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias(f"harmonic_x{_G15_LCM}"),
     )
+    # multi_source_bfs returns its state CACHED (caller-owned handle):
+    # materialize the per-vertex aggregate eagerly, then release the BFS
+    # state so a long suite run doesn't pin (seed,id) frames in memory.
+    PRE_MATERIALIZATION["a_g15_landmark_harmonic"] = out
+    result = out.localCheckpoint(eager=True)
+    dist.unpersist()
+    return result
