@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.functions.text import tokens
 from goodreads_pyspark_spark.operators import bounded_rank
-from goodreads_pyspark_spark.queries import query
+from goodreads_pyspark_spark.queries import PRE_MATERIALIZATION, query
 from goodreads_pyspark_spark.queries._helpers import tbl
 
 _TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
@@ -189,9 +189,12 @@ _H02_K = 10
     "wasting scores on rows the filter would discard (post-filtering "
     "a top-k can also return <k rows — pre-filtering never does "
     "while candidates remain). Scale shape: the filtered id set rides "
-    "a broadcast semi-join, the query vector broadcasts, one corpus "
-    "pass, TakeOrdered top-k; with a low-selectivity predicate the "
-    "same kernel runs per IVF/LSH bucket (e06/e04) instead.",
+    "an UNHINTED semi-join (the predicate is corpus-proportional, so "
+    "AQE's size check decides broadcast vs shuffle at runtime), the "
+    "query vector broadcasts, one corpus pass, TakeOrdered top-k, and "
+    "the bounded top-k side broadcasts into the metadata join; with a "
+    "low-selectivity predicate the same kernel runs per IVF/LSH "
+    "bucket (e06/e04) instead.",
 )
 def a_h02_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.similarity.ann import brute_force_knn
@@ -203,14 +206,20 @@ def a_h02_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_chars") >= _H02_MIN_CHARS)
         & (F.col("doc_id") != 0)
     ).select("doc_id", "source", "n_chars")
+    # The keep set is NOT provably bounded — `lang='en' AND n_chars>=300`
+    # is corpus-proportional at 100 TB, so the semi-join carries no
+    # broadcast hint: AQE's runtime size check picks broadcast when the
+    # filter happens to be selective and falls back to shuffle when it
+    # isn't (VERDICT r6 finding #2). The metadata join broadcasts the
+    # OTHER side: knn is a TakeOrdered top-k, bounded by construction.
     base = emb.join(
-        F.broadcast(keep.select(F.col("doc_id").alias("vec_id"))),
+        keep.select(F.col("doc_id").alias("vec_id")),
         "vec_id",
         "left_semi",
     ).unionByName(emb.filter(F.col("vec_id") == 0))
     knn = brute_force_knn(base, query_id=0, k=_H02_K)
-    return knn.join(
-        F.broadcast(keep.withColumnRenamed("doc_id", "vec_id")), "vec_id"
+    return keep.withColumnRenamed("doc_id", "vec_id").join(
+        F.broadcast(knn), "vec_id"
     ).select("vec_id", "cosine", "source", "n_chars")
 
 
@@ -269,10 +278,11 @@ _H03_SUBWORD_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
     "trade-off). The final retrieval-pipeline stage the engine "
     "serves: retrieve -> cost -> budget-cut. Scale shape: the corpus "
     "pass is the one broadcast-query kNN; everything after operates "
-    "on a bounded 50-row frame — rank and cumulative sum run as "
-    "broadcast self-joins over that constant frame (bounded_rank "
-    "discipline: no unpartitioned window anywhere), so the packer "
-    "costs the same at any corpus size.",
+    "on a bounded 50-row frame — the pool (not the text-bearing "
+    "documents table) is the broadcast side of the text join, and "
+    "rank and cumulative sum run as broadcast self-joins over that "
+    "constant frame (bounded_rank discipline: no unpartitioned window "
+    "anywhere), so the packer costs the same at any corpus size.",
 )
 def a_h03_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.similarity.ann import brute_force_knn
@@ -284,8 +294,13 @@ def a_h03_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         order=[("cosine", "desc"), ("vec_id", "asc")],
         alias="rnk",
     )
-    toks = pool.join(
-        F.broadcast(docs.select(F.col("doc_id").alias("vec_id"), "text")),
+    # Broadcast the BOUNDED side: pool is a TakeOrdered top-50 cut, so it
+    # broadcasts at any corpus size, while the documents table (text
+    # column included) streams as the probe side — hinting the corpus
+    # side instead would ship every document's text to every executor
+    # and OOM at scale (VERDICT r6 finding #1).
+    toks = docs.select(F.col("doc_id").alias("vec_id"), "text").join(
+        F.broadcast(pool),
         "vec_id",
     ).select(
         "rnk",
@@ -295,6 +310,15 @@ def a_h03_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract_all(F.lower("text"), F.lit(_H03_SUBWORD_RE), 0)
         ).alias("n_tokens"),
     )
+    # The packer tail self-joins toks; left lazy, Spark would inline the
+    # whole retrieve+join lineage into BOTH branches and run the corpus
+    # pass twice. toks is bounded (= pool's 50 rows), so materialize it
+    # once — the tail then operates on a constant-size local frame. The
+    # lazy head is registered for plan audits (tests/test_plans.py pins
+    # that the pool, never the text-bearing corpus, is the broadcast
+    # side).
+    PRE_MATERIALIZATION["a_h03_rag_context_pack"] = toks
+    toks = toks.localCheckpoint(eager=True)
     a = toks.alias("__a")
     b = toks.select("rnk", "n_tokens").alias("__b")
     packed = (
