@@ -606,21 +606,81 @@ def q26_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- approximate sketches (rows-only: sketch algorithms differ by engine) ---
+# --- approximate sketches, gated via engine-independent assertions ----------
+#: HLL rsd requested from approx_count_distinct.
+_Q27_RSD = 0.02
+#: Accepted relative HLL error: 5 standard deviations — a correct sketch
+#: essentially never exceeds it; a broken one blows straight past.
+_Q27_HLL_TOL = 5 * _Q27_RSD
+#: percentile_approx accuracy parameter (rank error <= n / accuracy).
+_Q27_ACC = 10000
+
+
 @query(
     "a_q27_approx_sketches",
-    oracle=None,
-    doc="HyperLogLog distinct + t-digest quantiles per group — THE forms "
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS hll_within_rsd,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="HyperLogLog distinct + quantile sketches per group — THE forms "
     "actually used at 100 TB (bounded memory, one pass, mergeable "
-    "partials). Rows-only check: sketch internals differ across engines; "
-    "tests/test_operators pins error vs exact within tolerance.",
+    "partials). Sketch INTERNALS differ by engine, so the raw estimates "
+    "can never hash-match DuckDB; instead the query emits "
+    "engine-independent columns (VERDICT r6 #3): the exact distinct "
+    "count and group size, which DuckDB recomputes bit-for-bit, plus "
+    "in-query BOOLEAN assertions that Spark's sketch landed inside its "
+    "own published error bounds — HLL within 5·rsd of the exact count, "
+    "and each percentile_approx value rank-bracketed within n/accuracy "
+    "(+1 for ties) of its target rank. The oracle pins the booleans "
+    "TRUE: a broken sketch flips a cell and hash-mismatches, which "
+    "upgrades q27 from rows-only to a full value gate. Scale shape: "
+    "two keyed aggregation passes over orders plus a broadcast of the "
+    "per-group sketch row (bounded by |status| = 3).",
 )
 def a_q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
-    return orders.groupBy("o_orderstatus").agg(
-        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.percentile_approx("o_totalprice", 0.5, 10000).alias("price_p50"),
-        F.percentile_approx("o_totalprice", 0.95, 10000).alias("price_p95"),
+    sk = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=_Q27_RSD).alias("hll"),
+        F.percentile_approx("o_totalprice", 0.5, _Q27_ACC).alias("p50"),
+        F.percentile_approx("o_totalprice", 0.95, _Q27_ACC).alias("p95"),
+    )
+    # Second pass computes exact counts AND, per row, which side of each
+    # sketch value the row falls on — giving the exact rank bracket of
+    # the approximate percentile without any sort.
+    j = orders.join(F.broadcast(sk), "o_orderstatus")
+    agg = j.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_customers"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.first("hll").alias("hll"),
+        F.sum((F.col("o_totalprice") <= F.col("p50")).cast("bigint")).alias("le50"),
+        F.sum((F.col("o_totalprice") < F.col("p50")).cast("bigint")).alias("lt50"),
+        F.sum((F.col("o_totalprice") <= F.col("p95")).cast("bigint")).alias("le95"),
+        F.sum((F.col("o_totalprice") < F.col("p95")).cast("bigint")).alias("lt95"),
+    )
+    n = F.col("n_orders").cast("double")
+    slack = n / _Q27_ACC + 1  # rank error bound + 1 for ties at the value
+
+    def rank_ok(q: float, le: str, lt: str) -> Column:
+        target = F.lit(q) * n
+        return (F.col(le).cast("double") >= target - slack) & (
+            F.col(lt).cast("double") <= target + slack
+        )
+
+    hll_err = F.abs(F.col("hll").cast("double") - F.col("exact_customers")) / F.col(
+        "exact_customers"
+    )
+    return agg.select(
+        "o_orderstatus",
+        "exact_customers",
+        "n_orders",
+        (hll_err <= _Q27_HLL_TOL).alias("hll_within_rsd"),
+        rank_ok(0.5, "le50", "lt50").alias("p50_rank_ok"),
+        rank_ok(0.95, "le95", "lt95").alias("p95_rank_ok"),
     )
 
 
