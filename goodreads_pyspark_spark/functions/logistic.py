@@ -1,0 +1,121 @@
+"""Distributed logistic-regression FIT — the trainer for the
+fastText/CCNet-shape linear quality gate that quality_model.py serves.
+
+Completes the CCNet loop (VERDICT r6 'what's missing' #1): FIT (here) →
+score (d38 inference) → tercile (d47) → gate (d24/d43). The model is the
+fastText classifier (Joulin et al. 2017, public literature): a linear
+layer over hashed unigram+bigram features, trained by full-batch
+gradient ascent on a binary label. Trained here as the canonical
+langid/quality shape: y = rule-derived label, x = L1-normalized hashed
+n-gram counts (the fastText feature average).
+
+Why this is hash-gateable when m01–m05 (MLlib iterative fits) are not:
+
+* **Fixed rounds, full batch.** No sampling, no early stop, no
+  partition-order-sensitive SGD — round r is a pure function of round
+  r−1, so a DuckDB oracle unrolls the rounds as CTEs (the d37 BPE-fit
+  discipline) and reproduces every weight.
+* **Decimal-exact accumulators.** Every per-row product is quantized to
+  DECIMAL(38,12) before summation; decimal addition is exact and
+  associative, so partial-aggregation order cannot change a sum.
+* **No libm in the loop.** The logistic sigmoid is replaced by the
+  algebraic surrogate σ̂(z) = 0.5 + z / (2·(1+|z|)) — same fixed points
+  (σ̂(0)=½), same range (0,1), same monotone S-shape, but built from
+  +,·,/,abs only, which IEEE-754 defines exactly: identical expression
+  trees evaluate bit-identically in any engine, where exp() tails
+  differ by libm. (Swapping true exp back in is a one-line change that
+  moves the gate from hash to tolerance — documented trade.)
+
+Scale shape (100 TB): the corpus tokenizes ONCE into a cached
+(doc_id, bucket, x) feature frame; each round is two keyed aggregations
+over it — a doc-keyed margin pass with the weight table broadcast
+(bounded by n_buckets, 4096 rows, by construction) and a bucket-keyed
+gradient pass — i.e. the fit costs n_rounds × (2 linear passes), with
+driver state limited to nothing at all (weights live in a DataFrame).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.functions.quality_model import _hashed_bucket, ngram_features
+
+#: Shared expression fragments — spliced VERBATIM into both the Spark
+#: projection and the DuckDB oracle (the m06 discipline): identical IEEE
+#: expression trees evaluate bit-identically, so even divisions match.
+SIGMOID_SQL = "(0.5 + ({z}) / (2.0 * (1.0 + abs({z}))))"
+UPDATE_SQL = "(w + ({eta} * coalesce(g, 0.0)) / n_docs)"
+#: Decimal-exact sum of a per-row double expression.
+DSUM_SQL = "CAST(SUM(CAST({e} AS DECIMAL(38,12))) AS DOUBLE)"
+
+#: Default fixed learning rate and round count (mirrored in the oracle).
+ETA = 32.0
+N_ROUNDS = 2
+
+
+def feature_matrix(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, b, x): L1-normalized hashed n-gram counts per document.
+
+    One tokenize+explode pass; x = count(bucket)/n_feats is one exact
+    IEEE division of exact integers. Documents with zero features carry
+    no rows (excluded from the fit, deterministically, in both engines).
+    """
+    from goodreads_pyspark_spark.functions.text import tokens
+
+    feats = docs.select(
+        "doc_id", F.explode(ngram_features(tokens(text_col))).alias("f")
+    )
+    cnt = (
+        feats.select("doc_id", _hashed_bucket(F.col("f")).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    nf = cnt.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("n_feats"))
+    return cnt.join(nf, "doc_id").select(
+        "doc_id", "b", (F.col("cnt").cast("double") / F.col("n_feats")).alias("x")
+    )
+
+
+def logistic_fit(
+    x: DataFrame,
+    labels: DataFrame,
+    n_rounds: int = N_ROUNDS,
+    eta: float = ETA,
+) -> DataFrame:
+    """Full-batch gradient-ascent logistic fit over a feature matrix.
+
+    ``x`` is (doc_id, b, x); ``labels`` is (doc_id, y) with y ∈ {0.0, 1.0}.
+    Returns the final (b, w) weight table (one row per bucket present in
+    the corpus, w0 = 0). Each round: margin z_d = Σ_b w_b·x_db
+    (decimal-exact), p_d = σ̂(z_d), gradient g_b = Σ_d (y_d − p_d)·x_db
+    (decimal-exact), update w_b += eta·g_b / n_docs. The weight table is
+    eagerly truncated per round (it is ≤ n_buckets rows), so round r+1
+    plans against a constant-size local frame instead of an
+    exponentially-inlined lineage.
+    """
+    x = x.cache()
+    nd = x.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    w = x.select("b").distinct().withColumn("w", F.lit(0.0))
+    w = w.localCheckpoint(eager=True)
+    for _ in range(n_rounds):
+        z = (
+            x.join(F.broadcast(w), "b")
+            .groupBy("doc_id")
+            .agg(F.expr(DSUM_SQL.format(e="w * x")).alias("z"))
+        )
+        p = z.selectExpr("doc_id", f"{SIGMOID_SQL.format(z='z')} AS p")
+        g = (
+            x.join(labels, "doc_id")
+            .join(p, "doc_id")
+            .groupBy("b")
+            .agg(F.expr(DSUM_SQL.format(e="(y - p) * x")).alias("g"))
+        )
+        w = (
+            w.join(g, "b", "left")
+            .crossJoin(F.broadcast(nd))
+            .selectExpr("b", f"{UPDATE_SQL.format(eta=eta)} AS w")
+            .localCheckpoint(eager=True)
+        )
+    x.unpersist()
+    return w

@@ -165,3 +165,83 @@ def test_m06_ols_matches_numpy_lstsq(spark):
     assert abs(row["beta_qty"] - beta[1]) < 1e-4 * max(1, abs(beta[1]))
     assert abs(row["beta_disc"] - beta[2]) < 1e-4 * max(1, abs(beta[2]))
     assert abs(row["r2"] - r2) < 1e-6
+
+
+def test_d49_logistic_fit_matches_pure_python(spark):
+    """Differential test of the distributed logistic fit: re-run the
+    exact recurrence (tokenize -> hashed buckets -> L1-normalized
+    counts -> 2 full-batch rounds with the algebraic sigmoid) in pure
+    Python floats and require per-bucket weight agreement, plus an
+    actual learning signal (Brier score strictly decreases)."""
+    import hashlib
+    import re
+    from collections import Counter, defaultdict
+
+    from goodreads_pyspark_spark.functions.logistic import (
+        ETA,
+        N_ROUNDS,
+        feature_matrix,
+        logistic_fit,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    labels = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+    )
+    got = {
+        r["b"]: r["w"]
+        for r in logistic_fit(feature_matrix(docs), labels).collect()
+    }
+
+    rows = docs.select("doc_id", "text", "lang").collect()
+    X, y = {}, {}
+    for r in rows:
+        toks = [t for t in re.split(r"[^a-z0-9]+", r["text"].lower()) if t]
+        feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+        if not feats:
+            continue
+        c = Counter(
+            int(hashlib.md5(f"qv1_{f}".encode()).hexdigest()[:8], 16) % 4096
+            for f in feats
+        )
+        n = sum(c.values())
+        X[r["doc_id"]] = {b: cnt / n for b, cnt in c.items()}
+        y[r["doc_id"]] = 1.0 if r["lang"] == "en" else 0.0
+
+    w = dict.fromkeys({b for f in X.values() for b in f}, 0.0)
+    n_docs = float(len(X))
+    briers = []
+    for _ in range(N_ROUNDS):
+        g = defaultdict(float)
+        brier = 0.0
+        for d, f in X.items():
+            z = sum(w[b] * x for b, x in f.items())
+            p = 0.5 + z / (2.0 * (1.0 + abs(z)))
+            brier += (y[d] - p) ** 2
+            for b, x in f.items():
+                g[b] += (y[d] - p) * x
+        briers.append(brier / n_docs)
+        for b in w:
+            w[b] = w[b] + (ETA * g[b]) / n_docs
+
+    # final-round Brier after the last update, for the learning check
+    final = (
+        sum(
+            (
+                y[d]
+                - (
+                    0.5
+                    + (z := sum(w[b] * x for b, x in f.items()))
+                    / (2.0 * (1.0 + abs(z)))
+                )
+            )
+            ** 2
+            for d, f in X.items()
+        )
+        / n_docs
+    )
+    assert final < briers[0], "fit did not reduce Brier score"
+
+    assert set(got) == set(w)
+    for b, wv in w.items():
+        assert abs(got[b] - wv) < 1e-9, f"bucket {b}: spark {got[b]} vs py {wv}"

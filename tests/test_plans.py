@@ -999,3 +999,53 @@ def test_d48_threshold_bucketing_path_is_window_free(spark):
     plan = buf.getvalue()
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_d49_fit_round_broadcasts_weights_no_python(spark):
+    """One fit round must be the two linear passes the 100 TB story
+    claims: the (<=4096-row, bounded-by-construction) weight table rides
+    a BroadcastHashJoin into the doc-keyed margin aggregation, the
+    gradient is a bucket-keyed HashAggregate, and the whole round is
+    pure JVM codegen — no Python workers, no Window, no cartesian."""
+    import pyspark.sql.functions as F
+
+    from goodreads_pyspark_spark.functions.logistic import (
+        DSUM_SQL,
+        SIGMOID_SQL,
+        feature_matrix,
+    )
+    from goodreads_pyspark_spark.queries._helpers import tbl
+
+    docs = tbl(spark, SF, "documents")
+    x = feature_matrix(docs)
+    labels = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+    )
+    w = x.select("b").distinct().withColumn("w", F.lit(0.0))
+    z = (
+        x.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.expr(DSUM_SQL.format(e="w * x")).alias("z"))
+    )
+    p = z.selectExpr("doc_id", f"{SIGMOID_SQL.format(z='z')} AS p")
+    g = (
+        x.join(labels, "doc_id")
+        .join(p, "doc_id")
+        .groupBy("b")
+        .agg(F.expr(DSUM_SQL.format(e="(y - p) * x")).alias("g"))
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        g.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+    for marker in (
+        "Window",
+        "CartesianProduct",
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "PythonUDF",
+    ):
+        assert marker not in plan, f"unexpected operator in round plan: {marker}"
