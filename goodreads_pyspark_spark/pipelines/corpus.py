@@ -79,7 +79,9 @@ def drop_near_duplicates(
     """Remove the higher-id member of each verified near-dup pair.
 
     LSH proposes candidates (linear); exact n-gram Jaccard verifies them;
-    the verified pair list is tiny and broadcast back as an anti-join.
+    the verified drop list comes back as an anti-join (unhinted — its
+    size tracks the corpus's duplicate rate, so AQE picks broadcast vs
+    shuffle at runtime).
     One cached shingle table feeds both phases — the corpus is tokenized
     exactly once. A caller that already holds a corpus-wide ``(id, sh)``
     table (e.g. the c03 composition, whose decontamination stage needs
@@ -113,12 +115,16 @@ def drop_near_duplicates(
         .unionByName(candidates.select(F.col("doc_b").alias("id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_ids), "id", "left_semi")
+    # cand_ids / to_drop scale with the corpus's duplicate rate — on a
+    # redundant 100 TB crawl they are corpus-proportional, so neither
+    # carries a broadcast hint: AQE broadcasts when the candidate set
+    # happens to be small and shuffles when it isn't.
+    sh_cand = sh.join(cand_ids, "id", "left_semi")
     verified = jaccard_pairs_from_shingles(
         sh_cand, threshold=jaccard_threshold, already_cached=True
     ).join(candidates, ["doc_a", "doc_b"], "left_semi")
     to_drop = verified.select(F.col("doc_b").alias(id_col)).distinct()
-    return anti_join(docs, F.broadcast(to_drop), id_col)
+    return anti_join(docs, to_drop, id_col)
 
 
 def clean_corpus(

@@ -136,7 +136,10 @@ def build_users(to_read: DataFrame) -> DataFrame:
 def build_ratings_small(ratings: DataFrame, books: DataFrame) -> DataFrame:
     """Ratings restricted to curated books, ids offset into book space
     (goodreads.py:105-106,151). ``left_semi`` against the broadcastable
-    books dimension — never duplicates, never shuffles the dimension."""
+    books dimension — never duplicates, never shuffles the dimension.
+    Broadcast is dataset-bounded, not corpus-proportional: the goodreads
+    dump's books table is a fixed ~2.4M-id dimension (tens of MB as a
+    bare id column) while interactions (~229M) carry the data growth."""
     offset = ratings.withColumn(
         "book_id", (F.col("book_id") + BOOK_ID_OFFSET).cast("int")
     )

@@ -985,7 +985,7 @@ def q35_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = tbl(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     part_avg = li.groupBy("l_partkey").agg(davg("l_quantity", 2, "avg_qty"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(part_avg, "l_partkey")
         .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
         .groupBy("l_partkey")
@@ -1041,7 +1041,7 @@ def q36_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
     )
     joined = (
-        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
@@ -1126,7 +1126,7 @@ def q37_sole_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     )
     return (
-        sole.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        sole.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -1226,7 +1226,7 @@ def q39_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("mx"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -1397,7 +1397,7 @@ def q42_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), cust.c_nationkey == n1.n_nationkey)
         .join(F.broadcast(region), n1.n_regionkey == region.r_regionkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
     )
     num = F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(F.lit(0.0))
@@ -1442,8 +1442,8 @@ def q43_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice"
     ) * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -1516,7 +1516,7 @@ def q45_supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
     )
@@ -1610,7 +1610,7 @@ def q47_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"), qty_dec
     ).otherwise(F.lit(0).cast("decimal(30,2)"))
     per_sp = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(
             F.sum(qty_dec).alias("total_qty"),
@@ -1619,7 +1619,7 @@ def q47_excess_inventory_suppliers(spark: SparkSession, sf_dir: str) -> DataFram
         .filter(F.col("total_qty") > 2 * F.col("recent_qty"))
     )
     return (
-        per_sp.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        per_sp.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", F.col("n_name").alias("nation"))
         .distinct()
@@ -1702,7 +1702,7 @@ def q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = tbl(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
-    return li.join(F.broadcast(part), li.l_partkey == part.p_partkey).agg(
+    return li.join(part, li.l_partkey == part.p_partkey).agg(
         (100.0 * dsum(promo, 6) / dsum(rev, 6)).alias("promo_revenue_pct")
     )
 
@@ -1732,7 +1732,7 @@ def q49_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q50_bracket_disjunction_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     part = tbl(spark, sf_dir, "part")
-    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    j = li.join(part, li.l_partkey == part.p_partkey)
     br = (
         (
             (F.col("p_brand") == "Brand#1")
@@ -1805,7 +1805,7 @@ def q51_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     cost = (
-        li.join(F.broadcast(eu.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        li.join(eu.select("s_suppkey"), li.l_suppkey == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
     )
@@ -1817,8 +1817,8 @@ def q51_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_size").between(10, 20) & (F.col("p_type") == "LARGE")
     )
     return (
-        best.join(F.broadcast(part), best.l_partkey == part.p_partkey)
-        .join(F.broadcast(eu), best.l_suppkey == eu.s_suppkey)
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(eu, best.l_suppkey == eu.s_suppkey)
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
         .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -1870,7 +1870,7 @@ def q52_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     val = (
-        li.join(F.broadcast(nsup), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        li.join(nsup, li.l_suppkey == F.col("s_suppkey"), "left_semi")
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity"), 6, "value"))
     )

@@ -1630,8 +1630,10 @@ def t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ca = cnt.select(F.col("item").alias("item_a"), F.col("c").alias("ca"))
     cb = cnt.select(F.col("item").alias("item_b"), F.col("c").alias("cb"))
     out = (
-        pairs.join(F.broadcast(ca), "item_a")
-        .join(F.broadcast(cb), "item_b")
+        # ca/cb are per-ITEM counts — the item domain grows with the
+        # corpus, so no forced broadcast: AQE's size check governs.
+        pairs.join(ca, "item_a")
+        .join(cb, "item_b")
         .crossJoin(F.broadcast(n_users))
         .select(
             "item_a",
