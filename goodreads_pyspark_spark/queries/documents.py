@@ -2360,7 +2360,7 @@ def _d37_oracle(n: int = _D37_MERGES) -> str:
 
 
 @query(
-    "a_d37_bpe_fit",
+    "d37_bpe_fit",
     oracle=_d37_oracle(),
     doc="Distributed BPE tokenizer FIT (VERDICT r5 missing-piece #1): "
     f"learn the first {_D37_MERGES} merges from the corpus "
@@ -2375,7 +2375,7 @@ def _d37_oracle(n: int = _D37_MERGES) -> str:
     "semantics, which the marker-prefixed string encoding maps onto "
     "plain non-overlapping `replace` in BOTH engines.",
 )
-def a_d37_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d37_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.bpe import bpe_fit
 
     docs = tbl(spark, sf_dir, "documents")
@@ -2384,7 +2384,7 @@ def a_d37_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- learned quality-gate inference (new in r6) ------------------------------
 @query(
-    "a_d38_quality_classifier",
+    "d38_quality_classifier",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     feats AS (
@@ -2423,7 +2423,7 @@ def a_d37_bpe_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "integers; no sigmoid in the gated output (libm tails are not "
     "engine-portable; the gate is monotone in the logit).",
 )
-def a_d38_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d38_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.quality_model import quality_scores
 
     return quality_scores(tbl(spark, sf_dir, "documents"))
@@ -2444,7 +2444,7 @@ def _d39_oracle(n: int = _D37_MERGES, top_k: int = 200) -> str:
 
 
 @query(
-    "a_d39_bpe_segmentation",
+    "d39_bpe_segmentation",
     oracle=_d39_oracle(),
     doc="The ENCODE side of d37's tokenizer fit: apply the learned "
     f"{_D37_MERGES} merges and emit the top-200-by-frequency words with "
@@ -2457,7 +2457,7 @@ def _d39_oracle(n: int = _D37_MERGES, top_k: int = 200) -> str:
     "cut is a total order (freq DESC, word ASC). The oracle replays "
     "the same unrolled rounds and reads the final word state.",
 )
-def a_d39_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d39_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.bpe import bpe_segment_words
 
     return bpe_segment_words(
@@ -2467,7 +2467,7 @@ def a_d39_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- deterministic training-order shuffle (epoch layout; new in r6) ----------
 @query(
-    "a_d40_epoch_shuffle",
+    "d40_epoch_shuffle",
     oracle="""
     WITH e0 AS (
       SELECT doc_id,
@@ -2503,7 +2503,7 @@ def a_d39_bpe_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bottleneck at any size; exactly how you deal a 100 TB corpus "
     "into train-order shards.",
 )
-def a_d40_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d40_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id")
@@ -2579,7 +2579,7 @@ def _c04_oracle(rounds: int = 10) -> str:
 
 
 @query(
-    "a_c04_quality_survivor",
+    "c04_quality_survivor",
     oracle=_c04_oracle(),
     doc="Quality-WEIGHTED canonical selection: c02's near-dup components "
     "(same Jaccard>=0.5 pairs, same alternating-star CC) but the "
@@ -2592,7 +2592,7 @@ def _c04_oracle(rounds: int = 10) -> str:
     "ordering is exact. Scale shape: CC cost unchanged, scoring is "
     "map-side linear, the window partitions by cluster id.",
 )
-def a_c04_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c04_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from goodreads_pyspark_spark.dedup.ngram import jaccard_pairs
@@ -2648,7 +2648,7 @@ _D41_TERMS = ("dup", "spark", "batch")
 
 
 @query(
-    "a_d41_bm25_rank",
+    "d41_bm25_rank",
     oracle=f"""
     WITH tkb AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     dtl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tkb),
@@ -2687,7 +2687,7 @@ _D41_TERMS = ("dup", "spark", "batch")
     "Full-precision float BM25 belongs on a single engine; this gate "
     "pins the portable integer core.",
 )
-def a_d41_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d41_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.bm25 import bm25_presence_rank
 
     return bm25_presence_rank(
@@ -2697,7 +2697,7 @@ def a_d41_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact duplicated-substring removal (Lee et al. shape; new in r6) --------
 @query(
-    "a_d42_substring_dedup",
+    "d42_substring_dedup",
     oracle=f"""
     WITH tks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     g AS (SELECT doc_id, i - 1 AS pos,
@@ -2733,7 +2733,7 @@ def a_d41_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bounded x8 position explode, one anti-join. Linear in corpus "
     "tokens at any scale.",
 )
-def a_d42_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d42_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.substring import duplicated_span_removal
 
     return duplicated_span_removal(tbl(spark, sf_dir, "documents"), k=8, min_freq=2)
@@ -2741,7 +2741,7 @@ def a_d42_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- filter-cascade attribution funnel (new in r6) ---------------------------
 @query(
-    "a_d43_filter_cascade",
+    "d43_filter_cascade",
     oracle=f"""
     WITH t AS (
       SELECT doc_id, source, length(text) AS n_chars, {_TOKS} AS toks,
@@ -2794,7 +2794,7 @@ def a_d42_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grid (stages broadcast) with a partitioned cumulative window — "
     "output is |sources|x4 rows regardless of corpus size.",
 )
-def a_d43_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d43_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = tbl(spark, sf_dir, "documents")
@@ -2855,7 +2855,7 @@ def a_d43_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- leakage-safe cluster-aware split (new in r6) ----------------------------
 @query(
-    "a_d44_leakage_safe_split",
+    "d44_leakage_safe_split",
     oracle="""
     WITH c AS (
       SELECT doc_id, source, md5(text) AS cluster_key FROM documents),
@@ -2896,7 +2896,7 @@ def a_d43_filter_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg per split — no joins against a collected ledger; the window "
     "key is the md5 so hot keys are impossible by construction.",
 )
-def a_d44_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d44_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from goodreads_pyspark_spark.pipelines.sampling import portable_bucket
@@ -2943,7 +2943,7 @@ _D45_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
 
 
 @query(
-    "a_d45_semantic_decontamination",
+    "d45_semantic_decontamination",
     oracle=f"""
     WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                       CAST(unnest(embedding) AS DOUBLE) AS v
@@ -2986,7 +2986,7 @@ _D45_DSUM = "CAST(SUM(CAST({expr} AS DECIMAL(38,12))) AS DOUBLE)"
     "vector) swaps in for e13's sign-LSH bucketed candidates when even "
     "that is too wide; flag volume is linear in corpus either way.",
 )
-def a_d45_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d45_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.vectors import explode_vector
     from goodreads_pyspark_spark.operators.partitioning import fan_out
 
@@ -3041,7 +3041,7 @@ _D46_TOP = 20
 
 
 @query(
-    "a_d46_dsir_selection",
+    "d46_dsir_selection",
     oracle=f"""
     WITH tk AS (SELECT doc_id, lang, source, {{toks}} AS t FROM documents),
     ex AS (SELECT doc_id, lang, source, unnest(t) AS term FROM tk),
@@ -3086,7 +3086,7 @@ _D46_TOP = 20
     "wider than (doc_id). md5 feature hashing is the engine-portable "
     "bucket (pipelines/sampling.py portable_bucket).",
 )
-def a_d46_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d46_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.partitioning import fan_out
     from goodreads_pyspark_spark.pipelines.sampling import portable_bucket
 
@@ -3148,7 +3148,7 @@ def a_d46_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CCNet-style quality partitioning (new in r6) -----------------------------
 @query(
-    "a_d47_quality_partitions",
+    "d47_quality_partitions",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     feats AS (
@@ -3199,7 +3199,7 @@ def a_d46_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     "exactly what quantile-approx ntile would replace (documented "
     "trade-off; exact NTILE keeps the gate bit-exact).",
 )
-def a_d47_quality_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d47_quality_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from goodreads_pyspark_spark.functions.quality_model import quality_scores
@@ -3308,7 +3308,7 @@ def _c05_oracle(
 
 
 @query(
-    "a_c05_ingest_admission",
+    "c05_ingest_admission",
     oracle=_c05_oracle(),
     doc="Incremental ingest ADMISSION pipeline — the daily-batch ops "
     "story end-to-end: an incoming batch (doc_id%7==3) is screened "
@@ -3325,7 +3325,7 @@ def _c05_oracle(
     "nothing rescans or re-joins the standing corpus beyond the two "
     "keyed index lookups.",
 )
-def a_c05_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+def c05_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.minhash import incremental_lsh_matches
     from goodreads_pyspark_spark.functions.quality_model import quality_scores
     from goodreads_pyspark_spark.operators.partitioning import fan_out
@@ -3390,7 +3390,7 @@ def a_c05_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- window-free quality bucketing via order-statistic thresholds (r6) --------
 @query(
-    "a_d48_threshold_buckets",
+    "d48_threshold_buckets",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     feats AS (
@@ -3460,7 +3460,7 @@ def a_c05_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window, no per-row shuffle beyond the (lang) threshold "
     "broadcast.",
 )
-def a_d48_threshold_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d48_threshold_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from goodreads_pyspark_spark.functions.quality_model import quality_scores
@@ -3517,7 +3517,7 @@ def a_d48_threshold_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- streaming ingest admission (new in r6) -----------------------------------
 @query(
-    "a_s12_streaming_ingest_admission",
+    "s12_streaming_ingest_admission",
     oracle=_c05_oracle(),
     doc="STREAMING ingest admission — c05's screen run as a Structured "
     "Streaming job: the incoming batch is staged as files, streamed "
@@ -3537,7 +3537,7 @@ def a_d48_threshold_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "slice — band keys and hashes broadcast against static indexes; "
     "the corpus is never rescanned after index build.",
 )
-def a_s12_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s12_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from goodreads_pyspark_spark.dedup.minhash import _banded_keys

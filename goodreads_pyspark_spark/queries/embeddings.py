@@ -55,7 +55,7 @@ def e01_knn_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact near-dup pairs ---------------------------------------------------
 @query(
-    "e02_cosine_neardup_pairs",
+    "a_e02_cosine_neardup_pairs",
     oracle=f"""
     WITH {_LONG},
     norms AS (SELECT vec_id, {_DSUM.format(expr='v * v')} AS n2
@@ -103,7 +103,7 @@ def _bucket_cte(planes: int = 8) -> str:
 
 
 @query(
-    "e03_lsh_buckets",
+    "a_e03_lsh_buckets",
     oracle=f"""
     WITH {_LONG},
     {_bucket_cte()}
@@ -119,7 +119,7 @@ def e03_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ANN: exact rerank within the query's bucket ----------------------------
 @query(
-    "e04_ann_topk_vec0",
+    "a_e04_ann_topk_vec0",
     oracle=f"""
     WITH {_LONG},
     {_bucket_cte()},
@@ -160,7 +160,7 @@ def e04_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- per-label centroids (long form) ----------------------------------------
 @query(
-    "e05_label_centroids",
+    "a_e05_label_centroids",
     oracle=f"""
     WITH {_LONG}
     SELECT label, pos,
@@ -196,7 +196,7 @@ def e05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF ANN, oracle'd via the full-probe == exhaustive differential --------
 @query(
-    "e06_ivf_knn_vec1",
+    "a_e06_ivf_knn_vec1",
     oracle=f"""
     WITH {_LONG},
     q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 1),
@@ -284,7 +284,7 @@ def e08_ivf_partial_probe_vec1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- int8 quantization ------------------------------------------------------
 @query(
-    "e07_int8_quantization",
+    "a_e07_int8_quantization",
     oracle=f"""
     WITH {_LONG},
     amax AS (SELECT pos, greatest(MAX(abs(v)), 1e-30) AS amax
@@ -1240,7 +1240,7 @@ def _e22_oracle() -> str:
 
 
 @query(
-    "a_e22_semdedup_bucketed",
+    "e22_semdedup_bucketed",
     oracle=_e22_oracle(),
     doc="Scale-true SemDeDup (VERDICT r5 #2): the SAME cluster->retention "
     "ledger as e21, but the pair source is the production kernel — "
@@ -1252,7 +1252,7 @@ def _e22_oracle() -> str:
     "gap). Survivor = min vec_id per component; singleton clusters "
     "reported (n_dropped = 0) so the ledger is complete.",
 )
-def a_e22_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e22_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.graph.frames import PropertyGraph
@@ -1274,7 +1274,7 @@ def a_e22_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- recall of the bucketed pair source vs the exact pair set ----------------
 @query(
-    "a_e23_semdedup_recall",
+    "e23_semdedup_recall",
     oracle=f"""
     WITH {_LONG},
     norms AS (SELECT vec_id, {_DSUM.format(expr='v * v')} AS n2
@@ -1310,7 +1310,7 @@ def a_e22_semdedup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     "counts are exact integers, so the division is bit-equal across "
     "engines.",
 )
-def a_e23_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e23_semdedup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.similarity.ann import (
@@ -1385,7 +1385,7 @@ def _e24_oracle(k: int = _E24_K, rounds: int = _E24_ROUNDS) -> str:
 
 
 @query(
-    "a_e24_lloyd_kmeans",
+    "e24_lloyd_kmeans",
     oracle=_e24_oracle(),
     doc="Distributed Lloyd k-means whose FIT hash-gates across engines "
     "(similarity/lloyd.py) — the existence proof that iterative ML is "
@@ -1398,7 +1398,7 @@ def _e24_oracle(k: int = _E24_K, rounds: int = _E24_ROUNDS) -> str:
     "partial-d2) against broadcast k·d centroid rows — linear, "
     "centroid state independent of corpus size.",
 )
-def a_e24_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e24_lloyd_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.similarity.lloyd import lloyd_fit
 
     emb = tbl(spark, sf_dir, "embeddings")
@@ -1457,7 +1457,7 @@ def _e25_oracle(pool: int = _E25_POOL, k: int = _E25_K) -> str:
 
 
 @query(
-    "a_e25_mmr_rerank",
+    "e25_mmr_rerank",
     oracle=_e25_oracle(),
     doc="Maximal Marginal Relevance re-rank (Carbonell & Goldstein 1998) "
     "— the diversity pass between ANN retrieval and the consumer "
@@ -1472,7 +1472,7 @@ def _e25_oracle(pool: int = _E25_POOL, k: int = _E25_K) -> str:
     "fully distributed. The oracle unrolls the greedy as one CTE pair "
     "per step.",
 )
-def a_e25_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e25_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.similarity.mmr import mmr_rerank
 
     emb = tbl(spark, sf_dir, "embeddings")
@@ -1481,7 +1481,7 @@ def a_e25_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- int8 retrieval-pool recall audit (new in r6) ----------------------------
 @query(
-    "a_e26_int8_pool_recall",
+    "e26_int8_pool_recall",
     oracle=f"""
     WITH {_LONG},
     qv AS (SELECT pos, v AS qval FROM e WHERE vec_id = 0),
@@ -1525,7 +1525,7 @@ def a_e25_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "broadcast + TakeOrdered; the intersection joins two 20-row "
     "frames.",
 )
-def a_e26_int8_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e26_int8_pool_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.similarity.ann import brute_force_knn
@@ -1599,7 +1599,7 @@ def _e27_oracle() -> str:
 
 
 @query(
-    "a_e27_matryoshka_dim_sweep",
+    "e27_matryoshka_dim_sweep",
     oracle=_e27_oracle(),
     doc="Matryoshka dimension SWEEP — e16's single truncation point "
     "extended to the full serving-dimension curve (8/16/32/48/64 dims, "
@@ -1614,7 +1614,7 @@ def _e27_oracle() -> str:
     "deliberately the quadratic-free brute-force kernel, fine at any "
     "sf because it is one broadcast-query pass.",
 )
-def a_e27_matryoshka_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e27_matryoshka_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from goodreads_pyspark_spark.functions.vectors import explode_vector
@@ -1670,7 +1670,7 @@ def a_e27_matryoshka_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The 5-row sweep result is the only consumer of the cached kernel
     # aggregate and exact baseline: materialize it eagerly, then release
     # both so suite runs don't pin corpus-sized blocks across queries.
-    PRE_MATERIALIZATION["a_e27_matryoshka_dim_sweep"] = out
+    PRE_MATERIALIZATION["e27_matryoshka_dim_sweep"] = out
     result = out.localCheckpoint(eager=True)
     comps.unpersist()
     exact.unpersist()

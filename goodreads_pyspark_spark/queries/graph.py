@@ -56,7 +56,7 @@ def _graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
 
 # --- G2: degrees ------------------------------------------------------------
 @query(
-    "g01_degrees",
+    "a_g01_degrees",
     oracle=f"""
     WITH {_GRAPH_CTES},
     deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
@@ -94,7 +94,7 @@ def g01_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- G5: motif find (k edges sharing a destination) -------------------------
 @query(
-    "g02_motif_common_dst",
+    "a_g02_motif_common_dst",
     oracle=f"""
     WITH {_GRAPH_CTES},
     pairs AS (SELECT a.src AS u1, b.src AS u2, a.dst AS b
@@ -145,7 +145,7 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @query(
-    "g03_lpa_labels",
+    "a_g03_lpa_labels",
     oracle=_lpa_oracle(rounds=2),
     doc="G7 label propagation, 2 synchronous rounds (graph/pregel.py "
     "label_propagation; reference goodreads.py:594-599). Ties break to "
@@ -262,7 +262,7 @@ def g05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "g04_pagerank",
+    "a_g04_pagerank",
     oracle=_pagerank_oracle(n_iter=3),
     doc="G8 PageRank, 3 fixed supersteps in 1e12 fixed-point integers "
     "(graph/pregel.py pagerank_scaled; reference goodreads.py:618-619). "
@@ -835,7 +835,7 @@ def _hits_oracle(n_iter: int = 2, scale: int = _HITS_SCALE) -> str:
 
 
 @query(
-    "a_g14_hits_scores",
+    "g14_hits_scores",
     oracle=_hits_oracle(n_iter=2),
     doc="HITS hubs & authorities (Kleinberg 1999) in 1e6 fixed-point "
     "integers, 2 rounds (graph/pregel.py hits_scaled) — the classic "
@@ -849,7 +849,7 @@ def _hits_oracle(n_iter: int = 2, scale: int = _HITS_SCALE) -> str:
     "normalization is exact and order-independent, so the unrolled "
     "DuckDB recurrence (HUGEINT rescale) matches bit-for-bit.",
 )
-def a_g14_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g14_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.pregel import hits_scaled
 
     g = _cc_graph(spark, sf_dir)  # 1-in-5 subgraph: bench-sized, like g05
@@ -898,7 +898,7 @@ def _g15_oracle(seeds: int = _G15_SEEDS, rounds: int = _G15_ROUNDS) -> str:
 
 
 @query(
-    "a_g15_landmark_harmonic",
+    "g15_landmark_harmonic",
     oracle=_g15_oracle(),
     doc="Landmark harmonic-centrality estimate: BFS from 4 deterministic "
     "landmark vertices at once (graph/pregel.py multi_source_bfs, the "
@@ -913,7 +913,7 @@ def _g15_oracle(seeds: int = _G15_SEEDS, rounds: int = _G15_ROUNDS) -> str:
     "drift. One loop costs O(|E|·|seeds|) per round keyed by "
     "(seed, id); landmark count scales with partitions, not rounds.",
 )
-def a_g15_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g15_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.pregel import multi_source_bfs
 
     li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
@@ -942,7 +942,7 @@ def a_g15_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multi_source_bfs returns its state CACHED (caller-owned handle):
     # materialize the per-vertex aggregate eagerly, then release the BFS
     # state so a long suite run doesn't pin (seed,id) frames in memory.
-    PRE_MATERIALIZATION["a_g15_landmark_harmonic"] = out
+    PRE_MATERIALIZATION["g15_landmark_harmonic"] = out
     result = out.localCheckpoint(eager=True)
     dist.unpersist()
     return result

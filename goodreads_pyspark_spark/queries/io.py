@@ -28,7 +28,7 @@ _AGG = """
 
 
 @query(
-    "io01_source_roundtrip",
+    "a_io01_source_roundtrip",
     oracle=_AGG.format(fmt="json") + " UNION ALL " + _AGG.format(fmt="csv"),
     doc="S1 JSON / S2 CSV scans (sources/readers.py) gated by lossless "
     "roundtrip: parquet -> write json+csv -> explicit-schema read -> "
@@ -383,7 +383,7 @@ def io08_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ============================ round-6 additions ==============================
 @query(
-    "a_io09_dynamic_partition_pruning",
+    "io09_dynamic_partition_pruning",
     oracle="""
     WITH d AS (
       SELECT event_type FROM events GROUP BY event_type
@@ -407,7 +407,7 @@ def io08_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "for star joins: the fact scan lists only partitions the filtered "
     "dim survives, without the user writing the partition predicate.",
 )
-def a_io09_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+def io09_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     import tempfile
 
@@ -448,7 +448,7 @@ def a_io09_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
-    "a_io10_orc_roundtrip_pushdown",
+    "io10_orc_roundtrip_pushdown",
     oracle="""
     SELECT l_returnflag, l_linestatus,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -469,7 +469,7 @@ def a_io09_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFr
     "against the SAME aggregate on the original parquet (the oracle "
     "never sees ORC — the format IS what is under test).",
 )
-def a_io10_orc_roundtrip_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+def io10_orc_roundtrip_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     import tempfile
 
@@ -496,7 +496,7 @@ def a_io10_orc_roundtrip_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
-    "a_io11_bucketed_colocated_join",
+    "io11_bucketed_colocated_join",
     oracle="""
     SELECT o.o_custkey, c.c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
@@ -520,7 +520,7 @@ def a_io10_orc_roundtrip_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame
     "decimal-exact aggregate hash-checks that co-location lost "
     "nothing.",
 )
-def a_io11_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def io11_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
@@ -581,7 +581,7 @@ def a_io11_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @query(
-    "a_io12_bloom_filter_join",
+    "io12_bloom_filter_join",
     oracle="""
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
@@ -608,7 +608,7 @@ def a_io11_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFram
     "subsumes the filter (and the thresholds are lowered because the "
     "defaults only arm beyond 10 GB scans).",
 )
-def a_io12_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def io12_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = {
         k: spark.conf.get(k, None)
         for k in (
@@ -665,7 +665,7 @@ def a_io12_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a_io13_aqe_skew_join_split",
+    "io13_aqe_skew_join_split",
     oracle="""
     WITH fact AS (
       SELECT CASE WHEN l_orderkey % 10 < 9 THEN 7 ELSE l_suppkey END AS k,
@@ -695,7 +695,7 @@ def a_io12_bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "aggregate exact; the hash proves the split lost and duplicated "
     "nothing.",
 )
-def a_io13_aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def io13_aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = tbl(spark, sf_dir, "lineitem")
     sup = tbl(spark, sf_dir, "supplier")
 

@@ -243,7 +243,7 @@ _M06_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(38,12))) AS DOUBLE)"
 
 
 @query(
-    "a_m06_ols_normal_equations",
+    "m06_ols_normal_equations",
     oracle=f"""
     WITH m AS (
       SELECT CAST(COUNT(*) AS DOUBLE) AS nn,
@@ -280,7 +280,7 @@ _M06_DSUM = "CAST(SUM(CAST({e} AS DECIMAL(38,12))) AS DOUBLE)"
     "models); no iteration, no driver matrix beyond 3x3. Extends to "
     "p features as one p²-moment agg + driver-side solve.",
 )
-def a_m06_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m06_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ACC = "decimal(38,12)"
 
     def dsum(e):

@@ -30,7 +30,7 @@ from goodreads_pyspark_spark.session import configure_for_oracle
 
 # --- time bucketing (tumbling day) ------------------------------------------
 @query(
-    "t01_daily_rollup",
+    "a_t01_daily_rollup",
     oracle=f"""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -51,7 +51,7 @@ def t01_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- tumbling window via F.window (streaming-compatible form) ---------------
 @query(
-    "t02_hourly_by_type",
+    "a_t02_hourly_by_type",
     oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type,
@@ -82,7 +82,7 @@ def t02_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- window functions: running sum / rank / lag -----------------------------
 @query(
-    "t03_user_running_total",
+    "a_t03_user_running_total",
     oracle="""
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(30,6)))
@@ -112,7 +112,7 @@ def t03_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sessionization (lag + gap threshold + cumulative flag) -----------------
 @query(
-    "t04_user_sessions",
+    "a_t04_user_sessions",
     oracle="""
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
            CAST(COUNT(*) AS BIGINT) AS n_events
@@ -150,7 +150,7 @@ def t04_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- share-of-total (window over aggregate) ---------------------------------
 @query(
-    "t05_event_type_share",
+    "a_t05_event_type_share",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(*) AS DOUBLE)
@@ -258,7 +258,7 @@ def t07_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- streaming (rows-only: no SQL-expressible oracle for a stream run) ------
 @query(
-    "a_s01_streaming_hourly_counts",
+    "s01_streaming_hourly_counts",
     oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
              AS window_start,
@@ -273,7 +273,7 @@ def t07_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(exact_scale=6, order-independent), so the finite-input streaming "
     "result is bit-identical to the tumbling-window batch SQL.",
 )
-def a_s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import uuid
 
@@ -1848,7 +1848,7 @@ def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- as-of join with tolerance (bounded staleness; new in r6) ----------------
 @query(
-    "a_t23_asof_with_tolerance",
+    "t23_asof_with_tolerance",
     oracle="""
     WITH tagged AS (
       SELECT user_id, ts AS __ts, 0 AS is_right, event_id,
@@ -1883,7 +1883,7 @@ def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range-join formulation would pay per-key quadratic expansion "
     "precisely when tolerance windows are wide.",
 )
-def a_t23_asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t23_asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.asof import as_of_join
 
     ev = events_tbl(spark, sf_dir)
@@ -1916,7 +1916,7 @@ def a_t23_asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- session close by state timeout (silence as signal; new in r6) -----------
 @query(
-    "a_s11_session_timeout_close",
+    "s11_session_timeout_close",
     oracle="""
     WITH x AS (
       SELECT user_id, ts,
@@ -1955,7 +1955,7 @@ def a_t23_asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— hash-gated against t17's relational oracle, plus an internal "
     "row-for-row assert against the native session_window batch face.",
 )
-def a_s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+def s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import tempfile
@@ -2117,7 +2117,7 @@ def a_s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- LOCF resample: last-observation-carried-forward hourly grid (r6) --------
 @query(
-    "a_t24_locf_resample",
+    "t24_locf_resample",
     oracle="""
     WITH obs AS (
       SELECT event_type, date_trunc('hour', ts) AS hour, value,
@@ -2160,7 +2160,7 @@ def a_s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_type over the GRID (bounded rows per partition), never over "
     "raw events.",
 )
-def a_t24_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t24_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     ev = events_tbl(spark, sf_dir)
     w_pick = Window.partitionBy(

@@ -186,7 +186,7 @@ def _write_docs(spark, path, rows):
 def test_filter_cascade_first_fail_attribution(spark, tmp_path_factory):
     """A doc failing several rules is killed by the FIRST stage only, and
     the funnel is conservative (entering - killed == surviving, chained)."""
-    from goodreads_pyspark_spark.queries.documents import a_d43_filter_cascade
+    from goodreads_pyspark_spark.queries.documents import d43_filter_cascade
 
     p = str(tmp_path_factory.mktemp("cascade"))
     long_ok = " ".join(f"w{i}" for i in range(30))
@@ -199,7 +199,7 @@ def test_filter_cascade_first_fail_attribution(spark, tmp_path_factory):
         (3, long_ok, "en", "web", len(long_ok)),
     ]
     _write_docs(spark, p, rows)
-    out = {r.stage: r for r in a_d43_filter_cascade(spark, p).collect()}
+    out = {r.stage: r for r in d43_filter_cascade(spark, p).collect()}
     assert out["min_tokens"].n_killed == 1
     assert out["lexical_diversity"].n_killed == 1
     assert out["punct_ratio"].n_killed == 0  # doc 1 already dead upstream
@@ -214,14 +214,14 @@ def test_filter_cascade_first_fail_attribution(spark, tmp_path_factory):
 
 
 def test_leakage_safe_split_clusters_never_straddle(spark, tmp_path_factory):
-    from goodreads_pyspark_spark.queries.documents import a_d44_leakage_safe_split
+    from goodreads_pyspark_spark.queries.documents import d44_leakage_safe_split
 
     p = str(tmp_path_factory.mktemp("split"))
     # 40 distinct texts + one text duplicated 10 times across "sources"
     rows = [(i, f"unique document number {i} body", "en", "web", 30) for i in range(40)]
     rows += [(100 + j, "the exact same duplicated text", "en", f"s{j}", 30) for j in range(10)]
     _write_docs(spark, p, rows)
-    out = a_d44_leakage_safe_split(spark, p).collect()
+    out = d44_leakage_safe_split(spark, p).collect()
     assert sum(r.n_docs for r in out) == 50
     # the 10-copy cluster contributes all its docs to exactly one split
     assert all(r.max_splits_per_cluster == 1 for r in out)
@@ -232,7 +232,7 @@ def test_leakage_safe_split_clusters_never_straddle(spark, tmp_path_factory):
 
 
 def test_locf_resample_carries_last_value(spark, tmp_path_factory):
-    from goodreads_pyspark_spark.queries.timeseries import a_t24_locf_resample
+    from goodreads_pyspark_spark.queries.timeseries import t24_locf_resample
 
     p = str(tmp_path_factory.mktemp("locf"))
     rows = [
@@ -246,7 +246,7 @@ def test_locf_resample_carries_last_value(spark, tmp_path_factory):
         (4, _t(0, 2), 2, "gauge", 1.5, "{}"),
     ]
     _write_events(spark, p, rows)
-    out = a_t24_locf_resample(spark, p).collect()
+    out = t24_locf_resample(spark, p).collect()
     sensor = {r.hour: r for r in out if r.event_type == "sensor"}
     gauge = {r.hour: r for r in out if r.event_type == "gauge"}
     assert sensor["2024-01-01 00:00:00"].value_locf == 7.0

@@ -140,10 +140,10 @@ def test_m06_ols_matches_numpy_lstsq(spark):
     solution, not merely a cross-engine-consistent number."""
     import numpy as np
 
-    from goodreads_pyspark_spark.queries.ml import a_m06_ols_normal_equations
+    from goodreads_pyspark_spark.queries.ml import m06_ols_normal_equations
 
     sf = "/root/testdata/sf0.001"
-    row = a_m06_ols_normal_equations(spark, sf).collect()[0]
+    row = m06_ols_normal_equations(spark, sf).collect()[0]
 
     from goodreads_pyspark_spark.queries._helpers import tbl
 

@@ -487,7 +487,7 @@ def test_missing_sf_dir_raises_analysis_exception(spark):
     from goodreads_pyspark_spark.queries import REGISTRY, _load_all
 
     _load_all()
-    q = REGISTRY["q01_pricing_summary"].spark_fn
+    q = REGISTRY["a_q01_pricing_summary"].spark_fn
     with pytest.raises(AnalysisException):
         q(spark, "/root/testdata/sf_does_not_exist").collect()
 

@@ -103,29 +103,29 @@ def plan_of(spark, name: str) -> str:
 
 
 def test_filter_pushed_to_parquet_scan(spark):
-    plan = plan_of(spark, "q01_pricing_summary")
+    plan = plan_of(spark, "a_q01_pricing_summary")
     assert "PushedFilters" in plan
     assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
 
 
 def test_dimension_joins_broadcast(spark):
-    plan = plan_of(spark, "q08_customers_per_region")
+    plan = plan_of(spark, "a_q08_customers_per_region")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 
 
 def test_topk_becomes_take_ordered(spark):
-    plan = plan_of(spark, "q02_top_customers")
+    plan = plan_of(spark, "a_q02_top_customers")
     assert "TakeOrderedAndProject" in plan
 
 
 def test_semi_join_stays_semi(spark):
-    plan = plan_of(spark, "q06_segments_with_pending_orders")
+    plan = plan_of(spark, "a_q06_segments_with_pending_orders")
     assert "LeftSemi" in plan
 
 
 def test_column_pruning_in_scan(spark):
-    plan = plan_of(spark, "q16_part_color_words")
+    plan = plan_of(spark, "a_q16_part_color_words")
     scan = plan.split("ReadSchema")[1].splitlines()[0]
     assert "p_name" in scan
     # the 5 unused part columns must not be read
@@ -135,13 +135,13 @@ def test_column_pruning_in_scan(spark):
 
 def test_partial_aggregation_present(spark):
     # partial (map-side) + final hash aggregate around the exchange
-    plan = plan_of(spark, "q03_segment_stats")
+    plan = plan_of(spark, "a_q03_segment_stats")
     assert plan.count("HashAggregate") >= 2
 
 
 def test_whole_stage_codegen_covers_agg(spark):
     # AQE's formatted mode omits codegen markers; ask for codegen explain.
-    df = REGISTRY["q01_pricing_summary"].spark_fn(spark, SF)
+    df = REGISTRY["a_q01_pricing_summary"].spark_fn(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("codegen")
@@ -709,7 +709,7 @@ def test_d38_quality_classifier_no_python_workers(spark):
     """The learned quality gate must be pure JVM codegen — hashed n-gram
     features, weight lookup, integer gate — with zero Python worker
     boundaries (that's what licenses running it map-side at 100 TB)."""
-    plan = plan_of(spark, "a_d38_quality_classifier")
+    plan = plan_of(spark, "d38_quality_classifier")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
         assert marker not in plan, f"Python worker in plan: {marker}"
     assert "SortMergeJoin" not in plan  # doc_id join stays shuffle-hash/broadcast
@@ -737,7 +737,7 @@ def test_e24_lloyd_broadcasts_centroids(spark):
     """Each Lloyd round joins the corpus long-form to the k·d centroid
     table — the centroid side must broadcast (corpus never re-shuffles
     against iteration state), and nothing may cartesian."""
-    plan = plan_of(spark, "a_e24_lloyd_kmeans")
+    plan = plan_of(spark, "e24_lloyd_kmeans")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
 
@@ -747,7 +747,7 @@ def test_t23_tolerance_same_plan_as_asof(spark):
     a single Window over the union — no extra join, no range join (a
     range-join formulation would explode per key exactly when tolerance
     windows are wide)."""
-    plan = plan_of(spark, "a_t23_asof_with_tolerance")
+    plan = plan_of(spark, "t23_asof_with_tolerance")
     assert plan.count("Window") >= 1
     for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct"):
         assert bad not in plan, bad
@@ -760,7 +760,7 @@ def test_d40_epoch_shuffle_plan(spark):
     prefix-sum self-join is allowed to be a broadcast nested-loop (it is
     bounded by construction, the bounded_rank convention); the doc-side
     joins must be hash joins, and the scan must prune to doc_id only."""
-    plan = plan_of(spark, "a_d40_epoch_shuffle")
+    plan = plan_of(spark, "d40_epoch_shuffle")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     # formatted explain mentions each node twice (tree + details):
@@ -777,7 +777,7 @@ def test_d41_bm25_topk_no_python_workers(spark):
     retrieval scorer): hits filtered before any shuffle, df/N/L ride
     broadcasts, and the final cut folds to TakeOrdered — never a global
     sort, never a Python worker."""
-    plan = plan_of(spark, "a_d41_bm25_rank")
+    plan = plan_of(spark, "d41_bm25_rank")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
         assert marker not in plan, f"Python worker in plan: {marker}"
     assert "TakeOrderedAndProject" in plan
@@ -788,7 +788,7 @@ def test_d42_substring_dedup_hashed_postings(spark):
     """ExactSubstr postings must shuffle md5 gram keys (never text
     bytes), drop covered positions with an anti-join, and stay fully
     JVM-side — that is what makes the pass linear at corpus scale."""
-    plan = plan_of(spark, "a_d42_substring_dedup")
+    plan = plan_of(spark, "d42_substring_dedup")
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "PythonUDF"):
         assert marker not in plan, f"Python worker in plan: {marker}"
     assert "CartesianProduct" not in plan
@@ -832,7 +832,7 @@ def test_d45_decontamination_eval_side_broadcasts(spark):
     streaming corpus — no cartesian, no Python workers, and no
     sort-merge join anywhere (every join key is either the broadcast
     eval side or the doc id)."""
-    plan = plan_of(spark, "a_d45_semantic_decontamination")
+    plan = plan_of(spark, "d45_semantic_decontamination")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
@@ -844,7 +844,7 @@ def test_d46_dsir_model_broadcasts_no_python(spark):
     broadcasts into the token stream (one BroadcastHashJoin), the only
     wide exchange is the doc-keyed score agg, selection is TakeOrdered,
     and the whole thing is pure JVM codegen."""
-    plan = plan_of(spark, "a_d46_dsir_selection")
+    plan = plan_of(spark, "d46_dsir_selection")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
@@ -882,7 +882,7 @@ def test_m06_ols_single_agg_pass_no_python(spark):
     (map-side) HashAggregate feeding a single-row final aggregate — no
     join, no window, no Python workers. That one-pass shape is the
     whole point of the statistical-query formulation at 100 TB."""
-    plan = plan_of(spark, "a_m06_ols_normal_equations")
+    plan = plan_of(spark, "m06_ols_normal_equations")
     assert "HashAggregate" in plan
     for marker in (
         "SortMergeJoin",
@@ -898,7 +898,7 @@ def test_m06_ols_single_agg_pass_no_python(spark):
 def test_d47_quality_partitions_window_is_partitioned(spark):
     """The tercile cut must run as a per-language window (never a
     single-partition global sort) and scoring must stay pure JVM."""
-    plan = plan_of(spark, "a_d47_quality_partitions")
+    plan = plan_of(spark, "d47_quality_partitions")
     assert "Window" in plan
     # the window's exchange must hash on lang, not a single partition
     assert "SinglePartition" not in plan
@@ -953,7 +953,7 @@ def test_c05_admission_batch_broadcasts_no_corpus_selfjoin(spark):
     """The admission pipeline must stay linear in the BATCH: the batch's
     band keys and content hashes broadcast against corpus indexes — no
     cartesian, and no shuffle carrying the text column."""
-    plan = plan_of(spark, "a_c05_ingest_admission")
+    plan = plan_of(spark, "c05_ingest_admission")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     exchanges = [

@@ -36,11 +36,11 @@ def main() -> None:
     spark = get_spark("corpus_stress_r6")
 
     from goodreads_pyspark_spark.queries.documents import (
-        a_d37_bpe_fit,
-        a_d38_quality_classifier,
+        d37_bpe_fit,
+        d38_quality_classifier,
     )
     from goodreads_pyspark_spark.queries.embeddings import (
-        a_e22_semdedup_bucketed,
+        e22_semdedup_bucketed,
         e21_semdedup_clusters,
     )
 
@@ -56,10 +56,10 @@ def main() -> None:
             f"{spark.read.parquet(emb).count():,} vectors) ---"
         )
         for name, fn in (
-            ("e22_semdedup_bucketed", a_e22_semdedup_bucketed),
+            ("e22_semdedup_bucketed", e22_semdedup_bucketed),
             ("e21_semdedup_clusters", e21_semdedup_clusters),
-            ("d37_bpe_fit", a_d37_bpe_fit),
-            ("d38_quality_classifier", a_d38_quality_classifier),
+            ("d37_bpe_fit", d37_bpe_fit),
+            ("d38_quality_classifier", d38_quality_classifier),
         ):
             t0 = time.perf_counter()
             try:

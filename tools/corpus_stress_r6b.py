@@ -30,8 +30,8 @@ def main() -> None:
     spark = get_spark("corpus_stress_r6b")
 
     from goodreads_pyspark_spark.queries.documents import (
-        a_c04_quality_survivor,
-        a_d40_epoch_shuffle,
+        c04_quality_survivor,
+        d40_epoch_shuffle,
     )
 
     for f in factors:
@@ -41,8 +41,8 @@ def main() -> None:
 
         print(f"--- {f}x ({spark.read.parquet(docs).count():,} docs) ---")
         for name, fn in (
-            ("c04_quality_survivor", a_c04_quality_survivor),
-            ("d40_epoch_shuffle", a_d40_epoch_shuffle),
+            ("c04_quality_survivor", c04_quality_survivor),
+            ("d40_epoch_shuffle", d40_epoch_shuffle),
         ):
             t0 = time.perf_counter()
             n = len(fn(spark, stage).collect())

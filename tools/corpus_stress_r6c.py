@@ -32,10 +32,10 @@ def main() -> None:
     spark = get_spark("corpus_stress_r6c")
 
     from goodreads_pyspark_spark.queries.documents import (
-        a_d41_bm25_rank,
-        a_d42_substring_dedup,
+        d41_bm25_rank,
+        d42_substring_dedup,
     )
-    from goodreads_pyspark_spark.queries.embeddings import a_e25_mmr_rerank
+    from goodreads_pyspark_spark.queries.embeddings import e25_mmr_rerank
 
     for f in factors:
         stage = tempfile.mkdtemp(prefix=f"r6c_x{f}_")
@@ -49,9 +49,9 @@ def main() -> None:
             f"{spark.read.parquet(emb).count():,} vecs) ---"
         )
         for name, fn in (
-            ("d41_bm25_rank", a_d41_bm25_rank),
-            ("d42_substring_dedup", a_d42_substring_dedup),
-            ("e25_mmr_rerank", a_e25_mmr_rerank),
+            ("d41_bm25_rank", d41_bm25_rank),
+            ("d42_substring_dedup", d42_substring_dedup),
+            ("e25_mmr_rerank", e25_mmr_rerank),
         ):
             t0 = time.perf_counter()
             n = len(fn(spark, stage).collect())

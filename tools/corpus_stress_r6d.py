@@ -37,13 +37,13 @@ def main() -> None:
     spark = get_spark("corpus_stress_r6d")
 
     from goodreads_pyspark_spark.queries.documents import (
-        a_d45_semantic_decontamination,
-        a_d46_dsir_selection,
-        a_d47_quality_partitions,
+        d45_semantic_decontamination,
+        d46_dsir_selection,
+        d47_quality_partitions,
     )
-    from goodreads_pyspark_spark.queries.graph import a_g14_hits_scores
+    from goodreads_pyspark_spark.queries.graph import g14_hits_scores
     from goodreads_pyspark_spark.queries.hybrid import a_h02_filtered_vector_search
-    from goodreads_pyspark_spark.queries.ml import a_m06_ols_normal_equations
+    from goodreads_pyspark_spark.queries.ml import m06_ols_normal_equations
 
     for f in factors:
         stage = tempfile.mkdtemp(prefix=f"r6d_x{f}_")
@@ -60,12 +60,12 @@ def main() -> None:
             f"{spark.read.parquet(li).count():,} lineitems) ---"
         )
         for name, fn in (
-            ("d45_semantic_decontamination", a_d45_semantic_decontamination),
-            ("d46_dsir_selection", a_d46_dsir_selection),
-            ("d47_quality_partitions", a_d47_quality_partitions),
+            ("d45_semantic_decontamination", d45_semantic_decontamination),
+            ("d46_dsir_selection", d46_dsir_selection),
+            ("d47_quality_partitions", d47_quality_partitions),
             ("h02_filtered_vector_search", a_h02_filtered_vector_search),
-            ("m06_ols_normal_equations", a_m06_ols_normal_equations),
-            ("g14_hits_scores", a_g14_hits_scores),
+            ("m06_ols_normal_equations", m06_ols_normal_equations),
+            ("g14_hits_scores", g14_hits_scores),
         ):
             t0 = time.perf_counter()
             n = len(fn(spark, stage).collect())

@@ -33,9 +33,9 @@ def main() -> None:
     spark = get_spark("corpus_stress_r6e")
 
     from goodreads_pyspark_spark.queries.documents import (
-        a_c05_ingest_admission,
-        a_d48_threshold_buckets,
-        a_s12_streaming_ingest_admission,
+        c05_ingest_admission,
+        d48_threshold_buckets,
+        s12_streaming_ingest_admission,
     )
     from goodreads_pyspark_spark.queries.hybrid import a_h03_rag_context_pack
 
@@ -51,10 +51,10 @@ def main() -> None:
             f"{spark.read.parquet(emb).count():,} vecs) ---"
         )
         for name, fn in (
-            ("c05_ingest_admission", a_c05_ingest_admission),
-            ("s12_streaming_ingest_admission", a_s12_streaming_ingest_admission),
+            ("c05_ingest_admission", c05_ingest_admission),
+            ("s12_streaming_ingest_admission", s12_streaming_ingest_admission),
             ("h03_rag_context_pack", a_h03_rag_context_pack),
-            ("d48_threshold_buckets", a_d48_threshold_buckets),
+            ("d48_threshold_buckets", d48_threshold_buckets),
         ):
             t0 = time.perf_counter()
             n = len(fn(spark, stage).collect())

@@ -1,0 +1,85 @@
+"""Round-7 hybrid-retrieval stress probe: h01/h02/h03 at 1x and 10x.
+
+VERDICT r6 task 6: h02/h03 had only in-suite numbers while every other
+r6 operator family carries a SCALING curve. After the r7 broadcast-side
+fixes (pool broadcasts, corpus streams; keep-set unhinted) the expected
+shapes are:
+
+- h01 RRF fusion: two linear candidate passes (query terms broadcast,
+  TakeOrdered cuts) + constant 2x50 fusion — ~linear.
+- h02 filtered search: one semi-join-restricted kernel pass +
+  TakeOrdered — ~linear; the keep set grows with the corpus but rides
+  an AQE-governed join, not a forced broadcast.
+- h03 context pack: one corpus kNN pass into a checkpointed 50-row
+  frame; the packer tail is constant-size — ~linear, and flat on the
+  pool side (the broadcast volume does not grow with the corpus).
+
+Documents replicate with per-copy text suffixes, embeddings with a
+deterministic component-0 nudge (no cosine ties across copies) — the
+corpus_stress_r5 conventions.
+
+Usage: python tools/hybrid_stress_r7.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+from goodreads_pyspark_spark.session import get_spark
+from tools.corpus_stress_r5 import replicate_embeddings
+from tools.scaling_probe import SRC, replicate
+
+QUERIES = [
+    "h01_hybrid_search_rrf",
+    "a_h02_filtered_vector_search",
+    "a_h03_rag_context_pack",
+]
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    _load_all()
+    spark = get_spark("hybrid_stress_r7")
+    rows = []
+    for factor in factors:
+        out_dir = tempfile.mkdtemp(prefix=f"hybrid_x{factor}_")
+        # stage under the table names the queries expect from an sf dir
+        d = replicate(spark, "documents", factor, "doc_id", out_dir)
+        e = replicate_embeddings(spark, factor, out_dir)
+        sf_dir = f"{out_dir}/sf"
+        Path(sf_dir).mkdir()
+        spark.read.parquet(d).write.mode("overwrite").parquet(
+            f"{sf_dir}/documents.parquet"
+        )
+        spark.read.parquet(e).write.mode("overwrite").parquet(
+            f"{sf_dir}/embeddings.parquet"
+        )
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            # min-of-3 (standing hygiene gate: never believe a single run)
+            best = None
+            n = 0
+            for _ in range(3):
+                t0 = time.time()
+                df = REGISTRY[name].spark_fn(spark, sf_dir)
+                n = df.count()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            rows.append((name, factor, best, n))
+            print(f"# {name} x{factor}: {best:.2f}s ({n} rows)", flush=True)
+    print("\n| query | factor | wall (min of 3) | rows |")
+    print("|---|---|---|---|")
+    for name, factor, dt, n in rows:
+        print(f"| {name} | {factor}x | {dt:.2f}s | {n} |")
+
+
+if __name__ == "__main__":
+    main()
