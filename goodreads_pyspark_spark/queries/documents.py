@@ -3761,3 +3761,184 @@ def a_d49_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("bucket"),
         F.col("w").alias("weight"),
     )
+
+
+# --- Gopher repetition rules (new in r7) --------------------------------------
+#: Keep-gate thresholds (Rae et al. 2021 shape; values tuned so both
+#: verdicts occur on the synthetic corpus).
+_D50_MAX_ADJ = 0.10
+_D50_MAX_TOP2 = 0.15
+_D50_MAX_DUP3 = 0.05
+
+
+@query(
+    "a_d50_repetition_rules",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    base AS (
+      SELECT doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+             CAST(len(array_to_string(t, '')) AS BIGINT) AS tot_chars,
+             CAST(len(list_filter([t[i] = t[i+1] for i in range(1, len(t))],
+                                  x -> x)) AS BIGINT) AS adj
+      FROM tk),
+    bg AS (SELECT doc_id,
+                  unnest([t[i] || '_' || t[i+1] for i in range(1, len(t))]) AS g
+           FROM tk),
+    bgc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM bg GROUP BY doc_id, g),
+    top AS (SELECT doc_id, cnt, g FROM (
+              SELECT doc_id, cnt, g,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, g DESC) AS rn
+              FROM bgc) WHERE rn = 1),
+    tg AS (SELECT doc_id,
+                  unnest([array_to_string(t[i:i+2], '_')
+                          for i in range(1, len(t) - 1)]) AS g
+           FROM tk),
+    tgc AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM tg GROUP BY doc_id, g),
+    dup3 AS (SELECT doc_id,
+                    CAST(SUM(CASE WHEN cnt > 1 THEN cnt * (len(g) - 2)
+                             ELSE 0 END) AS BIGINT) AS dup_chars
+             FROM tgc GROUP BY doc_id),
+    m AS (
+      SELECT b.doc_id, b.n_tokens,
+             CAST(b.n_tokens - b.n_distinct AS DOUBLE) / b.n_tokens
+               AS dup_token_frac,
+             CASE WHEN b.n_tokens > 1
+                  THEN CAST(adj AS DOUBLE) / (b.n_tokens - 1)
+                  ELSE 0.0 END AS adjacent_repeat_frac,
+             CAST(COALESCE(t.cnt * (len(t.g) - 1), 0) AS DOUBLE) / b.tot_chars
+               AS top_bigram_char_frac,
+             CAST(COALESCE(d.dup_chars, 0) AS DOUBLE) / b.tot_chars
+               AS dup_3gram_char_frac
+      FROM base b LEFT JOIN top t USING (doc_id) LEFT JOIN dup3 d USING (doc_id))
+    SELECT doc_id, n_tokens, dup_token_frac, adjacent_repeat_frac,
+           top_bigram_char_frac, dup_3gram_char_frac,
+           adjacent_repeat_frac <= {_D50_MAX_ADJ}
+             AND top_bigram_char_frac <= {_D50_MAX_TOP2}
+             AND dup_3gram_char_frac <= {_D50_MAX_DUP3} AS keep
+    FROM m
+    """,
+    doc="Gopher repetition rules (Rae et al. 2021, public literature) — "
+    "the standard pretraining repetition-removal gate: per document, "
+    "duplicate-token fraction, adjacent-repeat fraction, fraction of "
+    "characters in the most frequent word bigram, and fraction of "
+    "characters in duplicated trigrams, thresholded into a keep gate. "
+    "The paper's line/paragraph variants collapse on this corpus (the "
+    "synthetic text has no newlines), so the token-window forms carry "
+    "the same signals — documented adaptation, same operator shape. "
+    "Every metric is a ratio of exact integers (one IEEE division — "
+    "bit-portable); the per-doc top bigram is max(struct(cnt,g)) with "
+    "ties to the LARGEST gram, mirrored by the oracle's ORDER BY cnt "
+    "DESC, g DESC. Scale shape: tokens materialize once as an attribute "
+    "column (the SCALING addendum-6 CSE rule: lambdas over slices of an "
+    "attribute, never an inline expression), metrics are map-side "
+    "higher-order functions plus two (doc,gram)-keyed counts — linear, "
+    "no windows (the oracle's ROW_NUMBER is argmax, Spark runs it as a "
+    "struct max).",
+)
+def a_d50_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    d = docs.select("doc_id", tokens("text").alias("t"))
+    n = F.size("t")
+    adj_pairs = F.zip_with(
+        F.slice("t", 1, n - 1), F.slice(F.col("t"), 2, n - 1), lambda a, b: a == b
+    )
+    base = d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_distinct"),
+        F.length(F.array_join("t", "")).cast("bigint").alias("tot_chars"),
+        F.when(n >= 2, F.size(F.filter(adj_pairs, lambda x: x)))
+        .otherwise(0)
+        .cast("bigint")
+        .alias("adj"),
+    )
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("t", 1, n - 1),
+            F.slice(F.col("t"), 2, n - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    bgc = (
+        d.select("doc_id", F.explode(bigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    top = bgc.groupBy("doc_id").agg(F.max(F.struct("cnt", "g")).alias("m")).select(
+        "doc_id", F.col("m.cnt").alias("cnt"), F.col("m.g").alias("g")
+    )
+    tri_ab = F.zip_with(
+        F.slice("t", 1, n - 2),
+        F.slice(F.col("t"), 2, n - 2),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    trigrams = F.when(
+        n >= 3,
+        F.zip_with(
+            tri_ab, F.slice(F.col("t"), 3, n - 2),
+            lambda ab, c: F.concat(ab, F.lit("_"), c),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    dup3 = (
+        d.select("doc_id", F.explode(trigrams).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt") * (F.length("g") - 2))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("dup_chars")
+        )
+    )
+    m = (
+        base.join(top, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (
+                (F.col("n_tokens") - F.col("n_distinct")).cast("double")
+                / F.col("n_tokens")
+            ).alias("dup_token_frac"),
+            F.when(
+                F.col("n_tokens") > 1,
+                F.col("adj").cast("double") / (F.col("n_tokens") - 1),
+            )
+            .otherwise(0.0)
+            .alias("adjacent_repeat_frac"),
+            (
+                F.coalesce(F.col("cnt") * (F.length("g") - 1), F.lit(0)).cast(
+                    "double"
+                )
+                / F.col("tot_chars")
+            ).alias("top_bigram_char_frac"),
+            (
+                F.coalesce("dup_chars", F.lit(0)).cast("double")
+                / F.col("tot_chars")
+            ).alias("dup_3gram_char_frac"),
+        )
+    )
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "adjacent_repeat_frac",
+        "top_bigram_char_frac",
+        "dup_3gram_char_frac",
+        (
+            (F.col("adjacent_repeat_frac") <= _D50_MAX_ADJ)
+            & (F.col("top_bigram_char_frac") <= _D50_MAX_TOP2)
+            & (F.col("dup_3gram_char_frac") <= _D50_MAX_DUP3)
+        ).alias("keep"),
+    )

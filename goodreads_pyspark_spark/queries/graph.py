@@ -946,3 +946,65 @@ def g15_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = out.localCheckpoint(eager=True)
     dist.unpersist()
     return result
+
+
+# --- SIGN-style k-hop feature propagation (new in r7) -------------------------
+@query(
+    "a_g16_feature_propagation",
+    oracle=f"""
+    WITH {_GRAPH_CTES},
+    ue AS MATERIALIZED (SELECT src, dst FROM edges
+           UNION ALL SELECT dst, src FROM edges),
+    x0 AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS x0
+            FROM ue GROUP BY src),
+    x1 AS MATERIALIZED (SELECT ue.src AS id, CAST(SUM(x0.x0) AS BIGINT) AS x1
+            FROM ue JOIN x0 ON x0.id = ue.dst GROUP BY ue.src),
+    x2 AS (SELECT ue.src AS id, CAST(SUM(x1.x1) AS BIGINT) AS x2
+           FROM ue JOIN x1 ON x1.id = ue.dst GROUP BY ue.src)
+    SELECT x0.id, x0.x0, x1.x1, x2.x2,
+           CAST(x1.x1 AS DOUBLE) / x0.x0 AS mean_neighbor_deg
+    FROM x0 JOIN x1 USING (id) JOIN x2 USING (id)
+    """,
+    doc="GNN training-data precompute, SIGN shape (Frasca et al. 2020, "
+    "public literature): k-hop neighbor-feature aggregation X, A·X, "
+    "A²·X materialized as columns so downstream model training needs "
+    "no message passing at all — THE way graph features ship to a "
+    "trainer at 100 TB (precompute once relationally, train on a flat "
+    "table). Base feature x0 = degree (exact integer), x1/x2 = 1-hop/"
+    "2-hop neighborhood sums; every hop is one edge join + one "
+    "id-keyed integer aggregation — linear in |E| per hop, no "
+    "iteration state, bit-equal to the oracle's CTE chain (integer "
+    "addition is order-independent; the one double is a final exact "
+    "division). BIGINT headroom: x2 <= max_deg^2 * max_deg-ish; at "
+    "production degrees swap the sums to DECIMAL(38,0), semantics "
+    "unchanged (the hits_scaled discipline).",
+)
+def a_g16_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _graph(spark, sf_dir)
+    e = g.edges.select("src", "dst")
+    ue = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    x0 = ue.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("x0"))
+    x0 = x0.withColumnRenamed("src", "id")
+    x1 = (
+        ue.join(x0.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.sum("x0").cast("bigint").alias("x1"))
+        .withColumnRenamed("src", "id")
+    )
+    x2 = (
+        ue.join(x1.withColumnRenamed("id", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.sum("x1").cast("bigint").alias("x2"))
+        .withColumnRenamed("src", "id")
+    )
+    return (
+        x0.join(x1, "id")
+        .join(x2, "id")
+        .select(
+            "id",
+            "x0",
+            "x1",
+            "x2",
+            (F.col("x1").cast("double") / F.col("x0")).alias("mean_neighbor_deg"),
+        )
+    )
