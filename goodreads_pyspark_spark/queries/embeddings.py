@@ -1675,3 +1675,99 @@ def e27_matryoshka_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps.unpersist()
     exact.unpersist()
     return result
+
+
+# --- contrastive-pair mining (new in r7) --------------------------------------
+#: Anchor batch size and per-role depth.
+_E28_ANCHORS = 8
+_E28_K = 3
+
+
+@query(
+    "a_e28_hard_negative_mining",
+    oracle=f"""
+    WITH {_LONG},
+    q AS (SELECT vec_id AS qid, pos, v AS qv FROM e WHERE vec_id < {_E28_ANCHORS}),
+    comps AS (
+      SELECT qid, vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos) WHERE vec_id <> qid
+      GROUP BY qid, vec_id),
+    lab AS (SELECT doc_id AS vec_id, lang FROM documents),
+    scored AS (
+      SELECT c.qid, c.vec_id,
+             ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) AS cosine, l.lang,
+             CASE WHEN l.lang = ql.lang THEN 'pos' ELSE 'neg' END AS role
+      FROM comps c JOIN lab l USING (vec_id)
+      JOIN lab ql ON ql.vec_id = c.qid),
+    ranked AS (SELECT qid, role, vec_id, cosine, lang,
+                      ROW_NUMBER() OVER (PARTITION BY qid, role
+                                         ORDER BY cosine DESC, vec_id) AS rnk
+               FROM scored)
+    SELECT qid, role, CAST(rnk AS INTEGER) AS rnk, vec_id, cosine, lang
+    FROM ranked WHERE rnk <= {_E28_K}
+    """,
+    doc="Contrastive-pair mining for embedding training (hard negatives "
+    "a la DPR/SimCSE, public literature): for each of 8 anchor vectors, "
+    "the top-3 most-similar SAME-label neighbors (positives) and top-3 "
+    "most-similar DIFFERENT-label neighbors (hard negatives — the "
+    "near-boundary examples that make contrastive training work), with "
+    "label = the document's lang. The training-data side of the ANN "
+    "stack: e09's one-pass batch kernel (anchors broadcast long-form, "
+    "ONE corpus scan for the whole batch) + a label join + a per-"
+    "(anchor,role) window cut — the window partitions by the anchor "
+    "batch, so parallelism scales with anchors, never a global sort. "
+    "Exactness: decimal-summed cosine rounded to 6 before ranking, "
+    "vec_id tie-break (the e-series discipline).",
+)
+def a_e28_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.similarity.ann import _ACC, _long_form
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    docs = tbl(spark, sf_dir, "documents")
+    e = _long_form(emb, "vec_id", "embedding")
+    q = e.filter(F.col("vec_id") < _E28_ANCHORS).select(
+        F.col("vec_id").alias("qid"), "pos", F.col("v").alias("qv")
+    )
+    comps = (
+        e.join(F.broadcast(q), "pos")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(
+            F.sum((F.col("v") * F.col("qv")).cast(_ACC)).cast("double").alias("dot"),
+            F.sum((F.col("v") * F.col("v")).cast(_ACC)).cast("double").alias("n2"),
+            F.sum((F.col("qv") * F.col("qv")).cast(_ACC)).cast("double").alias("q2"),
+        )
+    )
+    lab = docs.select(F.col("doc_id").alias("vec_id"), "lang")
+    qlab = docs.select(
+        F.col("doc_id").alias("qid"), F.col("lang").alias("qlang")
+    )
+    cos = F.round(F.col("dot") / (F.sqrt("n2") * F.sqrt("q2")), 6)
+    scored = (
+        comps.join(lab, "vec_id")
+        .join(F.broadcast(qlab.filter(F.col("qid") < _E28_ANCHORS)), "qid")
+        .select(
+            "qid",
+            "vec_id",
+            cos.alias("cosine"),
+            "lang",
+            F.when(F.col("lang") == F.col("qlang"), "pos")
+            .otherwise("neg")
+            .alias("role"),
+        )
+    )
+    w = Window.partitionBy("qid", "role").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _E28_K)
+        .select("qid", "role", F.col("rnk").cast("int").alias("rnk"),
+                "vec_id", "cosine", "lang")
+    )
