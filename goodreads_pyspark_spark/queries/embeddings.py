@@ -119,7 +119,7 @@ def e03_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- ANN: exact rerank within the query's bucket ----------------------------
 @query(
-    "a_e04_ann_topk_vec0",
+    "e04_ann_topk_vec0",
     oracle=f"""
     WITH {_LONG},
     {_bucket_cte()},
@@ -160,7 +160,7 @@ def e04_ann_topk_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- per-label centroids (long form) ----------------------------------------
 @query(
-    "a_e05_label_centroids",
+    "e05_label_centroids",
     oracle=f"""
     WITH {_LONG}
     SELECT label, pos,
@@ -196,7 +196,7 @@ def e05_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- IVF ANN, oracle'd via the full-probe == exhaustive differential --------
 @query(
-    "a_e06_ivf_knn_vec1",
+    "e06_ivf_knn_vec1",
     oracle=f"""
     WITH {_LONG},
     q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 1),
@@ -284,7 +284,7 @@ def e08_ivf_partial_probe_vec1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- int8 quantization ------------------------------------------------------
 @query(
-    "a_e07_int8_quantization",
+    "e07_int8_quantization",
     oracle=f"""
     WITH {_LONG},
     amax AS (SELECT pos, greatest(MAX(abs(v)), 1e-30) AS amax

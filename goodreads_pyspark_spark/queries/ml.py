@@ -1,15 +1,21 @@
-"""Driver-gated ML queries (SURVEY.md §2.11) — rows-only entries that put
-the MLlib surface (ALS, KMeans, LDA, PIC, the TF-IDF/PCA pipeline) under
-the driver's correctness gate.
+"""Driver-gated ML queries (SURVEY.md §2.11) — the MLlib surface (ALS,
+KMeans, LDA, PIC, the TF-IDF/PCA pipeline) under the driver's
+correctness gate.
 
 MLlib models are iterative numeric optimizers: their exact floats depend
-on partitioning, so no cross-engine SQL oracle exists. These queries are
-registered without ``oracle_sql`` (the driver records row count + schema)
-and carry *internal* assertions — seeded fits plus sanity bands on the
-metric (RMSE, silhouette bounds) — so a broken model errors the gate
-rather than silently passing. Sources are the testdata tables: ratings
-are (supplier, part, quantity) triples from ``lineitem``, text comes from
-``documents``, vectors from ``embeddings``.
+on partitioning, so no cross-engine SQL oracle exists for the fitted
+values themselves. Since round 7 these queries are gated the u01 way
+instead of rows-only: each one MEASURES the invariants a correct fit
+must satisfy — completeness counts the oracle recomputes independently
+from the source tables (every vector assigned, train+test partitions the
+ratings), plus in-query booleans for the model-shape/metric-band checks
+(silhouette ∈ [-1,1], RMSE in band, k respected, seeded refit stability,
+topic weights descending) — and the oracle pins the booleans TRUE. A
+broken fit flips a measured cell and hash-mismatches; the old internal
+assertions also remain, so a pathological model errors loudly. Sources
+are the testdata tables: ratings are (supplier, part, quantity) triples
+from ``lineitem``, text comes from ``documents``, vectors from
+``embeddings``.
 """
 
 from __future__ import annotations
@@ -39,73 +45,146 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- M1-M3: ALS + RMSE ------------------------------------------------------
 @query(
-    "m01_als_rmse",
-    oracle=None,
+    "a_m01_als_rmse",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 10 = 0 GROUP BY 1, 2)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_ratings,
+           TRUE AS split_partitions,
+           TRUE AS rmse_in_band,
+           TRUE AS factors_cover_train,
+           TRUE AS holdout_nonempty
+    FROM r
+    """,
     doc="M1-M3: seeded 80/20 split, explicit-feedback ALS (rank 8, 5 "
     "sweeps, nonnegative, coldStartStrategy=drop), RMSE on the holdout "
     "(ml/recommend.py; reference goodreads.py:236-270, RMSE 0.8344 "
-    "there). Rows-only: asserts internally that the RMSE is finite and "
-    "inside (0, 25) — the quantity scale's sanity band.",
+    "there). HASH-GATED via measured invariants (the u01 discipline, "
+    "upgrading the r2-r6 rows-only record): the ratings count is "
+    "independently recomputed by DuckDB from lineitem and must equal "
+    "train+test (split partitions the input); the booleans MEASURE "
+    "that the holdout RMSE sits in the quantity scale's (0,25) band, "
+    "that the fitted user-factor matrix covers exactly the train-side "
+    "users, and that the holdout scored at least one prediction — the "
+    "oracle pins them TRUE, so a broken fit/split flips a cell.",
 )
-def m01_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_m01_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.ml.recommend import fit_als, rmse, train_test_split
 
     ratings = _ratings(spark, sf_dir).cache()
+    n_ratings = ratings.count()
     train, test = train_test_split(ratings, seed=42)
     model = fit_als(train, rank=8, maxIter=5, regParam=0.1, seed=42)
     err = rmse(model, test)
     assert 0.0 < err < 25.0, f"ALS RMSE {err} outside sanity band"
     n_train, n_test = train.count(), test.count()
+    n_users_train = train.select("user_id").distinct().count()
+    n_factors = model.userFactors.count()
+    n_preds = model.transform(test).filter(~F.isnan("prediction")).count()
     ratings.unpersist()
     return spark.createDataFrame(
-        [("als_rank8_iter5", n_train, n_test, round(err, 4))],
-        ["model", "n_train", "n_test", "rmse"],
+        [
+            (
+                n_ratings,
+                n_train + n_test == n_ratings,
+                bool(0.0 < err < 25.0),
+                n_factors == n_users_train,
+                n_preds > 0,
+            )
+        ],
+        "n_ratings bigint, split_partitions boolean, rmse_in_band boolean, "
+        "factors_cover_train boolean, holdout_nonempty boolean",
     )
 
 
 # --- M11-M12: seeded KMeans + silhouette ------------------------------------
 @query(
-    "m02_kmeans_silhouette",
-    oracle=None,
+    "a_m02_kmeans_silhouette",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS assignments_total,
+           TRUE AS k_respected,
+           TRUE AS silhouette_in_bounds,
+           TRUE AS seed_stable
+    FROM embeddings
+    """,
     doc="M11-M12: seeded KMeans(k=8, seed=1) over the embeddings table + "
     "squared-euclidean silhouette (ml/features.py kmeans_cluster/"
     "silhouette; reference goodreads.py:346-353 with k=20 seed=1 on "
-    "book features). Asserts silhouette ∈ [-1, 1]. Returns per-cluster "
-    "sizes — the partition-stable summary of the assignment.",
+    "book features). HASH-GATED via measured invariants (u01 "
+    "discipline): assignments_total is the Spark-side sum of cluster "
+    "sizes and must equal the embeddings count DuckDB recomputes "
+    "(every vector assigned exactly once); the booleans MEASURE "
+    "cluster count ≤ k, silhouette ∈ [-1,1], and that a same-seed "
+    "refit reproduces the identical cluster-size multiset.",
 )
-def m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     from goodreads_pyspark_spark.ml.features import kmeans_cluster, silhouette
 
     emb = tbl(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
+    ).cache()
+    n_vectors = emb.count()
     clustered = kmeans_cluster(emb, k=8, seed=1).cache()
     sil = silhouette(clustered)
     assert -1.0 <= sil <= 1.0, f"silhouette {sil} out of bounds"
-    return (
-        clustered.groupBy("prediction")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .select(
-            F.col("prediction").alias("cluster"),
-            "n_vectors",
-            F.lit(round(sil, 4)).alias("silhouette"),
-        )
+    sizes = sorted(
+        (r["prediction"], r["n"])
+        for r in clustered.groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    sizes2 = sorted(
+        (r["prediction"], r["n"])
+        for r in kmeans_cluster(emb, k=8, seed=1)
+        .groupBy("prediction")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    clustered.unpersist()
+    emb.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_vectors,
+                sum(n for _, n in sizes),
+                len(sizes) <= 8,
+                bool(-1.0 <= sil <= 1.0),
+                sizes == sizes2,
+            )
+        ],
+        "n_vectors bigint, assignments_total bigint, k_respected boolean, "
+        "silhouette_in_bounds boolean, seed_stable boolean",
     )
 
 
 # --- M5/M6/M9/M14: Tokenizer -> StopWordsRemover -> CountVectorizer -> LDA --
 @query(
-    "m03_lda_topics",
-    oracle=None,
+    "a_m03_lda_topics",
+    oracle="""
+    SELECT CAST(5 AS BIGINT) AS n_topics,
+           TRUE AS terms_per_topic_ok,
+           TRUE AS indices_distinct_ok,
+           TRUE AS weights_descending,
+           TRUE AS weights_positive
+    FROM (SELECT 1)
+    """,
     doc="M5/M6/M9/M14: ML Tokenizer + StopWordsRemover feed "
     "CountVectorizer -> seeded LDA(k=5), describeTopics(3) "
     "(ml/features.py description_topics_lda; reference "
-    "goodreads.py:388-400). Array columns are flattened to joined "
-    "strings (driver canonicalization cannot hash list cells).",
+    "goodreads.py:388-400). HASH-GATED via measured invariants (u01 "
+    "discipline): the query MEASURES that the model produced exactly "
+    "k=5 topics, each topic exposes exactly 3 distinct term indices, "
+    "and every topic's term weights are positive and non-increasing "
+    "(describeTopics' contract); the oracle pins the expected values. "
+    "The indices/weights themselves are optimizer-state-dependent, so "
+    "only the structural contract is portable — but any LDA/vectorizer "
+    "breakage (empty vocab, degenerate topics, wrong k) flips a cell.",
 )
-def m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import StopWordsRemover, Tokenizer
 
     from goodreads_pyspark_spark.ml.features import description_topics_lda
@@ -117,23 +196,44 @@ def m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     _transformed, topics = description_topics_lda(
         prepped, k=5, max_iter=5, seed=1, words_col="filtered"
     )
-    return topics.select(
-        "topic",
-        F.array_join(F.col("termIndices").cast("array<string>"), ",").alias(
-            "top_term_indices"
-        ),
+    rows = topics.select("topic", "termIndices", "termWeights").collect()
+    terms_ok = all(len(r["termIndices"]) == 3 for r in rows)
+    distinct_ok = all(len(set(r["termIndices"])) == 3 for r in rows)
+    desc_ok = all(
+        all(a >= b for a, b in zip(r["termWeights"], r["termWeights"][1:]))
+        for r in rows
+    )
+    pos_ok = all(all(w > 0 for w in r["termWeights"]) for r in rows)
+    return spark.createDataFrame(
+        [(len(rows), terms_ok, distinct_ok, desc_ok, pos_ok)],
+        "n_topics bigint, terms_per_topic_ok boolean, indices_distinct_ok "
+        "boolean, weights_descending boolean, weights_positive boolean",
     )
 
 
 # --- M18: PowerIterationClustering ------------------------------------------
 @query(
-    "m04_pic_clusters",
-    oracle=None,
+    "a_m04_pic_clusters",
+    oracle="""
+    WITH r AS (
+      SELECT l_suppkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 10 = 0 GROUP BY 1, 2),
+    v AS (SELECT l_suppkey AS id FROM r
+          UNION SELECT l_partkey + 10000000 FROM r)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vertices,
+           CAST(COUNT(*) AS BIGINT) AS assignments_total,
+           TRUE AS k_respected
+    FROM v
+    """,
     doc="M18: PowerIterationClustering(k=4) over the supplier→part "
     "quantity graph (ml/features.py power_iteration_clusters; reference "
-    "goodreads.py:632-635 over rating edges). Returns cluster sizes.",
+    "goodreads.py:632-635 over rating edges). HASH-GATED via measured "
+    "invariants (u01 discipline): assignments_total sums Spark's "
+    "cluster sizes and must equal the graph's vertex count DuckDB "
+    "recomputes from lineitem (PIC assigns every vertex exactly once); "
+    "k_respected MEASURES cluster count ≤ k.",
 )
-def m04_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_m04_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.ml.features import power_iteration_clusters
 
     edges = _ratings(spark, sf_dir).select(
@@ -141,21 +241,43 @@ def m04_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("book_id") + 10_000_000).alias("dst"),
         F.col("rating"),
     )
+    n_vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .count()
+    )
     assigned = power_iteration_clusters(edges, k=4, max_iter=8)
-    return assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_vertices"))
+    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    return spark.createDataFrame(
+        [(n_vertices, sum(r["n"] for r in sizes), len(sizes) <= 4)],
+        "n_vertices bigint, assignments_total bigint, k_respected boolean",
+    )
 
 
 # --- M5-M8, M10, M17: the TF-IDF -> PCA pipeline -----------------------------
 @query(
-    "m05_tfidf_pca_norms",
-    oracle=None,
+    "a_m05_tfidf_pca_norms",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS rows_out,
+           TRUE AS dims_ok,
+           TRUE AS norms_finite_nonneg,
+           TRUE AS some_variance_captured
+    FROM documents
+    """,
     doc="M5-M8/M10/M17: the full Tokenizer -> StopWordsRemover -> "
     "HashingTF(20) -> IDF -> PCA(5) Pipeline (ml/features.py "
     "description_vector_pipeline; reference goodreads.py:315-335) over "
-    "document text. Emits each document's PCA-vector L2 norm (sign-"
-    "invariant, so stable under PCA basis-sign flips), rounded to 4dp.",
+    "document text. HASH-GATED via measured invariants (u01 "
+    "discipline): rows_out counts the transformed frame and must equal "
+    "the documents count DuckDB recomputes (the pipeline is total — "
+    "no rows dropped); the booleans MEASURE that every PCA vector has "
+    "exactly 5 dims, every L2 norm (sign-invariant under basis flips) "
+    "is finite and non-negative, and at least one norm is strictly "
+    "positive (the projection captured variance).",
 )
-def m05_tfidf_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def a_m05_tfidf_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
 
     from goodreads_pyspark_spark.ml.features import description_vector_pipeline
@@ -163,11 +285,34 @@ def m05_tfidf_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").alias("description")
     )
+    n_docs = docs.count()
     model = description_vector_pipeline(num_features=20, pca_k=5).fit(docs)
     out = model.transform(docs)
     arr = vector_to_array(F.col("features"))
     norm = F.sqrt(F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x * x))
-    return out.select("doc_id", F.round(norm, 4).alias("pca_norm"))
+    stats = out.select(
+        F.size(arr).alias("dim"), norm.alias("norm")
+    ).agg(
+        F.count(F.lit(1)).alias("rows_out"),
+        F.min("dim").alias("min_dim"),
+        F.max("dim").alias("max_dim"),
+        F.min("norm").alias("min_norm"),
+        F.max("norm").alias("max_norm"),
+        F.max(F.isnan("norm").cast("int")).alias("any_nan"),
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                n_docs,
+                stats["rows_out"],
+                stats["min_dim"] == 5 and stats["max_dim"] == 5,
+                stats["any_nan"] == 0 and stats["min_norm"] >= 0.0,
+                stats["max_norm"] > 0.0,
+            )
+        ],
+        "n_docs bigint, rows_out bigint, dims_ok boolean, "
+        "norms_finite_nonneg boolean, some_variance_captured boolean",
+    )
 
 
 # --- U2: seeded randomSplit -------------------------------------------------
