@@ -3942,3 +3942,82 @@ def a_d50_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("dup_3gram_char_frac") <= _D50_MAX_DUP3)
         ).alias("keep"),
     )
+
+
+# --- per-domain admission cap (new in r7) -------------------------------------
+#: Max documents retained per source domain.
+_D51_CAP = 15
+
+
+@query(
+    "a_d51_domain_cap",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               [t[i] || '_' || t[i + 1] for i in range(1, len(t))])) AS f
+      FROM tk),
+    wts AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qw1_' || CAST(
+                ('0x' || substr(md5('qv1_' || f), 1, 8))::BIGINT % 4096
+              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+      FROM feats),
+    agg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(w) AS BIGINT) AS sum_w
+      FROM wts GROUP BY doc_id),
+    scored AS (
+      SELECT d.doc_id, d.source,
+             CASE WHEN COALESCE(n_feats, 0) = 0 THEN 0.0
+                  ELSE sum_w / (n_feats * 1000.0) END AS logit
+      FROM documents d LEFT JOIN agg USING (doc_id)),
+    ranked AS (
+      SELECT source, doc_id, logit,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY logit DESC, doc_id) AS rn
+      FROM scored)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (rn <= {_D51_CAP}) AS BIGINT) AS n_kept,
+           CAST(COUNT(*) FILTER (rn > {_D51_CAP}) AS BIGINT) AS n_dropped,
+           ROUND(MIN(CASE WHEN rn <= {_D51_CAP} THEN logit END), 6)
+             AS min_kept_logit,
+           ROUND(MAX(CASE WHEN rn > {_D51_CAP} THEN logit END), 6)
+             AS max_dropped_logit
+    FROM ranked GROUP BY source
+    """,
+    doc="Per-domain admission cap with quality-ranked retention — the "
+    "crawl-curation op every corpus build runs (no single domain may "
+    f"dominate the mix): keep the top {_D51_CAP} documents per source "
+    "by the learned d38 logit (doc_id tiebreak), drop the rest, and "
+    "report the per-source ledger with the cut boundary (lowest kept "
+    "vs highest dropped logit — adjacent ranks, so boundary sanity is "
+    "visible in the gate). Scale shape: scoring is d38's map-side "
+    "pass; the rank is a window PARTITIONED BY source (domains are "
+    "the partition key — parallelism scales with domain count, never "
+    "a global sort); the ledger is one (source)-keyed agg. The logit "
+    "is an exact integer ratio, so ordering and the rounded boundary "
+    "values are engine-portable.",
+)
+def a_d51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from goodreads_pyspark_spark.functions.quality_model import quality_scores
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    scored = quality_scores(docs).join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.col("logit").desc(), "doc_id")
+    ranked = scored.select(
+        "source", "doc_id", "logit", F.row_number().over(w).alias("rn")
+    )
+    kept = F.col("rn") <= _D51_CAP
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.sum((~kept).cast("int")).cast("bigint").alias("n_dropped"),
+        F.round(F.min(F.when(kept, F.col("logit"))), 6).alias("min_kept_logit"),
+        F.round(F.max(F.when(~kept, F.col("logit"))), 6).alias("max_dropped_logit"),
+    )
