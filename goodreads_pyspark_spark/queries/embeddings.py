@@ -55,7 +55,7 @@ def e01_knn_vec0(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact near-dup pairs ---------------------------------------------------
 @query(
-    "a_e02_cosine_neardup_pairs",
+    "e02_cosine_neardup_pairs",
     oracle=f"""
     WITH {_LONG},
     norms AS (SELECT vec_id, {_DSUM.format(expr='v * v')} AS n2
@@ -103,7 +103,7 @@ def _bucket_cte(planes: int = 8) -> str:
 
 
 @query(
-    "a_e03_lsh_buckets",
+    "e03_lsh_buckets",
     oracle=f"""
     WITH {_LONG},
     {_bucket_cte()}

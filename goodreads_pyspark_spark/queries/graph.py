@@ -56,7 +56,7 @@ def _graph(spark: SparkSession, sf_dir: str) -> PropertyGraph:
 
 # --- G2: degrees ------------------------------------------------------------
 @query(
-    "a_g01_degrees",
+    "g01_degrees",
     oracle=f"""
     WITH {_GRAPH_CTES},
     deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS degree
@@ -94,7 +94,7 @@ def g01_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- G5: motif find (k edges sharing a destination) -------------------------
 @query(
-    "a_g02_motif_common_dst",
+    "g02_motif_common_dst",
     oracle=f"""
     WITH {_GRAPH_CTES},
     pairs AS (SELECT a.src AS u1, b.src AS u2, a.dst AS b

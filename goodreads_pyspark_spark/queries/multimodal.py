@@ -237,3 +237,53 @@ def mm05_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_copies"),
         (F.count(F.lit(1)) > 1).alias("has_duplicates"),
     )
+
+
+# --- perceptual near-dup buckets (new in r7) ----------------------------------
+@query(
+    "a_mm06_perceptual_buckets",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id AS media_id,
+             ({_W}) // 64 AS wq,
+             ({_H}) // 64 AS hq,
+             ({_L}) // 16 AS lq
+      FROM documents WHERE doc_id % {_POISON_MOD} <> 0)
+    SELECT CAST(wq AS INTEGER) AS wq, CAST(hq AS INTEGER) AS hq,
+           CAST(lq AS INTEGER) AS lq,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(media_id) AS min_media_id, MAX(media_id) AS max_media_id
+    FROM sig GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2
+    """,
+    doc="Perceptual near-dup bucketing for media — the image analogue of "
+    "d07's banded LSH: decode (Arrow-batched mapInPandas, the one "
+    "legitimate Python boundary), quantize the decoded features into a "
+    "coarse perceptual signature (width/64, height/64, luma/16 — the "
+    "dHash-style quantize-then-bucket shape; a real deployment hashes "
+    "pixel grids the same way), and group-by the signature so near-"
+    "identical renditions land in one bucket. Emits the duplicate-"
+    "bucket ledger (>=2 members) rather than exploded pairs — pair "
+    "materialization stays downstream behind d07's max_bucket cap, so "
+    "nothing here is quadratic. Poison blobs (decode_error) are "
+    "excluded, mirrored arithmetically by the oracle. Scale shape: "
+    "one decode pass, one signature group-by; shuffles carry "
+    "(id, 3 small ints), never bytes.",
+)
+def a_mm06_perceptual_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = tbl(spark, sf_dir, "documents")
+    feats = extract_image_features(synth_media(docs))
+    sig = feats.filter(F.col("decode_error").isNull()).select(
+        "media_id",
+        F.expr("width div 64").cast("int").alias("wq"),
+        F.expr("height div 64").cast("int").alias("hq"),
+        (F.col("mean_luma").cast("int") / 16).cast("int").alias("lq"),
+    )
+    return (
+        sig.groupBy("wq", "hq", "lq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            F.min("media_id").alias("min_media_id"),
+            F.max("media_id").alias("max_media_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
