@@ -754,3 +754,89 @@ def io13_aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
     return out
+
+
+# --- snapshot / time-travel read over a CDC ledger (new in r7) ----------------
+def _io14_oracle() -> str:
+    dsum = "CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)"
+    parts = []
+    for k in (1, 2, 4):
+        parts.append(f"""
+    s{k} AS (SELECT key, arg_max(op, seq) AS op, arg_max(val, seq) AS val
+           FROM led CROSS JOIN mx WHERE seq <= (m * {k}) // 4
+           GROUP BY key),
+    r{k} AS (SELECT CAST({k} AS INTEGER) AS quarter,
+                  CAST((m * {k}) // 4 AS BIGINT) AS as_of_seq,
+                  CAST(COUNT(*) FILTER (op <> 'D') AS BIGINT) AS n_live_keys,
+                  {dsum.replace('val', "CASE WHEN op <> 'D' THEN val ELSE NULL END")}
+                    AS total_value
+           FROM s{k} CROSS JOIN mx GROUP BY m)""")
+    return f"""
+    WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+    led AS (SELECT o_custkey AS key, o_orderkey AS seq,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+                   o_totalprice AS val
+            FROM orders),{",".join(parts)}
+    SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r4
+    """
+
+
+@query(
+    "a_io14_snapshot_time_travel",
+    oracle=_io14_oracle(),
+    doc="Snapshot isolation / time-travel read over a keyed CDC ledger — "
+    "the lakehouse-format read primitive (Delta/Iceberg 'AS OF') built "
+    "on plain relational ops: orders become an upsert/delete ledger "
+    "(key = custkey, monotonic seq = orderkey, every 7th event a "
+    "DELETE), and the table AS OF sequence S is, per key, the row with "
+    "the greatest seq <= S — live unless that row is a delete. The "
+    "query reads the snapshot at the 1/4, 2/4 and 4/4 points of the "
+    "ledger and emits each snapshot's live-key count and decimal-exact "
+    "value total: the monotone growth of as_of_seq with the three "
+    "consistent states is what a correct MVCC read must produce. "
+    "Scale shape: per snapshot, ONE key-keyed aggregation with an "
+    "argmax-of-struct (no window, no sort) — the operators/cdc.py "
+    "merge discipline read-side; the seq threshold is a broadcast "
+    "one-row max. At 100 TB the ledger would be partition-pruned by "
+    "seq ranges (io08's machinery) before the argmax pass.",
+)
+def a_io14_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ACC = "decimal(38,12)"
+    orders = tbl(spark, sf_dir, "orders")
+    led = orders.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, "D").otherwise("U").alias("op"),
+        F.col("o_totalprice").alias("val"),
+    )
+    mx = orders.agg(F.max("o_orderkey").alias("m"))
+    out = None
+    for k in (1, 2, 4):
+        snap = (
+            led.crossJoin(F.broadcast(mx))
+            .filter(F.col("seq") <= F.expr(f"(m * {k}) div 4"))
+            .groupBy("key")
+            .agg(F.max(F.struct("seq", "op", "val")).alias("last"))
+        )
+        row = (
+            snap.crossJoin(F.broadcast(mx))
+            .groupBy("m")
+            .agg(
+                F.sum((F.col("last.op") != "D").cast("int"))
+                .cast("bigint")
+                .alias("n_live_keys"),
+                F.sum(
+                    F.when(F.col("last.op") != "D", F.col("last.val")).cast(_ACC)
+                )
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.lit(k).cast("int").alias("quarter"),
+                F.expr(f"(m * {k}) div 4").cast("bigint").alias("as_of_seq"),
+                "n_live_keys",
+                "total_value",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
