@@ -758,7 +758,11 @@ def io13_aqe_skew_join_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- snapshot / time-travel read over a CDC ledger (new in r7) ----------------
 def _io14_oracle() -> str:
-    dsum = "CAST(SUM(CAST(val AS DECIMAL(38,12))) AS DOUBLE)"
+    # decimal(30,2), NOT (38,12): Spark casts a double to decimal via its
+    # shortest decimal repr while DuckDB expands the full binary value, so
+    # the two differ at ~value·2^-52 — scale 2 (prices are cents) sits far
+    # above that noise floor and both engines round to the same cell.
+    dsum = "CAST(SUM(CAST(val AS DECIMAL(30,2))) AS DOUBLE)"
     parts = []
     for k in (1, 2, 4):
         parts.append(f"""
@@ -801,7 +805,7 @@ def _io14_oracle() -> str:
     "seq ranges (io08's machinery) before the argmax pass.",
 )
 def a_io14_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _ACC = "decimal(38,12)"
+    _ACC = "decimal(30,2)"  # see _io14_oracle on the scale choice
     orders = tbl(spark, sf_dir, "orders")
     led = orders.select(
         F.col("o_custkey").alias("key"),
