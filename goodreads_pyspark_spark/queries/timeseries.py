@@ -2201,3 +2201,71 @@ def t24_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("value", ignorenulls=True).over(w_fill).alias("value_locf"),
         "is_observed",
     )
+
+
+# --- last-touch attribution (new in r7) ---------------------------------------
+@query(
+    "a_t25_lasttouch_attribution",
+    oracle=f"""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    t AS (SELECT event_id, user_id, ts, event_type FROM events
+          WHERE event_type IN ('click', 'view')),
+    att AS (
+      SELECT p.event_id, p.value, t.event_type AS channel,
+             ROW_NUMBER() OVER (PARTITION BY p.event_id
+                                ORDER BY t.ts DESC, t.event_id DESC) AS rn
+      FROM p JOIN t ON t.user_id = p.user_id
+       AND t.ts <= p.ts AND t.ts >= p.ts - INTERVAL 2 HOUR),
+    labeled AS (
+      SELECT p.event_id, p.value, COALESCE(a.channel, 'direct') AS channel
+      FROM p LEFT JOIN (SELECT event_id, channel FROM att WHERE rn = 1) a
+      USING (event_id))
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           {sql_dsum('value', 2)} AS revenue
+    FROM labeled GROUP BY channel
+    """,
+    doc="Last-touch marketing attribution — each purchase credits the "
+    "most recent click/view by the same user within a 2-hour lookback "
+    "(ties to the greatest event_id), unattributed purchases fall to "
+    "'direct'; rollup = per-channel purchase count + decimal-exact "
+    "revenue. The event-analytics sibling of t12's funnel: attribution "
+    "is an as-of join, NOT a range join — operators/asof.py's one-"
+    "shuffle union-marker fill with the t23 tolerance contract, so the "
+    "2-hour window costs nothing extra (the oracle's range join + "
+    "ROW_NUMBER is the quadratic formulation this operator avoids; "
+    "fine for DuckDB at oracle scale, wrong at 100 TB). Scale shape: "
+    "one (user_id)-keyed shuffle, linear fill, then a 3-row channel "
+    "agg.",
+)
+def a_t25_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.asof import as_of_join
+
+    ev = events_tbl(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    touches = ev.filter(F.col("event_type").isin("click", "view")).select(
+        "user_id",
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("channel"),
+        F.col("event_id").alias("tevent_id"),
+    )
+    att = as_of_join(
+        purchases,
+        touches,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="tts",
+        payload=["channel"],
+        tiebreak="tevent_id",
+        tolerance=F.expr("INTERVAL 2 HOURS"),
+    )
+    return (
+        att.select(F.coalesce("channel", F.lit("direct")).alias("channel"), "value")
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            dsum("value", 2, "revenue"),
+        )
+    )
