@@ -82,6 +82,7 @@ def logistic_fit(
     labels: DataFrame,
     n_rounds: int = N_ROUNDS,
     eta: float = ETA,
+    unpersist: bool = True,
 ) -> DataFrame:
     """Full-batch gradient-ascent logistic fit over a feature matrix.
 
@@ -94,6 +95,9 @@ def logistic_fit(
     plans against a constant-size local frame instead of an
     exponentially-inlined lineage.
     """
+    # unpersist=False keeps the cached feature frame alive for a caller
+    # that scores against it afterwards (d52); the caller then owns the
+    # cache handle and must release it.
     x = x.cache()
     nd = x.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
     w = x.select("b").distinct().withColumn("w", F.lit(0.0))
@@ -117,5 +121,6 @@ def logistic_fit(
             .selectExpr("b", f"{UPDATE_SQL.format(eta=eta)} AS w")
             .localCheckpoint(eager=True)
         )
-    x.unpersist()
+    if unpersist:
+        x.unpersist()
     return w

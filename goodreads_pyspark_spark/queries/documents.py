@@ -3665,13 +3665,14 @@ _D49_ROUNDS = 2
 _D49_TOP = 20
 
 
-def _d49_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
-    """Unroll the fixed-round logistic fit as DuckDB CTEs (d37's BPE-fit
-    discipline): each round's margin/probability/gradient/update CTEs
-    splice the SAME expression fragments the Spark loop evaluates
-    (functions/logistic.py SIGMOID_SQL / UPDATE_SQL / DSUM_SQL), so the
-    two engines run identical IEEE expression trees over identical
-    decimal-exact sums."""
+def _d49_cte_chain(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
+    """The unrolled fixed-round logistic fit as a DuckDB WITH body (d37's
+    BPE-fit discipline), ending at the final weight table ``w{n}``: each
+    round's margin/probability/gradient/update CTEs splice the SAME
+    expression fragments the Spark loop evaluates (functions/logistic.py
+    SIGMOID_SQL / UPDATE_SQL / DSUM_SQL), so the two engines run
+    identical IEEE expression trees over identical decimal-exact sums.
+    Shared by d49 (weight inspection) and d52 (train-fit evaluation)."""
     from goodreads_pyspark_spark.functions.logistic import (
         DSUM_SQL,
         SIGMOID_SQL,
@@ -3711,7 +3712,11 @@ def _d49_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
       SELECT c.doc_id, b, CAST(cnt AS DOUBLE) / n_feats AS x
       FROM cnt c JOIN nf USING (doc_id)),
     nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM x),
-    w0 AS (SELECT DISTINCT b, 0.0 AS w FROM x),{",".join(rounds)},
+    w0 AS (SELECT DISTINCT b, 0.0 AS w FROM x),{",".join(rounds)}"""
+
+
+def _d49_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
+    return f"""{_d49_cte_chain(n_rounds, eta)},
     final AS (
       SELECT b, ROUND(w, 12) AS w FROM w{n_rounds}),
     ranked AS (
@@ -4021,3 +4026,91 @@ def a_d51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min(F.when(kept, F.col("logit"))), 6).alias("min_kept_logit"),
         F.round(F.max(F.when(~kept, F.col("logit"))), 6).alias("max_dropped_logit"),
     )
+
+
+# --- classifier train-fit evaluation (new in r7) -------------------------------
+def _d52_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
+    from goodreads_pyspark_spark.functions.logistic import DSUM_SQL
+
+    return f"""{_d49_cte_chain(n_rounds, eta)},
+    zf AS (SELECT doc_id, {DSUM_SQL.format(e="w * x")} AS z
+           FROM x JOIN w{n_rounds} USING (b) GROUP BY doc_id),
+    pred AS (SELECT doc_id, z > 0.0 AS pos FROM zf),
+    conf AS (
+      SELECT CAST(COUNT(*) FILTER (pos AND y = 1.0) AS BIGINT) AS tp,
+             CAST(COUNT(*) FILTER (pos AND y = 0.0) AS BIGINT) AS fp,
+             CAST(COUNT(*) FILTER (NOT pos AND y = 0.0) AS BIGINT) AS tn,
+             CAST(COUNT(*) FILTER (NOT pos AND y = 1.0) AS BIGINT) AS fn,
+             CAST(COUNT(*) AS BIGINT) AS n_scored,
+             CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+      FROM pred JOIN lab USING (doc_id))
+    SELECT tp, fp, tn, fn, n_scored,
+           CAST(tp + tn AS DOUBLE) / n_scored AS accuracy,
+           CAST(n_pos AS DOUBLE) / n_scored AS base_rate
+    FROM conf
+    """
+
+
+@query(
+    "a_d52_classifier_eval",
+    oracle=_d52_oracle(),
+    doc="Train-fit EVALUATION of the d49 logistic classifier — the eval "
+    "stage that closes the loop fit (d49) -> eval (here) -> score (d38) "
+    "-> tercile (d47) -> gate: score every featured document with the "
+    "FINAL fitted weights (one more margin pass over the cached feature "
+    "frame; predicted positive iff margin z > 0, which is exactly "
+    "p > 1/2 under the monotone sigmoid surrogate) and emit the exact "
+    "integer confusion matrix against the training labels plus "
+    "accuracy/base-rate as one-division ratios. Every cell is either "
+    "an exact integer count or a single IEEE division of exact "
+    "integers, and the margins are the same decimal-exact dot products "
+    "the fit gate already proves bit-portable — so the WHOLE confusion "
+    "matrix hash-gates, not just a tolerance band. Scale shape: the "
+    "fit's n_rounds x 2 linear passes plus ONE more doc-keyed margin "
+    "aggregation with the bounded weight table broadcast; the "
+    "confusion rollup is a single-row aggregate.",
+)
+def a_d52_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.logistic import (
+        DSUM_SQL,
+        feature_matrix,
+        logistic_fit,
+    )
+
+    docs = tbl(spark, sf_dir, "documents")
+    labels = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+    )
+    x = feature_matrix(docs).cache()
+    w = logistic_fit(x, labels, n_rounds=_D49_ROUNDS, eta=_D49_ETA, unpersist=False)
+    zf = (
+        x.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(F.expr(DSUM_SQL.format(e="w * x")).alias("z"))
+    )
+    pos = F.col("z") > 0.0
+    y1 = F.col("y") == 1.0
+    conf = (
+        zf.join(labels, "doc_id")
+        .agg(
+            F.sum((pos & y1).cast("int")).cast("bigint").alias("tp"),
+            F.sum((pos & ~y1).cast("int")).cast("bigint").alias("fp"),
+            F.sum((~pos & ~y1).cast("int")).cast("bigint").alias("tn"),
+            F.sum((~pos & y1).cast("int")).cast("bigint").alias("fn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+            F.sum(y1.cast("int")).cast("bigint").alias("n_pos"),
+        )
+    )
+    out = conf.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        "n_scored",
+        ((F.col("tp") + F.col("tn")).cast("double") / F.col("n_scored")).alias(
+            "accuracy"
+        ),
+        (F.col("n_pos").cast("double") / F.col("n_scored")).alias("base_rate"),
+    ).localCheckpoint(eager=True)
+    x.unpersist()
+    return out

@@ -145,7 +145,7 @@ def _lpa_oracle(rounds: int = 2) -> str:
 
 
 @query(
-    "a_g03_lpa_labels",
+    "g03_lpa_labels",
     oracle=_lpa_oracle(rounds=2),
     doc="G7 label propagation, 2 synchronous rounds (graph/pregel.py "
     "label_propagation; reference goodreads.py:594-599). Ties break to "

@@ -1,0 +1,126 @@
+"""Round-7 new-operator stress probe: d49/d50/d51/e28/g16/io14/t25/mm06
+at 1x and 10x — every new r7 family gets a SCALING curve (the standing
+per-round discipline).
+
+Tables replicate with id offsets (keys stay unique, graph copies stay
+disjoint); documents get per-copy text suffixes and embeddings a
+deterministic component-0 nudge (corpus_stress_r5 conventions) so
+dedup/ANN paths see near-dups, not degenerate exact copies.
+
+Expected shapes — all linear:
+- d49 logistic fit: corpus tokenizes once into a cached feature frame;
+  per round one doc-keyed + one bucket-keyed agg.
+- d50 repetition rules: map-side higher-order funcs + two gram-keyed
+  counts.
+- d51 domain cap: d38 scoring pass + per-source window + ledger agg.
+- e28 hard negatives: one-pass batch kernel + label join + per-anchor cut.
+- g16 feature propagation: one edge join + integer agg per hop.
+- io14 time travel: three key-keyed argmax aggs over the ledger.
+- t25 attribution: one user-keyed as-of shuffle + 3-row agg.
+- mm06 perceptual buckets: one decode pass + signature group-by.
+
+Usage: python tools/r7_ops_stress.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+from goodreads_pyspark_spark.session import get_spark
+from tools.corpus_stress_r5 import replicate_embeddings
+from tools.scaling_probe import SRC, replicate
+
+#: query name -> tables it reads
+QUERIES = {
+    "a_d49_logistic_fit": ("documents",),
+    "a_d50_repetition_rules": ("documents",),
+    "a_d51_domain_cap": ("documents",),
+    "a_e28_hard_negative_mining": ("documents", "embeddings"),
+    "a_g16_feature_propagation": ("lineitem",),
+    "a_io14_snapshot_time_travel": ("orders",),
+    "a_t25_lasttouch_attribution": ("events",),
+    "a_mm06_perceptual_buckets": ("documents",),
+}
+
+#: id columns to offset per copy for the relational/event tables
+OFFSETS = {
+    "lineitem": ["l_orderkey", "l_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "events": ["event_id", "user_id"],
+}
+
+
+def replicate_offsets(spark, table: str, factor: int, out_dir: str) -> str:
+    base = spark.read.parquet(f"{SRC}/{table}.parquet")
+    maxes = base.agg(
+        *[F.max(c).alias(c) for c in OFFSETS[table]]
+    ).first()
+    parts = []
+    for i in range(factor):
+        c = base
+        for col in OFFSETS[table]:
+            c = c.withColumn(col, F.col(col) + F.lit(i * (maxes[col] + 1)))
+        parts.append(c)
+    df = parts[0]
+    for p in parts[1:]:
+        df = df.unionByName(p)
+    path = f"{out_dir}/{table}.parquet"
+    df.repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    _load_all()
+    spark = get_spark("r7_ops_stress")
+    needed = sorted({t for tabs in QUERIES.values() for t in tabs})
+    rows = []
+    for factor in factors:
+        out_dir = tempfile.mkdtemp(prefix=f"r7ops_x{factor}_")
+        sf_dir = f"{out_dir}/sf"
+        Path(sf_dir).mkdir()
+        for t in needed:
+            if t == "documents":
+                p = replicate(spark, t, factor, "doc_id", out_dir)
+                spark.read.parquet(p).write.parquet(f"{sf_dir}/{t}.parquet")
+            elif t == "embeddings":
+                p = replicate_embeddings(spark, factor, out_dir)
+                spark.read.parquet(p).write.parquet(f"{sf_dir}/{t}.parquet")
+            else:
+                replicate_offsets(spark, t, factor, sf_dir)
+        def force(df) -> int:
+            """Count that also forces every output column (a bare count()
+            lets Catalyst prune result columns, under-reporting)."""
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+            ).first()
+            return row["n"]
+
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            best, n = None, 0
+            for _ in range(3):
+                t0 = time.time()
+                n = force(REGISTRY[name].spark_fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            rows.append((name, factor, best, n))
+            print(f"# {name} x{factor}: {best:.2f}s ({n} rows)", flush=True)
+    print("\n| query | factor | wall (min of 3) | rows |")
+    print("|---|---|---|---|")
+    for name, factor, dt, n in rows:
+        print(f"| {name} | {factor}x | {dt:.2f}s | {n} |")
+
+
+if __name__ == "__main__":
+    main()
