@@ -3832,6 +3832,9 @@ _D50_MAX_DUP3 = 0.05
     "duplicate-token fraction, adjacent-repeat fraction, fraction of "
     "characters in the most frequent word bigram, and fraction of "
     "characters in duplicated trigrams, thresholded into a keep gate. "
+    "Complements d16 (top-token/top-bigram COUNT-mass screens): this "
+    "adds the paper's CHARACTER-mass forms, the duplicated-n-gram "
+    "family, and the composite keep verdict. "
     "The paper's line/paragraph variants collapse on this corpus (the "
     "synthetic text has no newlines), so the token-window forms carry "
     "the same signals — documented adaptation, same operator shape. "

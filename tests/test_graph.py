@@ -450,3 +450,40 @@ def test_multi_source_bfs_hand_computed(spark):
         (1, 1): 0, (1, 2): 1, (1, 3): 2,
         (3, 3): 0, (3, 2): 1, (3, 4): 1, (3, 1): 2,
     }
+
+
+def test_hits_scaled_degenerate_graph_fails_loudly(spark):
+    """A graph with no edges has zero authority mass every round; the
+    rescale must raise (ADVICE r6) instead of silently emitting all-NULL
+    hub/auth scores that would poison downstream joins."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from goodreads_pyspark_spark.graph.pregel import hits_scaled
+
+    v = spark.createDataFrame([(1,), (2,)], ["id"])
+    e = spark.createDataFrame([], "src bigint, dst bigint")
+    with pytest.raises(Py4JJavaError, match="zero/NULL"):
+        hits_scaled(PropertyGraph(v, e), n_iter=1, scale=100).collect()
+
+
+def test_hits_scaled_rescale_survives_large_mass(spark):
+    """The araw·scale product runs in DECIMAL(38,0): a hub whose raw
+    authority mass exceeds 2^63/scale must still rescale exactly (the
+    pre-fix BIGINT multiply overflowed here)."""
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.graph.pregel import hits_scaled
+
+    # one sink fed by many sources at a huge scale: araw = n_src * scale,
+    # araw * scale = n * scale^2 > 2^63 for scale=10^9, n=10
+    n = 10
+    scale = 10**9
+    v = spark.createDataFrame([(i,) for i in range(n)] + [(100,)], ["id"])
+    e = spark.createDataFrame([(i, 100) for i in range(n)], ["src", "dst"])
+    out = {
+        r["id"]: r["auth_scaled"]
+        for r in hits_scaled(PropertyGraph(v, e), n_iter=1, scale=scale).collect()
+    }
+    # all mass lands on the single sink: auth = (n*scale * scale) div (n*scale)
+    assert out[100] == scale
