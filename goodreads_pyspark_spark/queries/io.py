@@ -36,6 +36,7 @@ _AGG = """
     "the original parquet.",
 )
 def io01_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from goodreads_pyspark_spark.sources.readers import read_csv, read_json
@@ -44,19 +45,25 @@ def io01_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = docs.schema
     jdir = tempfile.mkdtemp(prefix="io01_json_")
     cdir = tempfile.mkdtemp(prefix="io01_csv_")
-    docs.write.mode("overwrite").json(jdir)
-    docs.write.mode("overwrite").option("header", "true").csv(cdir)
+    try:
+        docs.write.mode("overwrite").json(jdir)
+        docs.write.mode("overwrite").option("header", "true").csv(cdir)
 
-    def agg(df: DataFrame, fmt: str) -> DataFrame:
-        return df.groupBy("source").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_id").alias("id_sum"),
-            F.sum(F.length("text")).alias("n_chars"),
-        ).select(F.lit(fmt).alias("fmt"), "source", "n_docs", "id_sum", "n_chars")
+        def agg(df: DataFrame, fmt: str) -> DataFrame:
+            return df.groupBy("source").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").alias("id_sum"),
+                F.sum(F.length("text")).alias("n_chars"),
+            ).select(F.lit(fmt).alias("fmt"), "source", "n_docs", "id_sum", "n_chars")
 
-    return agg(read_json(spark, jdir, schema=schema), "json").unionAll(
-        agg(read_csv(spark, cdir, schema=schema), "csv")
-    )
+        # materialize before the finally removes the staged files
+        # (the s12 tempdir discipline)
+        return agg(read_json(spark, jdir, schema=schema), "json").unionAll(
+            agg(read_csv(spark, cdir, schema=schema), "csv")
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(jdir, ignore_errors=True)
+        shutil.rmtree(cdir, ignore_errors=True)
 
 
 # --- schema evolution across parquet batches ---------------------------------
@@ -79,22 +86,27 @@ def io01_source_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "with typed nulls in the right places.",
 )
 def io02_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     docs = tbl(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="io02_evolve_")
-    docs.filter(F.col("doc_id") % 2 == 0).select(
-        "doc_id", "text", "lang"
-    ).write.mode("overwrite").parquet(f"{base}/batch=0")
-    docs.filter(F.col("doc_id") % 2 == 1).select(
-        "doc_id", "text", "source", "n_chars"
-    ).write.mode("overwrite").parquet(f"{base}/batch=1")
-    merged = (
-        spark.read.option("mergeSchema", "true")
-        .parquet(f"{base}/batch=0", f"{base}/batch=1")
-        .select("doc_id", "text", "lang", "source", "n_chars")
-    )
-    return merged
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "lang"
+        ).write.mode("overwrite").parquet(f"{base}/batch=0")
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "source", "n_chars"
+        ).write.mode("overwrite").parquet(f"{base}/batch=1")
+        merged = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(f"{base}/batch=0", f"{base}/batch=1")
+            .select("doc_id", "text", "lang", "source", "n_chars")
+        )
+        # materialize before the finally removes the staged batches
+        return merged.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # --- small-file compaction ---------------------------------------------------
@@ -112,19 +124,24 @@ def io02_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "file skipping) are pinned by tests/test_plans.py.",
 )
 def io03_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from goodreads_pyspark_spark.sources.sinks import compact_parquet
 
     docs = tbl(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="io03_compact_")
-    # the debris: 64 arbitrary-split tiny files
-    docs.repartition(64).write.mode("overwrite").parquet(f"{base}/debris")
-    debris = spark.read.parquet(f"{base}/debris")
-    compact_parquet(debris, f"{base}/compacted", range_col="doc_id", n_files=4)
-    return spark.read.parquet(f"{base}/compacted").select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
+    try:
+        # the debris: 64 arbitrary-split tiny files
+        docs.repartition(64).write.mode("overwrite").parquet(f"{base}/debris")
+        debris = spark.read.parquet(f"{base}/debris")
+        compact_parquet(debris, f"{base}/compacted", range_col="doc_id", n_files=4)
+        # materialize before the finally removes the staged layout
+        return spark.read.parquet(f"{base}/compacted").select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # --- CDC merge (copy-on-write upsert) ----------------------------------------
@@ -352,7 +369,10 @@ def io08_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from goodreads_pyspark_spark.queries._helpers import events_tbl
 
+    import shutil
+
     base = tempfile.mkdtemp(prefix="io08_pruned_")
+    cleanup = lambda: shutil.rmtree(base, ignore_errors=True)  # noqa: E731
     events_tbl(spark, sf_dir).write.mode("overwrite").partitionBy(
         "event_type"
     ).parquet(base)
@@ -367,18 +387,24 @@ def io08_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     brackets = re.findall(r"PartitionFilters:\s*\[([^\]]*)\]", plan)
     if not any("purchase" in b for b in brackets):
+        cleanup()
         raise AssertionError(
             "event_type filter did not reach the scan's PartitionFilters "
             f"(brackets={brackets!r}):\n" + plan[:2000]
         )
-    return (
-        pruned.groupBy(F.date_trunc("hour", "ts").alias("hs"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
-        .select(
-            F.date_format("hs", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
-            "n_events",
+    try:
+        # materialize before cleanup (the s12 tempdir discipline)
+        return (
+            pruned.groupBy(F.date_trunc("hour", "ts").alias("hs"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+            .select(
+                F.date_format("hs", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+                "n_events",
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        cleanup()
 
 
 # ============================ round-6 additions ==============================
@@ -409,6 +435,7 @@ def io08_partition_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def io09_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
+    import shutil
     import tempfile
 
     from goodreads_pyspark_spark.queries._helpers import events_tbl
@@ -439,12 +466,16 @@ def io09_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     brackets = re.findall(r"PartitionFilters:\s*\[([^\]]*)\]", plan)
-    if not any("dynamicpruning" in b for b in brackets):
-        raise AssertionError(
-            "no dynamicpruning expression reached the fact scan's "
-            f"PartitionFilters (brackets={brackets!r}):\n" + plan[:2000]
-        )
-    return out
+    try:
+        if not any("dynamicpruning" in b for b in brackets):
+            raise AssertionError(
+                "no dynamicpruning expression reached the fact scan's "
+                f"PartitionFilters (brackets={brackets!r}):\n" + plan[:2000]
+            )
+        # materialize before cleanup (the s12 tempdir discipline)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(
@@ -471,28 +502,33 @@ def io09_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFram
 )
 def io10_orc_roundtrip_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
+    import shutil
     import tempfile
 
     base = tempfile.mkdtemp(prefix="io10_orc_")
-    tbl(spark, sf_dir, "lineitem").write.mode("overwrite").orc(base)
-    li = spark.read.orc(base).filter(F.col("l_quantity") < 10)
-    plan = li._jdf.queryExecution().executedPlan().toString()
-    brackets = re.findall(r"PushedFilters:\s*\[([^\]]*)\]", plan)
-    if not any("l_quantity" in b and "LessThan" in b for b in brackets):
-        raise AssertionError(
-            "l_quantity range predicate did not reach the ORC scan's "
-            f"PushedFilters (brackets={brackets!r}):\n" + plan[:2000]
-        )
-    return li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
-                "decimal(30,6)"
+    try:
+        tbl(spark, sf_dir, "lineitem").write.mode("overwrite").orc(base)
+        li = spark.read.orc(base).filter(F.col("l_quantity") < 10)
+        plan = li._jdf.queryExecution().executedPlan().toString()
+        brackets = re.findall(r"PushedFilters:\s*\[([^\]]*)\]", plan)
+        if not any("l_quantity" in b and "LessThan" in b for b in brackets):
+            raise AssertionError(
+                "l_quantity range predicate did not reach the ORC scan's "
+                f"PushedFilters (brackets={brackets!r}):\n" + plan[:2000]
             )
-        )
-        .cast("double")
-        .alias("revenue"),
-    )
+        # materialize before cleanup (the s12 tempdir discipline)
+        return li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(30,6)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 @query(

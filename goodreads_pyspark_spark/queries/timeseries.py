@@ -274,6 +274,7 @@ def t07_asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "result is bit-identical to the tumbling-window batch SQL.",
 )
 def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -287,18 +288,21 @@ def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # File-source streams need a dedicated directory of uniform-schema
     # files; stage the (nanos-normalized) events there.
     stage = tempfile.mkdtemp(prefix="stream_events_")
-    events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
-    name = f"s01_sink_{uuid.uuid4().hex[:8]}"
-    stream = stream_events_from_dir(spark, stage)
-    run_to_memory_sink(
-        hourly_by_type(stream, exact_scale=6), name, output_mode="complete"
-    )
-    return spark.table(name).select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-        "total_value",
-    )
+    try:
+        events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
+        name = f"s01_sink_{uuid.uuid4().hex[:8]}"
+        stream = stream_events_from_dir(spark, stage)
+        run_to_memory_sink(
+            hourly_by_type(stream, exact_scale=6), name, output_mode="complete"
+        )
+        return spark.table(name).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @query(
@@ -322,6 +326,7 @@ def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "against the batch aggregate within 1e-6 inside the query.",
 )
 def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -333,47 +338,50 @@ def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     stage = tempfile.mkdtemp(prefix="stream_state_")
-    events = events_tbl(spark, sf_dir)
-    events.write.mode("overwrite").parquet(stage)
-    name = f"s02_sink_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(
-        running_user_totals(stream_events_from_dir(spark, stage)),
-        name,
-        output_mode="update",
-    )
-    # Update-mode sink: one row per (user, micro-batch touched); the final
-    # state per user is the row with the largest running count.
-    latest = (
-        spark.table(name)
-        .groupBy("user_id")
-        .agg(F.max(F.struct("n_events", "total_value", "total_micros")).alias("s"))
-        .select(
-            "user_id",
-            F.col("s.n_events").alias("n_events"),
-            F.col("s.total_value").alias("total_value"),
-            F.col("s.total_micros").alias("total_micros"),
+    try:
+        events = events_tbl(spark, sf_dir)
+        events.write.mode("overwrite").parquet(stage)
+        name = f"s02_sink_{uuid.uuid4().hex[:8]}"
+        run_to_memory_sink(
+            running_user_totals(stream_events_from_dir(spark, stage)),
+            name,
+            output_mode="update",
         )
-    )
-    # Internal gate: the FLOAT accumulator must track the batch aggregate
-    # (the micros accumulator is pinned exactly by the driver's oracle).
-    expected = events.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("exp_n"),
-        F.sum("value").alias("exp_total"),
-    )
-    bad = (
-        latest.join(expected, "user_id", "full")
-        .filter(
-            ~F.col("n_events").eqNullSafe(F.col("exp_n"))
-            | ~F.coalesce(
-                F.abs(F.col("total_value") - F.col("exp_total")) <= 1e-6,
-                F.lit(False),
+        # Update-mode sink: one row per (user, micro-batch touched); the final
+        # state per user is the row with the largest running count.
+        latest = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(F.max(F.struct("n_events", "total_value", "total_micros")).alias("s"))
+            .select(
+                "user_id",
+                F.col("s.n_events").alias("n_events"),
+                F.col("s.total_value").alias("total_value"),
+                F.col("s.total_micros").alias("total_micros"),
             )
         )
-        .count()
-    )
-    if bad:
-        raise AssertionError(f"stateful totals diverge from batch for {bad} users")
-    return latest.select("user_id", "n_events", "total_micros")
+        # Internal gate: the FLOAT accumulator must track the batch aggregate
+        # (the micros accumulator is pinned exactly by the driver's oracle).
+        expected = events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("exp_n"),
+            F.sum("value").alias("exp_total"),
+        )
+        bad = (
+            latest.join(expected, "user_id", "full")
+            .filter(
+                ~F.col("n_events").eqNullSafe(F.col("exp_n"))
+                | ~F.coalesce(
+                    F.abs(F.col("total_value") - F.col("exp_total")) <= 1e-6,
+                    F.lit(False),
+                )
+            )
+            .count()
+        )
+        if bad:
+            raise AssertionError(f"stateful totals diverge from batch for {bad} users")
+        return latest.select("user_id", "n_events", "total_micros")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 @query(
@@ -396,6 +404,7 @@ def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "before returning.",
 )
 def s03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -406,27 +415,30 @@ def s03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stage = tempfile.mkdtemp(prefix="stream_dedup_")
-    events = events_tbl(spark, sf_dir)
-    # Two copies in separate files => duplicates span micro-batches.
-    events.write.mode("overwrite").parquet(stage)
-    events.write.mode("append").parquet(stage)
-    name = f"s03_sink_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(
-        dedup_events(stream_events_from_dir(spark, stage)),
-        name,
-        output_mode="append",
-    )
-    got = spark.table(name)
-    n_got, n_expected = got.count(), events.dropDuplicates(["event_id"]).count()
-    if n_got != n_expected:
-        raise AssertionError(
-            f"stream dedup emitted {n_got} rows, batch dedup has {n_expected}"
+    try:
+        events = events_tbl(spark, sf_dir)
+        # Two copies in separate files => duplicates span micro-batches.
+        events.write.mode("overwrite").parquet(stage)
+        events.write.mode("append").parquet(stage)
+        name = f"s03_sink_{uuid.uuid4().hex[:8]}"
+        run_to_memory_sink(
+            dedup_events(stream_events_from_dir(spark, stage)),
+            name,
+            output_mode="append",
         )
-    return (
-        got.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("event_type")
-    )
+        got = spark.table(name)
+        n_got, n_expected = got.count(), events.dropDuplicates(["event_id"]).count()
+        if n_got != n_expected:
+            raise AssertionError(
+                f"stream dedup emitted {n_got} rows, batch dedup has {n_expected}"
+            )
+        return (
+            got.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .orderBy("event_type")
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 # --- sliding (overlapping) windows ------------------------------------------
@@ -495,6 +507,7 @@ def t08_sliding_window_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(null-safe, both sides exact) before returning.",
 )
 def s04_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -506,36 +519,39 @@ def s04_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     stage = tempfile.mkdtemp(prefix="stream_slide_")
-    events = events_tbl(spark, sf_dir)
-    events.write.mode("overwrite").parquet(stage)
-    name = f"s04_sink_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(
-        sliding_by_type(stream_events_from_dir(spark, stage), exact_scale=6),
-        name,
-        output_mode="complete",
-    )
-    got = spark.table(name)
-    expected = sliding_by_type(events, exact_scale=6)
-    # null-safe compare: a window present on only one side must count as a
-    # divergence; both sides are decimal-exact so equality is exact.
-    bad = (
-        got.join(expected, ["window_start", "event_type"], "full")
-        .filter(
-            ~got["n_events"].eqNullSafe(expected["n_events"])
-            | ~got["total_value"].eqNullSafe(expected["total_value"])
+    try:
+        events = events_tbl(spark, sf_dir)
+        events.write.mode("overwrite").parquet(stage)
+        name = f"s04_sink_{uuid.uuid4().hex[:8]}"
+        run_to_memory_sink(
+            sliding_by_type(stream_events_from_dir(spark, stage), exact_scale=6),
+            name,
+            output_mode="complete",
         )
-        .count()
-    )
-    if bad:
-        raise AssertionError(
-            f"streaming sliding windows diverge from batch for {bad} windows"
+        got = spark.table(name)
+        expected = sliding_by_type(events, exact_scale=6)
+        # null-safe compare: a window present on only one side must count as a
+        # divergence; both sides are decimal-exact so equality is exact.
+        bad = (
+            got.join(expected, ["window_start", "event_type"], "full")
+            .filter(
+                ~got["n_events"].eqNullSafe(expected["n_events"])
+                | ~got["total_value"].eqNullSafe(expected["total_value"])
+            )
+            .count()
         )
-    return got.select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "event_type",
-        "n_events",
-        "total_value",
-    )
+        if bad:
+            raise AssertionError(
+                f"streaming sliding windows diverge from batch for {bad} windows"
+            )
+        return got.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 # --- lag/lead: day-over-day deltas -------------------------------------------
@@ -602,6 +618,7 @@ def t09_day_over_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s05_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
+    import shutil
     import tempfile
     import uuid
 
@@ -614,20 +631,23 @@ def s05_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     stage = tempfile.mkdtemp(prefix="stream_enrich_")
-    events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
-    dim = tbl(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("attr")
-    )
-    name = f"s05_sink_{uuid.uuid4().hex[:8]}"
-    stream = stream_events_from_dir(spark, stage)
-    run_to_memory_sink(
-        enrich_with_dim(stream, dim), name, output_mode="complete"
-    )
-    return spark.table(name).select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "segment",
-        "n_events",
-    )
+    try:
+        events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
+        dim = tbl(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("key"), F.col("c_mktsegment").alias("attr")
+        )
+        name = f"s05_sink_{uuid.uuid4().hex[:8]}"
+        stream = stream_events_from_dir(spark, stage)
+        run_to_memory_sink(
+            enrich_with_dim(stream, dim), name, output_mode="complete"
+        )
+        return spark.table(name).select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "segment",
+            "n_events",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 # --- cumulative distinct users via first-seen collapse -----------------------
@@ -703,6 +723,7 @@ def t10_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
     "forever.",
 )
 def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -713,37 +734,40 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     stage = tempfile.mkdtemp(prefix="stream_ssj_")
-    events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
-    purchases = (
-        stream_events_from_dir(spark, stage)
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "2 hours")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
+    try:
+        events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
+        purchases = (
+            stream_events_from_dir(spark, stage)
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
         )
-    )
-    views = (
-        stream_events_from_dir(spark, stage)
-        .filter(F.col("event_type") == "view")
-        .withWatermark("ts", "2 hours")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("v_ts"),
+        views = (
+            stream_events_from_dir(spark, stage)
+            .filter(F.col("event_type") == "view")
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
         )
-    )
-    joined = purchases.join(
-        views,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("v_ts") <= F.col("p_ts")),
-        "inner",
-    ).select(F.col("p_user").alias("user_id"), "purchase_id", "view_id")
-    name = f"s06_sink_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(joined, name, output_mode="append")
-    return spark.table(name)
+        joined = purchases.join(
+            views,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "inner",
+        ).select(F.col("p_user").alias("user_id"), "purchase_id", "view_id")
+        name = f"s06_sink_{uuid.uuid4().hex[:8]}"
+        run_to_memory_sink(joined, name, output_mode="append")
+        return spark.table(name)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 # --- calendar gap-fill / resampling ------------------------------------------
@@ -1207,6 +1231,7 @@ def t17_session_windows_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asserts stream == batch row-for-row before returning.",
 )
 def s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -1218,38 +1243,41 @@ def s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     stage = tempfile.mkdtemp(prefix="stream_sess_")
-    events = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
-    events.write.mode("overwrite").parquet(stage)
-    name = f"s07_sink_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(
-        sessionized_by_user(stream_events_from_dir(spark, stage).filter(
-            F.col("user_id") < 100
-        )),
-        name,
-        output_mode="complete",
-    )
-    got = spark.table(name)
-    expected = sessionized_by_user(events)
-    bad = (
-        got.join(expected, ["user_id", "session_start"], "full")
-        .filter(
-            ~got["n_events"].eqNullSafe(expected["n_events"])
-            | ~got["session_end"].eqNullSafe(expected["session_end"])
+    try:
+        events = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
+        events.write.mode("overwrite").parquet(stage)
+        name = f"s07_sink_{uuid.uuid4().hex[:8]}"
+        run_to_memory_sink(
+            sessionized_by_user(stream_events_from_dir(spark, stage).filter(
+                F.col("user_id") < 100
+            )),
+            name,
+            output_mode="complete",
         )
-        .count()
-    )
-    if bad:
-        raise AssertionError(
-            f"streaming sessions diverge from batch for {bad} sessions"
+        got = spark.table(name)
+        expected = sessionized_by_user(events)
+        bad = (
+            got.join(expected, ["user_id", "session_start"], "full")
+            .filter(
+                ~got["n_events"].eqNullSafe(expected["n_events"])
+                | ~got["session_end"].eqNullSafe(expected["session_end"])
+            )
+            .count()
         )
-    return got.select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
-            "session_start"
-        ),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-        "n_events",
-    )
+        if bad:
+            raise AssertionError(
+                f"streaming sessions diverge from batch for {bad} sessions"
+            )
+        return got.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 # --- exponentially-weighted trailing volume (exact dyadic weights) -----------
@@ -1518,6 +1546,7 @@ def t21_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pytest).",
 )
 def s08_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from goodreads_pyspark_spark.streaming import stream_events_from_dir
@@ -1526,34 +1555,41 @@ def s08_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = tempfile.mkdtemp(prefix="s08_stage_")
     out = tempfile.mkdtemp(prefix="s08_out_")
     chk = tempfile.mkdtemp(prefix="s08_chk_")
-    events = events_tbl(spark, sf_dir)
-    events.write.mode("overwrite").parquet(stage)
-
-    def write_batch(bdf: DataFrame, batch_id: int) -> None:
-        bdf.write.mode("append").parquet(out)
-
-    q = (
-        stream_events_from_dir(spark, stage)
-        .writeStream.foreachBatch(write_batch)
-        .option("checkpointLocation", chk)
-        .start()
-    )
     try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    written = spark.read.parquet(out)
-    n_written, n_src = written.count(), events.count()
-    if n_written != n_src:
-        raise AssertionError(
-            f"foreachBatch sink wrote {n_written} rows, source has {n_src}"
+        events = events_tbl(spark, sf_dir)
+        events.write.mode("overwrite").parquet(stage)
+
+        def write_batch(bdf: DataFrame, batch_id: int) -> None:
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            stream_events_from_dir(spark, stage)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", chk)
+            .start()
         )
-    return written.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.floor(F.col("value") * 1e6).cast("long"))
-        .cast("bigint")
-        .alias("total_micros"),
-    )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        written = spark.read.parquet(out)
+        n_written, n_src = written.count(), events.count()
+        if n_written != n_src:
+            raise AssertionError(
+                f"foreachBatch sink wrote {n_written} rows, source has {n_src}"
+            )
+        # materialize before the finally removes the staged dirs
+        return (written.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 1e6).cast("long"))
+            .cast("bigint")
+            .alias("total_micros"),
+        )
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
+        shutil.rmtree(chk, ignore_errors=True)
 
 
 # --- association rules from co-purchase supports (queued for r5 rotation) ----
@@ -1693,6 +1729,7 @@ def t22_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "never shuffles.",
 )
 def s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
 
     from goodreads_pyspark_spark.operators.cdc import apply_cdc
@@ -1700,58 +1737,63 @@ def s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     docs = tbl(spark, sf_dir, "documents")
     base = tempfile.mkdtemp(prefix="s09_")
-    v0 = f"{base}/v0"
-    docs.write.parquet(v0)
-
-    deletes = docs.filter(F.col("doc_id") % 5 == 0).withColumn("op", F.lit("D"))
-    updates = (
-        docs.filter(F.col("doc_id") % 5 == 1)
-        .withColumn("text", F.upper("text"))
-        .withColumn("n_chars", F.col("n_chars") + 1000)
-        .withColumn("op", F.lit("U"))
-    )
-    inserts = (
-        docs.filter(F.col("doc_id") % 5 == 2)
-        .withColumn("doc_id", F.col("doc_id") + 1000000)
-        .withColumn("source", F.lit("ingest_v2"))
-        .withColumn("op", F.lit("I"))
-    )
-    feed = f"{base}/feed"
-    for part in (deletes, updates, inserts):
-        part.coalesce(1).write.mode("append").parquet(feed)
-    feed_schema = spark.read.parquet(feed).schema
-
-    state = {"cur": v0, "version": 0, "batches": 0}
-
-    def merge_batch(bdf: DataFrame, batch_id: int) -> None:
-        if bdf.isEmpty():
-            return
-        snap = spark.read.parquet(state["cur"])
-        state["version"] += 1
-        state["batches"] += 1
-        nxt = f"{base}/v{state['version']}"
-        apply_cdc(snap, bdf, key="doc_id").write.parquet(nxt)
-        state["cur"] = nxt
-
-    q = (
-        spark.readStream.schema(feed_schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-        .writeStream.foreachBatch(merge_batch)
-        .option("checkpointLocation", f"{base}/chk")
-        .start()
-    )
     try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    if state["batches"] < 3:
-        raise AssertionError(
-            f"expected >=3 incremental merge batches, saw {state['batches']}"
+        v0 = f"{base}/v0"
+        docs.write.parquet(v0)
+
+        deletes = docs.filter(F.col("doc_id") % 5 == 0).withColumn("op", F.lit("D"))
+        updates = (
+            docs.filter(F.col("doc_id") % 5 == 1)
+            .withColumn("text", F.upper("text"))
+            .withColumn("n_chars", F.col("n_chars") + 1000)
+            .withColumn("op", F.lit("U"))
         )
-    return spark.read.parquet(state["cur"]).select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
+        inserts = (
+            docs.filter(F.col("doc_id") % 5 == 2)
+            .withColumn("doc_id", F.col("doc_id") + 1000000)
+            .withColumn("source", F.lit("ingest_v2"))
+            .withColumn("op", F.lit("I"))
+        )
+        feed = f"{base}/feed"
+        for part in (deletes, updates, inserts):
+            part.coalesce(1).write.mode("append").parquet(feed)
+        feed_schema = spark.read.parquet(feed).schema
+
+        state = {"cur": v0, "version": 0, "batches": 0}
+
+        def merge_batch(bdf: DataFrame, batch_id: int) -> None:
+            if bdf.isEmpty():
+                return
+            snap = spark.read.parquet(state["cur"])
+            state["version"] += 1
+            state["batches"] += 1
+            nxt = f"{base}/v{state['version']}"
+            apply_cdc(snap, bdf, key="doc_id").write.parquet(nxt)
+            state["cur"] = nxt
+
+        q = (
+            spark.readStream.schema(feed_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+            .writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", f"{base}/chk")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        if state["batches"] < 3:
+            raise AssertionError(
+                f"expected >=3 incremental merge batches, saw {state['batches']}"
+            )
+        # materialize before the finally removes the staged dirs
+        return (spark.read.parquet(state["cur"]).select(
+            "doc_id", "text", "lang", "source", "n_chars"
+        )
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # --- stream-stream LEFT OUTER join (watermark-driven null emission; r5) ------
@@ -1785,6 +1827,7 @@ def s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "requirement for an unbounded attribution join.",
 )
 def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
     import tempfile
     import uuid
 
@@ -1795,55 +1838,58 @@ def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_for_oracle(spark)
     stage = tempfile.mkdtemp(prefix="stream_ssloj_")
-    ev = events_tbl(spark, sf_dir)
-    ev.write.mode("overwrite").parquet(stage)
-    # far-future sentinel per side: advances the watermark past every real
-    # event so the final no-data batch evicts and emits all unmatched rows
-    mx = ev.agg(F.max("ts").alias("m"))
-    sentinels = None
-    for etype in ("purchase", "view"):
-        row = mx.select(
-            F.lit(-1).cast("long").alias("event_id"),
-            (F.col("m") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
-            F.lit(-1).cast("long").alias("user_id"),
-            F.lit(etype).alias("event_type"),
-            F.lit(0.0).alias("value"),
-            F.lit(None).cast("string").alias("props"),
-        )
-        sentinels = row if sentinels is None else sentinels.unionByName(row)
-    sentinels.write.mode("append").parquet(stage)
+    try:
+        ev = events_tbl(spark, sf_dir)
+        ev.write.mode("overwrite").parquet(stage)
+        # far-future sentinel per side: advances the watermark past every real
+        # event so the final no-data batch evicts and emits all unmatched rows
+        mx = ev.agg(F.max("ts").alias("m"))
+        sentinels = None
+        for etype in ("purchase", "view"):
+            row = mx.select(
+                F.lit(-1).cast("long").alias("event_id"),
+                (F.col("m") + F.expr("INTERVAL 30 DAYS")).alias("ts"),
+                F.lit(-1).cast("long").alias("user_id"),
+                F.lit(etype).alias("event_type"),
+                F.lit(0.0).alias("value"),
+                F.lit(None).cast("string").alias("props"),
+            )
+            sentinels = row if sentinels is None else sentinels.unionByName(row)
+        sentinels.write.mode("append").parquet(stage)
 
-    purchases = (
-        stream_events_from_dir(spark, stage)
-        .filter(F.col("event_type") == "purchase")
-        .withWatermark("ts", "2 hours")
-        .select(
-            F.col("user_id").alias("p_user"),
-            F.col("event_id").alias("purchase_id"),
-            F.col("ts").alias("p_ts"),
+        purchases = (
+            stream_events_from_dir(spark, stage)
+            .filter(F.col("event_type") == "purchase")
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("user_id").alias("p_user"),
+                F.col("event_id").alias("purchase_id"),
+                F.col("ts").alias("p_ts"),
+            )
         )
-    )
-    views = (
-        stream_events_from_dir(spark, stage)
-        .filter(F.col("event_type") == "view")
-        .withWatermark("ts", "2 hours")
-        .select(
-            F.col("user_id").alias("v_user"),
-            F.col("event_id").alias("view_id"),
-            F.col("ts").alias("v_ts"),
+        views = (
+            stream_events_from_dir(spark, stage)
+            .filter(F.col("event_type") == "view")
+            .withWatermark("ts", "2 hours")
+            .select(
+                F.col("user_id").alias("v_user"),
+                F.col("event_id").alias("view_id"),
+                F.col("ts").alias("v_ts"),
+            )
         )
-    )
-    joined = purchases.join(
-        views,
-        (F.col("v_user") == F.col("p_user"))
-        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("v_ts") <= F.col("p_ts")),
-        "left_outer",
-    ).select(F.col("p_user").alias("user_id"), "purchase_id", "view_id")
-    name = f"s10_sink_{uuid.uuid4().hex[:8]}"
-    run_to_memory_sink(joined, name, output_mode="append")
-    # drop the sentinel purchase (it joins only the view sentinel)
-    return spark.table(name).filter(F.col("purchase_id") >= 0)
+        joined = purchases.join(
+            views,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("v_ts") <= F.col("p_ts")),
+            "left_outer",
+        ).select(F.col("p_user").alias("user_id"), "purchase_id", "view_id")
+        name = f"s10_sink_{uuid.uuid4().hex[:8]}"
+        run_to_memory_sink(joined, name, output_mode="append")
+        # drop the sentinel purchase (it joins only the view sentinel)
+        return spark.table(name).filter(F.col("purchase_id") >= 0)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 # --- as-of join with tolerance (bounded staleness; new in r6) ----------------
@@ -1958,6 +2004,7 @@ def t23_asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
+    import shutil
     import tempfile
     import time
     import uuid
@@ -2013,106 +2060,109 @@ def s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("ts") >= F.lit(c)).cast("int") for c in cuts
     )
     stage = tempfile.mkdtemp(prefix="s11_")
-    waves_dir = os.path.join(stage, "_waves")
-    (
-        ev.withColumn("wave", wave_col)
-        .repartition("wave")
-        .write.partitionBy("wave")
-        .parquet(waves_dir)
-    )
-    base = time.time() - 86400  # past mtimes keep maxFileAge irrelevant
-    wave_files = sorted(
-        glob.glob(os.path.join(waves_dir, "wave=*/*.parquet")),
-        key=lambda f: int(os.path.basename(os.path.dirname(f)).split("=")[1]),
-    )
-    for i, f in enumerate(wave_files):
-        # ascending mtimes pin the file source's oldest-first batch order
-        dst = os.path.join(stage, f"wave-{i:04d}.parquet")
-        os.rename(f, dst)
-        os.utime(dst, (base + i, base + i))
-    # typed sentinel (the s10 trick): passes the user filter via user_id -1,
-    # pushes the final watermark past every real deadline
-    sentinel = ev.agg(F.max("ts").alias("m")).select(
-        F.lit(-1).cast("long").alias("event_id"),
-        (F.col("m") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
-        F.lit(-1).cast("long").alias("user_id"),
-        F.lit("view").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit(None).cast("string").alias("props"),
-    )
-    before = set(glob.glob(os.path.join(stage, "*.parquet")))
-    sentinel.coalesce(1).write.mode("append").parquet(stage)
-    for f in set(glob.glob(os.path.join(stage, "*.parquet"))) - before:
-        os.utime(f, (base + len(wave_files) + 1,) * 2)
-
-    stream = (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage)
-        .filter(F.col("user_id") < 100)
-        .withWatermark("ts", "1 hour")
-    )
-    name = f"s11_sink_{uuid.uuid4().hex[:8]}"
-    # ~31 micro-batches each pay per-partition state-store maintenance;
-    # state here is ~100 keys, so 4 partitions, not 32 (at scale this knob
-    # follows state size — the store shards by key across executors)
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try:
-        run_to_memory_sink(
-            session_close_by_timeout(stream, gap_minutes=30),
-            name,
-            output_mode="update",
+        waves_dir = os.path.join(stage, "_waves")
+        (
+            ev.withColumn("wave", wave_col)
+            .repartition("wave")
+            .write.partitionBy("wave")
+            .parquet(waves_dir)
+        )
+        base = time.time() - 86400  # past mtimes keep maxFileAge irrelevant
+        wave_files = sorted(
+            glob.glob(os.path.join(waves_dir, "wave=*/*.parquet")),
+            key=lambda f: int(os.path.basename(os.path.dirname(f)).split("=")[1]),
+        )
+        for i, f in enumerate(wave_files):
+            # ascending mtimes pin the file source's oldest-first batch order
+            dst = os.path.join(stage, f"wave-{i:04d}.parquet")
+            os.rename(f, dst)
+            os.utime(dst, (base + i, base + i))
+        # typed sentinel (the s10 trick): passes the user filter via user_id -1,
+        # pushes the final watermark past every real deadline
+        sentinel = ev.agg(F.max("ts").alias("m")).select(
+            F.lit(-1).cast("long").alias("event_id"),
+            (F.col("m") + F.expr("INTERVAL 365 DAYS")).alias("ts"),
+            F.lit(-1).cast("long").alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+        before = set(glob.glob(os.path.join(stage, "*.parquet")))
+        sentinel.coalesce(1).write.mode("append").parquet(stage)
+        for f in set(glob.glob(os.path.join(stage, "*.parquet"))) - before:
+            os.utime(f, (base + len(wave_files) + 1,) * 2)
+
+        stream = (
+            spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+            .filter(F.col("user_id") < 100)
+            .withWatermark("ts", "1 hour")
+        )
+        name = f"s11_sink_{uuid.uuid4().hex[:8]}"
+        # ~31 micro-batches each pay per-partition state-store maintenance;
+        # state here is ~100 keys, so 4 partitions, not 32 (at scale this knob
+        # follows state size — the store shards by key across executors)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            run_to_memory_sink(
+                session_close_by_timeout(stream, gap_minutes=30),
+                name,
+                output_mode="update",
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        got = spark.table(name).filter(F.col("user_id") >= 0)
+
+        # fixture property: a timeout-closed session for a user who has a LATER
+        # session is provably a MID-STREAM silence close — had the user's next
+        # event been processed first, the handler would have closed the old
+        # session inline as 'gap'; 'timeout' means the callback fired in a
+        # batch strictly before the one carrying that user's next event.
+        later = got.select(
+            F.col("user_id").alias("u"), F.col("session_start").alias("nxt")
+        )
+        mid_stream = (
+            got.filter(F.col("closed_by") == "timeout")
+            .join(
+                later,
+                (F.col("user_id") == F.col("u"))
+                & (F.col("nxt") > F.col("session_end")),
+                "left_semi",
+            )
+            .count()
+        )
+        if not mid_stream:
+            raise AssertionError("no mid-stream timeout-closed session in fixture")
+        if not got.filter(F.col("closed_by") == "gap").count():
+            raise AssertionError("no gap-closed session in fixture")
+
+        # stream == batch, row for row (the s07 convention)
+        expected = sessionized_by_user(ev)
+        bad = (
+            got.join(expected, ["user_id", "session_start"], "full")
+            .filter(
+                ~got["n_events"].eqNullSafe(expected["n_events"])
+                | ~got["session_end"].eqNullSafe(expected["session_end"])
+            )
+            .count()
+        )
+        if bad:
+            raise AssertionError(
+                f"timeout-closed sessions diverge from batch for {bad} sessions"
+            )
+        return got.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
         )
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    got = spark.table(name).filter(F.col("user_id") >= 0)
-
-    # fixture property: a timeout-closed session for a user who has a LATER
-    # session is provably a MID-STREAM silence close — had the user's next
-    # event been processed first, the handler would have closed the old
-    # session inline as 'gap'; 'timeout' means the callback fired in a
-    # batch strictly before the one carrying that user's next event.
-    later = got.select(
-        F.col("user_id").alias("u"), F.col("session_start").alias("nxt")
-    )
-    mid_stream = (
-        got.filter(F.col("closed_by") == "timeout")
-        .join(
-            later,
-            (F.col("user_id") == F.col("u"))
-            & (F.col("nxt") > F.col("session_end")),
-            "left_semi",
-        )
-        .count()
-    )
-    if not mid_stream:
-        raise AssertionError("no mid-stream timeout-closed session in fixture")
-    if not got.filter(F.col("closed_by") == "gap").count():
-        raise AssertionError("no gap-closed session in fixture")
-
-    # stream == batch, row for row (the s07 convention)
-    expected = sessionized_by_user(ev)
-    bad = (
-        got.join(expected, ["user_id", "session_start"], "full")
-        .filter(
-            ~got["n_events"].eqNullSafe(expected["n_events"])
-            | ~got["session_end"].eqNullSafe(expected["session_end"])
-        )
-        .count()
-    )
-    if bad:
-        raise AssertionError(
-            f"timeout-closed sessions diverge from batch for {bad} sessions"
-        )
-    return got.select(
-        "user_id",
-        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias(
-            "session_start"
-        ),
-        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
-        "n_events",
-    )
+        shutil.rmtree(stage, ignore_errors=True)
 
 
 # --- LOCF resample: last-observation-carried-forward hourly grid (r6) --------
