@@ -1052,3 +1052,53 @@ def test_d49_fit_round_broadcasts_weights_no_python(spark):
         "PythonUDF",
     ):
         assert marker not in plan, f"unexpected operator in round plan: {marker}"
+
+
+@pytest.mark.parametrize(
+    ("name", "allowed_bare_scans"),
+    [
+        # decontamination: the eval side (modular slice of embeddings —
+        # the fixed-eval-set contract) is the only bare scan chain that
+        # may ride a FORCED broadcast
+        ("d45_semantic_decontamination", {"embeddings"}),
+        # DSIR: only derived aggregates (the 64-bucket model, totals)
+        # may be hinted — never a raw table chain
+        ("d46_dsir_selection", set()),
+        # admission: the ingest batch (modular slice of documents — the
+        # batch-bounded contract) may broadcast; nothing else raw
+        ("c05_ingest_admission", {"documents"}),
+    ],
+)
+def test_asymmetric_screens_never_force_broadcast_corpus(
+    spark, name, allowed_bare_scans
+):
+    """Side-pinning for the asymmetric screens (r7 broadcast audit).
+    With autoBroadcastJoinThreshold=-1 every size-based broadcast
+    disappears, so any BroadcastExchange left in the plan came from an
+    explicit F.broadcast hint — exactly the set the audit governs. Each
+    hinted subtree must be bounded: either it contains a cardinality-
+    bounding operator (aggregate/limit/join), or it is a bare scan
+    chain over a table on the query's documented-contract allowlist
+    (fixed eval set, ingest batch). A hint on a raw corpus chain
+    outside the allowlist is the OOM-at-100x regression this pins."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, name)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    subs = broadcast_subtrees(plan)
+    assert subs, f"{name}: expected hinted broadcast exchanges"
+    bare = {"Filter", "Project", "ColumnarToRow", "Generate", "Exchange"}
+    for sub in subs:
+        scans = [s for s in sub if s.startswith("Scan parquet")]
+        is_bare_chain = scans and all(
+            s.split()[0] in bare or s.startswith("Scan parquet") for s in sub
+        )
+        if is_bare_chain:
+            for s in scans:
+                table = s.rsplit(" ", 1)[-1]
+                assert table in allowed_bare_scans, (
+                    f"{name}: raw {table} chain under a FORCED broadcast "
+                    f"(not on the contract allowlist): {sub}"
+                )

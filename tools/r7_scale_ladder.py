@@ -1,0 +1,96 @@
+"""Round-7 scale ladder: flagship LINEAR operators at 1x / 10x / 100x.
+
+The 10x probes answer "is anything super-linear"; this ladder pushes two
+orders of magnitude (100x sf0.1 ≈ sf10: 500k documents, 12M directed
+graph edges) on one representative per family to show the headline
+pipeline stages hold their slope where extrapolation to 100 TB actually
+starts to mean something:
+
+- d02 exact dedup (hash group-by) — the first pass of every corpus build
+- d38 learned quality scoring (hashed n-gram linear model, no Python)
+- e03 sign-LSH bucketing (the ANN index build pass)
+- g16 k-hop feature propagation (edge join + integer agg per hop)
+
+Replication conventions as the other probes (near-dup text suffixes,
+id offsets). Usage: python tools/r7_scale_ladder.py [factors...]
+(default 1 10 100)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+from goodreads_pyspark_spark.session import get_spark
+from tools.r7_ops_stress import replicate_offsets
+from tools.scaling_probe import SRC, replicate
+
+QUERIES = {
+    "d02_exact_dup_groups": ("documents",),
+    "d38_quality_classifier": ("documents",),
+    "e03_lsh_buckets": ("embeddings",),
+    "a_g16_feature_propagation": ("lineitem",),
+}
+
+
+def replicate_embeddings_plain(spark, factor: int, out_path: str) -> None:
+    base = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n = base.agg(F.max("vec_id")).first()[0] + 1
+    df = None
+    for i in range(factor):
+        c = base.withColumn("vec_id", F.col("vec_id") + F.lit(i * n))
+        df = c if df is None else df.unionByName(c)
+    df.repartition(64).write.mode("overwrite").parquet(out_path)
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10, 100]
+    _load_all()
+    spark = get_spark("r7_scale_ladder")
+    rows = []
+    for factor in factors:
+        out_dir = tempfile.mkdtemp(prefix=f"ladder_x{factor}_")
+        sf_dir = f"{out_dir}/sf"
+        Path(sf_dir).mkdir()
+        p = replicate(spark, "documents", factor, "doc_id", out_dir)
+        spark.read.parquet(p).write.parquet(f"{sf_dir}/documents.parquet")
+        replicate_embeddings_plain(spark, factor, f"{sf_dir}/embeddings.parquet")
+        replicate_offsets(spark, "lineitem", factor, sf_dir)
+
+        def force(df) -> int:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+            ).first()
+            return row["n"]
+
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            best, n = None, 0
+            samples = 3 if factor < 100 else 2
+            for _ in range(samples):
+                t0 = time.time()
+                n = force(REGISTRY[name].spark_fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            rows.append((name, factor, best, n))
+            print(f"# {name} x{factor}: {best:.2f}s ({n} rows)", flush=True)
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    print("\n| query | factor | wall | rows |")
+    print("|---|---|---|---|")
+    for name, factor, dt, n in rows:
+        print(f"| {name} | {factor}x | {dt:.2f}s | {n} |")
+
+
+if __name__ == "__main__":
+    main()
