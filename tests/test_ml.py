@@ -245,3 +245,31 @@ def test_d49_logistic_fit_matches_pure_python(spark):
     assert set(got) == set(w)
     for b, wv in w.items():
         assert abs(got[b] - wv) < 1e-9, f"bucket {b}: spark {got[b]} vs py {wv}"
+
+
+def test_d49_fit_invariant_to_partitioning(spark):
+    """The fit's whole determinism story is that decimal-exact sums make
+    each round a pure function of the data, not the partitioning — so
+    refitting on an adversarially repartitioned input must reproduce
+    every weight BIT-for-bit (not within tolerance)."""
+    from goodreads_pyspark_spark.functions.logistic import (
+        feature_matrix,
+        logistic_fit,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    labels = docs.select(
+        "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+    )
+    w1 = {
+        r["b"]: r["w"]
+        for r in logistic_fit(feature_matrix(docs), labels).collect()
+    }
+    shuffled = docs.repartition(17, "lang")  # skewed, different layout
+    w2 = {
+        r["b"]: r["w"]
+        for r in logistic_fit(
+            feature_matrix(shuffled), labels, n_rounds=2
+        ).collect()
+    }
+    assert w1 == w2  # exact equality, including float bits
