@@ -1,0 +1,90 @@
+"""Quantitative shuffle-volume audit — proves "shuffles carry hashes and
+ids, never text" with measured bytes, not just plan-shape assertions.
+
+Runs each audited query at sf0.1 in a UI-enabled session, then reads the
+Spark status REST API and attributes every completed stage's shuffle
+write bytes to the query that ran it. The yardstick is the corpus's raw
+text volume: a dedup/scoring pass whose shuffles moved a small fraction
+of the text volume is genuinely id/hash-keyed; one that moved a multiple
+of it is shipping documents around the cluster.
+
+Usage: python tools/shuffle_audit.py
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.1"
+UI_PORT = 4077
+
+QUERIES = [
+    "d02_exact_dup_groups",
+    "d07_minhash_lsh_candidates",
+    "d38_quality_classifier",
+    "c05_ingest_admission",
+    "a_d49_logistic_fit",
+]
+
+
+def api(path: str):
+    with urllib.request.urlopen(f"http://localhost:{UI_PORT}/api/v1{path}") as r:
+        return json.load(r)
+
+
+def main() -> None:
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("shuffle_audit")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    app_id = api("/applications")[0]["id"]
+
+    def shuffle_bytes_seen() -> tuple[set[int], int]:
+        stages = api(f"/applications/{app_id}/stages?status=complete")
+        ids = {s["stageId"] for s in stages}
+        total = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        return ids, total
+
+    text_bytes = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .agg(F.sum(F.length("text"))).first()[0]
+    )
+    print(f"# corpus text volume at sf0.1: {text_bytes:,} bytes", flush=True)
+
+    rows = []
+    _, base = shuffle_bytes_seen()
+    for name in QUERIES:
+        REGISTRY[name].spark_fn(spark, SF).collect()
+        spark.catalog.clearCache()
+        _, now = shuffle_bytes_seen()
+        delta = now - base
+        base = now
+        rows.append((name, delta, delta / text_bytes))
+        print(f"# {name}: shuffled {delta:,} bytes "
+              f"({delta / text_bytes:.2f}x of corpus text)", flush=True)
+    print("\n| query | shuffle write | x of corpus text |")
+    print("|---|---|---|")
+    for name, b, ratio in rows:
+        print(f"| {name} | {b:,} B | {ratio:.2f}x |")
+
+
+if __name__ == "__main__":
+    main()
