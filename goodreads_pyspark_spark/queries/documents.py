@@ -4117,3 +4117,117 @@ def a_d52_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     x.unpersist()
     return out
+
+
+# --- UniMax capped budget allocation (new in r7) -------------------------------
+#: Fixed waterfilling rounds (leftover after the last round stays
+#: unallocated — documented semantics, mirrored by the oracle).
+_D53_ROUNDS = 4
+#: Budget as a fraction of total corpus tokens: 9/10 in exact integers.
+_D53_B_NUM, _D53_B_DEN = 9, 10
+
+
+def _d53_oracle(n_rounds: int = _D53_ROUNDS) -> str:
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        rounds.append(f"""
+    m{r} AS (SELECT CAST(COUNT(*) FILTER (a < cap) AS BIGINT) AS n_act,
+                  b.budget - CAST(SUM(a) AS BIGINT) AS rem
+           FROM s{p} CROSS JOIN b GROUP BY b.budget),
+    s{r} AS MATERIALIZED (
+      SELECT source, n_tokens, cap,
+             a + CASE WHEN a < cap AND n_act > 0
+                      THEN LEAST(rem // n_act, cap - a) ELSE 0 END AS a
+      FROM s{p} CROSS JOIN m{r})""")
+    return f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len(list_filter(regexp_split_to_array(lower(text),
+                  '[^a-z0-9]+'), x -> x <> ''))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    b AS (SELECT (SUM(n_tokens) * {_D53_B_NUM}) // {_D53_B_DEN} AS budget
+          FROM tok),
+    s0 AS (SELECT source, n_tokens, n_tokens AS cap,
+                  CAST(0 AS BIGINT) AS a FROM tok),{",".join(rounds)}
+    SELECT source, n_tokens, CAST(a AS BIGINT) AS alloc_tokens,
+           a = cap AS saturated,
+           CAST(a AS DOUBLE) / n_tokens AS epochs
+    FROM s{n_rounds}
+    """
+
+
+@query(
+    "d53_unimax_allocation",
+    oracle=_d53_oracle(),
+    doc="UniMax budget allocation (Chung et al. 2023, public literature) "
+    "— the capped waterfilling that d36's tempered shares lack: spread "
+    "a global token budget UNIFORMLY across sources, but never take "
+    "more than a source's epoch cap (here 1 epoch = its token count); "
+    "sources that saturate drop out and their unused share "
+    "redistributes among the survivors in the next round. 4 fixed "
+    "rounds (leftover after round 4 stays unallocated — documented), "
+    "every step integer arithmetic: uniform share = remaining div "
+    "active-count, caps and budget exact BIGINTs, so the DuckDB oracle "
+    "unrolls the identical recurrence and every allocation matches "
+    "bit-for-bit; the one double (epochs consumed) is a single exact "
+    "division. Scale shape: ONE corpus tokenize-count pass collapses "
+    "everything to a per-source frame (bounded by the source domain); "
+    "the waterfilling rounds are arithmetic over that tiny frame with "
+    "one-row broadcast totals — the d36/d18 mix-report discipline.",
+)
+def d53_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents")
+    tok = (
+        docs.select("source", F.size(tokens("text")).alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    b = tok.agg(
+        F.expr(f"(SUM(n_tokens) * {_D53_B_NUM}) div {_D53_B_DEN}")
+        .cast("bigint")
+        .alias("budget")
+    )
+    s = tok.select(
+        "source", "n_tokens", F.col("n_tokens").alias("cap"),
+        F.lit(0).cast("bigint").alias("a"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_D53_ROUNDS):
+        m = (
+            s.crossJoin(F.broadcast(b))
+            .agg(
+                F.sum((F.col("a") < F.col("cap")).cast("int"))
+                .cast("bigint")
+                .alias("n_act"),
+                (F.first("budget") - F.sum("a")).cast("bigint").alias("rem"),
+            )
+        )
+        s = (
+            s.crossJoin(F.broadcast(m))
+            .select(
+                "source",
+                "n_tokens",
+                "cap",
+                (
+                    F.col("a")
+                    + F.when(
+                        (F.col("a") < F.col("cap")) & (F.col("n_act") > 0),
+                        F.least(
+                            F.expr("rem div n_act"), F.col("cap") - F.col("a")
+                        ),
+                    ).otherwise(F.lit(0))
+                )
+                .cast("bigint")
+                .alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return s.select(
+        "source",
+        "n_tokens",
+        F.col("a").alias("alloc_tokens"),
+        (F.col("a") == F.col("cap")).alias("saturated"),
+        (F.col("a").cast("double") / F.col("n_tokens")).alias("epochs"),
+    )
