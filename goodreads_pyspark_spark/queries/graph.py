@@ -1008,3 +1008,124 @@ def a_g16_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x1").cast("double") / F.col("x0")).alias("mean_neighbor_deg"),
         )
     )
+
+
+# --- incremental connected-components maintenance (new in r7) -----------------
+def _g17_oracle(rounds: int = 12) -> str:
+    """Min-label fixpoint (pointer doubling, the g05 oracle machinery)
+    over the UNION graph base ∪ batch — the incremental path must land
+    on the identical algorithm-independent labels."""
+    steps = []
+    for r in range(1, rounds + 1):
+        p = r - 1
+        steps.append(f"""
+    l{r} AS MATERIALIZED (SELECT t.id, MIN(t.x) AS label FROM (
+               SELECT id, label AS x FROM l{p}
+               UNION ALL
+               SELECT a.id, b.label AS x FROM l{p} a JOIN l{p} b ON a.label = b.id
+               UNION ALL
+               SELECT e.u AS id, l.label AS x FROM und e JOIN l{p} l ON l.id = e.v
+             ) t GROUP BY t.id)""")
+    return f"""
+    WITH edges AS MATERIALIZED (
+      SELECT l_orderkey AS src, l_partkey + {_OFFSET} AS dst
+      FROM lineitem
+      WHERE l_orderkey % 5 = 0
+         OR (l_orderkey % 5 = 1 AND l_orderkey % 97 = 0)),
+    vertices AS MATERIALIZED (SELECT src AS id FROM edges
+                 UNION SELECT dst AS id FROM edges),
+    und AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges
+            UNION ALL SELECT dst, src FROM edges),
+    l0 AS MATERIALIZED (SELECT id, id AS label FROM vertices),{",".join(steps)}
+    SELECT id, CAST(label AS BIGINT) AS component FROM l{rounds}
+    """
+
+
+@query(
+    "g17_incremental_components",
+    oracle=_g17_oracle(),
+    doc="INCREMENTAL connected-components maintenance — the table-"
+    "maintenance move that makes graph dedup state affordable at "
+    "100 TB: instead of re-running CC on base ∪ batch (every CC round "
+    "touches every edge), contract the base graph to its existing "
+    "labels (g05's alternating-star output), map the new-edge batch's "
+    "endpoints through those labels, run CC on the CONTRACTED graph — "
+    "whose size is O(touched components + batch), not O(|E|) — and "
+    "compose the relabeling back over the old assignment. Exactness: "
+    "a base component's label IS its minimum member id, so the min-id "
+    "fixpoint of the contracted graph equals the min-id fixpoint of "
+    "the full union graph vertex-for-vertex — the oracle recomputes "
+    "the union fixpoint from scratch and every label must match "
+    "bit-for-bit (the gate literally checks incremental == full "
+    "recompute). Scale shape: one broadcast-friendly label lookup on "
+    "the batch endpoints, CC rounds on a batch-sized graph, one "
+    "map-side relabel join of the old assignment.",
+)
+def g17_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.graph.pregel import (
+        connected_components,
+        connected_components_alternating,
+    )
+
+    li = tbl(spark, sf_dir, "lineitem")
+    base_e = li.filter(F.col("l_orderkey") % 5 == 0).select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + _OFFSET).alias("dst"),
+    )
+    batch_e = li.filter(
+        (F.col("l_orderkey") % 5 == 1) & (F.col("l_orderkey") % 97 == 0)
+    ).select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + _OFFSET).alias("dst"),
+    )
+    base_v = (
+        base_e.select(F.col("src").alias("id"))
+        .unionAll(base_e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    labels = connected_components_alternating(
+        PropertyGraph(base_v, base_e)
+    ).localCheckpoint(eager=True)
+
+    # map batch endpoints through the existing labels (unseen vertices
+    # label themselves), contract, and solve the batch-sized graph
+    ls = labels.select(F.col("id").alias("src"), F.col("component").alias("cs"))
+    ld = labels.select(F.col("id").alias("dst"), F.col("component").alias("cd"))
+    contracted = (
+        batch_e.join(ls, "src", "left")
+        .join(ld, "dst", "left")
+        .select(
+            F.coalesce("cs", F.col("src")).alias("src"),
+            F.coalesce("cd", F.col("dst")).alias("dst"),
+        )
+        .distinct()
+    )
+    cv = (
+        contracted.select(F.col("src").alias("id"))
+        .unionAll(contracted.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    relabel = connected_components(
+        PropertyGraph(cv, contracted)
+    ).select(
+        F.col("id").alias("old_label"), F.col("component").alias("new_label")
+    ).localCheckpoint(eager=True)
+
+    # compose: old vertices follow their component's relabel (identity if
+    # their component was untouched); batch-only vertices take theirs
+    old_final = labels.join(
+        relabel, labels["component"] == relabel["old_label"], "left"
+    ).select(
+        "id", F.coalesce("new_label", "component").alias("component")
+    )
+    batch_only = (
+        batch_e.select(F.col("src").alias("id"))
+        .unionAll(batch_e.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(base_v, "id", "left_anti")
+        .join(relabel, F.col("id") == F.col("old_label"))
+        .select("id", F.col("new_label").alias("component"))
+    )
+    return old_final.unionByName(batch_only).select(
+        "id", F.col("component").cast("bigint").alias("component")
+    )
