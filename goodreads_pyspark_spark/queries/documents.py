@@ -4222,8 +4222,10 @@ def d53_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("bigint")
                 .alias("a"),
             )
-            .localCheckpoint(eager=True)
         )
+    # 4 rounds of lazy lineage over a domain-bounded (per-source) frame is
+    # trivial — no per-round truncation needed (unlike the corpus-sized
+    # Pregel loops); the one checkpoint above pins the token counts.
     return s.select(
         "source",
         "n_tokens",
