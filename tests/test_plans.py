@@ -1102,3 +1102,28 @@ def test_asymmetric_screens_never_force_broadcast_corpus(
                     f"{name}: raw {table} chain under a FORCED broadcast "
                     f"(not on the contract allowlist): {sub}"
                 )
+
+
+def test_d53_waterfilling_stays_tiny_after_one_pass(spark):
+    """The UniMax allocator must collapse the corpus ONCE (a source-keyed
+    token-count aggregate); every waterfilling round is arithmetic over
+    the domain-bounded per-source frame with one-row broadcast totals —
+    no Python workers, no cartesian blowup (the only nested-loop joins
+    are one-row broadcast cross joins), no window."""
+    plan = plan_of(spark, "d53_unimax_allocation")
+    assert "HashAggregate" in plan
+    for marker in ("Window", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    # cross joins are legitimate ONLY against broadcast one-row aggregates
+    assert "CartesianProduct" not in plan
+
+
+def test_g17_incremental_cc_contracts_before_solving(spark):
+    """The incremental CC path must relabel via joins over the LABEL
+    frame (never re-run contraction over the full base edge set in the
+    final composition) and stay JVM-side; the returned plan composes
+    checkpointed label state with the batch relabel."""
+    plan = plan_of(spark, "g17_incremental_components")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    assert "CartesianProduct" not in plan
