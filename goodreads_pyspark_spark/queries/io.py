@@ -880,3 +880,89 @@ def a_io14_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- write-audit-publish (new in r7) -------------------------------------------
+#: Row-content checksum: 15 md5 hex chars as a bigint (< 2^60) per row,
+#: summed in DECIMAL(38,0) (exact integers to 1e38 — a bigint sum
+#: overflows past ~8e18, i.e. a few hundred rows) and rendered as a
+#: string for the gate. md5 / concat_ws / decimal rendering are
+#: identical in Spark and DuckDB, so the checksum is engine-portable.
+_IO15_ROWKEY = "concat_ws('|', doc_id, text, lang, source, n_chars)"
+
+
+@query(
+    "io15_write_audit_publish",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(('0x' || substr(md5({_IO15_ROWKEY}), 1, 15))::BIGINT)
+                     AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum,
+           TRUE AS audit_passed,
+           TRUE AS published
+    FROM documents
+    """,
+    doc="Write-Audit-Publish — the lakehouse publication pattern "
+    "(staged write -> content audit -> atomic publish; public Iceberg/"
+    "Netflix practice) on plain parquet: the corpus is written to a "
+    "STAGING location, read back, and audited against the source with "
+    "an exact row count plus an order-independent content checksum "
+    "(sum of per-row md5-prefix integers — md5 and the field "
+    "concatenation render identically in both engines, so the checksum "
+    "itself is the hash-gated cell, recomputed by DuckDB from the "
+    "source); only a passing audit publishes (here: the success marker "
+    "swap; on object storage, a pointer/metadata commit). A lost, "
+    "duplicated, or corrupted row anywhere in the write path changes "
+    "the checksum and fails the gate. Scale shape: the audit is one "
+    "map-side projection + a single-row aggregate per side — the cost "
+    "of publishing safely is two linear passes, embarrassingly "
+    "parallel, no shuffle beyond the 1-row aggregates.",
+)
+def io15_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="io15_wap_")
+    stage = f"{base}/stage"
+    publish = f"{base}/published"
+    try:
+        docs.write.mode("overwrite").parquet(stage)
+
+        def summary(df: DataFrame) -> DataFrame:
+            key = F.expr(_IO15_ROWKEY)
+            row_int = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+            return df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(row_int.cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("content_checksum"),
+            )
+
+        src = summary(docs).first()
+        staged = summary(spark.read.parquet(stage)).first()
+        audit_ok = (
+            src["n_rows"] == staged["n_rows"]
+            and src["content_checksum"] == staged["content_checksum"]
+        )
+        published = False
+        if audit_ok:
+            # the "atomic publish": on a real object store this is a
+            # metadata pointer swap; on a filesystem, a rename
+            os.rename(stage, publish)
+            published = os.path.isdir(publish)
+        return spark.createDataFrame(
+            [
+                (
+                    staged["n_rows"],
+                    staged["content_checksum"],
+                    bool(audit_ok),
+                    bool(published),
+                )
+            ],
+            "n_rows bigint, content_checksum string, audit_passed boolean, "
+            "published boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
