@@ -2319,3 +2319,46 @@ def a_t25_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", 2, "revenue"),
         )
     )
+
+
+# --- daily sketch telemetry with engine-independent gate (new in r7) ----------
+_T26_RSD = 0.02
+_T26_TOL = 5 * _T26_RSD
+
+
+@query(
+    "t26_daily_approx_users",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS hll_within_rsd
+    FROM events GROUP BY 1
+    """,
+    doc="Daily distinct-user telemetry via HyperLogLog — the sketch q27 "
+    "gates, in its most common production shape (per-time-bucket "
+    "cardinality dashboards where exact COUNT DISTINCT would shuffle "
+    "every id every day). Same engine-independent gate discipline as "
+    "q27: emit the exact per-day distinct count and event count (DuckDB "
+    "recomputes both) plus an in-query boolean that Spark's own HLL "
+    "estimate landed within 5·rsd of the exact value — the oracle pins "
+    "it TRUE, so a broken sketch flips the cell. Scale shape: the HLL "
+    "aggregate is one map-side-mergeable pass (fixed 2^p registers per "
+    "(day) group); the exact count here is the audit column — at "
+    "100 TB a deployment keeps only the sketch pass and periodic "
+    "sampled audits.",
+)
+def t26_daily_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    agg = ev.groupBy(day).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.approx_count_distinct("user_id", rsd=_T26_RSD).alias("hll"),
+    )
+    err = F.abs(F.col("hll").cast("double") - F.col("exact_users")) / F.col(
+        "exact_users"
+    )
+    return agg.select(
+        "day", "exact_users", "n_events", (err <= _T26_TOL).alias("hll_within_rsd")
+    )
