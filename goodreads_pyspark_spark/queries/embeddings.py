@@ -1771,3 +1771,106 @@ def a_e28_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "role", F.col("rnk").cast("int").alias("rnk"),
                 "vec_id", "cosine", "lang")
     )
+
+
+# --- incremental IVF index maintenance (new in r7) -----------------------------
+#: Batch membership: every vec_id ending in 7 arrives later.
+_E29_MOD, _E29_REM = 10, 7
+
+
+@query(
+    "e29_ivf_incremental_add",
+    oracle=f"""
+    WITH {_LONG},
+    cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, v AS cval
+              FROM e WHERE vec_id < 9 AND vec_id % {_E29_MOD} <> {_E29_REM}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             {_DSUM.format(expr='v * cval')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='cval * cval')} AS c2
+      FROM e JOIN cents c USING (pos)
+      GROUP BY e.vec_id, c.cid),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY dot / (SQRT(n2) * SQRT(c2)) DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    tagged AS (
+      SELECT cid, vec_id % {_E29_MOD} = {_E29_REM} AS is_new FROM best),
+    cells AS (
+      SELECT cid,
+             CAST(COUNT(*) FILTER (NOT is_new) AS BIGINT) AS n_base,
+             CAST(COUNT(*) FILTER (is_new) AS BIGINT) AS n_new
+      FROM tagged GROUP BY cid)
+    SELECT c.cid, n_base, n_new, n_base + n_new AS n_total,
+           CAST(n_new AS DOUBLE) / (n_base + n_new) AS new_share
+    FROM cells c
+    """,
+    doc="Incremental IVF index maintenance — the vector-store twin of "
+    "d19/c05's ingest admission: a later-arriving batch (vec_id ending "
+    "in 7) is assigned to the EXISTING coarse cells (deterministic "
+    "base-sampled centroids, the e08 quantizer convention) without "
+    "touching the base assignment, and the gate emits the per-cell "
+    "growth ledger (base size, additions, new share) that index "
+    "maintenance decisions — rebalance, split, retrain — read. "
+    "Assignment ties break to the smallest cell id in BOTH engines "
+    "(min over (−cosine, cid) structs == the oracle's ROW_NUMBER "
+    "order). Scale shape: the batch assignment is one pass over the "
+    "BATCH with the k×d centroid table broadcast (the base is never "
+    "rescanned in production — here the base pass exists only to "
+    "report the ledger's denominators); cosines are decimal-exact "
+    "component sums, so cell routing is bit-reproducible.",
+)
+def e29_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.functions.vectors import explode_vector
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    _ACC = "decimal(38,12)"
+    emb = fan_out(tbl(spark, sf_dir, "embeddings"))
+    e = explode_vector(emb, "vec_id")
+    cents = e.filter(
+        (F.col("vec_id") < 9) & (F.col("vec_id") % _E29_MOD != _E29_REM)
+    ).select(F.col("vec_id").cast("int").alias("cid"), "pos", F.col("v").alias("cval"))
+    scored = (
+        e.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "cid")
+        .agg(
+            F.sum((F.col("v") * F.col("cval")).cast(_ACC)).cast("double").alias("dot"),
+            F.sum((F.col("v") * F.col("v")).cast(_ACC)).cast("double").alias("n2"),
+            F.sum((F.col("cval") * F.col("cval")).cast(_ACC))
+            .cast("double")
+            .alias("c2"),
+        )
+    )
+    cos = F.col("dot") / (F.sqrt("n2") * F.sqrt("c2"))
+    best = (
+        scored.select("vec_id", F.struct((-cos).alias("nc"), "cid").alias("s"))
+        .groupBy("vec_id")
+        .agg(F.min("s").alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"))
+    )
+    tagged = best.select(
+        "cid", (F.col("vec_id") % _E29_MOD == _E29_REM).alias("is_new")
+    )
+    return (
+        tagged.groupBy("cid")
+        .agg(
+            F.sum((~F.col("is_new")).cast("int")).cast("bigint").alias("n_base"),
+            F.sum(F.col("is_new").cast("int")).cast("bigint").alias("n_new"),
+        )
+        .select(
+            "cid",
+            "n_base",
+            "n_new",
+            (F.col("n_base") + F.col("n_new")).alias("n_total"),
+            (
+                F.col("n_new").cast("double")
+                / (F.col("n_base") + F.col("n_new"))
+            ).alias("new_share"),
+        )
+    )
