@@ -2362,3 +2362,90 @@ def t26_daily_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "day", "exact_users", "n_events", (err <= _T26_TOL).alias("hll_within_rsd")
     )
+
+
+# --- streaming sketch telemetry (new in r7) ------------------------------------
+@query(
+    "s13_streaming_approx_users",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS hll_within_rsd
+    FROM events GROUP BY 1
+    """,
+    doc="t26's daily distinct-user telemetry THROUGH the streaming "
+    "engine — the reason sketches exist in streaming at all: exact "
+    "COUNT DISTINCT is not a legal streaming aggregate (unbounded "
+    "per-key state), approx_count_distinct is (fixed 2^p registers "
+    "merged per micro-batch). The watermarked daily window carries "
+    "(count, HLL) state; after the run the query joins the streamed "
+    "result against the batch-exact counts, asserts the event counts "
+    "match row-for-row (stream == batch duality, the s01 discipline), "
+    "and emits the t26 gate columns — DuckDB recomputes the exact "
+    "cells, the oracle pins the in-bound boolean TRUE. Scale shape: "
+    "per-window state is one register array + one counter regardless "
+    "of cardinality; the batch exact pass exists only as the audit.",
+)
+def s13_streaming_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from goodreads_pyspark_spark.streaming import stream_events_from_dir
+
+    configure_for_oracle(spark)
+    stage = tempfile.mkdtemp(prefix="s13_")
+    try:
+        ev = events_tbl(spark, sf_dir)
+        ev.write.mode("overwrite").parquet(stage)
+        stream = stream_events_from_dir(spark, stage)
+        agg = (
+            stream.withWatermark("ts", "1 day")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events_stream"),
+                F.approx_count_distinct("user_id", rsd=_T26_RSD).alias("hll"),
+            )
+        )
+        name = f"s13_sink_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = spark.table(name).select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "n_events_stream",
+            "hll",
+        )
+        exact = ev.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        j = exact.join(got, "day", "full")
+        bad = j.filter(
+            ~F.col("n_events").eqNullSafe(F.col("n_events_stream"))
+        ).count()
+        if bad:
+            raise AssertionError(
+                f"stream/batch daily event counts disagree on {bad} days"
+            )
+        err = F.abs(F.col("hll").cast("double") - F.col("exact_users")) / F.col(
+            "exact_users"
+        )
+        return j.select(
+            "day",
+            "exact_users",
+            "n_events",
+            (err <= _T26_TOL).alias("hll_within_rsd"),
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
