@@ -1129,3 +1129,77 @@ def g17_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return old_final.unionByName(batch_only).select(
         "id", F.col("component").cast("bigint").alias("component")
     )
+
+
+# --- degree-stratified edge sampling (new in r7) -------------------------------
+#: Keep 1-in-4 edges per degree stratum (md5-portable, key-stable).
+_G18_MOD, _G18_KEEP = 4, 1
+
+
+@query(
+    "g18_degree_stratified_edge_sample",
+    oracle=f"""
+    WITH edges AS MATERIALIZED (
+      SELECT l_orderkey AS src, l_partkey + {_OFFSET} AS dst
+      FROM lineitem WHERE l_orderkey % 5 = 0),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    strat AS (
+      SELECT e.src, e.dst, CAST(floor(log2(d)) AS INTEGER) AS stratum,
+             ('0x' || substr(md5(e.src || '_' || e.dst || '_g18'), 1, 8))::BIGINT
+               % {_G18_MOD} < {_G18_KEEP} AS kept
+      FROM edges e JOIN deg USING (src))
+    SELECT stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(COUNT(*) FILTER (kept) AS BIGINT) AS n_sampled,
+           CAST(COUNT(DISTINCT src) AS BIGINT) AS n_sources,
+           CAST(COUNT(DISTINCT CASE WHEN kept THEN src END) AS BIGINT)
+             AS n_sources_sampled
+    FROM strat GROUP BY stratum
+    """,
+    doc="Degree-stratified edge sampling — how graph training data is "
+    "thinned without destroying its degree distribution (GraphSAGE-"
+    "style neighborhood subsampling, public literature): edges are "
+    "stratified by the source's log2-degree bucket and each stratum "
+    "keeps a deterministic 1-in-4 by md5 of the (src,dst) pair — the "
+    "d14/d29 portable-hash sampling convention, so membership is "
+    "key-stable across runs AND engines (never Spark's murmur3 "
+    "sample()). The gate emits the per-stratum ledger: edges, sampled "
+    "edges, and source coverage before/after — the distribution-"
+    "preservation evidence a sampler must show. log2(d) of an exact "
+    "integer is IEEE-identical cross-engine; floor pins the stratum. "
+    "Scale shape: one degree aggregation + one map-side hash filter — "
+    "linear, no shuffle beyond the (src)-keyed degree count.",
+)
+def g18_degree_stratified_edge_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.pipelines.sampling import portable_bucket
+
+    li = tbl(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 5 == 0)
+    edges = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + _OFFSET).alias("dst"),
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    strat = edges.join(deg, "src").select(
+        "src",
+        F.floor(F.log2("d")).cast("int").alias("stratum"),
+        (
+            portable_bucket(
+                F.concat(
+                    F.col("src").cast("string"),
+                    F.lit("_"),
+                    F.col("dst").cast("string"),
+                    F.lit("_g18"),
+                ),
+                buckets=_G18_MOD,
+            )
+            < _G18_KEEP
+        ).alias("kept"),
+    )
+    return strat.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_sampled"),
+        F.countDistinct("src").cast("bigint").alias("n_sources"),
+        F.countDistinct(F.when(F.col("kept"), F.col("src")))
+        .cast("bigint")
+        .alias("n_sources_sampled"),
+    )
