@@ -4233,3 +4233,98 @@ def d53_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("a") == F.col("cap")).alias("saturated"),
         (F.col("a").cast("double") / F.col("n_tokens")).alias("epochs"),
     )
+
+
+# --- source-level boilerplate detection (new in r7) -----------------------------
+#: A shingle is boilerplate within a source when it appears in at least
+#: half of that source's (shingleable) documents.
+_D54_NUM, _D54_DEN = 1, 2
+
+
+@query(
+    "d54_boilerplate_detection",
+    oracle=f"""
+    WITH {_SHINGLE_CTES},
+    src AS (SELECT doc_id, source FROM documents),
+    ss AS (SELECT s.source, sh.sh, sh.doc_id
+           FROM sh JOIN src s USING (doc_id)),
+    per_source AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+                   FROM ss GROUP BY source),
+    freq AS (SELECT source, sh, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+             FROM ss GROUP BY source, sh),
+    bp AS (SELECT f.source, f.sh
+           FROM freq f JOIN per_source p USING (source)
+           WHERE f.df * {_D54_DEN} >= p.n_docs * {_D54_NUM}
+             AND p.n_docs >= 2),
+    hit AS (SELECT DISTINCT ss.source, ss.doc_id
+            FROM ss JOIN bp ON bp.source = ss.source AND bp.sh = ss.sh)
+    SELECT p.source, p.n_docs,
+           CAST(COALESCE(b.n_bp, 0) AS BIGINT) AS n_boilerplate_shingles,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_docs_affected,
+           CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / p.n_docs AS affected_frac
+    FROM per_source p
+    LEFT JOIN (SELECT source, COUNT(*) AS n_bp FROM bp GROUP BY source) b
+      USING (source)
+    LEFT JOIN (SELECT source, COUNT(*) AS n_hit FROM hit GROUP BY source) h
+      USING (source)
+    """,
+    doc="Source-level BOILERPLATE detection — the template-removal signal "
+    "(RefinedWeb-style: navigation chrome, legal footers, and injected "
+    "banners repeat across most pages OF ONE SITE, which per-document "
+    "repetition metrics like d27/d50 cannot see): a 3-word shingle is "
+    "boilerplate within a source when at least half of that source's "
+    "documents contain it (integer cross-multiplication — no float "
+    "threshold), and the ledger reports per source how many template "
+    "shingles exist and what fraction of its documents carry one. The "
+    "cleanup pass this feeds is d31's span scrub keyed on these "
+    "shingles. Scale shape: one shingle pass, a (source, shingle)-keyed "
+    "distinct-doc count, a broadcast-friendly per-source total, one "
+    "semi-join back — all shuffles carry (id, shingle) rows, nothing "
+    "quadratic, no windows.",
+)
+def d54_boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, "doc_id", "text", 3, out_id="doc_id")
+    ss = sh.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source", "sh", "doc_id"
+    )
+    per_source = ss.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs")
+    )
+    freq = ss.groupBy("source", "sh").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    bp = (
+        freq.join(F.broadcast(per_source), "source")
+        .filter(
+            (F.col("df") * _D54_DEN >= F.col("n_docs") * _D54_NUM)
+            & (F.col("n_docs") >= 2)
+        )
+        .select("source", "sh")
+    )
+    hit = (
+        ss.join(bp, ["source", "sh"], "left_semi")
+        .select("source", "doc_id")
+        .distinct()
+    )
+    n_bp = bp.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_bp"))
+    n_hit = hit.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    return (
+        per_source.join(n_bp, "source", "left")
+        .join(n_hit, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_bp", F.lit(0)).cast("bigint").alias(
+                "n_boilerplate_shingles"
+            ),
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_docs_affected"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double") / F.col("n_docs")
+            ).alias("affected_frac"),
+        )
+    )
