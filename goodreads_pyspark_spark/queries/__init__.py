@@ -21,6 +21,7 @@ Oracle-parity rules (hard-won; keep them):
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -37,6 +38,93 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# The driver gates the first 50 queries in sorted-name order each round.
+# Queries listed here are exported with an ``a_`` prefix (sorting them
+# first); everyone else keeps its canonical name. Rotate by gate age each
+# round (standing policy since r5): every registered query's newest green
+# CORRECTNESS row should be ≤3 rounds old. Canonical names live in the
+# @query decorators and never change — tests, PRE_MATERIALIZATION keys,
+# and cross-references all use canonical names; only the driver-facing
+# export (all_queries/all_oracles) sees the prefix.
+#
+# r8 window: the 8 post-closing r7 additions that have never seen a
+# driver gate, the 24 rows last gated in r2, the first 16 (sorted) of the
+# 32 rows last gated in r3, and the 2 new r8 compositions (io16, d55).
+GATE_WINDOW: frozenset[str] = frozenset(
+    {
+        # never driver-gated (added after the r7 window closed)
+        "d53_unimax_allocation",
+        "d54_boilerplate_detection",
+        "e29_ivf_incremental_add",
+        "g17_incremental_components",
+        "g18_degree_stratified_edge_sample",
+        "io15_write_audit_publish",
+        "s13_streaming_approx_users",
+        "t26_daily_approx_users",
+        # last green in r2
+        "e02_cosine_neardup_pairs",
+        "e03_lsh_buckets",
+        "e04_ann_topk_vec0",
+        "e05_label_centroids",
+        "e06_ivf_knn_vec1",
+        "e07_int8_quantization",
+        "g01_degrees",
+        "g02_motif_common_dst",
+        "g03_lpa_labels",
+        "g05_connected_components",
+        "g06_bfs_shortest_paths",
+        "gr01_ratings_histogram",
+        "gr02_top_reviewers",
+        "gr03_highest_rated_books",
+        "gr04_most_rated_books",
+        "gr05_reviews_per_year",
+        "gr06_avg_rating_per_year",
+        "gr07_prolific_authors",
+        "gr08_top_rated_authors",
+        "gr09_best_stephen_king",
+        "gr10_books_per_year",
+        "mm01_image_features",
+        "mm02_video_frame_plan",
+        "mm03_thumbnail_blobs",
+        # last green in r3 (first 16 sorted; the rest rotate in r9)
+        "e08_ivf_partial_probe_vec1",
+        "e09_batch_knn",
+        "e10_pq_codes",
+        "e11_ann_recall_audit",
+        "e12_ivf_recall_audit",
+        "e13_bucketed_neardup_pairs",
+        "e14_pq_adc_topk",
+        "g07_triangle_count",
+        "g08_kcore_trim",
+        "g09_sssp_rounds",
+        "g10_personalized_pagerank",
+        "io02_schema_evolution",
+        "io03_compaction_roundtrip",
+        "io04_cdc_upsert",
+        "mm04_audio_window_plan",
+        "q05_nations_per_region",
+        # new in r8
+        "io16_index_publish",
+        "d55_datamix_card",
+    }
+)
+
+
+def canonical(name: str) -> str:
+    """Strip a gate-window prefix, returning the registry key."""
+    return re.sub(r"^[ab]_", "", name)
+
+
+def exported_name(name: str) -> str:
+    """Driver-facing name: window members sort first via the a_ prefix."""
+    return f"a_{name}" if name in GATE_WINDOW else name
+
+
+def get_query(name: str) -> Query:
+    """Prefix-insensitive registry lookup (tests use canonical names)."""
+    _load_all()
+    return REGISTRY[canonical(name)]
+
 # Queries that checkpoint their (small) result to release working caches
 # return a frame whose plan is an opaque RDD scan. They expose the LAZY
 # pre-checkpoint frame here, keyed by registered query name, so plan
@@ -51,7 +139,8 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
     """Decorator registering a Spark query (and its DuckDB oracle)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = Query(name=name, spark_fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        key = canonical(name)
+        REGISTRY[key] = Query(name=key, spark_fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
         return fn
 
     return deco
@@ -59,12 +148,14 @@ def query(name: str, oracle: str | None = None, doc: str = ""):
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     _load_all()
-    return {name: q.spark_fn for name, q in sorted(REGISTRY.items())}
+    return {exported_name(n): q.spark_fn for n, q in sorted(REGISTRY.items())}
 
 
 def all_oracles() -> dict[str, str]:
     _load_all()
-    return {name: q.oracle for name, q in sorted(REGISTRY.items()) if q.oracle is not None}
+    return {
+        exported_name(n): q.oracle for n, q in sorted(REGISTRY.items()) if q.oracle is not None
+    }
 
 
 _LOADED = False

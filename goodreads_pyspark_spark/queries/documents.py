@@ -3728,7 +3728,7 @@ def _d49_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
 
 
 @query(
-    "a_d49_logistic_fit",
+    "d49_logistic_fit",
     oracle=_d49_oracle(),
     doc="Learned quality-classifier FIT (VERDICT r6 'what's missing' #1) "
     "— the trainer for the fastText/CCNet-shape linear gate d38 serves, "
@@ -3777,7 +3777,7 @@ _D50_MAX_DUP3 = 0.05
 
 
 @query(
-    "a_d50_repetition_rules",
+    "d50_repetition_rules",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     base AS (
@@ -3958,7 +3958,7 @@ _D51_CAP = 15
 
 
 @query(
-    "a_d51_domain_cap",
+    "d51_domain_cap",
     oracle=f"""
     WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
     feats AS (
@@ -4055,7 +4055,7 @@ def _d52_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
 
 
 @query(
-    "a_d52_classifier_eval",
+    "d52_classifier_eval",
     oracle=_d52_oracle(),
     doc="Train-fit EVALUATION of the d49 logistic classifier — the eval "
     "stage that closes the loop fit (d49) -> eval (here) -> score (d38) "

@@ -1684,7 +1684,7 @@ _E28_K = 3
 
 
 @query(
-    "a_e28_hard_negative_mining",
+    "e28_hard_negative_mining",
     oracle=f"""
     WITH {_LONG},
     q AS (SELECT vec_id AS qid, pos, v AS qv FROM e WHERE vec_id < {_E28_ANCHORS}),

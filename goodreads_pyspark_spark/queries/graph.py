@@ -262,7 +262,7 @@ def g05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "a_g04_pagerank",
+    "g04_pagerank",
     oracle=_pagerank_oracle(n_iter=3),
     doc="G8 PageRank, 3 fixed supersteps in 1e12 fixed-point integers "
     "(graph/pregel.py pagerank_scaled; reference goodreads.py:618-619). "
@@ -950,7 +950,7 @@ def g15_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SIGN-style k-hop feature propagation (new in r7) -------------------------
 @query(
-    "a_g16_feature_propagation",
+    "g16_feature_propagation",
     oracle=f"""
     WITH {_GRAPH_CTES},
     ue AS MATERIALIZED (SELECT src, dst FROM edges

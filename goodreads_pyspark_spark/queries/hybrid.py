@@ -156,7 +156,7 @@ _H02_K = 10
 
 
 @query(
-    "a_h02_filtered_vector_search",
+    "h02_filtered_vector_search",
     oracle=f"""
     WITH keep AS (SELECT doc_id, source, n_chars FROM documents
                   WHERE lang = 'en' AND n_chars >= {_H02_MIN_CHARS}
@@ -233,7 +233,7 @@ _H03_SUBWORD_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
 
 
 @query(
-    "a_h03_rag_context_pack",
+    "h03_rag_context_pack",
     oracle=f"""
     WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
                       CAST(unnest(embedding) AS DOUBLE) AS v
@@ -317,7 +317,7 @@ def a_h03_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lazy head is registered for plan audits (tests/test_plans.py pins
     # that the pool, never the text-bearing corpus, is the broadcast
     # side).
-    PRE_MATERIALIZATION["a_h03_rag_context_pack"] = toks
+    PRE_MATERIALIZATION["h03_rag_context_pack"] = toks
     toks = toks.localCheckpoint(eager=True)
     a = toks.alias("__a")
     b = toks.select("rnk", "n_tokens").alias("__b")

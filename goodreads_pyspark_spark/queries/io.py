@@ -28,7 +28,7 @@ _AGG = """
 
 
 @query(
-    "a_io01_source_roundtrip",
+    "io01_source_roundtrip",
     oracle=_AGG.format(fmt="json") + " UNION ALL " + _AGG.format(fmt="csv"),
     doc="S1 JSON / S2 CSV scans (sources/readers.py) gated by lossless "
     "roundtrip: parquet -> write json+csv -> explicit-schema read -> "
@@ -822,7 +822,7 @@ def _io14_oracle() -> str:
 
 
 @query(
-    "a_io14_snapshot_time_travel",
+    "io14_snapshot_time_travel",
     oracle=_io14_oracle(),
     doc="Snapshot isolation / time-travel read over a keyed CDC ledger — "
     "the lakehouse-format read primitive (Delta/Iceberg 'AS OF') built "

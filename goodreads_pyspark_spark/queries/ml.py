@@ -45,7 +45,7 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- M1-M3: ALS + RMSE ------------------------------------------------------
 @query(
-    "a_m01_als_rmse",
+    "m01_als_rmse",
     oracle="""
     WITH r AS (
       SELECT l_suppkey, l_partkey FROM lineitem
@@ -100,7 +100,7 @@ def a_m01_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- M11-M12: seeded KMeans + silhouette ------------------------------------
 @query(
-    "a_m02_kmeans_silhouette",
+    "m02_kmeans_silhouette",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
            CAST(COUNT(*) AS BIGINT) AS assignments_total,
@@ -163,7 +163,7 @@ def a_m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- M5/M6/M9/M14: Tokenizer -> StopWordsRemover -> CountVectorizer -> LDA --
 @query(
-    "a_m03_lda_topics",
+    "m03_lda_topics",
     oracle="""
     SELECT CAST(5 AS BIGINT) AS n_topics,
            TRUE AS terms_per_topic_ok,
@@ -213,7 +213,7 @@ def a_m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- M18: PowerIterationClustering ------------------------------------------
 @query(
-    "a_m04_pic_clusters",
+    "m04_pic_clusters",
     oracle="""
     WITH r AS (
       SELECT l_suppkey, l_partkey FROM lineitem
@@ -257,7 +257,7 @@ def a_m04_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- M5-M8, M10, M17: the TF-IDF -> PCA pipeline -----------------------------
 @query(
-    "a_m05_tfidf_pca_norms",
+    "m05_tfidf_pca_norms",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS rows_out,

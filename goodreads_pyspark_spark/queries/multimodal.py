@@ -241,7 +241,7 @@ def mm05_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- perceptual near-dup buckets (new in r7) ----------------------------------
 @query(
-    "a_mm06_perceptual_buckets",
+    "mm06_perceptual_buckets",
     oracle=f"""
     WITH sig AS (
       SELECT doc_id AS media_id,

@@ -28,7 +28,7 @@ from goodreads_pyspark_spark.queries._helpers import davg, dsum, sql_davg, sql_d
 
 # --- A1/A2/A8/P4/P7/F3/O4: TPC-H Q1-style pricing summary -------------------
 @query(
-    "a_q01_pricing_summary",
+    "q01_pricing_summary",
     oracle=f"""
     SELECT l_returnflag, l_linestatus,
            {sql_dsum('l_quantity')} AS sum_qty,
@@ -62,7 +62,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A1/O2: top-k heavy hitters (reference top reviewers, goodreads.py:168) --
 @query(
-    "a_q02_top_customers",
+    "q02_top_customers",
     oracle=f"""
     SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS order_count,
            {sql_dsum('o_totalprice')} AS total_spend
@@ -82,7 +82,7 @@ def q02_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- A2/A3: avg + count distinct per group ----------------------------------
 @query(
-    "a_q03_segment_stats",
+    "q03_segment_stats",
     oracle=f"""
     SELECT c_mktsegment,
            {sql_davg('c_acctbal')} AS avg_acctbal,
@@ -102,7 +102,7 @@ def q03_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F5: deterministic dedup-latest (fixes goodreads.py:83 anti-pattern) ----
 @query(
-    "a_q04_latest_order_per_customer",
+    "q04_latest_order_per_customer",
     oracle="""
     SELECT o_custkey, o_orderkey AS latest_orderkey,
            CAST(o_orderdate AS DATE) AS latest_date
@@ -154,7 +154,7 @@ def q05_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F7: semi join ----------------------------------------------------------
 @query(
-    "a_q06_segments_with_pending_orders",
+    "q06_segments_with_pending_orders",
     oracle="""
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer
@@ -175,7 +175,7 @@ def q06_segments_with_pending_orders(spark: SparkSession, sf_dir: str) -> DataFr
 
 # --- anti join --------------------------------------------------------------
 @query(
-    "a_q07_customers_without_orders",
+    "q07_customers_without_orders",
     oracle="""
     SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -196,7 +196,7 @@ def q07_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J1/J2 chain: 3-way join through broadcast dims -------------------------
 @query(
-    "a_q08_customers_per_region",
+    "q08_customers_per_region",
     oracle=f"""
     SELECT r_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
            {sql_davg('c_acctbal')} AS avg_acctbal
@@ -221,7 +221,7 @@ def q08_customers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- J2/P11: left join with null handling -----------------------------------
 @query(
-    "a_q09_suppliers_per_nation",
+    "q09_suppliers_per_nation",
     oracle=f"""
     SELECT n_name, CAST(COUNT(s_suppkey) AS BIGINT) AS n_suppliers,
            COALESCE({sql_dsum('s_acctbal')}, 0.0) AS total_acctbal
@@ -241,7 +241,7 @@ def q09_suppliers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- F2/F4: IN-list + LIKE predicates (goodreads.py:84,217) -----------------
 @query(
-    "a_q10_part_filters",
+    "q10_part_filters",
     oracle=f"""
     SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
            {sql_davg('p_retailprice')} AS avg_price
@@ -265,7 +265,7 @@ def q10_part_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- top-k per group (window) ------------------------------------------------
 @query(
-    "a_q11_top_orders_per_priority",
+    "q11_top_orders_per_priority",
     oracle="""
     SELECT o_orderpriority, o_orderkey, o_totalprice
     FROM (
@@ -288,7 +288,7 @@ def q11_top_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- U1/F6: union + distinct (goodreads.py:487,473) -------------------------
 @query(
-    "a_q12_active_nationkeys",
+    "q12_active_nationkeys",
     oracle="""
     SELECT c_nationkey AS nationkey FROM customer
     UNION
@@ -303,7 +303,7 @@ def q12_active_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- rollup (beyond the reference's flat GROUP BYs) -------------------------
 @query(
-    "a_q13_rollup_region_nation",
+    "q13_rollup_region_nation",
     oracle="""
     SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM customer
@@ -324,7 +324,7 @@ def q13_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- pivot ------------------------------------------------------------------
 @query(
-    "a_q14_qty_pivot_by_linestatus",
+    "q14_qty_pivot_by_linestatus",
     oracle="""
     SELECT l_returnflag,
            CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
@@ -345,7 +345,7 @@ def q14_qty_pivot_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- P4/P5 derived + CASE bucketing -----------------------------------------
 @query(
-    "a_q15_order_tiers",
+    "q15_order_tiers",
     oracle=f"""
     SELECT CASE WHEN o_totalprice < 100000 THEN 'small'
                 WHEN o_totalprice < 300000 THEN 'mid'
@@ -374,7 +374,7 @@ def q15_order_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- P8/P10: string split + array index (goodreads.py:99,217) ---------------
 @query(
-    "a_q16_part_color_words",
+    "q16_part_color_words",
     oracle="""
     SELECT string_split(p_name, ' ')[1] AS color,
            CAST(COUNT(*) AS BIGINT) AS n_parts
@@ -392,7 +392,7 @@ def q16_part_color_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- UD1 analog: argmax per group, native (no Python UDF) -------------------
 @query(
-    "a_q17_dominant_segment_per_nation",
+    "q17_dominant_segment_per_nation",
     oracle="""
     SELECT n_name, c_mktsegment AS top_segment, cnt AS n_customers
     FROM (
@@ -427,7 +427,7 @@ def q17_dominant_segment_per_nation(spark: SparkSession, sf_dir: str) -> DataFra
 
 # --- F6: full-row distinct on a projection ----------------------------------
 @query(
-    "a_q18_status_priority_combos",
+    "q18_status_priority_combos",
     oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
 )
 def q18_status_priority_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -436,7 +436,7 @@ def q18_status_priority_combos(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- O5 analog: point lookup as DataFrame -----------------------------------
 @query(
-    "a_q19_customer_lookup",
+    "q19_customer_lookup",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment, c_acctbal
     FROM customer WHERE c_custkey = 42
@@ -451,7 +451,7 @@ def q19_customer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- multi-column sort with mixed direction (O1) + limit (O3) ---------------
 @query(
-    "a_q20_order_scan_sorted",
+    "q20_order_scan_sorted",
     oracle="""
     SELECT o_orderkey, o_orderstatus, o_totalprice
     FROM orders
@@ -474,7 +474,7 @@ def q20_order_scan_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- exact median (beyond the reference's aggregate set) --------------------
 @query(
-    "a_q21_median_price_by_flag",
+    "q21_median_price_by_flag",
     oracle="""
     SELECT l_returnflag, MEDIAN(l_extendedprice) AS median_price,
            MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price
@@ -494,7 +494,7 @@ def q21_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- skew-resilient salted aggregation (operators/skew.py) ------------------
 @query(
-    "a_q22_salted_status_counts",
+    "q22_salted_status_counts",
     oracle=f"""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
            {sql_dsum('o_totalprice')} AS total
@@ -518,7 +518,7 @@ def q22_salted_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- SQL facade: correlated EXISTS + scalar subquery ------------------------
 @query(
-    "a_q23_sql_facade_subqueries",
+    "q23_sql_facade_subqueries",
     oracle="""
     SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_rich_active
     FROM customer c
@@ -545,7 +545,7 @@ def q23_sql_facade_subqueries(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- cube (grouping sets superset) ------------------------------------------
 @query(
-    "a_q24_cube_status_priority",
+    "q24_cube_status_priority",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
     FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -560,7 +560,7 @@ def q24_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- unpivot / melt ----------------------------------------------------------
 @query(
-    "a_q25_unpivot_part_measures",
+    "q25_unpivot_part_measures",
     oracle="""
     SELECT p_partkey, 'p_retailprice' AS measure, p_retailprice AS val
     FROM part
@@ -580,7 +580,7 @@ def q25_unpivot_part_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- fact-to-fact join + date arithmetic ------------------------------------
 @query(
-    "a_q26_late_shipments",
+    "q26_late_shipments",
     oracle=f"""
     SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_late,
            {sql_dsum('l_extendedprice')} AS late_value
@@ -617,7 +617,7 @@ _Q27_ACC = 10000
 
 
 @query(
-    "a_q27_approx_sketches",
+    "q27_approx_sketches",
     oracle="""
     SELECT o_orderstatus,
            CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
@@ -686,7 +686,7 @@ def a_q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- TPC-H Q3 shape: 3-way join, filtered both sides, top-k by revenue ------
 @query(
-    "a_q28_shipping_priority",
+    "q28_shipping_priority",
     oracle=f"""
     SELECT o_orderkey,
            {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,

@@ -30,7 +30,7 @@ from goodreads_pyspark_spark.session import configure_for_oracle
 
 # --- time bucketing (tumbling day) ------------------------------------------
 @query(
-    "a_t01_daily_rollup",
+    "t01_daily_rollup",
     oracle=f"""
     SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
@@ -51,7 +51,7 @@ def t01_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- tumbling window via F.window (streaming-compatible form) ---------------
 @query(
-    "a_t02_hourly_by_type",
+    "t02_hourly_by_type",
     oracle=f"""
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
            event_type,
@@ -82,7 +82,7 @@ def t02_hourly_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- window functions: running sum / rank / lag -----------------------------
 @query(
-    "a_t03_user_running_total",
+    "t03_user_running_total",
     oracle="""
     SELECT event_id, user_id,
            CAST(SUM(CAST(value AS DECIMAL(30,6)))
@@ -112,7 +112,7 @@ def t03_user_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- sessionization (lag + gap threshold + cumulative flag) -----------------
 @query(
-    "a_t04_user_sessions",
+    "t04_user_sessions",
     oracle="""
     SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions,
            CAST(COUNT(*) AS BIGINT) AS n_events
@@ -150,7 +150,7 @@ def t04_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- share-of-total (window over aggregate) ---------------------------------
 @query(
-    "a_t05_event_type_share",
+    "t05_event_type_share",
     oracle="""
     SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(*) AS DOUBLE)
@@ -2255,7 +2255,7 @@ def t24_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- last-touch attribution (new in r7) ---------------------------------------
 @query(
-    "a_t25_lasttouch_attribution",
+    "t25_lasttouch_attribution",
     oracle=f"""
     WITH p AS (SELECT event_id, user_id, ts, value FROM events
                WHERE event_type = 'purchase'),

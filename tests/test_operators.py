@@ -181,7 +181,7 @@ def test_approx_sketches_within_tolerance(spark):
     _load_all()
     rows = {
         r["o_orderstatus"]: r
-        for r in REGISTRY["a_q27_approx_sketches"]
+        for r in REGISTRY["q27_approx_sketches"]
         .spark_fn(spark, "/root/testdata/sf0.01")
         .collect()
     }
@@ -487,7 +487,7 @@ def test_missing_sf_dir_raises_analysis_exception(spark):
     from goodreads_pyspark_spark.queries import REGISTRY, _load_all
 
     _load_all()
-    q = REGISTRY["a_q01_pricing_summary"].spark_fn
+    q = REGISTRY["q01_pricing_summary"].spark_fn
     with pytest.raises(AnalysisException):
         q(spark, "/root/testdata/sf_does_not_exist").collect()
 

@@ -38,7 +38,7 @@ def _uncached_scans(spark):
 # the plan test vacuous. (Iterative Pregel queries also show ExistingRDD
 # mid-plan from per-superstep truncation; their surrounding plan is real,
 # so they don't belong in this set.)
-CHECKPOINTED_RESULTS = {"t22_association_rules", "a_h03_rag_context_pack"}
+CHECKPOINTED_RESULTS = {"t22_association_rules", "h03_rag_context_pack"}
 
 
 import re as _re
@@ -103,29 +103,29 @@ def plan_of(spark, name: str) -> str:
 
 
 def test_filter_pushed_to_parquet_scan(spark):
-    plan = plan_of(spark, "a_q01_pricing_summary")
+    plan = plan_of(spark, "q01_pricing_summary")
     assert "PushedFilters" in plan
     assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
 
 
 def test_dimension_joins_broadcast(spark):
-    plan = plan_of(spark, "a_q08_customers_per_region")
+    plan = plan_of(spark, "q08_customers_per_region")
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 
 
 def test_topk_becomes_take_ordered(spark):
-    plan = plan_of(spark, "a_q02_top_customers")
+    plan = plan_of(spark, "q02_top_customers")
     assert "TakeOrderedAndProject" in plan
 
 
 def test_semi_join_stays_semi(spark):
-    plan = plan_of(spark, "a_q06_segments_with_pending_orders")
+    plan = plan_of(spark, "q06_segments_with_pending_orders")
     assert "LeftSemi" in plan
 
 
 def test_column_pruning_in_scan(spark):
-    plan = plan_of(spark, "a_q16_part_color_words")
+    plan = plan_of(spark, "q16_part_color_words")
     scan = plan.split("ReadSchema")[1].splitlines()[0]
     assert "p_name" in scan
     # the 5 unused part columns must not be read
@@ -135,13 +135,13 @@ def test_column_pruning_in_scan(spark):
 
 def test_partial_aggregation_present(spark):
     # partial (map-side) + final hash aggregate around the exchange
-    plan = plan_of(spark, "a_q03_segment_stats")
+    plan = plan_of(spark, "q03_segment_stats")
     assert plan.count("HashAggregate") >= 2
 
 
 def test_whole_stage_codegen_covers_agg(spark):
     # AQE's formatted mode omits codegen markers; ask for codegen explain.
-    df = REGISTRY["a_q01_pricing_summary"].spark_fn(spark, SF)
+    df = REGISTRY["q01_pricing_summary"].spark_fn(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("codegen")
@@ -863,7 +863,7 @@ def test_h02_filtered_search_prefilters_and_takeordered(spark):
     bounded (contain a TakeOrdered cut) or be the statically-small
     filtered scan AQE/Catalyst chose on its own size estimate, which at
     the 100x bar flips to shuffle without a code change."""
-    plan = plan_of(spark, "a_h02_filtered_vector_search")
+    plan = plan_of(spark, "h02_filtered_vector_search")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "EqualTo(lang,en)" in plan  # predicate pushed into the scan
@@ -913,14 +913,14 @@ def test_h03_context_pack_constant_tail_no_window(spark):
     plan_of audits the lazy retrieve+cost head (the query checkpoints
     that bounded frame before the self-join tail); the returned tail is
     separately asserted Window-free below."""
-    plan = plan_of(spark, "a_h03_rag_context_pack")
+    plan = plan_of(spark, "h03_rag_context_pack")
     assert "Window" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"Python worker in plan: {marker}"
     # the executed tail (over the checkpointed 50-row frame)
-    tail = REGISTRY["a_h03_rag_context_pack"].spark_fn(spark, SF)
+    tail = REGISTRY["h03_rag_context_pack"].spark_fn(spark, SF)
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         tail.explain("formatted")
@@ -936,7 +936,7 @@ def test_h03_broadcasts_pool_never_documents(spark):
     walks every BroadcastExchange subtree of the retrieve+cost head:
     none may contain the documents parquet scan, and at least one must
     be the TakeOrdered pool."""
-    plan = plan_of(spark, "a_h03_rag_context_pack")
+    plan = plan_of(spark, "h03_rag_context_pack")
     subs = broadcast_subtrees(plan)
     assert subs, "expected broadcast exchanges in the packer plan"
     for sub in subs:

@@ -39,8 +39,8 @@ from tools.scaling_probe import SRC, replicate
 
 QUERIES = [
     "h01_hybrid_search_rrf",
-    "a_h02_filtered_vector_search",
-    "a_h03_rag_context_pack",
+    "h02_filtered_vector_search",
+    "h03_rag_context_pack",
 ]
 
 

@@ -40,14 +40,14 @@ from tools.scaling_probe import SRC, replicate
 
 #: query name -> tables it reads
 QUERIES = {
-    "a_d49_logistic_fit": ("documents",),
-    "a_d50_repetition_rules": ("documents",),
-    "a_d51_domain_cap": ("documents",),
-    "a_e28_hard_negative_mining": ("documents", "embeddings"),
-    "a_g16_feature_propagation": ("lineitem",),
-    "a_io14_snapshot_time_travel": ("orders",),
-    "a_t25_lasttouch_attribution": ("events",),
-    "a_mm06_perceptual_buckets": ("documents",),
+    "d49_logistic_fit": ("documents",),
+    "d50_repetition_rules": ("documents",),
+    "d51_domain_cap": ("documents",),
+    "e28_hard_negative_mining": ("documents", "embeddings"),
+    "g16_feature_propagation": ("lineitem",),
+    "io14_snapshot_time_travel": ("orders",),
+    "t25_lasttouch_attribution": ("events",),
+    "mm06_perceptual_buckets": ("documents",),
 }
 
 #: id columns to offset per copy for the relational/event tables

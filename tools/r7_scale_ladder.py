@@ -36,7 +36,7 @@ QUERIES = {
     "d02_exact_dup_groups": ("documents",),
     "d38_quality_classifier": ("documents",),
     "e03_lsh_buckets": ("embeddings",),
-    "a_g16_feature_propagation": ("lineitem",),
+    "g16_feature_propagation": ("lineitem",),
 }
 
 

@@ -31,7 +31,7 @@ QUERIES = [
     "d07_minhash_lsh_candidates",
     "d38_quality_classifier",
     "c05_ingest_admission",
-    "a_d49_logistic_fit",
+    "d49_logistic_fit",
 ]
 
 
