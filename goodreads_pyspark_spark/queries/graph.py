@@ -1030,8 +1030,8 @@ def _g17_oracle(rounds: int = 12) -> str:
     WITH edges AS MATERIALIZED (
       SELECT l_orderkey AS src, l_partkey + {_OFFSET} AS dst
       FROM lineitem
-      WHERE l_orderkey % 5 = 0
-         OR (l_orderkey % 5 = 1 AND l_orderkey % 97 = 0)),
+      WHERE l_orderkey % 20 = 0
+         OR (l_orderkey % 20 = 1 AND l_orderkey % 23 = 0)),
     vertices AS MATERIALIZED (SELECT src AS id FROM edges
                  UNION SELECT dst AS id FROM edges),
     und AS MATERIALIZED (SELECT src AS u, dst AS v FROM edges
@@ -1068,12 +1068,16 @@ def g17_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = tbl(spark, sf_dir, "lineitem")
-    base_e = li.filter(F.col("l_orderkey") % 5 == 0).select(
+    # Gate-sized fixture: the gate's value is the increment == full-
+    # recompute equivalence, which a 1/4-size base proves equally (r7
+    # VERDICT: ~70% of the 13s gate was rebuilding base CC state that in
+    # production is the persisted input, not computed in-query).
+    base_e = li.filter(F.col("l_orderkey") % 20 == 0).select(
         F.col("l_orderkey").alias("src"),
         (F.col("l_partkey") + _OFFSET).alias("dst"),
     )
     batch_e = li.filter(
-        (F.col("l_orderkey") % 5 == 1) & (F.col("l_orderkey") % 97 == 0)
+        (F.col("l_orderkey") % 20 == 1) & (F.col("l_orderkey") % 23 == 0)
     ).select(
         F.col("l_orderkey").alias("src"),
         (F.col("l_partkey") + _OFFSET).alias("dst"),
