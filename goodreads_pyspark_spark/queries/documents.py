@@ -4328,3 +4328,259 @@ def d54_boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("affected_frac"),
         )
     )
+
+
+# --- per-mix data card (new in r8) ---------------------------------------------
+def _d55_oracle(n_rounds: int = _D53_ROUNDS) -> str:
+    """Compose the d18/d02/d47/d33/d36/d53 per-source ledgers into one
+    data-card oracle (the c03 composition precedent): volumes, exact-dup
+    rate, per-lang quality-tercile head share, length-histogram drift,
+    tempered weight/share, and the UniMax capped allocation."""
+    rounds = []
+    for r in range(1, n_rounds + 1):
+        p = r - 1
+        rounds.append(f"""
+    m{r} AS (SELECT CAST(COUNT(*) FILTER (a < cap) AS BIGINT) AS n_act,
+                  b.budget - CAST(SUM(a) AS BIGINT) AS rem
+           FROM s{p} CROSS JOIN b GROUP BY b.budget),
+    s{r} AS MATERIALIZED (
+      SELECT source, n_tokens, cap,
+             a + CASE WHEN a < cap AND n_act > 0
+                      THEN LEAST(rem // n_act, cap - a) ELSE 0 END AS a
+      FROM s{p} CROSS JOIN m{r})""")
+    return f"""
+    WITH base AS (
+      SELECT doc_id, source, lang, len({_TOKS}) AS n_tok,
+             md5(lower(trim(text))) AS h
+      FROM documents),
+    ps AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+           FROM base GROUP BY source),
+    keep AS (SELECT h, MIN(doc_id) AS keep_id FROM base GROUP BY h),
+    dups AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS dup_docs
+             FROM base JOIN keep USING (h)
+             WHERE doc_id <> keep_id GROUP BY source),
+    tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               [t[i] || '_' || t[i + 1] for i in range(1, len(t))])) AS f
+      FROM tk),
+    wts AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('qw1_' || CAST(
+                ('0x' || substr(md5('qv1_' || f), 1, 8))::BIGINT % 4096
+              AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000 AS w
+      FROM feats),
+    qagg AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+             CAST(SUM(w) AS BIGINT) AS sum_w
+      FROM wts GROUP BY doc_id),
+    scoredq AS (
+      SELECT b.doc_id, b.source, b.lang,
+             CASE WHEN COALESCE(n_feats, 0) = 0 THEN 0.0
+                  ELSE sum_w / (n_feats * 1000.0) END AS logit
+      FROM base b LEFT JOIN qagg USING (doc_id)),
+    tiled AS (
+      SELECT source,
+             NTILE(3) OVER (PARTITION BY lang
+                            ORDER BY logit DESC, doc_id) AS tile
+      FROM scoredq),
+    heads AS (SELECT source,
+                     CAST(COUNT(*) FILTER (tile = 1) AS BIGINT) AS n_head
+              FROM tiled GROUP BY source),
+    b2 AS (SELECT source, LEAST(n_tok // {_D33_BIN}, {_D33_MAX_BIN}) AS bin
+           FROM base),
+    sc AS (SELECT source, bin, COUNT(*) AS c FROM b2 GROUP BY 1, 2),
+    cc AS (SELECT bin, COUNT(*) AS cb FROM b2 GROUP BY 1),
+    tot AS (SELECT COUNT(*) AS n FROM b2),
+    drift AS (
+      SELECT ps.source,
+             CAST(SUM(ABS(COALESCE(sc.c, 0) * tot.n - cc.cb * ps.n_docs))
+                  AS DOUBLE) / (2.0 * ps.n_docs * (SELECT n FROM tot))
+               AS tv_distance
+      FROM ps CROSS JOIN tot
+      JOIN cc ON TRUE
+      LEFT JOIN sc ON sc.source = ps.source AND sc.bin = cc.bin
+      GROUP BY ps.source, ps.n_docs, tot.n),
+    wtd AS (SELECT source, CAST(FLOOR(SQRT(n_tokens)) AS BIGINT) AS w
+            FROM ps),
+    swt AS (SELECT SUM(w) AS sw FROM wtd),
+    b AS (SELECT (SUM(n_tokens) * {_D53_B_NUM}) // {_D53_B_DEN} AS budget
+          FROM ps),
+    s0 AS (SELECT source, n_tokens, n_tokens AS cap,
+                  CAST(0 AS BIGINT) AS a FROM ps),{",".join(rounds)}
+    SELECT ps.source, ps.n_docs, ps.n_tokens,
+           CAST(COALESCE(dups.dup_docs, 0) AS BIGINT) AS dup_docs,
+           CAST(COALESCE(dups.dup_docs, 0) AS DOUBLE) / ps.n_docs AS dup_rate,
+           CAST(heads.n_head AS DOUBLE) / ps.n_docs AS head_share,
+           drift.tv_distance,
+           wtd.w AS temper_weight,
+           CAST(wtd.w AS DOUBLE) / (SELECT sw FROM swt) AS temper_share,
+           CAST(s{n_rounds}.a AS BIGINT) AS unimax_alloc,
+           CAST(s{n_rounds}.a AS DOUBLE) / ps.n_tokens AS unimax_epochs
+    FROM ps
+    LEFT JOIN dups USING (source)
+    JOIN heads USING (source)
+    JOIN drift USING (source)
+    JOIN wtd USING (source)
+    JOIN s{n_rounds} USING (source)
+    ORDER BY source
+    """
+
+
+@query(
+    "d55_datamix_card",
+    oracle=_d55_oracle(),
+    doc="Per-mix DATA CARD — the one-table rollup a training run records "
+    "per source, composing the already-gated per-source ledgers "
+    "(c03's composition precedent): volumes (d18: docs, tokens), "
+    "exact-duplicate rate (d02's content-hash groups, duplicates "
+    "attributed to the holding source), quality head-share (share of "
+    "the source's docs in d47's per-language top NTILE(3) tercile of "
+    "the d38 logit), length-distribution drift vs the corpus blend "
+    "(d33's integer-exact total-variation distance), and BOTH mix "
+    "weights — d36's sqrt-tempered weight/share and d53's UniMax "
+    "capped-waterfilling allocation with epochs consumed. Scale "
+    "shape: ONE tokenize+hash pass collapses the corpus to a narrow "
+    "(id, source, lang, n_tok, hash) frame that is cached and reused "
+    "by every branch (the text is never rescanned except by the d38 "
+    "feature explode, which is its own map-side pass); every "
+    "downstream join is per-source (domain-bounded) or per-bin "
+    "(constant), the tercile cut is the d47 per-language window, and "
+    "the waterfilling rounds are arithmetic over the tiny per-source "
+    "frame with one-row broadcast totals.",
+)
+def d55_datamix_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.quality_model import quality_scores
+    from goodreads_pyspark_spark.functions.text import tokens
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.size(tokens("text")).alias("n_tok"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+    ).cache()
+
+    ps = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    keep = base.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    dups = (
+        base.join(keep, "h")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dup_docs"))
+    )
+
+    from pyspark.sql import Window
+
+    scoredq = quality_scores(docs).join(
+        base.select("doc_id", "source", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("logit").desc(), "doc_id")
+    heads = (
+        scoredq.select("source", F.ntile(3).over(w).alias("tile"))
+        .groupBy("source")
+        .agg(
+            F.sum((F.col("tile") == 1).cast("int")).cast("bigint").alias("n_head")
+        )
+    )
+
+    b2 = base.select(
+        "source",
+        F.least(F.floor(F.col("n_tok") / _D33_BIN), F.lit(_D33_MAX_BIN)).alias(
+            "bin"
+        ),
+    )
+    sc = b2.groupBy("source", "bin").agg(F.count(F.lit(1)).alias("c"))
+    cc = b2.groupBy("bin").agg(F.count(F.lit(1)).alias("cb"))
+    tot = b2.agg(F.count(F.lit(1)).alias("n"))
+    drift = (
+        ps.select("source", "n_docs")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(cc))
+        .join(sc, ["source", "bin"], "left")
+        .groupBy("source", "n_docs", "n")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.coalesce("c", F.lit(0)) * F.col("n")
+                    - F.col("cb") * F.col("n_docs")
+                )
+            ).alias("num")
+        )
+        .select(
+            "source",
+            (
+                F.col("num").cast("double") / (2.0 * F.col("n_docs") * F.col("n"))
+            ).alias("tv_distance"),
+        )
+    )
+
+    wtd = ps.select(
+        "source", F.floor(F.sqrt(F.col("n_tokens"))).cast("bigint").alias("w")
+    )
+    swt = wtd.agg(F.sum("w").alias("sw"))
+    budget = ps.agg(
+        F.expr(f"(SUM(n_tokens) * {_D53_B_NUM}) div {_D53_B_DEN}")
+        .cast("bigint")
+        .alias("budget")
+    )
+    s = ps.select(
+        "source", "n_tokens", F.col("n_tokens").alias("cap"),
+        F.lit(0).cast("bigint").alias("a"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_D53_ROUNDS):
+        m = s.crossJoin(F.broadcast(budget)).agg(
+            F.sum((F.col("a") < F.col("cap")).cast("int"))
+            .cast("bigint")
+            .alias("n_act"),
+            (F.first("budget") - F.sum("a")).cast("bigint").alias("rem"),
+        )
+        s = s.crossJoin(F.broadcast(m)).select(
+            "source",
+            "n_tokens",
+            "cap",
+            (
+                F.col("a")
+                + F.when(
+                    (F.col("a") < F.col("cap")) & (F.col("n_act") > 0),
+                    F.least(F.expr("rem div n_act"), F.col("cap") - F.col("a")),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("a"),
+        )
+    unimax = s.select("source", F.col("a").alias("ualloc"))
+
+    return (
+        ps.join(dups, "source", "left")
+        .join(heads, "source")
+        .join(drift, "source")
+        .join(wtd, "source")
+        .join(unimax, "source")
+        .crossJoin(F.broadcast(swt))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.coalesce("dup_docs", F.lit(0)).cast("bigint").alias("dup_docs"),
+            (
+                F.coalesce("dup_docs", F.lit(0)).cast("double") / F.col("n_docs")
+            ).alias("dup_rate"),
+            (F.col("n_head").cast("double") / F.col("n_docs")).alias("head_share"),
+            "tv_distance",
+            F.col("w").alias("temper_weight"),
+            (F.col("w").cast("double") / F.col("sw")).alias("temper_share"),
+            F.col("ualloc").cast("bigint").alias("unimax_alloc"),
+            (F.col("ualloc").cast("double") / F.col("n_tokens")).alias(
+                "unimax_epochs"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -966,3 +966,185 @@ def io15_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- ANN index lifecycle: build -> stage -> audit -> publish (new in r8) -------
+#: Row-content key for the staged IVF assignment table (io15's checksum
+#: discipline applied to index content instead of corpus content).
+_IO16_ROWKEY = "concat_ws('|', vec_id, cid)"
+_IO16_MIN_HITS = 5  # publish gate: recall@10 must be >= 0.5 vs exact
+
+
+@query(
+    "io16_index_publish",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                      CAST(unnest(embedding) AS DOUBLE) AS v
+               FROM embeddings),
+    cents AS (SELECT CAST(vec_id AS INTEGER) AS cid, pos, v AS cval
+              FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             CAST(SUM(CAST(v * cval AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS n2,
+             CAST(SUM(CAST(cval * cval AS DECIMAL(38,12))) AS DOUBLE) AS c2
+      FROM e JOIN cents c USING (pos)
+      GROUP BY e.vec_id, c.cid),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vec_id
+                 ORDER BY dot / (SQRT(n2) * SQRT(c2)) DESC, cid) AS rn
+        FROM scored) WHERE rn = 1),
+    ledger AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+             CAST(COUNT(DISTINCT cid) AS BIGINT) AS n_cells,
+             CAST(CAST(SUM(('0x' || substr(md5({_IO16_ROWKEY}), 1, 15))::BIGINT)
+                       AS DECIMAL(38,0)) AS VARCHAR) AS index_checksum
+      FROM best),
+    probes AS (
+      SELECT cid FROM (
+        SELECT cid,
+               ROW_NUMBER() OVER (
+                 ORDER BY dot / (SQRT(n2) * SQRT(c2)) DESC, cid) AS rn
+        FROM scored WHERE vec_id = 1) WHERE rn <= 2),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 1),
+    allcomps AS (
+      SELECT e.vec_id,
+             CAST(SUM(CAST(v * qv AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,12))) AS DOUBLE) AS n2,
+             CAST(SUM(CAST(qv * qv AS DECIMAL(38,12))) AS DOUBLE) AS q2
+      FROM e JOIN q USING (pos)
+      WHERE e.vec_id <> 1
+      GROUP BY e.vec_id),
+    exact AS (
+      SELECT vec_id FROM allcomps
+      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id LIMIT 10),
+    ivf AS (
+      SELECT vec_id FROM allcomps
+      WHERE vec_id IN (SELECT vec_id FROM best JOIN probes USING (cid))
+      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC, vec_id LIMIT 10),
+    rec AS (SELECT CAST((SELECT COUNT(*) FROM ivf JOIN exact USING (vec_id))
+                   AS BIGINT) AS n_hits)
+    SELECT l.n_vectors, l.n_cells, l.index_checksum,
+           CAST(10 AS INTEGER) AS k, r.n_hits,
+           CAST(r.n_hits AS DOUBLE) / 10 AS recall,
+           r.n_hits >= {_IO16_MIN_HITS} AS audit_passed,
+           r.n_hits >= {_IO16_MIN_HITS} AS published
+    FROM ledger l, rec r
+    """,
+    doc="ANN index lifecycle: build -> WAP-stage -> audit -> publish. "
+    "Composes e29's IVF cell build with io15's write-audit-publish "
+    "discipline and e12's recall gate: the IVF assignment table "
+    "(deterministic sampled centroids, the e08/e12 quantizer "
+    "convention) and the centroid table are written to a STAGING "
+    "location; the audit then runs entirely on the READ-BACK staged "
+    "tables — exact row count vs the corpus, an order-independent "
+    "content checksum of the assignment rows (io15's md5-prefix sum), "
+    "and an e12-style recall@10 gate of the staged index's nprobe=2 "
+    "search against the exact top-10; only a passing audit publishes "
+    "(rename; on an object store, a metadata pointer swap). The oracle "
+    "recomputes every ledger cell from the source corpus, so a row "
+    "lost/duplicated in the staged write, a mis-assigned vector, or a "
+    "recall regression each flips a gated cell. Scale shape: the "
+    "assignment is one broadcast-centroid pass over the corpus (e29's "
+    "shape); the audit is a 1-row aggregate over the staged table plus "
+    "an nprobe-bounded candidate rerank — publishing safely costs two "
+    "linear passes and one bounded search, no extra shuffle.",
+)
+def io16_index_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+    from goodreads_pyspark_spark.similarity.ivf import (
+        _dsum,
+        ivf_assign,
+        sampled_centroids,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    cents = sampled_centroids(emb, k=8)
+    assign = ivf_assign(emb, cents)
+
+    base = tempfile.mkdtemp(prefix="io16_index_")
+    stage = f"{base}/stage"
+    publish = f"{base}/published"
+    try:
+        assign.write.mode("overwrite").parquet(f"{stage}/assignments")
+        cents.write.mode("overwrite").parquet(f"{stage}/centroids")
+
+        # -- audit runs on the READ-BACK staged tables only ------------------
+        staged = spark.read.parquet(f"{stage}/assignments")
+        staged_cents = spark.read.parquet(f"{stage}/centroids")
+        row_int = F.conv(
+            F.substring(F.md5(F.expr(_IO16_ROWKEY)), 1, 15), 16, 10
+        ).cast("bigint")
+        led = staged.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.countDistinct("cid").cast("bigint").alias("n_cells"),
+            F.sum(row_int.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("index_checksum"),
+        ).first()
+        n_source = emb.count()
+
+        # staged-index search: probe the query's 2 nearest cells, rerank
+        # the probed lists exactly (ivf_knn's shape, but candidates come
+        # from the STAGED assignment, not a recomputed one)
+        qe = (
+            emb.filter(F.col("vec_id") == 1)
+            .select(F.posexplode("embedding").alias("pos", "v"))
+            .withColumn("v", F.col("v").cast("double"))
+        )
+        probes = (
+            qe.join(F.broadcast(staged_cents), "pos")
+            .groupBy("cid")
+            .agg(
+                _dsum(F.col("v") * F.col("cval")).alias("dot"),
+                _dsum(F.col("v") * F.col("v")).alias("n2"),
+                _dsum(F.col("cval") * F.col("cval")).alias("c2"),
+            )
+            .withColumn("cos", F.col("dot") / (F.sqrt("n2") * F.sqrt("c2")))
+            .orderBy(F.col("cos").desc(), F.col("cid"))
+            .limit(2)
+            .select("cid")
+        )
+        cand_ids = (
+            staged.join(F.broadcast(probes), "cid")
+            .select("vec_id")
+            .union(emb.filter(F.col("vec_id") == 1).select("vec_id"))
+            .distinct()
+        )
+        cand = emb.join(cand_ids, "vec_id", "left_semi")
+        ivf_top = brute_force_knn(cand, query_id=1, k=10).select("vec_id")
+        exact_top = brute_force_knn(emb, query_id=1, k=10).select("vec_id")
+        n_hits = ivf_top.join(exact_top, "vec_id").count()
+
+        audit_ok = led["n_vectors"] == n_source and n_hits >= _IO16_MIN_HITS
+        published = False
+        if audit_ok:
+            os.rename(stage, publish)
+            published = os.path.isdir(publish)
+        return spark.createDataFrame(
+            [
+                (
+                    led["n_vectors"],
+                    led["n_cells"],
+                    led["index_checksum"],
+                    10,
+                    n_hits,
+                    n_hits / 10.0,
+                    bool(audit_ok),
+                    bool(published),
+                )
+            ],
+            "n_vectors bigint, n_cells bigint, index_checksum string, "
+            "k int, n_hits bigint, recall double, audit_passed boolean, "
+            "published boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

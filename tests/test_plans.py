@@ -1127,3 +1127,36 @@ def test_g17_incremental_cc_contracts_before_solving(spark):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"):
         assert marker not in plan, f"unexpected operator: {marker}"
     assert "CartesianProduct" not in plan
+
+
+def test_d55_datamix_card_stays_jvm_side(spark):
+    """The data card composes six per-source ledgers: every branch must
+    stay JVM-side (no Python workers), the only nested-loop joins are
+    one-row/bin-domain broadcast cross joins (never CartesianProduct),
+    and the tercile cut is the d47-shaped per-language window."""
+    plan = plan_of(spark, "d55_datamix_card")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan  # the per-lang NTILE(3) tercile cut
+    assert "HashAggregate" in plan
+
+
+def test_io16_staged_assignment_is_broadcast_probed(spark):
+    """The staged-index search must semi-join candidates via the
+    broadcast probe list (nprobe cells), never rescan or cross-join the
+    corpus; checked on the pre-publish assignment plan."""
+    from goodreads_pyspark_spark.queries._helpers import tbl
+    from goodreads_pyspark_spark.similarity.ivf import ivf_assign, sampled_centroids
+
+    emb = tbl(spark, SF, "embeddings")
+    assign = ivf_assign(emb, sampled_centroids(emb, k=8))
+    import contextlib
+    import io as _io
+
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assign.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastHashJoin" in plan  # centroid table broadcast
+    assert "CartesianProduct" not in plan
