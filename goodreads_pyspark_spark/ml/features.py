@@ -53,10 +53,21 @@ def description_vector_pipeline(
 
 
 def kmeans_cluster(
-    data: DataFrame, k: int = 20, seed: int = 1, features_col: str = "features"
+    data: DataFrame,
+    k: int = 20,
+    seed: int = 1,
+    features_col: str = "features",
+    max_iter: int | None = None,
 ) -> DataFrame:
-    """KMeans(k, seed) → data + ``prediction`` (goodreads.py:346-349)."""
+    """KMeans(k, seed) → data + ``prediction`` (goodreads.py:346-349).
+
+    ``max_iter=None`` keeps MLlib's default (20 Lloyd sweeps — the
+    reference surface); gates that only assert seeded reproducibility
+    may bound it lower, since the invariant compares two same-seed
+    same-iter fits against each other."""
     km = KMeans(k=k, seed=seed, featuresCol=features_col)
+    if max_iter is not None:
+        km = km.setMaxIter(max_iter)
     return km.fit(data).transform(data)
 
 

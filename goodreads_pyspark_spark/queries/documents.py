@@ -3749,7 +3749,7 @@ def _d49_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
     "(<=4096-row) weight table broadcast plus one bucket-keyed "
     "gradient pass — n_rounds x 2 linear passes, no driver matrix.",
 )
-def a_d49_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d49_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.logistic import feature_matrix, logistic_fit
     from goodreads_pyspark_spark.operators import bounded_rank
 
@@ -3848,7 +3848,7 @@ _D50_MAX_DUP3 = 0.05
     "no windows (the oracle's ROW_NUMBER is argmax, Spark runs it as a "
     "struct max).",
 )
-def a_d50_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d50_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.text import tokens
 
     docs = tbl(spark, sf_dir, "documents")
@@ -4009,7 +4009,7 @@ _D51_CAP = 15
     "is an exact integer ratio, so ordering and the rounded boundary "
     "values are engine-portable.",
 )
-def a_d51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d51_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from goodreads_pyspark_spark.functions.quality_model import quality_scores
@@ -4073,7 +4073,7 @@ def _d52_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
     "aggregation with the bounded weight table broadcast; the "
     "confusion rollup is a single-row aggregate.",
 )
-def a_d52_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+def d52_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.functions.logistic import (
         DSUM_SQL,
         feature_matrix,

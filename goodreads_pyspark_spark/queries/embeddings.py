@@ -1722,7 +1722,7 @@ _E28_K = 3
     "Exactness: decimal-summed cosine rounded to 6 before ranking, "
     "vec_id tie-break (the e-series discipline).",
 )
-def a_e28_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+def e28_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 

@@ -979,7 +979,7 @@ def g15_landmark_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "production degrees swap the sums to DECIMAL(38,0), semantics "
     "unchanged (the hits_scaled discipline).",
 )
-def a_g16_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def g16_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _graph(spark, sf_dir)
     e = g.edges.select("src", "dst")
     ue = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -196,7 +196,7 @@ _H02_K = 10
     "low-selectivity predicate the same kernel runs per IVF/LSH "
     "bucket (e06/e04) instead.",
 )
-def a_h02_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+def h02_filtered_vector_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.similarity.ann import brute_force_knn
 
     docs = tbl(spark, sf_dir, "documents")
@@ -284,7 +284,7 @@ _H03_SUBWORD_RE = r"[a-z]+|[0-9]|[^a-z0-9\s]"
     "constant frame (bounded_rank discipline: no unpartitioned window "
     "anywhere), so the packer costs the same at any corpus size.",
 )
-def a_h03_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+def h03_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.similarity.ann import brute_force_knn
 
     docs = tbl(spark, sf_dir, "documents")

@@ -840,7 +840,7 @@ def _io14_oracle() -> str:
     "one-row max. At 100 TB the ledger would be partition-pruned by "
     "seq ranges (io08's machinery) before the argmax pass.",
 )
-def a_io14_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def io14_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     _ACC = "decimal(30,2)"  # see _io14_oracle on the scale choice
     orders = tbl(spark, sf_dir, "orders")
     led = orders.select(

@@ -69,7 +69,7 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
     "users, and that the holdout scored at least one prediction — the "
     "oracle pins them TRUE, so a broken fit/split flips a cell.",
 )
-def a_m01_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m01_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.ml.recommend import fit_als, rmse, train_test_split
 
     ratings = _ratings(spark, sf_dir).cache()
@@ -119,16 +119,30 @@ def a_m01_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster count ≤ k, silhouette ∈ [-1,1], and that a same-seed "
     "refit reproduces the identical cluster-size multiset.",
 )
-def a_m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import array_to_vector
 
     from goodreads_pyspark_spark.ml.features import kmeans_cluster, silhouette
 
-    emb = tbl(spark, sf_dir, "embeddings").select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    ).cache()
+    # coalesce(8): the fit runs ~10 Lloyd/init jobs over this frame — at
+    # 32 partitions the per-task scheduling dwarfs the math on a
+    # model-training-sized input (build_ivf_centroids' measured fix).
+    emb = (
+        tbl(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            array_to_vector(F.col("embedding").cast("array<double>")).alias(
+                "features"
+            ),
+        )
+        .coalesce(8)
+        .cache()
+    )
     n_vectors = emb.count()
-    clustered = kmeans_cluster(emb, k=8, seed=1).cache()
+    # maxIter=8 for BOTH fits: the gate's invariants (full assignment,
+    # k bound, silhouette range, same-seed refit identity) hold at any
+    # fixed iteration count — 20 default sweeps buy the gate nothing.
+    clustered = kmeans_cluster(emb, k=8, seed=1, max_iter=8).cache()
     sil = silhouette(clustered)
     assert -1.0 <= sil <= 1.0, f"silhouette {sil} out of bounds"
     sizes = sorted(
@@ -139,7 +153,7 @@ def a_m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes2 = sorted(
         (r["prediction"], r["n"])
-        for r in kmeans_cluster(emb, k=8, seed=1)
+        for r in kmeans_cluster(emb, k=8, seed=1, max_iter=8)
         .groupBy("prediction")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
@@ -184,7 +198,7 @@ def a_m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     "only the structural contract is portable — but any LDA/vectorizer "
     "breakage (empty vocab, degenerate topics, wrong k) flips a cell.",
 )
-def a_m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import StopWordsRemover, Tokenizer
 
     from goodreads_pyspark_spark.ml.features import description_topics_lda
@@ -233,7 +247,7 @@ def a_m03_lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recomputes from lineitem (PIC assigns every vertex exactly once); "
     "k_respected MEASURES cluster count ≤ k.",
 )
-def a_m04_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m04_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.ml.features import power_iteration_clusters
 
     edges = _ratings(spark, sf_dir).select(
@@ -277,7 +291,7 @@ def a_m04_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is finite and non-negative, and at least one norm is strictly "
     "positive (the projection captured variance).",
 )
-def a_m05_tfidf_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+def m05_tfidf_pca_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
 
     from goodreads_pyspark_spark.ml.features import description_vector_pipeline

@@ -269,7 +269,7 @@ def mm05_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one decode pass, one signature group-by; shuffles carry "
     "(id, 3 small ints), never bytes.",
 )
-def a_mm06_perceptual_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mm06_perceptual_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     feats = extract_image_features(synth_media(docs))
     sig = feats.filter(F.col("decode_error").isNull()).select(

@@ -642,7 +642,7 @@ _Q27_ACC = 10000
     "two keyed aggregation passes over orders plus a broadcast of the "
     "per-group sketch row (bounded by |status| = 3).",
 )
-def a_q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q27_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = tbl(spark, sf_dir, "orders")
     sk = orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=_Q27_RSD).alias("hll"),

@@ -2288,7 +2288,7 @@ def t24_locf_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one (user_id)-keyed shuffle, linear fill, then a 3-row channel "
     "agg.",
 )
-def a_t25_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def t25_lasttouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.operators.asof import as_of_join
 
     ev = events_tbl(spark, sf_dir)

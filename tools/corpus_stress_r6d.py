@@ -42,7 +42,7 @@ def main() -> None:
         d47_quality_partitions,
     )
     from goodreads_pyspark_spark.queries.graph import g14_hits_scores
-    from goodreads_pyspark_spark.queries.hybrid import a_h02_filtered_vector_search
+    from goodreads_pyspark_spark.queries.hybrid import h02_filtered_vector_search
     from goodreads_pyspark_spark.queries.ml import m06_ols_normal_equations
 
     for f in factors:
@@ -63,7 +63,7 @@ def main() -> None:
             ("d45_semantic_decontamination", d45_semantic_decontamination),
             ("d46_dsir_selection", d46_dsir_selection),
             ("d47_quality_partitions", d47_quality_partitions),
-            ("h02_filtered_vector_search", a_h02_filtered_vector_search),
+            ("h02_filtered_vector_search", h02_filtered_vector_search),
             ("m06_ols_normal_equations", m06_ols_normal_equations),
             ("g14_hits_scores", g14_hits_scores),
         ):

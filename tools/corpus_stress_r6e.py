@@ -37,7 +37,7 @@ def main() -> None:
         d48_threshold_buckets,
         s12_streaming_ingest_admission,
     )
-    from goodreads_pyspark_spark.queries.hybrid import a_h03_rag_context_pack
+    from goodreads_pyspark_spark.queries.hybrid import h03_rag_context_pack
 
     for f in factors:
         stage = tempfile.mkdtemp(prefix=f"r6e_x{f}_")
@@ -53,7 +53,7 @@ def main() -> None:
         for name, fn in (
             ("c05_ingest_admission", c05_ingest_admission),
             ("s12_streaming_ingest_admission", s12_streaming_ingest_admission),
-            ("h03_rag_context_pack", a_h03_rag_context_pack),
+            ("h03_rag_context_pack", h03_rag_context_pack),
             ("d48_threshold_buckets", d48_threshold_buckets),
         ):
             t0 = time.perf_counter()

@@ -1,0 +1,105 @@
+"""Round-8 new/late-operator stress probe: the r7 post-closing tail
+(d53/d54/g17/g18/io15/s13/t26 — VERDICT r7 #5 asked for measured curves)
+plus the two r8 compositions (io16/d55) at 1x and 10x.
+
+Replication conventions: tools/r7_ops_stress.py (id-offset copies keep
+keys unique and graph copies disjoint; documents get per-copy suffixes,
+embeddings a deterministic nudge).
+
+Expected shapes:
+- d53 UniMax: one tokenize-count pass -> per-source arithmetic. Linear.
+- d54 boilerplate: shingle pass + (source, shingle) distinct counts.
+  Linear in shingle volume.
+- g17 incremental CC: base CC fixpoint is round-dominated (log-ish in
+  component diameter), increment solves the batch-sized contracted
+  graph. Expect sub-linear wall growth (rounds grow slowly).
+- g18 degree-stratified sample: degree count + md5 keep-hash + stratum
+  agg. Linear.
+- io15 WAP: write + two checksum passes. Linear in bytes.
+- s13 streaming HLL: micro-batch replay of the event stream. Linear.
+- t26 daily HLL: one day-keyed agg. Linear.
+- io16 index publish: broadcast-centroid assignment pass + staged write
+  + 1-row audit aggs + nprobe-bounded rerank. Linear.
+- d55 data card: one narrow tokenize+hash pass (cached) + d38 feature
+  pass + per-source joins. Linear, feature explode dominates.
+
+Usage: python tools/r8_ops_stress.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+from goodreads_pyspark_spark.session import get_spark
+from tools.corpus_stress_r5 import replicate_embeddings
+from tools.r7_ops_stress import replicate_offsets
+from tools.scaling_probe import replicate
+
+#: query name -> tables it reads
+QUERIES = {
+    "d53_unimax_allocation": ("documents",),
+    "d54_boilerplate_detection": ("documents",),
+    "g17_incremental_components": ("lineitem",),
+    "g18_degree_stratified_edge_sample": ("lineitem",),
+    "io15_write_audit_publish": ("documents",),
+    "s13_streaming_approx_users": ("events",),
+    "t26_daily_approx_users": ("events",),
+    "io16_index_publish": ("embeddings",),
+    "d55_datamix_card": ("documents",),
+}
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    _load_all()
+    spark = get_spark("r8_ops_stress")
+    needed = sorted({t for tabs in QUERIES.values() for t in tabs})
+    rows = []
+    for factor in factors:
+        out_dir = tempfile.mkdtemp(prefix=f"r8ops_x{factor}_")
+        sf_dir = f"{out_dir}/sf"
+        Path(sf_dir).mkdir()
+        for t in needed:
+            if t == "documents":
+                p = replicate(spark, t, factor, "doc_id", out_dir)
+                spark.read.parquet(p).write.parquet(f"{sf_dir}/{t}.parquet")
+            elif t == "embeddings":
+                p = replicate_embeddings(spark, factor, out_dir)
+                spark.read.parquet(p).write.parquet(f"{sf_dir}/{t}.parquet")
+            else:
+                replicate_offsets(spark, t, factor, sf_dir)
+
+        def force(df) -> int:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+            ).first()
+            return row["n"]
+
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            best, n = None, 0
+            for _ in range(3):
+                t0 = time.time()
+                n = force(REGISTRY[name].spark_fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            rows.append((name, factor, best, n))
+            print(f"# {name} x{factor}: {best:.2f}s ({n} rows)", flush=True)
+    print("\n| query | factor | wall (min of 3) | rows |")
+    print("|---|---|---|---|")
+    for name, factor, dt, n in rows:
+        print(f"| {name} | {factor}x | {dt:.2f}s | {n} |")
+
+
+if __name__ == "__main__":
+    main()
