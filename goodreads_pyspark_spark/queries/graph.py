@@ -1063,7 +1063,6 @@ def _g17_oracle(rounds: int = 12) -> str:
 )
 def g17_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.pregel import (
-        connected_components,
         connected_components_alternating,
     )
 
@@ -1109,7 +1108,13 @@ def g17_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(contracted.select(F.col("dst").alias("id")))
         .distinct()
     )
-    relabel = connected_components(
+    # alternating star contraction, NOT hash-min: a batch that merges many
+    # base components transitively gives the contracted graph a long
+    # label-chain diameter, and hash-min pays O(diameter) rounds for it
+    # (measured 11.7s on a 603-edge contracted graph at sf0.1); the
+    # alternating form converges in O(log² n) rounds on the same input.
+    # Both return min-id labels, so the composition is unchanged.
+    relabel = connected_components_alternating(
         PropertyGraph(cv, contracted)
     ).select(
         F.col("id").alias("old_label"), F.col("component").alias("new_label")
