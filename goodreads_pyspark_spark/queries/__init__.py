@@ -102,10 +102,11 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "io03_compaction_roundtrip",
         "io04_cdc_upsert",
         "mm04_audio_window_plan",
-        "q05_nations_per_region",
-        # new in r8
+        # new in r8 (additions outrank re-gates — q05_nations_per_region,
+        # next by age, yields its slot to h04 and re-gates in r9)
         "io16_index_publish",
         "d55_datamix_card",
+        "h04_rerank_calibration",
     }
 )
 

@@ -339,3 +339,212 @@ def h03_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_tokens",
         (F.col("cum_tokens") <= _H03_BUDGET).alias("included"),
     )
+
+
+# --- listwise rerank calibration audit (new in r8) ------------------------------
+#: Depth of the fused list being audited.
+_H04_K = 10
+
+
+@query(
+    "h04_rerank_calibration",
+    oracle=f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    ex AS (SELECT doc_id, unnest(t) AS term FROM tk),
+    qt AS (SELECT DISTINCT term FROM ex WHERE doc_id = 0),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tfq AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex
+            WHERE doc_id <> 0 AND term IN (SELECT term FROM qt)
+            GROUP BY doc_id, term),
+    dfq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM ex
+            WHERE term IN (SELECT term FROM qt) GROUP BY term),
+    lex AS (SELECT tfq.doc_id,
+                   CAST(SUM(CAST(CAST(tf * n.n_docs AS DOUBLE) / df
+                                 AS DECIMAL(38,12))) AS DOUBLE) AS lscore
+            FROM tfq JOIN dfq USING (term) CROSS JOIN n
+            GROUP BY tfq.doc_id),
+    ltop AS (SELECT doc_id,
+                    ROW_NUMBER() OVER (ORDER BY lscore DESC, doc_id) AS lrank
+             FROM lex QUALIFY lrank <= {FUSE_DEPTH}),
+    e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings),
+    q AS (SELECT pos, v AS qv FROM e WHERE vec_id = 0),
+    comps AS (SELECT vec_id,
+                     {_DSUM.format(expr='v * qv')} AS dot,
+                     {_DSUM.format(expr='v * v')} AS n2,
+                     {_DSUM.format(expr='qv * qv')} AS q2
+              FROM e JOIN q USING (pos) WHERE vec_id <> 0 GROUP BY vec_id),
+    vtop AS (SELECT vec_id,
+                    ROW_NUMBER() OVER (
+                      ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC,
+                               vec_id) AS vrank
+             FROM comps QUALIFY vrank <= {FUSE_DEPTH}),
+    fused AS (SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
+                     l.lrank, v.vrank,
+                     COALESCE(1.0 / ({RRF_K} + l.lrank), 0)
+                       + COALESCE(1.0 / ({RRF_K} + v.vrank), 0) AS rrf
+              FROM ltop l FULL OUTER JOIN vtop v ON l.doc_id = v.vec_id),
+    ftop AS (SELECT doc_id, lrank, vrank,
+                    ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS frank
+             FROM fused QUALIFY frank <= {_H04_K}),
+    sys AS (
+      SELECT 'lexical' AS system, doc_id, frank, lrank AS srank
+      FROM ftop WHERE lrank IS NOT NULL
+      UNION ALL
+      SELECT 'vector' AS system, doc_id, frank, vrank AS srank
+      FROM ftop WHERE vrank IS NOT NULL),
+    pairs AS (
+      SELECT a.system,
+             CAST(COUNT(*) FILTER (
+               (a.frank - b.frank) * (a.srank - b.srank) > 0) AS BIGINT)
+               AS n_concordant,
+             CAST(COUNT(*) FILTER (
+               (a.frank - b.frank) * (a.srank - b.srank) < 0) AS BIGINT)
+               AS n_discordant
+      FROM sys a JOIN sys b
+        ON a.system = b.system AND a.doc_id < b.doc_id
+      GROUP BY a.system),
+    cov AS (SELECT system, CAST(COUNT(*) AS BIGINT) AS n_covered
+            FROM sys GROUP BY system)
+    SELECT c.system, {_H04_K} AS k, c.n_covered,
+           CAST(c.n_covered AS DOUBLE) / {_H04_K} AS coverage,
+           p.n_concordant, p.n_discordant,
+           CAST(p.n_concordant - p.n_discordant AS DOUBLE)
+             / (p.n_concordant + p.n_discordant) AS kendall_tau
+    FROM cov c JOIN pairs p USING (system)
+    ORDER BY c.system
+    """,
+    doc="Listwise rerank CALIBRATION audit — the fused-list diagnostics a "
+    "retrieval stack records per reranker release (the cross-encoder-"
+    "free form: agreement statistics need no model, only rank lists): "
+    "for the h01 RRF fusion's top-10, per underlying system (lexical "
+    "TF-IDF, vector cosine) the audit reports coverage (how many fused "
+    "winners the system ranked at all at depth 50) and Kendall tau "
+    "concordance between the fused order and that system's order over "
+    "the covered pairs — tau near +1 means the fusion is calibrated to "
+    "(dominated by) that system, near 0 means the other system "
+    "reordered it. Every statistic is INTEGER pair counting over a "
+    "bounded 10-row list (45 pairs max) with one final double "
+    "division, so the audit is hash-exact cross-engine. Scale shape: "
+    "h01's two TakeOrdered candidate lists + a self-join over ≤10 "
+    "bounded rows — constant, corpus-scale-independent.",
+)
+def h04_rerank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+    from goodreads_pyspark_spark.similarity.ann import brute_force_knn
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    emb = tbl(spark, sf_dir, "embeddings")
+
+    ex = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    qt = ex.filter(F.col("doc_id") == 0).select("term").distinct()
+    tfq = (
+        ex.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(qt), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = (
+        ex.join(F.broadcast(qt), "term")
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    lex = (
+        tfq.join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("df")).cast(
+                    _ACC
+                )
+            )
+            .cast("double")
+            .alias("lscore")
+        )
+    )
+    ltop = lex.orderBy(F.col("lscore").desc(), "doc_id").limit(FUSE_DEPTH)
+    ltop = bounded_rank(ltop, [("lscore", "desc"), ("doc_id", "asc")], "lrank").select(
+        "doc_id", "lrank"
+    )
+    knn = brute_force_knn(emb, query_id=0, k=FUSE_DEPTH)
+    vtop = bounded_rank(knn, [("cosine", "desc"), ("vec_id", "asc")], "vrank").select(
+        "vec_id", "vrank"
+    )
+
+    fused = ltop.join(vtop, ltop["doc_id"] == vtop["vec_id"], "full_outer").select(
+        F.coalesce(ltop["doc_id"], vtop["vec_id"]).alias("doc_id"),
+        F.col("lrank"),
+        F.col("vrank"),
+        (
+            F.coalesce(F.lit(1.0) / (RRF_K + F.col("lrank")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (RRF_K + F.col("vrank")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    ftop10 = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(_H04_K)
+    ftop = bounded_rank(
+        ftop10, [("rrf", "desc"), ("doc_id", "asc")], "frank"
+    ).select("doc_id", "lrank", "vrank", "frank")
+
+    sys_ = (
+        ftop.filter(F.col("lrank").isNotNull())
+        .select(F.lit("lexical").alias("system"), "doc_id", "frank",
+                F.col("lrank").alias("srank"))
+        .unionByName(
+            ftop.filter(F.col("vrank").isNotNull()).select(
+                F.lit("vector").alias("system"), "doc_id", "frank",
+                F.col("vrank").alias("srank"),
+            )
+        )
+    )
+    a = sys_.alias("__a")
+    b = sys_.alias("__b")
+    pairs = (
+        a.join(
+            F.broadcast(b),
+            (F.col("__a.system") == F.col("__b.system"))
+            & (F.col("__a.doc_id") < F.col("__b.doc_id")),
+        )
+        .groupBy(F.col("__a.system").alias("system"))
+        .agg(
+            F.sum(
+                (
+                    (F.col("__a.frank") - F.col("__b.frank"))
+                    * (F.col("__a.srank") - F.col("__b.srank"))
+                    > 0
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_concordant"),
+            F.sum(
+                (
+                    (F.col("__a.frank") - F.col("__b.frank"))
+                    * (F.col("__a.srank") - F.col("__b.srank"))
+                    < 0
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("n_discordant"),
+        )
+    )
+    cov = sys_.groupBy("system").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_covered")
+    )
+    return (
+        cov.join(pairs, "system")
+        .select(
+            "system",
+            F.lit(_H04_K).cast("int").alias("k"),
+            "n_covered",
+            (F.col("n_covered").cast("double") / _H04_K).alias("coverage"),
+            "n_concordant",
+            "n_discordant",
+            (
+                (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+                / (F.col("n_concordant") + F.col("n_discordant"))
+            ).alias("kendall_tau"),
+        )
+        .orderBy("system")
+    )
