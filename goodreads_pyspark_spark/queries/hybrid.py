@@ -487,6 +487,12 @@ def h04_rerank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     ftop = bounded_rank(
         ftop10, [("rrf", "desc"), ("doc_id", "asc")], "frank"
     ).select("doc_id", "lrank", "vrank", "frank")
+    # The calibration fan-out references ftop five times (two system
+    # slices, self-join both sides, coverage); without materializing the
+    # bounded 10-row frame the full candidate pipeline recomputes per
+    # reference (measured 10.7s vs h01's 1.8s for the same pipeline).
+    PRE_MATERIALIZATION["h04_rerank_calibration"] = ftop
+    ftop = ftop.localCheckpoint(eager=True)
 
     sys_ = (
         ftop.filter(F.col("lrank").isNotNull())
