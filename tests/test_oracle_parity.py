@@ -44,3 +44,18 @@ def test_query_matches_oracle(name, spark, duck):
     assert sorted(s_cols) == sorted(d_cols)
     assert len(s_rows) == len(d_rows)
     assert _norm(s_cols, s_rows) == _norm(d_cols, d_rows)
+
+
+def test_gate_window_integrity():
+    """The driver gates the first 50 exported names in sorted order, so
+    the window must be exactly 50 registered queries and every exported
+    a_-prefixed name must sort ahead of every unprefixed one."""
+    from goodreads_pyspark_spark.queries import GATE_WINDOW, all_queries
+
+    names = list(all_queries())
+    assert len(GATE_WINDOW) == 50
+    missing = GATE_WINDOW - {n for n in REGISTRY}
+    assert not missing, f"window members not registered: {sorted(missing)}"
+    prefixed = sorted(n for n in names if n.startswith("a_"))
+    assert len(prefixed) == 50
+    assert sorted(names)[:50] == prefixed
