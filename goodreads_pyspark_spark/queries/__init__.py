@@ -101,12 +101,13 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "io02_schema_evolution",
         "io03_compaction_roundtrip",
         "io04_cdc_upsert",
-        "mm04_audio_window_plan",
-        # new in r8 (additions outrank re-gates — q05_nations_per_region,
-        # next by age, yields its slot to h04 and re-gates in r9)
+        # new in r8 (additions outrank re-gates — q05_nations_per_region
+        # and mm04_audio_window_plan, next by age, yield their slots to
+        # h04/d56 and re-gate in r9)
         "io16_index_publish",
         "d55_datamix_card",
         "h04_rerank_calibration",
+        "d56_datacard_snapshot_diff",
     }
 )
 

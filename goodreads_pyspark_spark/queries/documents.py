@@ -4584,3 +4584,98 @@ def d55_datamix_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- data-card snapshot diff (new in r8) -----------------------------------------
+@query(
+    "d56_datacard_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, len({_TOKS}) AS n_tok,
+             md5(lower(trim(text))) AS h,
+             doc_id % {_C05_MOD} = {_C05_REM} AS is_new
+      FROM documents),
+    keys AS (
+      SELECT h, MIN(doc_id) AS keep_now,
+             MIN(CASE WHEN NOT is_new THEN doc_id END) AS keep_prev
+      FROM base GROUP BY h),
+    flagged AS (
+      SELECT b.source, b.n_tok, b.is_new,
+             b.doc_id <> k.keep_now AS dup_now,
+             (NOT b.is_new) AND b.doc_id <> k.keep_prev AS dup_prev
+      FROM base b JOIN keys k USING (h))
+    SELECT source,
+           CAST(COUNT(*) FILTER (NOT is_new) AS BIGINT) AS n_docs_prev,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_now,
+           CAST(COUNT(*) FILTER (is_new) AS BIGINT) AS docs_added,
+           CAST(SUM(n_tok) FILTER (NOT is_new) AS BIGINT) AS n_tokens_prev,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens_now,
+           CAST(COUNT(*) FILTER (dup_prev) AS DOUBLE)
+             / COUNT(*) FILTER (NOT is_new) AS dup_rate_prev,
+           CAST(COUNT(*) FILTER (dup_now) AS DOUBLE) / COUNT(*) AS dup_rate_now,
+           CAST(COUNT(*) FILTER (is_new) AS DOUBLE) / COUNT(*) AS batch_share
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+    doc="Data-card SNAPSHOT DIFF — the drift-vs-previous-snapshot row the "
+    "d55 card's per-release comparison needs: the corpus before the "
+    "c05 admission batch (doc_id % 7 == 3 arrives later — c05's "
+    "convention) vs after, per source: volume deltas (docs, tokens), "
+    "exact-dup rate in EACH state (a batch can both add duplicates of "
+    "standing docs and make a standing doc the duplicate's survivor — "
+    "keep ids are computed per state from the same hash groups), and "
+    "the batch's share of the new snapshot. Scale shape: ONE narrow "
+    "tokenize+hash pass, one hash-keyed aggregate carrying both "
+    "states' keep ids (conditional min — no second corpus scan), one "
+    "per-source rollup; all counts integer, the three rates one "
+    "division each.",
+)
+def d56_datacard_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.text import tokens
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).alias("n_tok"),
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        (F.col("doc_id") % _C05_MOD == _C05_REM).alias("is_new"),
+    )
+    keys = base.groupBy("h").agg(
+        F.min("doc_id").alias("keep_now"),
+        F.min(F.when(~F.col("is_new"), F.col("doc_id"))).alias("keep_prev"),
+    )
+    flagged = base.join(keys, "h").select(
+        "source",
+        "n_tok",
+        "is_new",
+        (F.col("doc_id") != F.col("keep_now")).alias("dup_now"),
+        ((~F.col("is_new")) & (F.col("doc_id") != F.col("keep_prev"))).alias(
+            "dup_prev"
+        ),
+    )
+    cnt = F.count(F.lit(1))
+    prev = F.sum((~F.col("is_new")).cast("int"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            prev.cast("bigint").alias("n_docs_prev"),
+            cnt.cast("bigint").alias("n_docs_now"),
+            F.sum(F.col("is_new").cast("int")).cast("bigint").alias("docs_added"),
+            F.sum(F.when(~F.col("is_new"), F.col("n_tok")))
+            .cast("bigint")
+            .alias("n_tokens_prev"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens_now"),
+            (
+                F.sum(F.col("dup_prev").cast("int")).cast("double")
+                / prev
+            ).alias("dup_rate_prev"),
+            (F.sum(F.col("dup_now").cast("int")).cast("double") / cnt).alias(
+                "dup_rate_now"
+            ),
+            (F.sum(F.col("is_new").cast("int")).cast("double") / cnt).alias(
+                "batch_share"
+            ),
+        )
+        .orderBy("source")
+    )
