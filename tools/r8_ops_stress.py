@@ -54,6 +54,8 @@ QUERIES = {
     "t26_daily_approx_users": ("events",),
     "io16_index_publish": ("embeddings",),
     "d55_datamix_card": ("documents",),
+    "h04_rerank_calibration": ("documents", "embeddings"),
+    "d56_datacard_snapshot_diff": ("documents",),
 }
 
 
