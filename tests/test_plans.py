@@ -38,7 +38,11 @@ def _uncached_scans(spark):
 # the plan test vacuous. (Iterative Pregel queries also show ExistingRDD
 # mid-plan from per-superstep truncation; their surrounding plan is real,
 # so they don't belong in this set.)
-CHECKPOINTED_RESULTS = {"t22_association_rules", "h03_rag_context_pack"}
+CHECKPOINTED_RESULTS = {
+    "t22_association_rules",
+    "h03_rag_context_pack",
+    "h04_rerank_calibration",
+}
 
 
 import re as _re
@@ -1160,3 +1164,24 @@ def test_io16_staged_assignment_is_broadcast_probed(spark):
     plan = buf.getvalue()
     assert "BroadcastHashJoin" in plan  # centroid table broadcast
     assert "CartesianProduct" not in plan
+
+
+def test_h04_calibration_audit_is_bounded_and_jvm_side(spark):
+    """The calibration fan-out must run over the checkpointed bounded
+    fused list (registered pre-checkpoint in PRE_MATERIALIZATION) and
+    stay JVM-side with no cartesian joins."""
+    plan = plan_of(spark, "h04_rerank_calibration")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    assert "CartesianProduct" not in plan
+
+
+def test_d56_snapshot_diff_single_pass(spark):
+    """The snapshot diff derives both states from ONE hash aggregate
+    (conditional min) — the plan must contain no python workers, no
+    window, no cartesian."""
+    plan = plan_of(spark, "d56_datacard_snapshot_diff")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "Window"):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
