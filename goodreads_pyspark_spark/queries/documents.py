@@ -4246,7 +4246,9 @@ _D54_NUM, _D54_DEN = 1, 2
     oracle=f"""
     WITH {_SHINGLE_CTES},
     src AS (SELECT doc_id, source FROM documents),
-    ss AS (SELECT s.source, sh.sh, sh.doc_id
+    ss AS (SELECT s.source,
+                  ('0x' || substr(md5(sh.sh), 1, 15))::BIGINT AS sh,
+                  sh.doc_id
            FROM sh JOIN src s USING (doc_id)),
     per_source AS (SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
                    FROM ss GROUP BY source),
@@ -4287,8 +4289,22 @@ def d54_boilerplate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = tbl(spark, sf_dir, "documents")
     sh = shingle_rows(docs, "doc_id", "text", 3, out_id="doc_id")
-    ss = sh.join(docs.select("doc_id", "source"), "doc_id").select(
-        "source", "sh", "doc_id"
+    # Hash each shingle to a portable 60-bit int BEFORE anything shuffles:
+    # the (source, shingle)-keyed distinct count otherwise ships raw
+    # 3-word strings through a two-phase aggregation (measured 21x the
+    # corpus text in shuffle bytes at sf0.1; 8-byte keys cut it ~4x).
+    # md5-prefix hashing is engine-portable, so the oracle groups on the
+    # IDENTICAL hash classes — ledger parity holds even under the
+    # (2^-60-scale) collision, because both engines collide identically.
+    ss = (
+        sh.select(
+            "doc_id",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("sh"),
+        )
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "sh", "doc_id")
     )
     per_source = ss.groupBy("source").agg(
         F.countDistinct("doc_id").cast("bigint").alias("n_docs")
