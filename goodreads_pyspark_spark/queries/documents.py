@@ -197,8 +197,10 @@ D06_MAX_DF = 100
     "d06_jaccard_neardup_pairs",
     oracle=f"""
     WITH {_SHINGLE_CTES},
-    dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-    shf AS (SELECT s.doc_id, s.sh FROM sh s
+    shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+            FROM sh),
+    dfreq AS (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+    shf AS (SELECT s.doc_id, s.sh FROM shh s
             JOIN dfreq USING (sh) WHERE df <= {D06_MAX_DF}),
     sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
     inter AS (
@@ -439,8 +441,10 @@ def _clean_corpus_oracle(
              FROM bands a JOIN bands b USING (band, key)
              WHERE a.doc_id < b.doc_id),
     sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+            FROM sh),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS nc
-              FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id
+              FROM shh a JOIN shh b USING (sh) WHERE a.doc_id < b.doc_id
               GROUP BY 1, 2),
     verified AS (
       SELECT i.doc_a, i.doc_b
@@ -764,8 +768,10 @@ def _cc_cluster_ctes(rounds: int = 10) -> str:
                SELECT e.u AS id, l.label AS x FROM und e JOIN l{p} l ON l.id = e.v
              ) t GROUP BY t.id)""")
     return f"""{_SHINGLE_CTES},
-    dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-    shf AS MATERIALIZED (SELECT s.doc_id, s.sh FROM sh s
+    shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+            FROM sh),
+    dfreq AS (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+    shf AS MATERIALIZED (SELECT s.doc_id, s.sh FROM shh s
             JOIN dfreq USING (sh) WHERE df <= {D06_MAX_DF}),
     sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
     inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
@@ -1202,10 +1208,12 @@ def _minhash_audit_oracle(
              FROM bf a JOIN bf b USING (band, key)
              WHERE a.doc_id < b.doc_id),
     sizes AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+            FROM sh),
     common AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
                FROM cand c
-               JOIN sh sa ON sa.doc_id = c.doc_a
-               JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+               JOIN shh sa ON sa.doc_id = c.doc_a
+               JOIN shh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
                GROUP BY c.doc_a, c.doc_b)
     SELECT c.doc_a, c.doc_b,
            CAST(({agree}) AS DOUBLE) / {num_hashes} AS est_jaccard,
@@ -1253,8 +1261,16 @@ def d23_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh, num_hashes=num_hashes, bands=4, max_bucket=D07_MAX_BUCKET
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nsh"))
-    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    # The candidate-rescore intersection joins on md5-prefix 60-bit hash
+    # classes, not raw shingle strings (the ngram.py kernel discipline —
+    # 8-byte join keys; the oracle hashes identically, so even a
+    # collision matches bit-for-bit). Sizes stay raw: hashing is a
+    # per-row bijection, row counts are unchanged.
+    shingle_class = (
+        F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("sh")
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), shingle_class)
+    sb = sh.select(F.col("doc_id").alias("doc_b"), shingle_class)
     common = (
         cand.join(sa, "doc_a")
         .join(sb, ["doc_b", "sh"])
@@ -2044,8 +2060,10 @@ def _band_tuning_oracle(num_hashes: int = 8, max_bucket: int = D07_MAX_BUCKET) -
     mh AS (SELECT doc_id,
            {mins}
            FROM sh GROUP BY doc_id),
-    dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh),
-    shf AS (SELECT s.doc_id, s.sh FROM sh s
+    shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+            FROM sh),
+    dfreq AS (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+    shf AS (SELECT s.doc_id, s.sh FROM shh s
             JOIN dfreq USING (sh) WHERE df <= {D06_MAX_DF}),
     sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
     inter AS (
