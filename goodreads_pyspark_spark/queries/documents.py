@@ -1541,7 +1541,8 @@ def d27_dup_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SHINGLE_CTES},
     ssh AS MATERIALIZED (
-      SELECT DISTINCT d.source, s.sh
+      SELECT DISTINCT d.source,
+             ('0x' || substr(md5(s.sh), 1, 15))::BIGINT AS sh
       FROM sh s JOIN documents d USING (doc_id)),
     sz AS (SELECT source, COUNT(*) AS n_types FROM ssh GROUP BY source),
     ov AS (SELECT a.source AS source_a, b.source AS source_b,
@@ -1570,8 +1571,17 @@ def d28_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = tbl(spark, sf_dir, "documents")
     # Tokenize into an attribute first (the shingle_rows codegen lesson).
     base = fan_out(docs).select("source", tokens("text").alias("__toks"))
+    # Hash shingles to portable 60-bit ints before the distinct and the
+    # type self-join shuffle (the ngram-kernel discipline; the oracle
+    # hashes identically, so type counts match even under a collision).
     ssh = (
         base.select("source", F.explode(word_shingles(F.col("__toks"))).alias("sh"))
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("sh"),
+        )
         .distinct()
         .cache()
     )
@@ -2178,7 +2188,9 @@ def d34_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     "d35_shingle_novelty",
     oracle=f"""
     WITH {_SHINGLE_CTES},
-    ds AS (SELECT s.doc_id, s.sh, d.source
+    ds AS (SELECT s.doc_id,
+                  ('0x' || substr(md5(s.sh), 1, 15))::BIGINT AS sh,
+                  d.source
            FROM sh s JOIN documents d USING (doc_id)),
     per_sh AS (SELECT sh, count(DISTINCT source) AS n_sources FROM ds GROUP BY sh),
     per_src AS (
@@ -2214,8 +2226,17 @@ def d35_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 
     docs = tbl(spark, sf_dir, "documents")
+    # Hash shingles to portable 60-bit ints before anything shuffles
+    # (the ngram-kernel discipline; the oracle hashes identically, so
+    # distinct/exclusive type counts match even under a collision).
     ds = (
         shingle_rows(docs, out_id="doc_id")
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("sh"),
+        )
         .join(docs.select("doc_id", "source"), "doc_id")
         .cache()
     )
