@@ -729,6 +729,7 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from goodreads_pyspark_spark.streaming import (
         run_to_memory_sink,
+        state_partitions,
         stream_events_from_dir,
     )
 
@@ -764,7 +765,10 @@ def s06_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inner",
         ).select(F.col("p_user").alias("user_id"), "purchase_id", "view_id")
         name = f"s06_sink_{uuid.uuid4().hex[:8]}"
-        run_to_memory_sink(joined, name, output_mode="append")
+        # join state is ~20k rows / 1.5k users per side — 8 state shards,
+        # not 32 (state_partitions docstring has the sizing rule)
+        with state_partitions(spark, 8):
+            run_to_memory_sink(joined, name, output_mode="append")
         return spark.table(name)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
@@ -1833,6 +1837,7 @@ def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from goodreads_pyspark_spark.streaming import (
         run_to_memory_sink,
+        state_partitions,
         stream_events_from_dir,
     )
 
@@ -1885,7 +1890,9 @@ def s10_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_outer",
         ).select(F.col("p_user").alias("user_id"), "purchase_id", "view_id")
         name = f"s10_sink_{uuid.uuid4().hex[:8]}"
-        run_to_memory_sink(joined, name, output_mode="append")
+        # same state-shard sizing rationale as s06
+        with state_partitions(spark, 8):
+            run_to_memory_sink(joined, name, output_mode="append")
         # drop the sentinel purchase (it joins only the view sentinel)
         return spark.table(name).filter(F.col("purchase_id") >= 0)
     finally:
@@ -1988,10 +1995,11 @@ def t23_asof_with_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "data for the key, Spark fires the close callback and the session "
     "emits from the timeout path, not from a later event "
     "(streaming/stateful.py session_close_by_timeout). Harness: events "
-    "staged as ~6 time waves plus a far-future sentinel, "
-    "maxFilesPerTrigger=1 with strictly ordered mtimes; two wave cuts "
-    "sit inside the largest intra-user silence, so that wave is silent "
-    "for that user, its batch's watermark is past the open deadline, "
+    "staged as 3 time waves plus a far-future sentinel, "
+    "maxFilesPerTrigger=1 with strictly ordered mtimes; the two wave "
+    "cuts sit inside the largest intra-user silence, so the middle wave "
+    "is silent for that user, its batch's watermark is past the open "
+    "deadline, "
     "and the timeout fires MID-STREAM (asserted: a timeout-closed "
     "session followed by a later session of the same user) while "
     "gap-closes keep happening inline; the "
@@ -2011,6 +2019,7 @@ def s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from goodreads_pyspark_spark.streaming import (
         run_to_memory_sink,
+        state_partitions,
         session_close_by_timeout,
         sessionized_by_user,
     )
@@ -2019,15 +2028,12 @@ def s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     configure_for_oracle(spark)
     ev = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
 
-    # Stage the stream as ~6 time waves in ONE partitioned write job. Wave
-    # boundaries are quartiles of the span PLUS two cuts placed inside the
-    # single largest intra-user silence (~100h at both sfs): the wave
-    # between those cuts contains no event for that user while the
-    # preceding wave's watermark has already passed their open session's
-    # deadline — the timeout path MUST fire mid-stream, with micro-batch
-    # count (and per-batch state-store overhead) independent of span.
-    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
-    lo, hi = bounds["lo"], bounds["hi"]
+    # Stage the stream as 3 time waves in ONE partitioned write job, cut
+    # around the single largest intra-user silence (~100h at both sfs):
+    # the middle wave contains no event for that user while the first
+    # wave's watermark has already passed their open session's deadline —
+    # the timeout path MUST fire mid-stream, with micro-batch count (and
+    # per-batch state-store overhead) independent of span.
     wgap = Window.partitionBy("user_id").orderBy("ts")
     top_gap = (
         ev.select("user_id", "ts", F.lag("ts").over(wgap).alias("prev"))
@@ -2046,12 +2052,14 @@ def s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise AssertionError("fixture lacks a >6h intra-user silence")
     import datetime as _dt
 
-    span = hi - lo
+    # Only the silence-straddling pair of cuts is load-bearing (r9; the
+    # r8 quartile cuts added micro-batches — and per-batch state-store
+    # maintenance — without adding coverage): wave 1 spans the inside of
+    # the largest silence, so it is empty for that user while its other
+    # users' events push the watermark past the open deadline, and the
+    # user's next event arrives strictly later, in wave 2.
     cuts = sorted(
         {
-            lo + span / 4,
-            lo + span / 2,
-            lo + 3 * span / 4,
             top_gap["prev"] + _dt.timedelta(hours=4),
             top_gap["ts"] - _dt.timedelta(minutes=5),
         }
@@ -2101,19 +2109,15 @@ def s11_session_timeout_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("ts", "1 hour")
         )
         name = f"s11_sink_{uuid.uuid4().hex[:8]}"
-        # ~31 micro-batches each pay per-partition state-store maintenance;
-        # state here is ~100 keys, so 4 partitions, not 32 (at scale this knob
-        # follows state size — the store shards by key across executors)
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
+        # each micro-batch pays per-partition state-store maintenance;
+        # state here is ~100 keys, so 4 shards, not 32 (state_partitions
+        # docstring has the sizing rule)
+        with state_partitions(spark, 4):
             run_to_memory_sink(
                 session_close_by_timeout(stream, gap_minutes=30),
                 name,
                 output_mode="update",
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         got = spark.table(name).filter(F.col("user_id") >= 0)
 
         # fixture property: a timeout-closed session for a user who has a LATER

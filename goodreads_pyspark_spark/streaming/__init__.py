@@ -4,6 +4,7 @@ from goodreads_pyspark_spark.streaming.windows import (  # noqa: F401
     sessionized_by_user,
     sliding_by_type,
     run_to_memory_sink,
+    state_partitions,
     stream_events_from_dir,
 )
 from goodreads_pyspark_spark.streaming.stateful import (  # noqa: F401

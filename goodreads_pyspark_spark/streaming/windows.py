@@ -12,6 +12,8 @@ an unbounded source.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
@@ -82,6 +84,24 @@ def hourly_by_type(
             "total_value",
         )
     )
+
+
+@contextmanager
+def state_partitions(spark: SparkSession, n: int):
+    """Temporarily size ``spark.sql.shuffle.partitions`` for a stateful
+    streaming run. The state store shards one instance per shuffle
+    partition, fixed at query start; every micro-batch then pays
+    per-instance maintenance (snapshot, maintenance thread, commit) even
+    for empty shards. Size it to the STATE, not the cores: a ~10³-key
+    join/session state wants a handful of shards, while at cluster scale
+    the same knob scales shards out across executors. Restores the
+    previous value on exit so batch queries keep their tuning."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_to_memory_sink(

@@ -1,0 +1,84 @@
+"""Regenerate the gate-age ledger section in COVERAGE.md.
+
+Scans CORRECTNESS_r*.json for each query's newest driver-green round
+(rows_match and, when present, hash_match), joins against the registry,
+and rewrites the '## Gate-age ledger' section of COVERAGE.md in place.
+This is the data the GATE_WINDOW rotation policy (queries/__init__.py)
+is computed from and the artifact the staleness policy is audited
+against.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import re
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+SECTION = "## Gate-age ledger"
+
+
+def last_green_rounds() -> dict[str, int]:
+    out: dict[str, int] = {}
+    for f in sorted(glob.glob(str(REPO / "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"r0*(\d+)", Path(f).name).group(1))
+        for k, v in json.load(open(f)).items():
+            name = re.sub(r"^[ab]_", "", k)
+            if isinstance(v, dict) and v.get("rows_match") and v.get("hash_match", True):
+                out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def render(cur_round: int) -> str:
+    from goodreads_pyspark_spark.queries import GATE_WINDOW, REGISTRY, _load_all
+
+    _load_all()
+    green = last_green_rounds()
+    lines = [
+        SECTION + f" (generated r{cur_round}; policy: newest green row ≤5 rounds old)",
+        "",
+        "Regenerate with `python tools/gate_ledger.py`. '—' = never driver-gated.",
+        f"'window' marks membership in the current GATE_WINDOW (r{cur_round}).",
+        "",
+        "| query | last driver-green | window |",
+        "|---|---|---|",
+    ]
+    overdue = []
+    for n in sorted(REGISTRY):
+        lg = green.get(n)
+        win = "yes" if n in GATE_WINDOW else ""
+        lines.append(f"| {n} | {'r%d' % lg if lg else '—'} | {win} |")
+        if (lg is None or cur_round - lg > 5) and not win:
+            overdue.append(n)
+    if overdue:
+        lines += [
+            "",
+            f"**Overdue (stale >5 rounds, did not fit the 50-slot window; "
+            f"first in line next round): {overdue}**",
+        ]
+    return "\n".join(lines) + "\n"
+
+
+def main() -> None:
+    rounds = [
+        int(re.search(r"r0*(\d+)", Path(f).name).group(1))
+        for f in glob.glob(str(REPO / "CORRECTNESS_r*.json"))
+    ]
+    cur = (max(rounds) + 1) if rounds else 1
+    cov = REPO / "COVERAGE.md"
+    text = cov.read_text()
+    block = render(cur)
+    pat = re.compile(rf"^{re.escape(SECTION)}.*?(?=^## |\Z)", re.M | re.S)
+    if pat.search(text):
+        text = pat.sub(block + "\n", text)
+    else:
+        text = text.rstrip() + "\n\n" + block
+    cov.write_text(text)
+    print(f"gate ledger regenerated for r{cur} -> {cov}")
+
+
+if __name__ == "__main__":
+    main()
