@@ -3699,18 +3699,24 @@ def s12_streaming_ingest_admission(spark: SparkSession, sf_dir: str) -> DataFram
         flagged.write.mode("append").parquet(out)
 
     try:
-        q = (
-            spark.readStream.schema(incoming.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(stage)
-            .writeStream.foreachBatch(screen)
-            .option("checkpointLocation", chk)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        from goodreads_pyspark_spark.streaming import state_partitions
+
+        # stateless foreachBatch, but each micro-batch's screen() runs 4
+        # joins over a third of the (small) admission batch — 8 shuffle
+        # partitions per batch, not 32 of scheduling overhead
+        with state_partitions(spark, 8):
+            q = (
+                spark.readStream.schema(incoming.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .writeStream.foreachBatch(screen)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
 
         ledger = spark.read.parquet(out)
         n_led, n_in = ledger.count(), incoming.count()

@@ -281,6 +281,7 @@ def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.streaming import (
         hourly_by_type,
         run_to_memory_sink,
+        state_partitions,
         stream_events_from_dir,
     )
 
@@ -292,9 +293,10 @@ def s01_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         events_tbl(spark, sf_dir).write.mode("overwrite").parquet(stage)
         name = f"s01_sink_{uuid.uuid4().hex[:8]}"
         stream = stream_events_from_dir(spark, stage)
-        run_to_memory_sink(
-            hourly_by_type(stream, exact_scale=6), name, output_mode="complete"
-        )
+        with state_partitions(spark, 8):
+            run_to_memory_sink(
+                hourly_by_type(stream, exact_scale=6), name, output_mode="complete"
+            )
         return spark.table(name).select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -342,6 +344,11 @@ def s02_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = events_tbl(spark, sf_dir)
         events.write.mode("overwrite").parquet(stage)
         name = f"s02_sink_{uuid.uuid4().hex[:8]}"
+        # NO shard shrink here: running_user_totals is
+        # applyInPandasWithState, where each shard is a Python worker —
+        # shrinking shards serializes the per-key Python work; the
+        # maintenance-dominated cases are many-micro-batch streams like
+        # s11, not this single-batch one
         run_to_memory_sink(
             running_user_totals(stream_events_from_dir(spark, stage)),
             name,
@@ -411,6 +418,7 @@ def s03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.streaming import (
         dedup_events,
         run_to_memory_sink,
+        state_partitions,
         stream_events_from_dir,
     )
 
@@ -421,11 +429,12 @@ def s03_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.write.mode("overwrite").parquet(stage)
         events.write.mode("append").parquet(stage)
         name = f"s03_sink_{uuid.uuid4().hex[:8]}"
-        run_to_memory_sink(
-            dedup_events(stream_events_from_dir(spark, stage)),
-            name,
-            output_mode="append",
-        )
+        with state_partitions(spark, 8):
+            run_to_memory_sink(
+                dedup_events(stream_events_from_dir(spark, stage)),
+                name,
+                output_mode="append",
+            )
         got = spark.table(name)
         n_got, n_expected = got.count(), events.dropDuplicates(["event_id"]).count()
         if n_got != n_expected:
@@ -513,6 +522,7 @@ def s04_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from goodreads_pyspark_spark.streaming import (
         run_to_memory_sink,
+        state_partitions,
         sliding_by_type,
         stream_events_from_dir,
     )
@@ -523,11 +533,12 @@ def s04_streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = events_tbl(spark, sf_dir)
         events.write.mode("overwrite").parquet(stage)
         name = f"s04_sink_{uuid.uuid4().hex[:8]}"
-        run_to_memory_sink(
-            sliding_by_type(stream_events_from_dir(spark, stage), exact_scale=6),
-            name,
-            output_mode="complete",
-        )
+        with state_partitions(spark, 8):
+            run_to_memory_sink(
+                sliding_by_type(stream_events_from_dir(spark, stage), exact_scale=6),
+                name,
+                output_mode="complete",
+            )
         got = spark.table(name)
         expected = sliding_by_type(events, exact_scale=6)
         # null-safe compare: a window present on only one side must count as a
@@ -626,6 +637,7 @@ def s05_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.streaming import (
         enrich_with_dim,
         run_to_memory_sink,
+        state_partitions,
         stream_events_from_dir,
     )
 
@@ -638,9 +650,10 @@ def s05_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         name = f"s05_sink_{uuid.uuid4().hex[:8]}"
         stream = stream_events_from_dir(spark, stage)
-        run_to_memory_sink(
-            enrich_with_dim(stream, dim), name, output_mode="complete"
-        )
+        with state_partitions(spark, 8):
+            run_to_memory_sink(
+                enrich_with_dim(stream, dim), name, output_mode="complete"
+            )
         return spark.table(name).select(
             F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "segment",
@@ -1241,6 +1254,7 @@ def s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from goodreads_pyspark_spark.streaming import (
         run_to_memory_sink,
+        state_partitions,
         sessionized_by_user,
         stream_events_from_dir,
     )
@@ -1251,13 +1265,14 @@ def s07_streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = events_tbl(spark, sf_dir).filter(F.col("user_id") < 100)
         events.write.mode("overwrite").parquet(stage)
         name = f"s07_sink_{uuid.uuid4().hex[:8]}"
-        run_to_memory_sink(
-            sessionized_by_user(stream_events_from_dir(spark, stage).filter(
-                F.col("user_id") < 100
-            )),
-            name,
-            output_mode="complete",
-        )
+        with state_partitions(spark, 8):
+            run_to_memory_sink(
+                sessionized_by_user(stream_events_from_dir(spark, stage).filter(
+                    F.col("user_id") < 100
+                )),
+                name,
+                output_mode="complete",
+            )
         got = spark.table(name)
         expected = sessionized_by_user(events)
         bad = (
@@ -1736,6 +1751,8 @@ def s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
+    from goodreads_pyspark_spark.streaming import state_partitions
+
     from goodreads_pyspark_spark.operators.cdc import apply_cdc
 
     configure_for_oracle(spark)
@@ -1775,18 +1792,21 @@ def s09_streaming_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             apply_cdc(snap, bdf, key="doc_id").write.parquet(nxt)
             state["cur"] = nxt
 
-        q = (
-            spark.readStream.schema(feed_schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(feed)
-            .writeStream.foreachBatch(merge_batch)
-            .option("checkpointLocation", f"{base}/chk")
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # stateless stream, but each merge_batch join runs at batch scale —
+        # 8 shuffle partitions, not 32 of scheduling overhead
+        with state_partitions(spark, 8):
+            q = (
+                spark.readStream.schema(feed_schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(feed)
+                .writeStream.foreachBatch(merge_batch)
+                .option("checkpointLocation", f"{base}/chk")
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         if state["batches"] < 3:
             raise AssertionError(
                 f"expected >=3 incremental merge batches, saw {state['batches']}"
@@ -2394,6 +2414,8 @@ def t26_daily_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def s13_streaming_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
+
+    from goodreads_pyspark_spark.streaming import state_partitions
     import uuid
 
     from goodreads_pyspark_spark.streaming import stream_events_from_dir
@@ -2413,16 +2435,18 @@ def s13_streaming_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         name = f"s13_sink_{uuid.uuid4().hex[:8]}"
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
+        # state is ~30 daily windows — 4 state shards, not 32
+        with state_partitions(spark, 4):
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         got = spark.table(name).select(
             F.date_format("w.start", "yyyy-MM-dd").alias("day"),
             "n_events_stream",
