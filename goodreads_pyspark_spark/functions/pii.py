@@ -1,0 +1,59 @@
+"""PII detection and redaction over a text column.
+
+Training-data pipelines scrub personally identifiable information before
+a corpus ships (public practice: Dodge et al. 2021, "Documenting Large
+Webtext Corpora", arXiv 2104.08758 — which audits C4 for exactly these
+classes; CCNet/C4-style cleaning passes). Patterns are deliberately
+conservative STRUCTURAL classes — email, IPv4, SSN-shape, US-phone-shape
+— expressed in the regex subset Java (Spark) and RE2 (DuckDB) evaluate
+identically (no lookaround, no backreferences), so a DuckDB oracle can
+replay both detection counts and the redacted text bit-for-bit.
+
+Scale shape: everything here is regexp_extract_all / chained
+regexp_replace on a projected column — JVM-side inside whole-stage
+codegen, one linear pass, no shuffle, no Python workers. At 100 TB the
+scrub pipelines onto the scan exactly like any other projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: (class name, pattern, replacement token). Order is the REDACTION order
+#: — applied top-down; classes are mutually non-overlapping by
+#: construction (SSN is 3-2-4 digits, phone 3-3-4) but a fixed order
+#: keeps the output well-defined if that ever changes. Replacement
+#: tokens contain no digits and no '@', so a later pattern can never
+#: match inside an earlier substitution.
+PII_CLASSES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_count(col: Column, pattern: str) -> Column:
+    """Number of matches of one PII class in ``col`` (int)."""
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), F.lit(0)))
+
+
+def redact_pii(col: Column) -> Column:
+    """``col`` with every PII class replaced by its token, in class order."""
+    out = col
+    for _name, pattern, token in PII_CLASSES:
+        out = F.regexp_replace(out, F.lit(pattern), F.lit(token))
+    return out
+
+
+def sql_redact(expr: str) -> str:
+    """DuckDB mirror of :func:`redact_pii` as a nested expression.
+
+    DuckDB's ``regexp_replace`` is first-match-only by default — the
+    ``'g'`` flag restores Spark's replace-all semantics.
+    """
+    out = expr
+    for _name, pattern, token in PII_CLASSES:
+        out = f"regexp_replace({out}, '{pattern}', '{token}', 'g')"
+    return out

@@ -4775,3 +4775,233 @@ def d56_datacard_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- PII scrub (new in r9) ---------------------------------------------------
+#: Deterministic PII fixture: the synthetic corpus text is digit-free word
+#: salad, so a scrub over it would gate nothing. Both engines therefore
+#: splice structural PII into the text with the SAME ANSI fragment (the
+#: d49/d37 shared-fragment discipline — identical string rendering in
+#: Spark and DuckDB), making detection counts, redacted char deltas, and
+#: the redacted-text checksum real hash-gated cells. The operator itself
+#: (functions/pii.py) is corpus-agnostic.
+_D57_BASE = (
+    "CASE CAST(doc_id % 7 AS INT)"
+    " WHEN 1 THEN text || ' contact user' || CAST(doc_id AS STRING)"
+    " || '@mail.example.com for details'"
+    " WHEN 2 THEN text || ' server at 10.' || CAST(doc_id % 200 AS STRING)"
+    " || '.0.' || CAST(doc_id % 250 AS STRING) || ' responded'"
+    " WHEN 3 THEN text || ' ssn is 123-45-'"
+    " || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+    " WHEN 4 THEN text || ' call 555-'"
+    " || lpad(CAST(doc_id % 900 + 100 AS STRING), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+    " ELSE text END"
+)
+#: A second class for doc_id % 14 == 8 (a subset of the email branch;
+#: 7 is coprime with the 20 sources, so every source sees every class):
+#: multi-class docs exercise the redaction chain, not just single hits.
+_D57_AUG = (
+    f"CASE WHEN doc_id % 14 = 8 THEN ({_D57_BASE})"
+    " || ' from 192.168.1.' || CAST(doc_id % 250 AS STRING)"
+    f" ELSE ({_D57_BASE}) END"
+)
+
+
+def _d57_oracle() -> str:
+    from goodreads_pyspark_spark.functions.pii import PII_CLASSES, sql_redact
+
+    counts = ",\n             ".join(
+        f"len(regexp_extract_all(t, '{pat}')) AS c_{name}"
+        for name, pat, _tok in PII_CLASSES
+    )
+    sums = ",\n           ".join(
+        f"CAST(SUM(c_{name}) AS BIGINT) AS n_{name}"
+        for name, _pat, _tok in PII_CLASSES
+    )
+    any_hit = " + ".join(f"c_{name}" for name, _p, _t in PII_CLASSES)
+    return f"""
+    WITH aug AS (SELECT source, {_D57_AUG} AS t FROM documents),
+    hits AS (SELECT source, t, {sql_redact('t')} AS r,
+             {counts}
+             FROM aug)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN {any_hit} > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_flagged,
+           {sums},
+           CAST(SUM(length(t) - length(r)) AS BIGINT) AS chars_redacted,
+           CAST(CAST(SUM(('0x' || substr(md5(r), 1, 15))::BIGINT)
+                     AS DECIMAL(38,0)) AS VARCHAR) AS redacted_checksum
+    FROM hits GROUP BY source
+    """
+
+
+@query(
+    "d57_pii_scrub",
+    oracle=_d57_oracle(),
+    doc="PII detection + redaction ledger (Dodge et al. 2021, arXiv "
+    "2104.08758 — the C4 audit's PII classes; functions/pii.py): "
+    "structural email/IPv4/SSN/phone patterns in the Java-RE2-common "
+    "regex subset, counted with regexp_extract_all and scrubbed with an "
+    "ordered regexp_replace chain, then rolled up per source with an "
+    "order-independent md5-prefix checksum of the REDACTED text (io15's "
+    "checksum convention) — a changed or missed substitution anywhere "
+    "flips the gate. The corpus is digit-free synthetic text, so both "
+    "engines splice deterministic PII via a shared ANSI fragment first "
+    "(fixture, not operator). Scale shape: one projected linear pass, "
+    "all JVM-side regex inside codegen, the only shuffle is the "
+    "per-source 1-row rollup.",
+)
+def d57_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.pii import (
+        PII_CLASSES,
+        pii_count,
+        redact_pii,
+    )
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    aug = F.expr(_D57_AUG)
+    hits = docs.select(
+        "source",
+        aug.alias("t"),
+        redact_pii(aug).alias("r"),
+        *[
+            pii_count(aug, pat).alias(f"c_{name}")
+            for name, pat, _tok in PII_CLASSES
+        ],
+    )
+    any_hit = sum(F.col(f"c_{name}") for name, _p, _t in PII_CLASSES)
+    checksum_int = F.conv(F.substring(F.md5("r"), 1, 15), 16, 10).cast("bigint")
+    return hits.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((any_hit > 0).cast("int")).cast("bigint").alias("n_docs_flagged"),
+        *[
+            F.sum(f"c_{name}").cast("bigint").alias(f"n_{name}")
+            for name, _p, _t in PII_CLASSES
+        ],
+        F.sum(F.length("t") - F.length("r")).cast("bigint").alias(
+            "chars_redacted"
+        ),
+        F.sum(checksum_int.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("redacted_checksum"),
+    )
+
+
+# --- DSIR-style importance resampling (new in r9) ----------------------------
+#: Hashed-feature bucket count for the importance estimator. 64 is small
+#: enough that the per-bucket score table broadcasts as a handful of rows
+#: yet large enough to separate target-like from raw-like token mass.
+_D58_B = 64
+
+
+def _d58_oracle() -> str:
+    return f"""
+    WITH tk AS (SELECT doc_id, source, lang, unnest({_TOKS}) AS tok
+                FROM documents),
+    bk AS (SELECT doc_id, source,  lang,
+                  ('0x' || substr(md5('dsir1_' || tok), 1, 8))::BIGINT % {_D58_B}
+                    AS b
+           FROM tk),
+    rb AS (SELECT b, COUNT(*) AS rcnt FROM bk GROUP BY b),
+    tb AS (SELECT b, COUNT(*) AS tcnt FROM bk WHERE lang = 'en' GROUP BY b),
+    tot AS (SELECT (SELECT COUNT(*) FROM bk) AS rtot,
+                   (SELECT COUNT(*) FROM bk WHERE lang = 'en') AS ttot),
+    s AS (SELECT rb.b,
+                 CAST(FLOOR(1e9 *
+                      ((COALESCE(tcnt, 0) + 1) * (rtot + {_D58_B})
+                       - (rcnt + 1) * (ttot + {_D58_B}))
+                      / ((COALESCE(tcnt, 0) + 1) * (rtot + {_D58_B})
+                         + (rcnt + 1) * (ttot + {_D58_B}))) AS BIGINT) AS s
+          FROM rb LEFT JOIN tb ON rb.b = tb.b CROSS JOIN tot),
+    db AS (SELECT doc_id, source, b, COUNT(*) AS c
+           FROM bk GROUP BY doc_id, source, b),
+    dw AS (SELECT doc_id, source, CAST(SUM(c * s) AS BIGINT) AS w
+           FROM db JOIN s USING (b) GROUP BY doc_id, source)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_selected,
+           CAST(SUM(w) AS BIGINT) AS total_weight,
+           MAX(w) AS max_weight,
+           MIN(w) AS min_weight
+    FROM dw GROUP BY source
+    """
+
+
+@query(
+    "d58_dsir_importance",
+    oracle=_d58_oracle(),
+    doc="DSIR-style importance resampling (Xie et al. 2023, arXiv "
+    "2302.03169, public): hashed bag-of-tokens features, per-bucket "
+    "affinity of the add-one-smoothed target distribution (lang='en' "
+    "docs, standing in for the paper's high-quality target corpus) "
+    "against the raw distribution, per-doc importance = token-count-"
+    "weighted sum of bucket scores, docs with positive affinity "
+    "selected. Engine-portability variant of the paper's log-likelihood "
+    "ratio (the d49 no-libm discipline): per-bucket score is the "
+    "algebraic log-odds surrogate (p-q)/(p+q) — a monotone transform of "
+    "p/q, so per-bucket ranking is preserved — rendered as a FIXED-POINT "
+    "integer (floor of 1e9x, integer numerator/denominator, one "
+    "correctly-rounded IEEE divide), making every downstream sum exact "
+    "and the whole gate hash-checked rather than band-checked. Scale "
+    "shape: one tokenize pass, (doc,bucket) count shuffle, a "
+    f"{_D58_B}-row broadcast score table, per-doc keyed agg — no "
+    "all-pairs, no Python workers; at 100 TB the bucket products need "
+    "DECIMAL accumulators, noted inline.",
+)
+def d58_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.text import tokens
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    tk = docs.select(
+        "doc_id", "source", "lang", F.explode(tokens("text")).alias("tok")
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dsir1_"), F.col("tok"))), 1, 8), 16, 10)
+        .cast("bigint")
+        % _D58_B
+    )
+    # one cached token->bucket pass feeds the raw counts, the target
+    # counts, and the per-doc counts
+    bk = tk.select("doc_id", "source", "lang", bucket.alias("b")).cache()
+    rb = bk.groupBy("b").agg(F.count(F.lit(1)).alias("rcnt"))
+    tbl_t = (
+        bk.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+    )
+    tot = bk.agg(
+        F.count(F.lit(1)).alias("rtot"),
+        F.sum((F.col("lang") == "en").cast("long")).alias("ttot"),
+    )
+    # bigint products stay < 2^63 at test scale (counts x corpus tokens);
+    # a 100 TB run lifts num/den into decimal(38,0) before the divide
+    num = (F.coalesce(F.col("tcnt"), F.lit(0)) + 1) * (
+        F.col("rtot") + _D58_B
+    ) - (F.col("rcnt") + 1) * (F.col("ttot") + _D58_B)
+    den = (F.coalesce(F.col("tcnt"), F.lit(0)) + 1) * (
+        F.col("rtot") + _D58_B
+    ) + (F.col("rcnt") + 1) * (F.col("ttot") + _D58_B)
+    s = (
+        rb.join(tbl_t, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("b", F.floor(F.lit(1e9) * num / den).cast("bigint").alias("s"))
+    )
+    db = bk.groupBy("doc_id", "source", "b").agg(F.count(F.lit(1)).alias("c"))
+    dw = (
+        db.join(F.broadcast(s), "b")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("c") * F.col("s")).cast("bigint").alias("w"))
+    )
+    return dw.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum((F.col("w") > 0).cast("int")).cast("bigint").alias("n_selected"),
+        F.sum("w").cast("bigint").alias("total_weight"),
+        F.max("w").alias("max_weight"),
+        F.min("w").alias("min_weight"),
+    )

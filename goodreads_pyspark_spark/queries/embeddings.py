@@ -1874,3 +1874,114 @@ def e29_ivf_incremental_add(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_share"),
         )
     )
+
+
+# --- embedding outlier pruning (new in r9) -----------------------------------
+@query(
+    "e30_embedding_outliers",
+    oracle=f"""
+    WITH {_LONG},
+    amax AS (SELECT pos, greatest(MAX(abs(v)), 1e-30) AS amax
+             FROM e GROUP BY pos),
+    q AS (SELECT e.vec_id, e.pos,
+                 CAST(floor(e.v * 127.0 / amax + 0.5) AS BIGINT) AS code
+          FROM e JOIN amax USING (pos)),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    cen AS (SELECT label, pos,
+                   CAST(FLOOR(CAST(SUM(code) AS DOUBLE) / COUNT(*)) AS BIGINT)
+                     AS cen
+            FROM q JOIN lab USING (vec_id) GROUP BY label, pos),
+    d2 AS (SELECT q.vec_id, lab.label,
+                  CAST(SUM((code - cen) * (code - cen)) AS BIGINT) AS dist2
+           FROM q JOIN lab USING (vec_id)
+           JOIN cen ON cen.label = lab.label AND cen.pos = q.pos
+           GROUP BY q.vec_id, lab.label),
+    stats AS (SELECT label,
+                     CAST(FLOOR(CAST(SUM(dist2) AS DOUBLE) / COUNT(*))
+                          AS BIGINT) AS mean_dist2
+              FROM d2 GROUP BY label)
+    SELECT d2.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           stats.mean_dist2,
+           MAX(dist2) AS max_dist2,
+           CAST(SUM(CASE WHEN dist2 > 2 * stats.mean_dist2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM d2 JOIN stats USING (label)
+    GROUP BY d2.label, stats.mean_dist2
+    """,
+    doc="Embedding-space outlier pruning: flag vectors far from their "
+    "label centroid — the standard screen for mislabeled / junk "
+    "examples before a corpus ships (the aggregate analog of "
+    "CLIP-score-style filtering, on the label structure the fixture "
+    "provides). Everything is INTEGER-exact end to end via the e07 "
+    "trick: int8-quantize first (per-dim symmetric scale, floor(x+0.5)), "
+    "then centroids (floored integer mean), squared distances, the "
+    "data-derived threshold (2x label mean dist2), and outlier counts "
+    "are all bigint arithmetic — a hash-gate with no float tolerance "
+    "anywhere past quantization. Scale shape: pos-keyed scale agg, "
+    "(label,pos)-keyed centroid agg, vec-keyed distance agg — three "
+    "linear keyed shuffles; the (labels x dims) centroid table "
+    "broadcasts.",
+)
+def e30_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.functions.vectors import explode_vector
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    emb = fan_out(tbl(spark, sf_dir, "embeddings"))
+    e = explode_vector(emb, "vec_id").withColumn("pos", F.col("pos") + 1)
+    amax = e.groupBy("pos").agg(
+        F.greatest(F.max(F.abs("v")), F.lit(1e-30)).alias("amax")
+    )
+    # one quantize pass feeds the centroid agg and the distance agg
+    q = (
+        e.join(amax, "pos")
+        .select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("v") * 127.0 / F.col("amax") + 0.5)
+            .cast("bigint")
+            .alias("code"),
+        )
+        .cache()
+    )
+    lab = emb.select("vec_id", "label")
+    cen = (
+        q.join(lab, "vec_id")
+        .groupBy("label", "pos")
+        .agg(
+            F.floor(
+                F.sum("code").cast("double") / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("cen")
+        )
+    )
+    d2 = (
+        q.join(lab, "vec_id")
+        .join(F.broadcast(cen), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum((F.col("code") - F.col("cen")) * (F.col("code") - F.col("cen")))
+            .cast("bigint")
+            .alias("dist2")
+        )
+    )
+    stats = d2.groupBy("label").agg(
+        F.floor(F.sum("dist2").cast("double") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("mean_dist2")
+    )
+    return (
+        d2.join(F.broadcast(stats), "label")
+        .groupBy("label", "mean_dist2")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.max("dist2").alias("max_dist2"),
+            F.sum((F.col("dist2") > 2 * F.col("mean_dist2")).cast("int"))
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select("label", "n_vecs", "mean_dist2", "max_dist2", "n_outliers")
+    )

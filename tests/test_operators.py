@@ -672,3 +672,42 @@ def test_as_of_join_tolerance_nulls_stale_payload(spark):
     got = {r["nm"]: (r["rid"], r["rt"]) for r in out.collect()}
     assert got["p1"] == (7, 95)          # within 50
     assert got["p2"] == (None, None)     # rt=110 < 200-50 -> stale
+
+
+def test_pii_redaction_order_and_idempotence(spark):
+    """Every PII class is scrubbed, clean text passes through unchanged,
+    and re-redacting redacted text is a no-op (tokens contain no digits
+    or '@', so no pattern can match inside a substitution)."""
+    from goodreads_pyspark_spark.functions.pii import (
+        PII_CLASSES,
+        pii_count,
+        redact_pii,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail me at jo.doe+x@site.org or 10.0.0.1"),
+            (2, "ssn 123-45-6789 phone 555-867-5309"),
+            (3, "no pii in this row at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    red = docs.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("r"),
+        *[
+            pii_count(F.col("text"), pat).alias(f"c_{name}")
+            for name, pat, _tok in PII_CLASSES
+        ],
+    )
+    rows = {r.doc_id: r for r in red.collect()}
+    assert rows[1].r == "mail me at <EMAIL> or <IP>"
+    assert rows[1].c_email == 1 and rows[1].c_ipv4 == 1
+    assert rows[2].r == "ssn <SSN> phone <PHONE>"
+    assert rows[2].c_ssn == 1 and rows[2].c_phone == 1
+    assert rows[3].r == "no pii in this row at all"
+    # idempotence: a second pass changes nothing
+    twice = red.select("doc_id", redact_pii(F.col("r")).alias("rr"))
+    assert {r.doc_id: r.rr for r in twice.collect()} == {
+        k: v.r for k, v in rows.items()
+    }
