@@ -1,0 +1,82 @@
+"""Round-9 new-operator stress probe: d57/d58/e30 at 1x and 10x.
+
+Replication conventions: tools/r8_ops_stress.py (id-offset document
+copies with per-copy text suffixes; embeddings get a deterministic
+nudge per copy).
+
+Expected shapes:
+- d57 PII scrub: one projected regex pass + per-source rollup. Linear.
+- d58 DSIR importance: tokenize pass + (doc,bucket) counts + 64-row
+  broadcast + per-doc agg. Linear in token volume.
+- e30 embedding outliers: three keyed aggs over the exploded (vec,pos)
+  stream + centroid broadcast. Linear in vectors x dims.
+
+Usage: python tools/r9_ops_stress.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+from goodreads_pyspark_spark.session import get_spark
+from tools.corpus_stress_r5 import replicate_embeddings
+from tools.scaling_probe import replicate
+
+QUERIES = {
+    "d57_pii_scrub": ("documents",),
+    "d58_dsir_importance": ("documents",),
+    "e30_embedding_outliers": ("embeddings",),
+}
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    _load_all()
+    spark = get_spark("r9_ops_stress")
+    needed = sorted({t for tabs in QUERIES.values() for t in tabs})
+    rows = []
+    for factor in factors:
+        out_dir = tempfile.mkdtemp(prefix=f"r9ops_x{factor}_")
+        sf_dir = f"{out_dir}/sf"
+        Path(sf_dir).mkdir()
+        for t in needed:
+            if t == "documents":
+                p = replicate(spark, t, factor, "doc_id", out_dir)
+            else:
+                p = replicate_embeddings(spark, factor, out_dir)
+            spark.read.parquet(p).write.parquet(f"{sf_dir}/{t}.parquet")
+
+        def force(df) -> int:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+            ).first()
+            return row["n"]
+
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            best, n = None, 0
+            for _ in range(3):
+                t0 = time.time()
+                n = force(REGISTRY[name].spark_fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            rows.append((name, factor, best, n))
+            print(f"# {name} x{factor}: {best:.2f}s ({n} rows)", flush=True)
+    print("\n| query | factor | wall (min of 3) | rows |")
+    print("|---|---|---|---|")
+    for name, factor, dt, n in rows:
+        print(f"| {name} | {factor}x | {dt:.2f}s | {n} |")
+
+
+if __name__ == "__main__":
+    main()
