@@ -1985,3 +1985,111 @@ def e30_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("label", "n_vecs", "mean_dist2", "max_dist2", "n_outliers")
     )
+
+
+# --- Matryoshka prefix-dim recall audit (new in r9) --------------------------
+_E31_DIMS = (8, 16, 32)
+_E31_Q = 8
+_E31_K = 10
+
+
+def _e31_topk_cte(tag: str, dim_filter: str) -> str:
+    """Top-k CTE pair over ``e`` restricted by ``dim_filter`` (the e09
+    kernel shape: decimal-exact comps, 6dp cosine, vec_id tiebreak)."""
+    return f"""
+    c_{tag} AS (
+      SELECT qid, vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos)
+      WHERE vec_id <> qid AND {dim_filter}
+      GROUP BY qid, vec_id),
+    t_{tag} AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid
+                 ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC,
+                          vec_id) AS rnk
+        FROM c_{tag})
+      WHERE rnk <= {_E31_K})"""
+
+
+def _e31_oracle() -> str:
+    ctes = ",".join(
+        [_e31_topk_cte("full", "TRUE")]
+        + [_e31_topk_cte(f"p{d}", f"pos <= {d}") for d in _E31_DIMS]
+    )
+    hit_blocks = "\n      UNION ALL\n".join(
+        f"""      SELECT qid, {d} AS prefix_dim, COUNT(*) AS hits
+      FROM t_p{d} JOIN t_full USING (qid, vec_id) GROUP BY qid"""
+        for d in _E31_DIMS
+    )
+    return f"""
+    WITH {_LONG},
+    q AS (SELECT vec_id AS qid, pos, v AS qv FROM e WHERE vec_id < {_E31_Q}),
+    {ctes},
+    hits AS (
+{hit_blocks}),
+    grid AS (SELECT DISTINCT qid, d.prefix_dim
+             FROM q CROSS JOIN (VALUES {", ".join(f"({d})" for d in _E31_DIMS)})
+                  AS d(prefix_dim))
+    SELECT g.qid, CAST(g.prefix_dim AS INTEGER) AS prefix_dim,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.hits, 0) AS DOUBLE) / {_E31_K} AS recall
+    FROM grid g LEFT JOIN hits h
+      ON h.qid = g.qid AND h.prefix_dim = g.prefix_dim
+    """
+
+
+@query(
+    "e31_matryoshka_recall",
+    oracle=_e31_oracle(),
+    doc="Matryoshka prefix-dimension recall audit (MRL — Kusupati et al. "
+    "2022, arXiv 2205.13147, public): exact top-10 cosine neighbors "
+    "computed at embedding PREFIXES (8/16/32 of 64 dims) vs the "
+    "full-dimension exact top-10, per-query recall@10 for each prefix — "
+    "the measurement that decides how far a deployment can truncate "
+    "stored vectors before retrieval quality pays (storage/recall "
+    "frontier). Reuses the e09 batch-kNN kernel at each prefix: ONE "
+    "corpus scan per prefix with the 8-query block broadcast, per-query "
+    "window cut, integer hit counts joined against the full-dim list — "
+    "deterministic end to end, so recall itself is hash-gated (e11's "
+    "audit discipline, extended across the dim axis).",
+)
+def e31_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.similarity.ann import batch_knn
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    full = batch_knn(emb, n_queries=_E31_Q, k=_E31_K).select("qid", "vec_id")
+    grids = []
+    for d in _E31_DIMS:
+        pref = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        topd = batch_knn(pref, n_queries=_E31_Q, k=_E31_K).select(
+            "qid", "vec_id"
+        )
+        hits = (
+            topd.join(full, ["qid", "vec_id"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        qids = full.select("qid").distinct()
+        grids.append(
+            qids.join(hits, "qid", "left").select(
+                "qid",
+                F.lit(d).cast("int").alias("prefix_dim"),
+                F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_hits"),
+                (
+                    F.coalesce("hits", F.lit(0)).cast("double") / _E31_K
+                ).alias("recall"),
+            )
+        )
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.unionByName(g)
+    return out
