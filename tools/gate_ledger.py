@@ -46,18 +46,28 @@ def render(cur_round: int) -> str:
         "| query | last driver-green | window |",
         "|---|---|---|",
     ]
-    overdue = []
+    overdue, pending = [], []
     for n in sorted(REGISTRY):
         lg = green.get(n)
         win = "yes" if n in GATE_WINDOW else ""
         lines.append(f"| {n} | {'r%d' % lg if lg else '—'} | {win} |")
-        if (lg is None or cur_round - lg > 5) and not win:
+        if win:
+            continue
+        if lg is None:
+            pending.append(n)  # new addition awaiting its first window
+        elif cur_round - lg > 5:
             overdue.append(n)
+    if pending:
+        lines += [
+            "",
+            f"**Additions pending their first gate (front of the next "
+            f"window, per policy rule 1): {pending}**",
+        ]
     if overdue:
         lines += [
             "",
-            f"**Overdue (stale >5 rounds, did not fit the 50-slot window; "
-            f"first in line next round): {overdue}**",
+            f"**Overdue re-gates (stale >5 rounds, did not fit the 50-slot "
+            f"window; next in line after additions): {overdue}**",
         ]
     return "\n".join(lines) + "\n"
 
