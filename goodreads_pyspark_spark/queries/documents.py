@@ -5005,3 +5005,312 @@ def d58_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("w").alias("max_weight"),
         F.min("w").alias("min_weight"),
     )
+
+
+# --- KMV cross-source overlap (new in r9) ------------------------------------
+#: k-minimum-values sketch size. Small enough that a per-source sketch is
+#: a handful of rows; the estimator degrades gracefully when a source has
+#: fewer distinct hashes than k (sketch == full set -> exact count).
+_D59_K = 16
+#: Hash space size: md5-prefix-15 hex chars = 60 bits.
+_D59_M = float(1 << 60)
+
+
+def _d59_oracle() -> str:
+    return f"""
+    WITH hs AS (SELECT DISTINCT source,
+                       ('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT
+                         AS h
+                FROM documents),
+    sc AS (SELECT source, COUNT(*) AS cnt FROM hs GROUP BY source),
+    sk AS (SELECT source, h FROM (
+             SELECT source, h,
+                    ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM hs)
+           WHERE rn <= {_D59_K}),
+    pairs AS (SELECT a.source AS src_a, b.source AS src_b
+              FROM sc a JOIN sc b ON a.source < b.source),
+    pu AS (SELECT DISTINCT src_a, src_b, h FROM (
+             SELECT p.src_a, p.src_b, s.h FROM pairs p
+             JOIN sk s ON s.source = p.src_a
+             UNION ALL
+             SELECT p.src_a, p.src_b, s.h FROM pairs p
+             JOIN sk s ON s.source = p.src_b)),
+    pr AS (SELECT src_a, src_b, h,
+                  ROW_NUMBER() OVER (PARTITION BY src_a, src_b
+                                     ORDER BY h) AS rn
+           FROM pu),
+    agg AS (SELECT src_a, src_b,
+                   CAST(COUNT(*) FILTER (rn <= {_D59_K}) AS BIGINT) AS n_sk,
+                   MAX(CASE WHEN rn = {_D59_K} THEN h END) AS kth
+            FROM pr GROUP BY src_a, src_b),
+    ix AS (SELECT a.source AS src_a, b.source AS src_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_inter
+           FROM hs a JOIN hs b
+             ON a.h = b.h AND a.source < b.source
+           GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b,
+           CAST(ca.cnt + cb.cnt - COALESCE(ix.n_inter, 0) AS BIGINT)
+             AS exact_union,
+           CASE WHEN agg.n_sk < {_D59_K} THEN CAST(agg.n_sk AS DOUBLE)
+                ELSE ({_D59_K} - 1) * {_D59_M!r} / CAST(agg.kth AS DOUBLE)
+           END AS est_union
+    FROM pairs p
+    JOIN sc ca ON ca.source = p.src_a
+    JOIN sc cb ON cb.source = p.src_b
+    JOIN agg ON agg.src_a = p.src_a AND agg.src_b = p.src_b
+    LEFT JOIN ix ON ix.src_a = p.src_a AND ix.src_b = p.src_b
+    """
+
+
+@query(
+    "d59_kmv_source_overlap",
+    oracle=_d59_oracle(),
+    doc="Cross-source distinct-content overlap via mergeable k-minimum-"
+    "values sketches (Bar-Yossef et al. 2002; the KMV/theta-sketch "
+    "family, public): per-source sketch = k smallest 60-bit content "
+    "hashes, pairwise union estimate (k-1)*M/kth from the merged "
+    "sketch, gated against the EXACT pairwise union (|A|+|B|-|A∩B| "
+    "from a hash-keyed self-join) as the in-query differential. The "
+    "md5-prefix hash is engine-portable, so sketch contents, kth "
+    "values, and the estimate itself are hash-gated — no tolerance "
+    "bands. Scale shape: sketches are built with a rank<=k per-source "
+    "window (Spark's WindowGroupLimit pushes the cut map-side), pair "
+    "work is sketch-sized (190 pairs x 2k rows at 20 sources); the "
+    "exact-intersection differential is the only corpus-proportional "
+    "join and is the piece a 100 TB run drops, keeping sketch-only "
+    "estimates — which is the point of KMV.",
+)
+def d59_kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.text import norm_text
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+    from goodreads_pyspark_spark.operators.relational import top_k_per_group
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    h = F.conv(F.substring(F.md5(norm_text("text")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    # one distinct (source, hash) pass feeds counts, sketches, and the
+    # exact-intersection differential
+    hs = docs.select("source", h.alias("h")).distinct().cache()
+    sc = hs.groupBy("source").agg(F.count(F.lit(1)).alias("cnt"))
+    sk = top_k_per_group(hs, ["source"], _D59_K, [F.col("h")])
+    pairs = (
+        sc.select(F.col("source").alias("src_a"))
+        .crossJoin(sc.select(F.col("source").alias("src_b")))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    pu = (
+        pairs.join(sk.withColumnRenamed("source", "src_a"), "src_a")
+        .select("src_a", "src_b", "h")
+        .unionByName(
+            pairs.join(sk.withColumnRenamed("source", "src_b"), "src_b")
+            .select("src_a", "src_b", "h")
+        )
+        .distinct()
+    )
+    pr = top_k_per_group(pu, ["src_a", "src_b"], _D59_K, [F.col("h")])
+    agg = pr.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sk"),
+        F.max("h").alias("kth"),
+    )
+    a, b = hs.alias("a"), hs.alias("b")
+    ix = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    ca = sc.select(F.col("source").alias("src_a"), F.col("cnt").alias("ca"))
+    cb = sc.select(F.col("source").alias("src_b"), F.col("cnt").alias("cb"))
+    est = F.when(F.col("n_sk") < _D59_K, F.col("n_sk").cast("double")).otherwise(
+        F.lit(float(_D59_K - 1)) * F.lit(_D59_M) / F.col("kth").cast("double")
+    )
+    return (
+        pairs.join(ca, "src_a")
+        .join(cb, "src_b")
+        .join(agg, ["src_a", "src_b"])
+        .join(ix, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (F.col("ca") + F.col("cb") - F.coalesce("n_inter", F.lit(0)))
+            .cast("bigint")
+            .alias("exact_union"),
+            est.alias("est_union"),
+        )
+    )
+
+
+# --- Bloom-filter admission prefilter (new in r9) ----------------------------
+#: Bloom geometry: j hash positions per key over m bits, with m sized
+#: FROM THE DATA as bits_per_key x corpus-count (computed in-query on
+#: both engines, so the same table always gets the same filter at any
+#: sf). 8 bits/key with j=3 gives a ~31% fill and ~3% FPR at every
+#: scale — big enough that the false-positive path is exercised, small
+#: enough that the filter stays broadcast-sized. A production filter
+#: picks bits/key from the target FPR (m = -n*ln(p)/ln(2)^2); Bloom
+#: positions need no power-of-two m, so plain modulo works.
+_D60_BITS_PER_KEY = 8
+_D60_J = 3
+
+
+def _d60_pos_sql(j: int, h_expr: str) -> str:
+    return (
+        f"('0x' || substr(md5('bl{j}_' || CAST({h_expr} AS STRING)), 1, 8))"
+        f"::BIGINT % m"
+    )
+
+
+def _d60_oracle() -> str:
+    h = "('0x' || substr(md5(lower(trim(text))), 1, 15))::BIGINT"
+    pos_rows = "\n        UNION ALL\n".join(
+        f"        SELECT {_d60_pos_sql(j, 'h')} AS pos FROM corpus"
+        f" CROSS JOIN mt"
+        for j in range(_D60_J)
+    )
+    probe_pos = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, source, h, {_d60_pos_sql(j, 'h')} AS pos"
+        f" FROM batch CROSS JOIN mt"
+        for j in range(_D60_J)
+    )
+    return f"""
+    WITH hd AS (SELECT doc_id, source, {h} AS h,
+                       doc_id % {_C05_MOD} = {_C05_REM} AS is_batch
+                FROM documents),
+    corpus AS (SELECT h FROM hd WHERE NOT is_batch),
+    mt AS (SELECT {_D60_BITS_PER_KEY} * COUNT(*) AS m FROM corpus),
+    batch AS (SELECT doc_id, source, h FROM hd WHERE is_batch),
+    bloom AS (SELECT DISTINCT pos FROM (
+{pos_rows})),
+    pp AS (
+{probe_pos}),
+    hits AS (SELECT doc_id, source, h,
+                    CAST(COUNT(*) AS INTEGER) AS n_set
+             FROM pp JOIN bloom USING (pos)
+             GROUP BY doc_id, source, h),
+    verdicts AS (
+      SELECT b.doc_id, b.source,
+             COALESCE(hits.n_set, 0) = {_D60_J} AS pred_member,
+             EXISTS (SELECT 1 FROM corpus c WHERE c.h = b.h) AS true_member
+      FROM batch b LEFT JOIN hits
+        ON hits.doc_id = b.doc_id)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_batch,
+           CAST(SUM(CASE WHEN true_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true_member,
+           CAST(SUM(CASE WHEN pred_member THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_member,
+           CAST(SUM(CASE WHEN pred_member AND NOT true_member
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CASE WHEN COUNT(*) - SUM(CASE WHEN true_member THEN 1 ELSE 0 END)
+                     = 0 THEN 0.0
+                ELSE CAST(SUM(CASE WHEN pred_member AND NOT true_member
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / (COUNT(*) - SUM(CASE WHEN true_member
+                                      THEN 1 ELSE 0 END))
+           END AS fpr
+    FROM verdicts GROUP BY source
+    """
+
+
+@query(
+    "d60_bloom_prefilter",
+    oracle=_d60_oracle(),
+    doc="Bloom-filter admission prefilter (Bloom 1970; the pattern behind "
+    "Spark's own runtime bloom-filter joins and every ingest daemon's "
+    "'probably seen?' precheck): build an m-bit/j-hash filter over the "
+    "standing corpus's content hashes, probe the admission batch "
+    "(c05/s12's batch split), and report per-source predicted-member vs "
+    "EXACT membership — no-false-negative property and the measured "
+    "false-positive rate are both in the gate. Every position is an "
+    "engine-portable md5 mod, so the filter contents, per-doc verdicts, "
+    "and the FPR itself hash-match. Scale shape: the filter is a "
+    "bounded DISTINCT over <=m positions (broadcast-sized BY "
+    "CONSTRUCTION regardless of corpus size — that is the point of a "
+    "Bloom filter), the probe is j map-side hashes + a broadcast join; "
+    "the exact-membership column is the test differential, which a "
+    "production ingest replaces with the expensive path the filter "
+    "gates.",
+)
+def d60_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.text import norm_text
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    h = F.conv(F.substring(F.md5(norm_text("text")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    hd = docs.select(
+        "doc_id",
+        "source",
+        h.alias("h"),
+        (F.col("doc_id") % _C05_MOD == _C05_REM).alias("is_batch"),
+    ).cache()  # one hash pass feeds filter build, probe, and differential
+    corpus = hd.filter(~F.col("is_batch")).select("h")
+    batch = hd.filter(F.col("is_batch")).select("doc_id", "source", "h")
+    # data-sized filter: m = bits_per_key x corpus keys, one broadcast row
+    mt = corpus.agg(
+        (F.lit(_D60_BITS_PER_KEY) * F.count(F.lit(1))).alias("m")
+    )
+
+    def pos(j: int) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bl{j}_"), F.col("h").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % F.col("m")
+        )
+
+    corpus_m = corpus.crossJoin(F.broadcast(mt))
+    batch_m = batch.crossJoin(F.broadcast(mt))
+    bloom = None
+    for j in range(_D60_J):
+        part = corpus_m.select(pos(j).alias("pos"))
+        bloom = part if bloom is None else bloom.unionByName(part)
+    bloom = bloom.distinct()
+
+    pp = None
+    for j in range(_D60_J):
+        part = batch_m.select("doc_id", "source", "h", pos(j).alias("pos"))
+        pp = part if pp is None else pp.unionByName(part)
+    hits = (
+        pp.join(F.broadcast(bloom), "pos")
+        .groupBy("doc_id", "source", "h")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_set"))
+    )
+    true_member = (
+        batch.join(corpus.distinct(), "h", "left_semi")
+        .select("doc_id")
+        .withColumn("tm", F.lit(True))
+    )
+    verdicts = (
+        batch.join(hits.select("doc_id", "n_set"), "doc_id", "left")
+        .join(true_member, "doc_id", "left")
+        .select(
+            "source",
+            (F.coalesce("n_set", F.lit(0)) == _D60_J).alias("pred_member"),
+            F.coalesce("tm", F.lit(False)).alias("true_member"),
+        )
+    )
+    nb = F.count(F.lit(1))
+    ntm = F.sum(F.col("true_member").cast("int"))
+    nfp = F.sum((F.col("pred_member") & ~F.col("true_member")).cast("int"))
+    return verdicts.groupBy("source").agg(
+        nb.cast("bigint").alias("n_batch"),
+        ntm.cast("bigint").alias("n_true_member"),
+        F.sum(F.col("pred_member").cast("int"))
+        .cast("bigint")
+        .alias("n_pred_member"),
+        nfp.cast("bigint").alias("n_false_pos"),
+        F.when(nb - ntm == 0, F.lit(0.0))
+        .otherwise(nfp.cast("double") / (nb - ntm))
+        .alias("fpr"),
+    )
