@@ -34,6 +34,9 @@ QUERIES = {
     "d57_pii_scrub": ("documents",),
     "d58_dsir_importance": ("documents",),
     "e30_embedding_outliers": ("embeddings",),
+    "e31_matryoshka_recall": ("embeddings",),
+    "d59_kmv_source_overlap": ("documents",),
+    "d60_bloom_prefilter": ("documents",),
 }
 
 
