@@ -60,6 +60,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
+    wall_t0 = time.perf_counter()
     for name, q in sorted(REGISTRY.items()):
         dt, n = run_once(q)
         # This VM sees bursty CPU contention: a query can read 3-10x its
@@ -79,6 +80,11 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Sum-of-mins hides one-time session costs (e.g. the shared c-family
+    # kernel build, paid once by whichever consumer runs first and dropped
+    # by min-of-3) — report the raw wall clock of the measurement loop too
+    # so the accounting is auditable (SCALING.md addendum 9).
+    wall = round(time.perf_counter() - wall_t0, 3)
 
     # Full per-query detail (time + result rows) goes to a repo file the
     # judge can read; the stdout contract line stays under ~2 KB so the
@@ -88,6 +94,7 @@ def main() -> None:
         "metric": "suite_total_runtime",
         "value": total,
         "unit": "sec",
+        "wall_clock_sec": wall,
         "sf": sf,
         "n_queries": len(timings),
         "queries": timings,
@@ -105,6 +112,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": slowest,
                 "n_queries": len(timings),
+                "wall_clock_sec": wall,
                 "detail": "BENCH_DETAIL.json",
                 "sf": sf,
             }

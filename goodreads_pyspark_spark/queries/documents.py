@@ -255,6 +255,65 @@ def _neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _NEARDUP_CC_MEMO[key]
 
 
+_C_STAGES_MEMO: dict[tuple[str, str], dict[str, DataFrame]] = {}
+
+
+def _c_pipeline_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Session-scoped memo of the c01/c03/c06 shared pipeline stages.
+
+    Returns id-frames (single ``doc_id`` column, localCheckpoint-backed —
+    the _jac05_pairs rationale) for each stage boundary: ``gated`` (past
+    the quality gate), ``exact`` (exact-dedup survivors), ``cleaned``
+    (near-dup removal at 0.8), ``contam`` (train-side docs failing d15
+    decontamination at 0.5). The LSH+verify near-dup kernel and the
+    shingle-based contamination join are the pipeline's dominant costs;
+    c01, c03, and c06 all consume identical stage sets, so they are
+    computed once per (session, sf_dir).
+    """
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in _C_STAGES_MEMO:
+        _evict_dead(_C_STAGES_MEMO, app)
+        from goodreads_pyspark_spark.dedup.decontaminate import (
+            contamination_stats,
+        )
+        from goodreads_pyspark_spark.dedup.exact import exact_dedup
+        from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+        from goodreads_pyspark_spark.pipelines.corpus import (
+            drop_near_duplicates,
+            quality_gate,
+        )
+
+        docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+        # ONE corpus-wide tokenize->shingle pass feeds the near-dup stage
+        # and decontamination (the dominant linear cost at scale)
+        all_sh = shingle_rows(docs, out_id="id").cache()
+        gated = quality_gate(docs, min_tokens=20)
+        exact = exact_dedup(gated).cache()
+        cleaned = drop_near_duplicates(
+            exact, jaccard_threshold=0.8, shingles=all_sh
+        )
+        train = cleaned.filter(F.col("doc_id") % 20 != 0)
+        ev = docs.filter(F.col("doc_id") % 20 == 0)
+        contam = (
+            contamination_stats(train, ev, shingles=all_sh)
+            .filter(F.col("contamination") >= 0.5)
+            .select("doc_id")
+        )
+        stages = {
+            "gated": gated.select("doc_id"),
+            "exact": exact.select("doc_id"),
+            "cleaned": cleaned.select("doc_id"),
+            "contam": contam,
+        }
+        _C_STAGES_MEMO[key] = {
+            n: f.localCheckpoint() for n, f in stages.items()
+        }
+        exact.unpersist()
+        all_sh.unpersist()
+    return _C_STAGES_MEMO[key]
+
+
 @query(
     "d06_jaccard_neardup_pairs",
     oracle=f"""
@@ -473,9 +532,12 @@ def d09_vocabulary_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- the full corpus-cleaning pipeline, oracle-checked ----------------------
-def _clean_corpus_oracle(
+def _clean_corpus_ctes(
     min_tokens: int = 20, jaccard: float = 0.8, num_hashes: int = 8, bands: int = 4
 ) -> str:
+    """The c01 clean chain as a reusable CTE body (ending at ``verified``);
+    c01 selects the survivors, c06 reads the intermediate stages for its
+    per-doc disposition ledger."""
     r = num_hashes // bands
     mins = ", ".join(f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(num_hashes))
     band_rows = "\n      UNION ALL\n".join(
@@ -484,7 +546,7 @@ def _clean_corpus_oracle(
         for b in range(bands)
     )
     return f"""
-    WITH tk0 AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+    tk0 AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
     q AS (SELECT * FROM tk0
           WHERE len(t) >= {min_tokens}
             AND len(list_distinct(t)) * 10 >= 3 * len(t)),
@@ -514,6 +576,14 @@ def _clean_corpus_oracle(
       JOIN sz sa ON sa.doc_id = i.doc_a
       JOIN sz sb ON sb.doc_id = i.doc_b
       WHERE CAST(nc AS DOUBLE) / (sa.sz + sb.sz - nc) >= {jaccard})
+    """
+
+
+def _clean_corpus_oracle(
+    min_tokens: int = 20, jaccard: float = 0.8, num_hashes: int = 8, bands: int = 4
+) -> str:
+    return f"""
+    WITH {_clean_corpus_ctes(min_tokens, jaccard, num_hashes, bands)}
     SELECT doc_id FROM kept1
     WHERE doc_id NOT IN (SELECT doc_b FROM verified)
     """
@@ -527,11 +597,7 @@ def _clean_corpus_oracle(
     "exact Jaccard verification. Output: surviving doc ids.",
 )
 def c01_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from goodreads_pyspark_spark.pipelines.corpus import clean_corpus
-
-    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    cleaned, _stats = clean_corpus(docs, min_tokens=20, jaccard_threshold=0.8)
-    return cleaned.select("doc_id")
+    return _c_pipeline_stages(spark, sf_dir)["cleaned"]
 
 
 # --- text normalization / scrubbing -----------------------------------------
@@ -2045,27 +2111,15 @@ def _c03_oracle() -> str:
     "shuffle class; stages hand off (doc_id)-keyed frames.",
 )
 def c03_corpus_to_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from goodreads_pyspark_spark.dedup.decontaminate import contamination_stats
-    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
     from goodreads_pyspark_spark.functions.text import tokens as toks_fn
-    from goodreads_pyspark_spark.pipelines.corpus import clean_corpus
     from goodreads_pyspark_spark.pipelines.sampling import portable_bucket
 
     docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
-    # ONE corpus-wide tokenize->shingle pass feeds both the near-dup stage
-    # and decontamination (the dominant linear cost at scale).
-    all_sh = shingle_rows(docs, out_id="id").cache()
-    cleaned, _stats = clean_corpus(
-        docs, min_tokens=20, jaccard_threshold=0.8, shingles=all_sh
+    stages = _c_pipeline_stages(spark, sf_dir)
+    train = stages["cleaned"].filter(F.col("doc_id") % 20 != 0)
+    final = train.join(stages["contam"], "doc_id", "left_anti").join(
+        docs, "doc_id"
     )
-    train = cleaned.filter(F.col("doc_id") % 20 != 0)
-    ev = docs.filter(F.col("doc_id") % 20 == 0)
-    contaminated = (
-        contamination_stats(train, ev, shingles=all_sh)
-        .filter(F.col("contamination") >= 0.5)
-        .select("doc_id")
-    )
-    final = train.join(contaminated, "doc_id", "left_anti")
     routed = final.select(
         portable_bucket(F.col("doc_id"), "shard-v1", 8).cast("int").alias("shard"),
         "doc_id",
@@ -5313,4 +5367,96 @@ def d60_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(nb - ntm == 0, F.lit(0.0))
         .otherwise(nfp.cast("double") / (nb - ntm))
         .alias("fpr"),
+    )
+
+
+# --- per-doc disposition ledger (new in r9) ----------------------------------
+def _c06_oracle() -> str:
+    return f"""
+    WITH {_clean_corpus_ctes()},
+    clean AS (SELECT doc_id FROM kept1
+              WHERE doc_id NOT IN (SELECT doc_b FROM verified)),
+    tk2 AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    idx2 AS (SELECT doc_id, t, unnest(range(1, len(t)-1)) AS i
+             FROM tk2 WHERE len(t) >= 3),
+    sh2 AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+            FROM idx2),
+    ev2 AS (SELECT DISTINCT sh FROM sh2 WHERE doc_id % 20 = 0),
+    hits2 AS (SELECT s.doc_id, COUNT(*) AS n_shared
+              FROM sh2 s JOIN ev2 USING (sh)
+              WHERE s.doc_id % 20 <> 0 GROUP BY s.doc_id),
+    sz2 AS (SELECT doc_id, COUNT(*) AS n_shingles FROM sh2
+            WHERE doc_id % 20 <> 0 GROUP BY doc_id),
+    contam AS (SELECT h.doc_id FROM hits2 h JOIN sz2 USING (doc_id)
+               WHERE CAST(n_shared AS DOUBLE) / n_shingles >= 0.5),
+    disp AS (
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id NOT IN (SELECT doc_id FROM q)
+                    THEN 'quality_gate'
+                  WHEN d.doc_id NOT IN (SELECT doc_id FROM kept1)
+                    THEN 'exact_dup'
+                  WHEN d.doc_id NOT IN (SELECT doc_id FROM clean)
+                    THEN 'near_dup'
+                  WHEN d.doc_id % 20 = 0 THEN 'eval_split'
+                  WHEN d.doc_id IN (SELECT doc_id FROM contam)
+                    THEN 'contaminated'
+                  ELSE 'admitted' END AS disposition
+      FROM documents d)
+    SELECT doc_id, disposition,
+           CASE WHEN disposition = 'admitted'
+                THEN CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || 'shard-v1'), 1, 8)) AS BIGINT) % 8 AS INTEGER)
+           END AS shard
+    FROM disp
+    """
+
+
+@query(
+    "c06_disposition_ledger",
+    oracle=_c06_oracle(),
+    doc="Per-document disposition ledger for the c03 pipeline — the "
+    "row-level provenance artifact a data-governance review asks for: "
+    "every doc_id labeled with the FIRST stage that removed it "
+    "(quality_gate -> exact_dup -> near_dup -> eval_split -> "
+    "contaminated) or 'admitted' plus its shard route. Same stage "
+    "operators and parameters as c01/c03 (quality_gate, exact_dedup, "
+    "drop_near_duplicates at 0.8 over the shared shingle pass, d15 "
+    "contamination at 0.5, d26 md5 shard routing), so the ledger's "
+    "marginal counts reconcile with c01/c03's aggregates by "
+    "construction. Scale shape: the clean chain's shapes plus five "
+    "doc_id-keyed membership joins — set differences between adjacent "
+    "stages, no new shuffle class; the ledger row count is exactly the "
+    "corpus row count.",
+)
+def c06_disposition_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.pipelines.sampling import portable_bucket
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    stages = _c_pipeline_stages(spark, sf_dir)
+
+    def flag(df: DataFrame, name: str) -> DataFrame:
+        return df.select("doc_id").withColumn(name, F.lit(True))
+
+    ledger = (
+        docs.select("doc_id")
+        .join(flag(stages["gated"], "f_gate"), "doc_id", "left")
+        .join(flag(stages["exact"], "f_exact"), "doc_id", "left")
+        .join(flag(stages["cleaned"], "f_clean"), "doc_id", "left")
+        .join(flag(stages["contam"], "f_contam"), "doc_id", "left")
+    )
+    disposition = (
+        F.when(~F.coalesce("f_gate", F.lit(False)), "quality_gate")
+        .when(~F.coalesce("f_exact", F.lit(False)), "exact_dup")
+        .when(~F.coalesce("f_clean", F.lit(False)), "near_dup")
+        .when(F.col("doc_id") % 20 == 0, "eval_split")
+        .when(F.coalesce("f_contam", F.lit(False)), "contaminated")
+        .otherwise("admitted")
+    )
+    return ledger.select(
+        "doc_id",
+        disposition.alias("disposition"),
+        F.when(
+            disposition == "admitted",
+            portable_bucket(F.col("doc_id"), "shard-v1", 8).cast("int"),
+        ).alias("shard"),
     )
