@@ -2073,14 +2073,16 @@ def e31_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         topd = batch_knn(pref, n_queries=_E31_Q, k=_E31_K).select(
             "qid", "vec_id"
         )
+        # both sides of the overlap are Q*k rows (80) by construction —
+        # broadcast hints are constant-bounded, never corpus-sized
         hits = (
-            topd.join(full, ["qid", "vec_id"])
+            topd.join(F.broadcast(full), ["qid", "vec_id"])
             .groupBy("qid")
             .agg(F.count(F.lit(1)).alias("hits"))
         )
         qids = full.select("qid").distinct()
         grids.append(
-            qids.join(hits, "qid", "left").select(
+            qids.join(F.broadcast(hits), "qid", "left").select(
                 "qid",
                 F.lit(d).cast("int").alias("prefix_dim"),
                 F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_hits"),

@@ -1185,3 +1185,76 @@ def test_d56_snapshot_diff_single_pass(spark):
         assert marker not in plan, f"unexpected operator: {marker}"
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan
+
+
+def test_d57_pii_scrub_is_one_jvm_pass(spark):
+    """PII detection + redaction is a single projected regex pass: no
+    joins of any kind, no Python workers, no window — one scan into one
+    per-source hash aggregate."""
+    plan = plan_of(spark, "d57_pii_scrub")
+    for marker in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "Window",
+        "Join",
+    ):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    assert "HashAggregate" in plan
+
+
+def test_d58_dsir_broadcasts_score_table(spark):
+    """The 64-row bucket score table must ride a broadcast to the
+    (doc,bucket) counts; no sort-merge join, cartesian, window, or
+    Python worker anywhere."""
+    plan = plan_of(spark, "d58_dsir_importance")
+    for marker in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "Window",
+        "SortMergeJoin",
+        "CartesianProduct",
+    ):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_d60_bloom_probe_is_broadcast(spark):
+    """The Bloom filter (<=m distinct positions, broadcast-sized BY
+    CONSTRUCTION) must reach the probe as a broadcast join; the
+    data-derived m rides one-row broadcast cross joins, never a
+    CartesianProduct over data."""
+    plan = plan_of(spark, "d60_bloom_prefilter")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_e31_matryoshka_prefix_scans_broadcast_queries(spark):
+    """Each prefix-dim kNN pass must broadcast the 8-query block against
+    the corpus long-form (the e09 shape) — no cartesian, no sort-merge,
+    no Python."""
+    plan = plan_of(spark, "e31_matryoshka_recall")
+    for marker in (
+        "BatchEvalPython",
+        "ArrowEvalPython",
+        "MapInPandas",
+        "CartesianProduct",
+        "SortMergeJoin",
+    ):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    assert "BroadcastHashJoin" in plan
+
+
+def test_c06_ledger_is_membership_joins_over_memoized_stages(spark):
+    """The disposition ledger must consume the memoized stage id-frames
+    (checkpoint scans), not re-run the LSH+verify kernel: the plan
+    bottoms out in ExistingRDD scans joined by doc_id, with no shingle
+    explode (no Generate) and no Python workers."""
+    plan = plan_of(spark, "c06_disposition_ledger")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    assert "Scan ExistingRDD" in plan
+    assert "Generate" not in plan, "ledger must not re-shingle the corpus"
