@@ -1148,3 +1148,72 @@ def io16_index_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- custom Python DataSource roundtrip (new in r9) --------------------------
+_IO17_ROWKEY = "concat_ws('|', doc_id, text, lang, source, n_chars)"
+_IO17_DDL = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+
+
+@query(
+    "io17_jsonl_gz_datasource",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(CAST(SUM(('0x' || substr(md5({_IO17_ROWKEY}), 1, 15))::BIGINT)
+                     AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum
+    FROM documents
+    """,
+    doc="Custom Python DataSource ingest (Spark 4 pyspark.sql.datasource, "
+    "SPARK-44076, public — sources/jsonl_gz.py): the corpus is staged as "
+    "gzipped JSONL shards (the reference's own dump format, reference "
+    "goodreads.py:25-28) and read back through a registered 'jsonlgz' "
+    "format — one InputPartition per non-splittable shard, each "
+    "partition streaming gzip+json line by line in constant memory. "
+    "Gate: exact row count, source cardinality, and the io15 "
+    "order-independent md5-prefix content checksum of the READ-BACK "
+    "frame must equal the source table's — a dropped line, a mangled "
+    "field, or a partition read twice flips the checksum. Scale shape: "
+    "shard-per-task parallelism identical to the stock .json.gz reader, "
+    "but with pipeline-controlled listing/pruning; Python workers are "
+    "confined to the source adapter (the one place they belong).",
+)
+def io17_jsonl_gz_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from goodreads_pyspark_spark.sources.jsonl_gz import JsonlGzDataSource
+
+    docs = tbl(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="io17_jsonlgz_")
+    try:
+        # stage: 4 gzipped JSONL shards (the reference's dump layout)
+        (
+            docs.repartition(4)
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .json(stage)
+        )
+        try:
+            spark.dataSource.register(JsonlGzDataSource)
+        except Exception:  # noqa: BLE001 — already registered in session
+            pass
+        back = (
+            spark.read.format("jsonlgz")
+            .schema(_IO17_DDL)
+            .option("path", stage)
+            .load()
+        )
+        key = F.expr(_IO17_ROWKEY)
+        row_int = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+        # materialize before the finally removes the staged shards
+        return back.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.sum(row_int.cast("decimal(38,0)"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("content_checksum"),
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
