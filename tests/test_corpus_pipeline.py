@@ -578,3 +578,29 @@ def test_neardup_kernel_memo_survives_clear_cache(spark):
     assert "Scan ExistingRDD" in plan
     key = (spark.sparkContext.applicationId, sf)
     assert key in _JAC05_MEMO
+
+
+def test_stage_and_minhash_memos_survive_clear_cache(spark):
+    """Same pin as the jac05 memo for the other two shared kernels: the
+    c01/c03/c06 stage id-frames and the d07/d23/d34 signature table must
+    return the identical (checkpoint-backed) frames after a clearCache,
+    with unchanged contents."""
+    from goodreads_pyspark_spark.queries.documents import (
+        _c_pipeline_stages,
+        _minhash_sigs8,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stages = _c_pipeline_stages(spark, sf)
+    sigs = _minhash_sigs8(spark, sf)
+    cleaned_before = sorted(r[0] for r in stages["cleaned"].collect())
+    sig_count = sigs.count()
+    spark.catalog.clearCache()
+    stages2 = _c_pipeline_stages(spark, sf)
+    assert stages2["cleaned"] is stages["cleaned"]
+    assert _minhash_sigs8(spark, sf) is sigs
+    assert sorted(r[0] for r in stages2["cleaned"].collect()) == cleaned_before
+    assert sigs.count() == sig_count
+    for frame in stages2.values():
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "Scan ExistingRDD" in plan
