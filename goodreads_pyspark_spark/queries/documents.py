@@ -2241,9 +2241,10 @@ def _band_tuning_oracle(num_hashes: int = 8, max_bucket: int = D07_MAX_BUCKET) -
     "Jaccard>=0.5 pair set (d06 semantics). THE tuning table for the "
     "S-curve trade — more bands / fewer rows = higher recall, more "
     "junk candidates; this measures both sides instead of trusting "
-    "the 1-(1-s^r)^b formula. One shingle pass and one signature "
-    "table feed all three configs (tokenize-once discipline); each "
-    "config adds only its banded equi-join, all hot buckets capped.",
+    "the 1-(1-s^r)^b formula. The signature table and the truth set "
+    "are the suite-shared memos (_minhash_sigs8 / _jac05_pairs, r9) — "
+    "built once per session; each config adds only its banded "
+    "equi-join, all hot buckets capped.",
 )
 def d34_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.minhash import (

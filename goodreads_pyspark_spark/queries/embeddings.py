@@ -2051,8 +2051,11 @@ def _e31_oracle() -> str:
     "computed at embedding PREFIXES (8/16/32 of 64 dims) vs the "
     "full-dimension exact top-10, per-query recall@10 for each prefix — "
     "the measurement that decides how far a deployment can truncate "
-    "stored vectors before retrieval quality pays (storage/recall "
-    "frontier). Reuses the e09 batch-kNN kernel at each prefix: ONE "
+    "stored vectors before retrieval quality pays. The SWEEP "
+    "generalization of e16 (which gates one query at the single 32-dim "
+    "point): a query batch x a dim grid yields the full storage/recall "
+    "frontier curve, not one sample of it. Reuses the e09 batch-kNN "
+    "kernel at each prefix: ONE "
     "corpus scan per prefix with the 8-query block broadcast, per-query "
     "window cut, integer hit counts joined against the full-dim list — "
     "deterministic end to end, so recall itself is hash-gated (e11's "
