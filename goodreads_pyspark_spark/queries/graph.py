@@ -1212,3 +1212,144 @@ def g18_degree_stratified_edge_sample(spark: SparkSession, sf_dir: str) -> DataF
         .cast("bigint")
         .alias("n_sources_sampled"),
     )
+
+
+# --- GraphSAGE-style fanout neighborhood sampling (new in r9) ----------------
+#: Per-hop fanout cap and the seed/edge thinning moduli. Seeds are a
+#: deterministic sliver of orders; edges the %3 slice of the bipartite
+#: order->part graph (the g18 fixture family).
+_G19_FANOUT = 4
+_G19_SEED_MOD = 211
+_G19_EDGE_MOD = 3
+
+
+def _g19_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT l_orderkey AS src,
+                      l_partkey + {_OFFSET} AS dst
+               FROM lineitem WHERE l_orderkey % {_G19_EDGE_MOD} = 0),
+    ed AS (SELECT DISTINCT src, dst FROM e),
+    seeds AS (SELECT DISTINCT src AS seed FROM ed
+              WHERE src % {_G19_SEED_MOD} = 0),
+    h1r AS (SELECT s.seed, ed.dst,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY s.seed
+                     ORDER BY md5('g19a_' || CAST(s.seed AS VARCHAR) || '_'
+                                  || CAST(ed.dst AS VARCHAR)), ed.dst) AS rn
+            FROM seeds s JOIN ed ON ed.src = s.seed),
+    h1 AS (SELECT seed, dst FROM h1r WHERE rn <= {_G19_FANOUT}),
+    h2r AS (SELECT h1.seed, h1.dst AS via, ed.src AS nbr,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY h1.seed, h1.dst
+                     ORDER BY md5('g19b_' || CAST(h1.dst AS VARCHAR) || '_'
+                                  || CAST(ed.src AS VARCHAR)), ed.src) AS rn
+            FROM h1 JOIN ed ON ed.dst = h1.dst AND ed.src <> h1.seed),
+    h2 AS (SELECT seed, via, nbr FROM h2r WHERE rn <= {_G19_FANOUT})
+    SELECT s.seed,
+           CAST((SELECT COUNT(*) FROM h1 WHERE h1.seed = s.seed) AS BIGINT)
+             AS n_hop1,
+           CAST((SELECT COUNT(*) FROM h2 WHERE h2.seed = s.seed) AS BIGINT)
+             AS n_hop2,
+           CAST((SELECT COUNT(DISTINCT nbr) FROM h2 WHERE h2.seed = s.seed)
+                AS BIGINT) AS n_hop2_distinct,
+           CAST(CAST(COALESCE((SELECT SUM(('0x' || substr(md5(
+                     CAST(h2.nbr AS VARCHAR)), 1, 15))::BIGINT)
+                FROM h2 WHERE h2.seed = s.seed), 0) AS DECIMAL(38,0))
+                AS VARCHAR) AS frontier_checksum
+    FROM seeds s
+    """
+
+
+@query(
+    "g19_fanout_neighborhood_sample",
+    oracle=_g19_oracle(),
+    doc="GraphSAGE-style fixed-fanout neighborhood sampling (Hamilton et "
+    "al. 2017, arXiv 1706.02216, public — the GNN minibatch primitive; "
+    "complements g18's edge thinning and g16's full-neighborhood SIGN "
+    "precompute): per seed, at most k=4 deterministic hop-1 neighbors "
+    "(md5-ranked with id tiebreak — portable, reproducible across runs "
+    "and engines), then at most k of each sampled neighbor's OTHER "
+    "endpoints for hop 2; ledger = per-seed frontier sizes, distinct "
+    "hop-2 count, and an order-independent md5-prefix checksum of the "
+    "sampled frontier (io15 convention), so the exact sampled node set "
+    "is hash-gated, not just its size. Scale shape: the per-key rank<=k "
+    "cuts are WindowGroupLimit-pushed (map-side truncation before the "
+    "shuffle), hop 2 is one dst-keyed join bounded by k x seeds x "
+    "per-part degree — never the full 2-hop closure.",
+)
+def g19_fanout_neighborhood_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.relational import top_k_per_group
+
+    li = tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_orderkey") % _G19_EDGE_MOD == 0
+    )
+    ed = li.select(
+        F.col("l_orderkey").alias("src"),
+        (F.col("l_partkey") + _OFFSET).alias("dst"),
+    ).distinct()
+    seeds = (
+        ed.filter(F.col("src") % _G19_SEED_MOD == 0)
+        .select(F.col("src").alias("seed"))
+        .distinct()
+    )
+    h1_ranked = ed.join(seeds, ed["src"] == seeds["seed"]).select(
+        "seed",
+        "dst",
+        F.md5(
+            F.concat(
+                F.lit("g19a_"),
+                F.col("seed").cast("string"),
+                F.lit("_"),
+                F.col("dst").cast("string"),
+            )
+        ).alias("rk"),
+    )
+    h1 = top_k_per_group(
+        h1_ranked, ["seed"], _G19_FANOUT, [F.col("rk"), F.col("dst")]
+    ).select("seed", "dst")
+    h2_ranked = h1.join(
+        ed.select(F.col("dst").alias("via"), F.col("src").alias("nbr")),
+        (F.col("via") == F.col("dst")) & (F.col("nbr") != F.col("seed")),
+    ).select(
+        "seed",
+        "via",
+        "nbr",
+        F.md5(
+            F.concat(
+                F.lit("g19b_"),
+                F.col("via").cast("string"),
+                F.lit("_"),
+                F.col("nbr").cast("string"),
+            )
+        ).alias("rk"),
+    )
+    h2 = top_k_per_group(
+        h2_ranked, ["seed", "via"], _G19_FANOUT, [F.col("rk"), F.col("nbr")]
+    ).select("seed", "via", "nbr")
+    nbr_int = F.conv(
+        F.substring(F.md5(F.col("nbr").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    h2_stats = h2.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hop2"),
+        F.countDistinct("nbr").cast("bigint").alias("n_hop2_distinct"),
+        F.sum(nbr_int.cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("cks"),
+    )
+    h1_stats = h1.groupBy("seed").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hop1")
+    )
+    return (
+        seeds.join(h1_stats, "seed", "left")
+        .join(h2_stats, "seed", "left")
+        .select(
+            "seed",
+            F.coalesce("n_hop1", F.lit(0)).cast("bigint").alias("n_hop1"),
+            F.coalesce("n_hop2", F.lit(0)).cast("bigint").alias("n_hop2"),
+            F.coalesce("n_hop2_distinct", F.lit(0))
+            .cast("bigint")
+            .alias("n_hop2_distinct"),
+            F.coalesce("cks", F.lit("0")).alias("frontier_checksum"),
+        )
+    )
