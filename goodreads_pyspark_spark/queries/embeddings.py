@@ -2098,3 +2098,171 @@ def e31_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     for g in grids[1:]:
         out = out.unionByName(g)
     return out
+
+
+# --- quantization-bits recall sweep (new in r9) ------------------------------
+_E32_LEVELS = ((8, 127), (4, 7))  # (bits, max symmetric code)
+_E32_Q = 8
+_E32_K = 10
+
+
+def _e32_code_cte(tag: str, cmax: int) -> str:
+    """Quantized-code kNN CTE pair: integer-code dot products are exact
+    BIGINTs, and sqrt is correctly rounded in IEEE-754, so the cosine —
+    and therefore the ranking — is bit-deterministic on both engines
+    with no decimal accumulators needed."""
+    return f"""
+    c_{tag} AS (SELECT e.vec_id, e.pos,
+                       CAST(floor(e.v * {cmax}.0 / amax + 0.5) AS BIGINT)
+                         AS code
+                FROM e JOIN amax USING (pos)),
+    qq_{tag} AS (SELECT vec_id AS qid, pos, code AS qcode FROM c_{tag}
+                 WHERE vec_id < {_E32_Q}),
+    d_{tag} AS (
+      SELECT qid, vec_id,
+             CAST(SUM(code * qcode) AS BIGINT) AS dot,
+             CAST(SUM(code * code) AS BIGINT) AS n2,
+             CAST(SUM(qcode * qcode) AS BIGINT) AS q2
+      FROM c_{tag} JOIN qq_{tag} USING (pos)
+      WHERE vec_id <> qid GROUP BY qid, vec_id),
+    t_{tag} AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid
+                 ORDER BY ROUND(CAST(dot AS DOUBLE)
+                                / (SQRT(CAST(n2 AS DOUBLE))
+                                   * SQRT(CAST(q2 AS DOUBLE))), 6) DESC,
+                          vec_id) AS rn
+        FROM d_{tag} WHERE n2 > 0 AND q2 > 0)
+      WHERE rn <= {_E32_K})"""
+
+
+def _e32_oracle() -> str:
+    code_ctes = ",".join(
+        _e32_code_cte(f"b{bits}", cmax) for bits, cmax in _E32_LEVELS
+    )
+    hit_blocks = "\n      UNION ALL\n".join(
+        f"""      SELECT qid, {bits} AS bits, COUNT(*) AS hits
+      FROM t_b{bits} JOIN t_full USING (qid, vec_id) GROUP BY qid"""
+        for bits, _ in _E32_LEVELS
+    )
+    return f"""
+    WITH {_LONG},
+    amax AS (SELECT pos, greatest(MAX(abs(v)), 1e-30) AS amax
+             FROM e GROUP BY pos),
+    q AS (SELECT vec_id AS qid, pos, v AS qv FROM e WHERE vec_id < {_E32_Q}),
+    cf AS (
+      SELECT qid, vec_id,
+             {_DSUM.format(expr='v * qv')} AS dot,
+             {_DSUM.format(expr='v * v')} AS n2,
+             {_DSUM.format(expr='qv * qv')} AS q2
+      FROM e JOIN q USING (pos) WHERE vec_id <> qid
+      GROUP BY qid, vec_id),
+    t_full AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qid
+                 ORDER BY ROUND(dot / (SQRT(n2) * SQRT(q2)), 6) DESC,
+                          vec_id) AS rn
+        FROM cf)
+      WHERE rn <= {_E32_K}),
+    {code_ctes},
+    hits AS (
+{hit_blocks}),
+    grid AS (SELECT DISTINCT qid, b.bits
+             FROM q CROSS JOIN (VALUES {", ".join(f"({b})" for b, _ in _E32_LEVELS)})
+                  AS b(bits))
+    SELECT g.qid, CAST(g.bits AS INTEGER) AS bits,
+           CAST(COALESCE(h.hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(h.hits, 0) AS DOUBLE) / {_E32_K} AS recall
+    FROM grid g LEFT JOIN hits h ON h.qid = g.qid AND h.bits = g.bits
+    """
+
+
+@query(
+    "e32_quantization_recall_sweep",
+    oracle=_e32_oracle(),
+    doc="Quantization-bits recall sweep: exact top-10 cosine under int8 "
+    "and int4 symmetric per-dim quantization (e07's floor(x+0.5) "
+    "construction) vs the full-precision top-10, per-query recall@10 "
+    "per bit width — with e31's prefix-dim sweep this completes the "
+    "storage/recall frontier (truncate dims x shrink cells), the two "
+    "knobs a 100 TB vector store actually turns. Determinism without "
+    "decimal accumulators: integer CODE dot products are exact BIGINTs "
+    "and IEEE sqrt is correctly rounded, so the quantized cosines — and "
+    "the ranking — are bit-identical on both engines (the no-libm "
+    "discipline; sqrt is the one libm function IEEE-754 pins). One "
+    "corpus scan per bit width with the 8-query code block joined "
+    "pos-wise; per-query WindowGroupLimit cuts.",
+)
+def e32_quantization_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.functions.vectors import explode_vector
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+    from goodreads_pyspark_spark.similarity.ann import batch_knn
+
+    emb = fan_out(tbl(spark, sf_dir, "embeddings"))
+    full = batch_knn(emb, n_queries=_E32_Q, k=_E32_K).select("qid", "vec_id")
+    e = explode_vector(emb, "vec_id").withColumn("pos", F.col("pos") + 1)
+    amax = e.groupBy("pos").agg(
+        F.greatest(F.max(F.abs("v")), F.lit(1e-30)).alias("amax")
+    )
+    ea = e.join(amax, "pos").cache()  # one scale join feeds both bit widths
+    grids = []
+    for bits, cmax in _E32_LEVELS:
+        codes = ea.select(
+            "vec_id",
+            "pos",
+            F.floor(F.col("v") * float(cmax) / F.col("amax") + 0.5)
+            .cast("bigint")
+            .alias("code"),
+        )
+        qcodes = codes.filter(F.col("vec_id") < _E32_Q).select(
+            F.col("vec_id").alias("qid"), "pos", F.col("code").alias("qcode")
+        )
+        d = (
+            codes.join(F.broadcast(qcodes), "pos")
+            .filter(F.col("vec_id") != F.col("qid"))
+            .groupBy("qid", "vec_id")
+            .agg(
+                F.sum(F.col("code") * F.col("qcode")).cast("bigint").alias("dot"),
+                F.sum(F.col("code") * F.col("code")).cast("bigint").alias("n2"),
+                F.sum(F.col("qcode") * F.col("qcode")).cast("bigint").alias("q2"),
+            )
+            .filter((F.col("n2") > 0) & (F.col("q2") > 0))
+        )
+        cos = F.round(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("n2").cast("double")) * F.sqrt(F.col("q2").cast("double"))),
+            6,
+        )
+        w = Window.partitionBy("qid").orderBy(cos.desc(), F.col("vec_id"))
+        topb = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= _E32_K)
+            .select("qid", "vec_id")
+        )
+        hits = (
+            topb.join(F.broadcast(full), ["qid", "vec_id"])
+            .groupBy("qid")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        qids = full.select("qid").distinct()
+        grids.append(
+            qids.join(F.broadcast(hits), "qid", "left").select(
+                "qid",
+                F.lit(bits).cast("int").alias("bits"),
+                F.coalesce("hits", F.lit(0)).cast("bigint").alias("n_hits"),
+                (F.coalesce("hits", F.lit(0)).cast("double") / _E32_K).alias(
+                    "recall"
+                ),
+            )
+        )
+    out = grids[0]
+    for g in grids[1:]:
+        out = out.unionByName(g)
+    return out
