@@ -5478,3 +5478,80 @@ def c06_disposition_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             portable_bucket(F.col("doc_id"), "shard-v1", 8).cast("int"),
         ).alias("shard"),
     )
+
+
+# --- near-dup cluster cohesion audit (new in r9) -----------------------------
+def _d62_oracle(rounds: int = 10) -> str:
+    return f"""
+    WITH {_cc_cluster_ctes(rounds)},
+    pj AS (SELECT doc_a, doc_b,
+                  CAST(n_common AS DOUBLE)
+                    / (sa.sz + sb.sz - n_common) AS j
+           FROM inter
+           JOIN sz sa ON sa.doc_id = doc_a
+           JOIN sz sb ON sb.doc_id = doc_b
+           WHERE CAST(n_common AS DOUBLE)
+                 / (sa.sz + sb.sz - n_common) >= 0.5),
+    pl AS (SELECT la.label AS cluster_id, j
+           FROM pj JOIN l{rounds} la ON la.id = pj.doc_a)
+    SELECT CAST(pl.cluster_id AS BIGINT) AS cluster_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_intra_pairs,
+           CAST(COUNT(*) AS DOUBLE) * 2
+             / (s.cluster_size * (s.cluster_size - 1)) AS density,
+           CAST(SUM(CAST(j AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+             AS avg_intra_jaccard,
+           MIN(j) AS min_intra_jaccard
+    FROM pl JOIN sizes s ON s.label = pl.cluster_id
+    GROUP BY pl.cluster_id, s.cluster_size
+    """
+
+
+@query(
+    "d62_cluster_cohesion_audit",
+    oracle=_d62_oracle(),
+    doc="Near-dup cluster cohesion audit: per c02 cluster, edge density "
+    "(observed >=0.5 pairs over C(n,2)) and the decimal-exact average / "
+    "minimum intra-cluster Jaccard — the quality review of transitive "
+    "closure dedup. CC merges A~B~C even when A!~C, so a big cluster "
+    "with low density or a low min-Jaccard is a CHAIN (scrub survivors "
+    "carefully), while density 1.0 is a true clique (safe to keep one "
+    "doc); this table is how a reviewer tells them apart before "
+    "deleting data. Built ENTIRELY from the session-shared kernels "
+    "(_jac05_pairs + _neardup_cc) — zero new corpus passes; the only "
+    "work is one pair-to-label join and a per-cluster aggregate. Both "
+    "engines derive Jaccard from the same integer n_common/sz ratio, "
+    "so even the double-valued cells hash-match.",
+)
+def d62_cluster_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jac05_pairs(spark, sf_dir)
+    cc = _neardup_cc(spark, sf_dir)
+    labeled = pairs.join(
+        cc.select(F.col("id").alias("doc_a"), F.col("component")), "doc_a"
+    )
+    sizes = cc.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        labeled.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intra_pairs"),
+            (
+                F.sum(F.col("jaccard").cast("decimal(38,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_intra_jaccard"),
+            F.min("jaccard").alias("min_intra_jaccard"),
+        )
+        .join(F.broadcast(sizes), "component")
+        .select(
+            F.col("component").cast("bigint").alias("cluster_id"),
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            "n_intra_pairs",
+            (
+                F.col("n_intra_pairs").cast("double") * 2
+                / (F.col("cluster_size") * (F.col("cluster_size") - 1))
+            ).alias("density"),
+            "avg_intra_jaccard",
+            "min_intra_jaccard",
+        )
+    )
