@@ -60,16 +60,17 @@ REGISTRY: dict[str, Query] = {}
 # COVERAGE.md carries the per-query last-green ledger this is computed
 # from.
 #
-# r9 window: the 12 never-driver-gated queries (the intended r8 window
-# never reached the driver — the r8 export sorted by canonical key, so
-# the a_ renames never moved rows; fixed in _export_sorted), the 24 rows
-# last green in r2, q05/mm04 (promised their slots back after yielding
-# to the r8 additions), and the first 12 sorted of the remaining r3
-# rows. io03/io04 + the r3 tail (q29–q34, s05/s06, t06–t13) rotate in
-# r10.
+# r9 window: ALL 23 never-driver-gated queries first (the 12 whose
+# intended r8 window never reached the driver — the r8 export sorted by
+# canonical key, so the a_ renames never moved rows; fixed in
+# _export_sorted — plus the 11 queries added in r9 itself), then the 24
+# rows last green in r2, then q05/mm04 (promised their slots back after
+# yielding to the r8 additions), then the first sorted remaining r3 row.
+# The r3 tail (e09–e14, g07–g10, io02–io04, q29–q34, s05/s06, t06–t13)
+# rotates in r10.
 GATE_WINDOW: frozenset[str] = frozenset(
     {
-        # never driver-gated (r7/r8 additions; the r8 rotation bug means
+        # never driver-gated: r7/r8 additions (the r8 rotation bug means
         # io16/d55/h04/d56 still have no driver row)
         "d53_unimax_allocation",
         "d54_boilerplate_detection",
@@ -83,6 +84,18 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "io16_index_publish",
         "s13_streaming_approx_users",
         "t26_daily_approx_users",
+        # never driver-gated: r9 additions
+        "c06_disposition_ledger",
+        "d57_pii_scrub",
+        "d58_dsir_importance",
+        "d59_kmv_source_overlap",
+        "d60_bloom_prefilter",
+        "d62_cluster_cohesion_audit",
+        "e30_embedding_outliers",
+        "e31_matryoshka_recall",
+        "e32_quantization_recall_sweep",
+        "g19_fanout_neighborhood_sample",
+        "io17_jsonl_gz_datasource",
         # last green in r2
         "e02_cosine_neardup_pairs",
         "e03_lsh_buckets",
@@ -109,21 +122,11 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "mm02_video_frame_plan",
         "mm03_thumbnail_blobs",
         # last green in r3: promised carry-overs first (yielded their
-        # r8 slots to the h04/d56 additions), then first 12 sorted
+        # r8 slots to the h04/d56 additions), then the first sorted
+        # remaining r3 row
         "q05_nations_per_region",
         "mm04_audio_window_plan",
         "e08_ivf_partial_probe_vec1",
-        "e09_batch_knn",
-        "e10_pq_codes",
-        "e11_ann_recall_audit",
-        "e12_ivf_recall_audit",
-        "e13_bucketed_neardup_pairs",
-        "e14_pq_adc_topk",
-        "g07_triangle_count",
-        "g08_kcore_trim",
-        "g09_sssp_rounds",
-        "g10_personalized_pagerank",
-        "io02_schema_evolution",
     }
 )
 
