@@ -86,3 +86,55 @@ def jaccard_pairs(
     """(doc_a < doc_b, jaccard) for pairs with Jaccard ≥ ``threshold``."""
     sh = shingle_rows(df, id_col, text_col, shingle_n, out_id="id")
     return jaccard_pairs_from_shingles(sh, threshold=threshold, max_df=max_df)
+
+
+def containment_pairs_from_shingles(
+    sh: DataFrame,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric containment per shingle-sharing pair.
+
+    Returns ``(doc_a < doc_b, n_common, sz_a, sz_b, jaccard, containment)``
+    where ``containment = n_common / min(sz_a, sz_b)`` — the fraction of
+    the SMALLER document's shingle set found in the larger one. Jaccard is
+    symmetric and collapses when one document swallows another (a quote, a
+    boilerplate wrapper, a concatenation): |A∩B|/|A∪B| stays small while
+    |A∩B|/|A| is near 1. Containment is the detector for that case
+    (Broder's resemblance-vs-containment distinction; the datasketch
+    ``MinHashLSHEnsemble`` use case). Same inverted-index shape and
+    ``max_df`` discipline as ``jaccard_pairs_from_shingles`` — hashed
+    8-byte shingle keys, only shingle-sharing pairs materialize, the df
+    cap bounds any key's m² contribution.
+    """
+    sh = sh.withColumn(
+        "sh", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
+    )
+    sh = sh.cache()
+    if max_df is not None:
+        dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        sh = sh.join(dfreq.filter(F.col("__df") <= max_df).drop("__df"), "sh")
+        sh = sh.cache()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "sh")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("doc_a"), F.col("b.id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")).cast("double"),
+        )
+        .withColumn(
+            "containment",
+            F.col("n_common").cast("double")
+            / F.least("sz_a", "sz_b").cast("double"),
+        )
+    )

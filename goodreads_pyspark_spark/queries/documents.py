@@ -5555,3 +5555,226 @@ def d62_cluster_cohesion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_intra_jaccard",
         )
     )
+
+
+# --- bigram LM fluency scoring (new in r9) ------------------------------------
+#: Fixed-point scale for the smoothed bigram probability surrogate.
+_D61_FP = 1_000_000_000
+
+
+def _d61_oracle() -> str:
+    return f"""
+    WITH tk AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+    uh AS (SELECT ('0x' || substr(md5(unnest(t)), 1, 15))::BIGINT AS h1
+           FROM tk),
+    uc AS (SELECT h1, CAST(COUNT(*) AS BIGINT) AS cu FROM uh GROUP BY h1),
+    vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM uc),
+    bg AS (SELECT doc_id, source,
+                  ('0x' || substr(md5(t[i] || ' ' || t[i+1]), 1, 15))::BIGINT
+                    AS hb,
+                  ('0x' || substr(md5(t[i]), 1, 15))::BIGINT AS h1
+           FROM (SELECT doc_id, source, t, unnest(range(1, len(t))) AS i
+                 FROM tk WHERE len(t) >= 2)),
+    db AS (SELECT doc_id, source, hb, h1, CAST(COUNT(*) AS BIGINT) AS c
+           FROM bg GROUP BY doc_id, source, hb, h1),
+    bc AS (SELECT hb, h1, CAST(SUM(c) AS BIGINT) AS cb
+           FROM db GROUP BY hb, h1),
+    st AS (SELECT hb, h1,
+                  ({_D61_FP} * (cb + 1)) // (cu + v) AS s
+           FROM bc JOIN uc USING (h1) CROSS JOIN vv),
+    dl AS (SELECT doc_id, source,
+                  CAST(SUM(c * s) AS BIGINT) AS ssum,
+                  CAST(SUM(c) AS BIGINT) AS nbg
+           FROM db JOIN st USING (hb, h1) GROUP BY doc_id, source),
+    fl AS (SELECT doc_id, source, ssum // nbg AS fp FROM dl),
+    cm AS (SELECT CAST(SUM(ssum) AS BIGINT) // CAST(SUM(nbg) AS BIGINT)
+             AS mean_fp FROM dl)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(fp) AS BIGINT) AS sum_fluency_fp,
+           CAST(SUM(fp) AS DOUBLE) / COUNT(*) AS avg_fluency_fp,
+           CAST(SUM(CASE WHEN fp > mean_fp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_above_mean
+    FROM fl CROSS JOIN cm
+    GROUP BY source
+    """
+
+
+@query(
+    "d61_bigram_fluency",
+    oracle=_d61_oracle(),
+    doc="CCNet-style LM fluency scoring (Wenzek et al. 2020, arXiv "
+    "1911.00359, public: rank documents by an n-gram language model "
+    "trained on the corpus itself). Per-bigram score is the add-one-"
+    "smoothed conditional count ratio (C(w1w2)+1)/(C(w1)+V) rendered as "
+    "a FIXED-POINT integer (floor of 1e9x via bigint div — the d58 "
+    "no-libm discipline: a monotone transform of the probability, so "
+    "ranking is preserved and every downstream sum is exact). Per-doc "
+    "fluency = integer mean over its bigram occurrences; the report "
+    "gives per-source doc counts, exact fluency sums, and how many docs "
+    "beat the corpus token-weighted mean — the head/tail split CCNet "
+    "buckets on. Distinct from d32 (token-rank fluency): this scores "
+    "SEQUENTIAL coherence, so shuffled-word gibberish with a fluent "
+    "vocabulary still ranks tail. Scale shape: ONE cached tokenize "
+    "pass feeds unigram counts, bigram counts and per-doc rows; all "
+    "joins are on hashed 8-byte keys (the d54 shuffle discipline); the "
+    "score table is bigram-type-sized and the corpus mean is a 1-row "
+    "broadcast. Bigint headroom: 1e9*(cb+1) needs cb < 9.2e9 — at "
+    "trillion-token scale lift the products into decimal(38,0).",
+)
+def d61_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.operators.partitioning import fan_out
+
+    docs = fan_out(tbl(spark, sf_dir, "documents"))
+    h60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast(  # noqa: E731
+        "bigint"
+    )
+    # ONE tokenize pass (cached) feeds unigram counts, bigram rows and
+    # the per-doc aggregation — the corpus-linear cost runs once.
+    tk = docs.select("doc_id", "source", tokens("text").alias("t")).cache()
+    uc = (
+        tk.select(F.explode("t").alias("tok"))
+        .select(h60(F.col("tok")).alias("h1"))
+        .groupBy("h1")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    idx = F.sequence(F.lit(1), F.size("t") - 1)
+    pair = lambda i: F.struct(  # noqa: E731
+        h60(
+            F.concat_ws(
+                " ", F.element_at("t", i), F.element_at("t", i + F.lit(1))
+            )
+        ).alias("hb"),
+        h60(F.element_at("t", i)).alias("h1"),
+    )
+    bg = (
+        tk.filter(F.size("t") >= 2)
+        .select("doc_id", "source", F.explode(F.transform(idx, pair)).alias("p"))
+        .select("doc_id", "source", "p.hb", "p.h1")
+    )
+    db = bg.groupBy("doc_id", "source", "hb", "h1").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # score table: one row per bigram TYPE (hb,h1) — corpus-sublinear
+    vv = uc.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    bc = db.groupBy("hb", "h1").agg(F.sum("c").cast("bigint").alias("cb"))
+    st = (
+        bc.join(uc, "h1")
+        .crossJoin(F.broadcast(vv))
+        .select("hb", "h1", F.expr(f"({_D61_FP}L * (cb + 1)) div (cu + v)").alias("s"))
+    )
+    dl = (
+        db.join(st, ["hb", "h1"])
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum(F.col("c") * F.col("s")).cast("bigint").alias("ssum"),
+            F.sum("c").cast("bigint").alias("nbg"),
+        )
+        .cache()  # feeds the corpus mean AND the per-source rollup
+    )
+    fl = dl.select("doc_id", "source", F.expr("ssum div nbg").alias("fp"))
+    cm = dl.agg(F.expr("sum(ssum) div sum(nbg)").alias("mean_fp"))
+    return (
+        fl.crossJoin(F.broadcast(cm))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("fp").cast("bigint").alias("sum_fluency_fp"),
+            (F.sum("fp").cast("double") / F.count(F.lit(1))).alias(
+                "avg_fluency_fp"
+            ),
+            F.sum((F.col("fp") > F.col("mean_fp")).cast("int"))
+            .cast("bigint")
+            .alias("n_above_mean"),
+        )
+    )
+
+
+# --- containment (asymmetric) near-dup audit (new in r9) ----------------------
+#: df cap for the 2-gram containment index (same rationale as D06_MAX_DF).
+_D63_CAP = 100
+
+
+def _d63_oracle() -> str:
+    return f"""
+    WITH tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    shh AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+            FROM sh0),
+    dfreq AS (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+    shf AS (SELECT s.doc_id, s.sh FROM shh s
+            JOIN dfreq USING (sh) WHERE df <= {_D63_CAP}),
+    sz AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_common
+              FROM shf a JOIN shf b USING (sh)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    p AS (SELECT doc_a, doc_b, n_common, sa.sz AS sz_a, sb.sz AS sz_b,
+                 CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                   AS jaccard,
+                 CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz)
+                   AS containment
+          FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b)
+    SELECT CASE WHEN sz_a < sz_b THEN doc_a
+                WHEN sz_b < sz_a THEN doc_b
+                ELSE LEAST(doc_a, doc_b) END AS contained_doc,
+           CASE WHEN sz_a < sz_b THEN doc_b
+                WHEN sz_b < sz_a THEN doc_a
+                ELSE GREATEST(doc_a, doc_b) END AS container_doc,
+           CAST(n_common AS BIGINT) AS n_common,
+           CAST(LEAST(sz_a, sz_b) AS BIGINT) AS sz_contained,
+           CAST(GREATEST(sz_a, sz_b) AS BIGINT) AS sz_container,
+           containment, jaccard
+    FROM p
+    WHERE containment >= 0.4 AND jaccard < 0.5
+    """
+
+
+@query(
+    "d63_containment_audit",
+    oracle=_d63_oracle(),
+    doc="Asymmetric containment near-dup audit "
+    "(dedup/ngram.py:containment_pairs_from_shingles): pairs where the "
+    "smaller document's 2-gram shingle set is >=40% contained in the "
+    "larger one yet symmetric Jaccard stays under the 0.5 dedup "
+    "threshold — quotes, wrappers and concatenations that d06-style "
+    "dedup structurally misses (Broder's resemblance-vs-containment "
+    "distinction; the datasketch LSHEnsemble use case). Output is "
+    "oriented contained->container with the exact integer ratios. "
+    "Scale shape: identical to the d06 inverted index — hashed 8-byte "
+    "shingle keys, df cap {cap} bounds any key's m^2 join "
+    "contribution, only shingle-sharing pairs materialize; containment "
+    "adds zero new shuffle classes over Jaccard.".format(cap=_D63_CAP),
+)
+def d63_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ngram import (
+        containment_pairs_from_shingles,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    p = containment_pairs_from_shingles(sh, max_df=_D63_CAP).filter(
+        (F.col("containment") >= 0.4) & (F.col("jaccard") < 0.5)
+    )
+    smaller_is_a = F.col("sz_a") < F.col("sz_b")
+    equal_sz = F.col("sz_a") == F.col("sz_b")
+    return p.select(
+        F.when(smaller_is_a, F.col("doc_a"))
+        .when(equal_sz, F.least("doc_a", "doc_b"))
+        .otherwise(F.col("doc_b"))
+        .alias("contained_doc"),
+        F.when(smaller_is_a, F.col("doc_b"))
+        .when(equal_sz, F.greatest("doc_a", "doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("container_doc"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.least("sz_a", "sz_b").cast("bigint").alias("sz_contained"),
+        F.greatest("sz_a", "sz_b").cast("bigint").alias("sz_container"),
+        "containment",
+        "jaccard",
+    )

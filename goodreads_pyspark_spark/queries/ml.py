@@ -465,3 +465,84 @@ def m06_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND({_M06_B['b2']}, 6) AS beta_disc",
         f"ROUND(1.0 - {_M06_SSE} / {_M06_SST}, 6) AS r2",
     )
+
+
+# --- frequent itemsets via FPGrowth (new in r9) --------------------------------
+#: Fraction-of-baskets support threshold (FPGrowth's native parameter).
+_M07_MINSUP = 0.05
+#: Basket-size cap shared with t14 — bounds any user's pair contribution.
+_M07_MAX_BASKET = 50
+
+
+@query(
+    "m07_fpgrowth_itemsets",
+    oracle=f"""
+    WITH pur AS (
+      SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
+      FROM events WHERE event_type = 'purchase'),
+    ok_users AS (SELECT user_id FROM pur GROUP BY user_id
+                 HAVING COUNT(*) <= {_M07_MAX_BASKET}),
+    basket AS (SELECT pur.user_id, item FROM pur JOIN ok_users USING (user_id)),
+    nb AS (SELECT CAST(CEIL({_M07_MINSUP} * COUNT(DISTINCT user_id)) AS BIGINT)
+             AS minc FROM basket),
+    s1 AS (SELECT 1 AS n_items, item AS item_a,
+                  CAST(NULL AS INTEGER) AS item_b, COUNT(*) AS freq
+           FROM basket GROUP BY item),
+    s2 AS (SELECT 2 AS n_items, a.item AS item_a, b.item AS item_b,
+                  COUNT(*) AS freq
+           FROM basket a JOIN basket b
+             ON a.user_id = b.user_id AND a.item < b.item
+           GROUP BY 1, 2, 3)
+    SELECT CAST(n_items AS INTEGER) AS n_items, item_a, item_b,
+           CAST(freq AS BIGINT) AS freq
+    FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+    CROSS JOIN nb WHERE freq >= minc
+    """,
+    doc="Frequent itemsets via pyspark.ml.fpm.FPGrowth (SURVEY §2.11 "
+    "family; Han et al. 2000's FP-tree, MLlib's PFP parallelization) "
+    "over the t14 market baskets (distinct purchased items per user, "
+    "basket cap shared). FPGrowth is an EXACT algorithm — its itemset "
+    "supports are integer basket counts, so unlike the iterative ML "
+    "fits this gets a full differential SQL oracle: the 1- and "
+    "2-itemsets (size capped so the oracle's pair join stays readable; "
+    "the model itself also mines longer ones) must match the "
+    "enumerated counts row-for-row, minCount = ceil(minSupport * "
+    "n_baskets) mirrored on both engines. Scale shape: MLlib PFP "
+    "group-partitions the item alphabet and mines per-group "
+    "conditional FP-trees (one shuffle of cap-bounded transaction "
+    "suffixes), vs the oracle's m^2/user pair join — at 100 TB the "
+    "FP-tree path wins exactly where basket caps can't be lowered.",
+)
+def m07_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.fpm import FPGrowth
+
+    from goodreads_pyspark_spark.queries._helpers import events_tbl
+
+    ev = events_tbl(spark, sf_dir)
+    pur = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.get_json_object("props", "$.k").cast("int").alias("item"),
+        )
+        .distinct()
+    )
+    baskets = (
+        pur.groupBy("user_id")
+        .agg(F.collect_list("item").alias("items"))
+        .filter(F.size("items") <= _M07_MAX_BASKET)
+        .select("items")
+    )
+    model = FPGrowth(
+        itemsCol="items", minSupport=_M07_MINSUP, minConfidence=0.1
+    ).fit(baskets)
+    fi = model.freqItemsets.filter(F.size("items") <= 2)
+    items = F.array_sort("items")
+    return fi.select(
+        F.size("items").alias("n_items"),
+        F.element_at(items, 1).cast("int").alias("item_a"),
+        F.when(F.size("items") == 2, F.element_at(items, 2))
+        .cast("int")
+        .alias("item_b"),
+        F.col("freq").cast("bigint").alias("freq"),
+    )

@@ -2477,3 +2477,89 @@ def s13_streaming_approx_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --- count-min sketch heavy hitters (new in r9) --------------------------------
+#: Sketch geometry: d hash rows x w buckets. w=256 at test scale keeps the
+#: collision (overcount) path genuinely exercised by thousands of keys;
+#: production sizes w ~ e/eps for an eps*N additive error bound.
+_T27_D = 3
+_T27_W = 256
+
+
+@query(
+    "t27_cms_heavy_hitters",
+    oracle=f"""
+    WITH kc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id),
+    r AS (SELECT user_id, cnt, j,
+                 ('0x' || substr(md5('cms' || j || '_' || user_id), 1, 15))
+                   ::BIGINT % {_T27_W} AS b
+          FROM kc, (SELECT unnest([0, 1, 2]) AS j)),
+    cells AS (SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS cell
+              FROM r GROUP BY j, b),
+    est AS (SELECT user_id, cnt, MIN(cell) AS cms_est
+            FROM r JOIN cells USING (j, b) GROUP BY user_id, cnt)
+    SELECT user_id, cnt AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - cnt AS BIGINT) AS overcount
+    FROM est ORDER BY cnt DESC, user_id LIMIT 20
+    """,
+    doc="Count-min sketch heavy hitters (Cormode & Muthukrishnan 2005, "
+    f"public): {_T27_D} md5 hash rows x {_T27_W} buckets, per-key "
+    "estimate = min over its cells, reported for the exact top-20 users "
+    "with the exact count and the (always >= 0) overcount beside it — "
+    "the sketch's one-sided error made auditable. Completes the sketch "
+    "family (d59 KMV cardinality, d60 Bloom membership, t26 HLL "
+    "distinct) with FREQUENCY. The sketch is built from per-key counts "
+    "(identical cells to event-level updates, since CMS is linear) so "
+    "the corpus shuffles once by key; the 768-cell table is a broadcast "
+    "join; top-k is TakeOrdered. Scale: cells merge cell-wise across "
+    "partitions/streams (the mergeability that makes CMS the standard "
+    "streaming frequency sketch); at 100 TB only the sketch and the "
+    "candidate keys move, never a per-key exact table — the exact "
+    "column here is the audit, per the t26 discipline.",
+)
+def t27_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir)
+    kc = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .cache()  # feeds the cell build AND the estimate join
+    )
+
+    def bucket(j: int):
+        key = F.concat(F.lit(f"cms{j}_"), F.col("user_id").cast("string"))
+        return (
+            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+            % _T27_W
+        )
+
+    r = kc.select(
+        "user_id",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
+                    for j in range(_T27_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("user_id", "cnt", "p.j", "p.b")
+    cells = r.groupBy("j", "b").agg(F.sum("cnt").cast("bigint").alias("cell"))
+    est = (
+        r.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("user_id", "cnt")
+        .agg(F.min("cell").cast("bigint").alias("cms_est"))
+    )
+    return (
+        est.orderBy(F.col("cnt").desc(), "user_id")
+        .limit(20)
+        .select(
+            "user_id",
+            F.col("cnt").cast("bigint").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).cast("bigint").alias("overcount"),
+        )
+    )
