@@ -159,6 +159,8 @@ def test_whole_stage_codegen_covers_agg(spark):
         "d02_exact_dup_groups",
         "d07_minhash_lsh_candidates",
         "d11_simhash_neardup_pairs",
+        "d61_bigram_fluency",
+        "d63_containment_audit",
     ],
 )
 def test_dedup_plans_shuffle_hashes_not_documents(spark, name):
@@ -1258,3 +1260,29 @@ def test_c06_ledger_is_membership_joins_over_memoized_stages(spark):
         assert marker not in plan, f"unexpected operator: {marker}"
     assert "Scan ExistingRDD" in plan
     assert "Generate" not in plan, "ledger must not re-shingle the corpus"
+
+
+def test_t27_broadcasts_sketch_cells(spark):
+    """The CMS estimate join must broadcast the 768-cell sketch table
+    (never shuffle the key-count table to meet it) and stay cartesian-
+    and Python-free; the only wide exchange is the per-key count."""
+    plan = plan_of(spark, "t27_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    for marker in ("CartesianProduct", "BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan, f"unexpected operator: {marker}"
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_d61_score_table_never_carries_text(spark):
+    """d61's joins are all on 8-byte hashed keys: the corpus mean is a
+    1-row broadcast and no exchange carries the raw text or token
+    arrays."""
+    plan = plan_of(spark, "d61_bigram_fluency")
+    exchanges = [
+        seg.splitlines()[0] for seg in plan.split("Exchange hashpartitioning")[1:]
+    ]
+    for ex in exchanges:
+        assert "text#" not in ex, f"document text crosses a shuffle: {ex}"
+        assert ", t#" not in ex, f"token array crosses a shuffle: {ex}"
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
