@@ -2266,3 +2266,77 @@ def e32_quantization_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
     for g in grids[1:]:
         out = out.unionByName(g)
     return out
+
+
+# --- residual IVF-PQ (IVFADC) search (new in r9) -------------------------------
+@query(
+    "e33_ivfpq_residual_adc",
+    oracle=f"""
+    WITH {_LONG},
+    cc AS (SELECT vec_id AS ccid, pos, v AS cval FROM e WHERE vec_id < 8),
+    ad2 AS (SELECT e.vec_id, cc.ccid,
+                   {_DSUM.format(expr='(e.v - cc.cval) * (e.v - cc.cval)')}
+                     AS d2
+            FROM e JOIN cc USING (pos) GROUP BY e.vec_id, cc.ccid),
+    asg AS (SELECT vec_id, ccid FROM (
+              SELECT vec_id, ccid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, ccid) AS rn
+              FROM ad2) WHERE rn = 1),
+    res AS (SELECT e.vec_id, a.ccid, e.pos, e.v - cc.cval AS r
+            FROM e JOIN asg a ON a.vec_id = e.vec_id
+            JOIN cc ON cc.ccid = a.ccid AND cc.pos = e.pos),
+    cw AS (SELECT vec_id AS cid, pos, r AS cwv FROM res WHERE vec_id < 16),
+    ed2 AS (SELECT res.vec_id, res.ccid, (res.pos - 1) // 16 AS sub, cw.cid,
+                   {_DSUM.format(expr='(res.r - cw.cwv) * (res.r - cw.cwv)')}
+                     AS d2
+            FROM res JOIN cw ON cw.pos = res.pos
+            GROUP BY res.vec_id, res.ccid, (res.pos - 1) // 16, cw.cid),
+    enc AS (SELECT vec_id, ccid, sub, cid FROM (
+              SELECT vec_id, ccid, sub, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY d2, cid) AS rn
+              FROM ed2) WHERE rn = 1),
+    probe AS (SELECT ccid FROM ad2 WHERE vec_id = 3
+              ORDER BY d2, ccid LIMIT 2),
+    qr AS (SELECT p.ccid, e.pos, e.v - cc.cval AS qr
+           FROM e CROSS JOIN probe p
+           JOIN cc ON cc.ccid = p.ccid AND cc.pos = e.pos
+           WHERE e.vec_id = 3),
+    lut AS (SELECT qr.ccid, (qr.pos - 1) // 16 AS sub, cw.cid,
+                   SUM(CAST((qr.qr - cw.cwv) * (qr.qr - cw.cwv)
+                            AS DECIMAL(38,12))) AS lut_d2
+            FROM qr JOIN cw ON cw.pos = qr.pos
+            GROUP BY qr.ccid, (qr.pos - 1) // 16, cw.cid),
+    adc AS (SELECT enc.vec_id, enc.ccid,
+                   CAST(SUM(lut_d2) AS DOUBLE) AS adc_d2
+            FROM enc JOIN lut ON lut.ccid = enc.ccid
+                             AND lut.sub = enc.sub AND lut.cid = enc.cid
+            WHERE enc.vec_id <> 3
+            GROUP BY enc.vec_id, enc.ccid)
+    SELECT vec_id, CAST(ccid AS INTEGER) AS cell, adc_d2
+    FROM adc ORDER BY adc_d2, vec_id LIMIT 10
+    """,
+    doc="Residual-encoded IVF-PQ search — the full IVFADC structure "
+    "(Jegou, Douze & Schmid 2011, public; FAISS IndexIVFPQ) that e06 "
+    "(IVF routing) and e14 (flat-PQ ADC) each cover half of: vectors "
+    "route to a coarse cell, PQ encodes the RESIDUAL v - c(v) (same "
+    "code budget, far more precision near the origin), and search "
+    "builds a PER-PROBED-CELL LUT from the query's residual against "
+    "that cell. Top-10 for query vec_id=3 probing 2 of 8 cells, "
+    "4x16-dim subspaces, 16 residual codewords. Deterministic sampled "
+    "centroids/codewords (the e08/e10 convention) let the oracle "
+    "replay routing, residual encode and per-cell ADC bit-exactly "
+    "(decimal-exact distance sums, id tiebreaks). Scale shape: "
+    "centroids, codebooks and the nprobe*4*16-row LUT broadcast; "
+    "shuffles carry (id, cell/sub, cid, distance) rows only; the "
+    "candidate restriction is the enc-to-LUT broadcast join on the "
+    "probed cells — raw vectors are never rescanned at query time.",
+)
+def e33_ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.quantize import ivfpq_adc_topk
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ivfpq_adc_topk(
+        emb, query_id=3, k=10, nlist=8, nprobe=2, n_sub=4, sub_dim=16, ksub=16
+    )

@@ -247,3 +247,130 @@ def pq_adc_topk(
         .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_adc_topk(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-encoded IVF-PQ search — the full IVFADC index structure
+    (Jégou, Douze & Schmid 2011, "Product quantization for nearest
+    neighbor search"; FAISS ``IndexIVFPQ``).
+
+    Plain PQ (``pq_adc_topk``) quantizes raw vectors, so every code
+    wastes bits re-describing WHERE in space the vector sits. IVFADC
+    first routes each vector to its nearest coarse centroid (L2,
+    ``nlist`` cells) and PQ-encodes only the RESIDUAL ``v − c(v)`` —
+    residuals concentrate near the origin, so the same code budget
+    carries far more precision. Search probes the query's ``nprobe``
+    nearest cells and, per probed cell, builds the LUT from the
+    QUERY'S residual against that cell — the per-cell LUT is what makes
+    the distance asymmetric AND residual-consistent.
+
+    Determinism: coarse centroids are the ``nlist`` lowest-id vectors
+    (``sampled_centroids`` convention) and PQ codewords are the
+    RESIDUAL subvectors of the ``ksub`` lowest-id vectors — both pure
+    functions of the data, so a SQL oracle replays the whole path.
+    Every distance is a decimal-exact sum of identically-computed
+    double products; ties break to the lowest centroid id. Returns the
+    top-``k`` non-query candidates as (id, cell, adc_d2) ascending.
+
+    Scale shape: centroids (nlist·d), codebooks (ksub·d) and the
+    nprobe·n_sub·ksub LUT all broadcast; assignment/encode shuffle
+    (id, cell/sub, cid, distance) rows only; at query time the scan
+    touches integer codes inside the probed cells — the candidate
+    restriction is a semi-join on the assignment before any scoring.
+    """
+    from pyspark.sql import Window
+
+    acc = "decimal(38,12)"
+    dsq = lambda a, b: F.sum(((a - b) * (a - b)).cast(acc))  # noqa: E731
+
+    e = (
+        fan_out(df)
+        .select(F.col(id_col), F.posexplode(vec_col).alias("pos", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+    )
+    e = e.cache()  # feeds coarse assign, residuals, and the query side
+    cc = (
+        e.filter(F.col(id_col) < nlist)
+        .select(
+            F.col(id_col).cast("int").alias("ccid"),
+            "pos",
+            F.col("v").alias("cval"),
+        )
+    )
+    # coarse assignment: nearest cell by exact L2, tie -> lowest ccid
+    ad2 = (
+        e.join(F.broadcast(cc), "pos")
+        .groupBy(id_col, "ccid")
+        .agg(dsq(F.col("v"), F.col("cval")).cast("double").alias("d2"))
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("d2").asc(), F.col("ccid"))
+    asg = (
+        ad2.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "ccid")
+    )
+    # residuals: v - assigned centroid, long form (id, ccid, pos, r)
+    res = (
+        e.join(asg, id_col)
+        .join(F.broadcast(cc), ["ccid", "pos"])
+        .select(id_col, "ccid", "pos", (F.col("v") - F.col("cval")).alias("r"))
+    )
+    res = res.cache()  # feeds codebooks, encode, and the query residual
+    # PQ codebooks ON RESIDUALS: subvectors of the ksub lowest-id vectors
+    cw = res.filter(F.col(id_col) < ksub).select(
+        F.col(id_col).cast("int").alias("cid"), "pos", F.col("r").alias("cwv")
+    )
+    sub = F.expr(f"pos div {sub_dim}")
+    enc_d2 = (
+        res.withColumn("sub", sub)
+        .join(F.broadcast(cw.withColumn("sub", sub)), ["pos", "sub"])
+        .groupBy(id_col, "ccid", "sub", "cid")
+        .agg(dsq(F.col("r"), F.col("cwv")).cast("double").alias("d2"))
+    )
+    we = Window.partitionBy(id_col, "sub").orderBy(
+        F.col("d2").asc(), F.col("cid")
+    )
+    enc = (
+        enc_d2.withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "ccid", "sub", "cid")
+    )
+    # query side: nprobe nearest cells, then per-cell query residual LUTs
+    probe = (
+        ad2.filter(F.col(id_col) == query_id)
+        .orderBy(F.col("d2").asc(), F.col("ccid"))
+        .limit(nprobe)
+        .select("ccid")
+    )
+    qr = (
+        e.filter(F.col(id_col) == query_id)
+        .join(F.broadcast(probe), how="cross")
+        .join(F.broadcast(cc), ["ccid", "pos"])
+        .select("ccid", "pos", (F.col("v") - F.col("cval")).alias("qr"))
+    )
+    lut = (
+        qr.withColumn("sub", sub)
+        .join(F.broadcast(cw.withColumn("sub", sub)), ["pos", "sub"])
+        .groupBy("ccid", "sub", "cid")
+        .agg(dsq(F.col("qr"), F.col("cwv")).alias("lut_d2"))
+    )
+    return (
+        enc.join(F.broadcast(lut), ["ccid", "sub", "cid"])
+        .filter(F.col(id_col) != query_id)
+        .groupBy(id_col, "ccid")
+        .agg(F.sum("lut_d2").cast("double").alias("adc_d2"))
+        .select(id_col, F.col("ccid").alias("cell"), "adc_d2")
+        .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1286,3 +1286,15 @@ def test_d61_score_table_never_carries_text(spark):
         assert ", t#" not in ex, f"token array crosses a shuffle: {ex}"
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_e33_ivfpq_broadcasts_index_structures(spark):
+    """IVFADC search must broadcast the small index structures (coarse
+    centroids, residual codebooks, per-cell LUTs) — never sort-merge the
+    code table against them — and stay cartesian-free apart from the
+    1-vector x nprobe-cell query staging."""
+    plan = plan_of(spark, "e33_ivfpq_residual_adc")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan, f"unexpected operator: {marker}"

@@ -1,0 +1,95 @@
+"""Round-9 second-batch new-operator stress probe: d61/d63/t27/m07/e33 at 1x/10x.
+
+Replication conventions: tools/r7_ops_stress.py (id-offset copies;
+document replicas carry a per-copy text suffix so they are not exact
+duplicates).
+
+Expected shapes:
+- d61 bigram fluency: ONE cached tokenize pass; unigram/bigram counts are
+  hashed-key shuffles; score table is bigram-type-sized. Linear in token
+  volume (type tables grow sublinearly).
+- d63 containment audit: d06-shaped inverted index at 2-gram with df cap
+  100. Near-linear; the cap bounds the self-join (output-sensitive like
+  every near-dup kernel).
+- t27 CMS heavy hitters: one user-keyed count shuffle + 768-cell
+  broadcast. Linear in events.
+- m07 FPGrowth itemsets: basket build (one shuffle) + PFP mining over
+  cap-50 baskets. Linear in baskets at fixed alphabet.
+- e33 residual IVF-PQ: assignment/encode shuffles of (id, key, distance)
+  rows; centroids/codebooks/LUTs broadcast. Linear in vectors x dims.
+
+Usage: python tools/r9b_ops_stress.py [factors...]   (default 1 10)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+from goodreads_pyspark_spark.session import get_spark
+from tools.corpus_stress_r5 import replicate_embeddings
+from tools.r7_ops_stress import replicate_offsets
+from tools.scaling_probe import replicate
+
+QUERIES = {
+    "d61_bigram_fluency": ("documents",),
+    "d63_containment_audit": ("documents",),
+    "t27_cms_heavy_hitters": ("events",),
+    "m07_fpgrowth_itemsets": ("events",),
+    "e33_ivfpq_residual_adc": ("embeddings",),
+}
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 10]
+    _load_all()
+    spark = get_spark("r9b_ops_stress")
+    needed = sorted({t for tabs in QUERIES.values() for t in tabs})
+    rows = []
+    for factor in factors:
+        out_dir = tempfile.mkdtemp(prefix=f"r9bops_x{factor}_")
+        sf_dir = f"{out_dir}/sf"
+        Path(sf_dir).mkdir()
+        for t in needed:
+            if t == "documents":
+                p = replicate(spark, t, factor, "doc_id", out_dir)
+                spark.read.parquet(p).write.parquet(f"{sf_dir}/{t}.parquet")
+            elif t == "embeddings":
+                p = replicate_embeddings(spark, factor, out_dir)
+                spark.read.parquet(p).write.parquet(f"{sf_dir}/{t}.parquet")
+            else:
+                replicate_offsets(spark, t, factor, sf_dir)
+
+        def force(df) -> int:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+            ).first()
+            return row["n"]
+
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            best, n = None, 0
+            for _ in range(3):
+                t0 = time.time()
+                n = force(REGISTRY[name].spark_fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            rows.append((name, factor, best, n))
+            print(f"# {name} x{factor}: {best:.2f}s ({n} rows)", flush=True)
+    print("\n| query | factor | wall (min of 3) | rows |")
+    print("|---|---|---|---|")
+    for name, factor, dt, n in rows:
+        print(f"| {name} | {factor}x | {dt:.2f}s | {n} |")
+
+
+if __name__ == "__main__":
+    main()
