@@ -2487,6 +2487,32 @@ _T27_D = 3
 _T27_W = 256
 
 
+def _cms_bucket(j: int):
+    """Row-j CMS bucket of ``user_id`` — md5-based, engine-portable
+    (shared by t27 batch and s14 streaming so their cells are comparable
+    by construction)."""
+    key = F.concat(F.lit(f"cms{j}_"), F.col("user_id").cast("string"))
+    return (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint") % _T27_W
+    )
+
+
+def _cms_pairs(df: DataFrame) -> DataFrame:
+    """Explode each row into its (j, bucket) sketch coordinates,
+    keeping the other columns."""
+    return df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), _cms_bucket(j).alias("b"))
+                    for j in range(_T27_D)
+                ]
+            )
+        ).alias("p"),
+    ).select(*df.columns, "p.j", "p.b")
+
+
 @query(
     "t27_cms_heavy_hitters",
     oracle=f"""
@@ -2528,25 +2554,7 @@ def t27_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()  # feeds the cell build AND the estimate join
     )
 
-    def bucket(j: int):
-        key = F.concat(F.lit(f"cms{j}_"), F.col("user_id").cast("string"))
-        return (
-            F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
-            % _T27_W
-        )
-
-    r = kc.select(
-        "user_id",
-        "cnt",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("j"), bucket(j).alias("b"))
-                    for j in range(_T27_D)
-                ]
-            )
-        ).alias("p"),
-    ).select("user_id", "cnt", "p.j", "p.b")
+    r = _cms_pairs(kc)
     cells = r.groupBy("j", "b").agg(F.sum("cnt").cast("bigint").alias("cell"))
     est = (
         r.join(F.broadcast(cells), ["j", "b"])
@@ -2563,3 +2571,111 @@ def t27_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_est") - F.col("cnt")).cast("bigint").alias("overcount"),
         )
     )
+
+
+# --- streaming CMS heavy hitters (new in r9) ------------------------------------
+@query(
+    "s14_streaming_heavy_hitters",
+    oracle=f"""
+    WITH kc AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM events GROUP BY user_id),
+    r AS (SELECT user_id, cnt, j,
+                 ('0x' || substr(md5('cms' || j || '_' || user_id), 1, 15))
+                   ::BIGINT % {_T27_W} AS b
+          FROM kc, (SELECT unnest([0, 1, 2]) AS j)),
+    cells AS (SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS cell
+              FROM r GROUP BY j, b),
+    est AS (SELECT user_id, cnt, MIN(cell) AS cms_est
+            FROM r JOIN cells USING (j, b) GROUP BY user_id, cnt)
+    SELECT user_id, cnt AS exact_cnt,
+           CAST(cms_est AS BIGINT) AS cms_est,
+           CAST(cms_est - cnt AS BIGINT) AS overcount,
+           TRUE AS stream_matches_batch
+    FROM est ORDER BY cnt DESC, user_id LIMIT 20
+    """,
+    doc="t27's count-min sketch built BY the streaming engine — the "
+    "setting CMS was designed for (Cormode & Muthukrishnan 2005: a "
+    "sketch whose state is O(d*w) regardless of key cardinality, so it "
+    "is a legal streaming aggregate where an exact per-key count table "
+    "is unbounded state). Each event maps to its 3 (row, bucket) "
+    "coordinates map-side (the 3x row fan-out buys O(768)-cell state — "
+    "the opposite trade from t27's batch shape, which pre-aggregates "
+    "per key because batch CAN hold the key table); one streaming "
+    "groupBy maintains the cells across micro-batches. After the run, "
+    "the per-key estimates are recomputed from the STREAMED cells and "
+    "compared to the batch-built cells row-for-row — the measured "
+    "stream_matches_batch boolean rides every output row and the "
+    "oracle pins it TRUE (CMS is linear, so stream and batch cells are "
+    "equal exactly, not approximately). Output is t27's top-20 gate "
+    "from the streamed sketch. Scale: state is 768 cells per stream "
+    "regardless of users; merging sketches across streams/partitions "
+    "is cell-wise addition.",
+)
+def s14_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+    import uuid
+
+    from goodreads_pyspark_spark.streaming import (
+        state_partitions,
+        stream_events_from_dir,
+    )
+
+    configure_for_oracle(spark)
+    stage = tempfile.mkdtemp(prefix="s14_")
+    try:
+        ev = events_tbl(spark, sf_dir)
+        ev.write.mode("overwrite").parquet(stage)
+        stream = stream_events_from_dir(spark, stage)
+        cells_stream = _cms_pairs(stream.select("user_id")).groupBy(
+            "j", "b"
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("cell_s"))
+        name = f"s14_sink_{uuid.uuid4().hex[:8]}"
+        # 768 cells of state — 4 shards, not 32 (the s13 sizing rule)
+        with state_partitions(spark, 4):
+            q = (
+                cells_stream.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+        got = spark.table(name)
+        kc = (
+            ev.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .cache()  # feeds batch cells AND the estimate join
+        )
+        r = _cms_pairs(kc)
+        cells_batch = r.groupBy("j", "b").agg(
+            F.sum("cnt").cast("bigint").alias("cell_b")
+        )
+        cells = cells_batch.join(got, ["j", "b"], "full")
+        est = (
+            r.join(F.broadcast(cells), ["j", "b"])
+            .groupBy("user_id", "cnt")
+            .agg(
+                F.min("cell_s").cast("bigint").alias("cms_est"),
+                F.min(
+                    F.col("cell_s").eqNullSafe(F.col("cell_b")).cast("int")
+                ).alias("all_match"),
+            )
+        )
+        return (
+            est.orderBy(F.col("cnt").desc(), "user_id")
+            .limit(20)
+            .select(
+                "user_id",
+                F.col("cnt").cast("bigint").alias("exact_cnt"),
+                "cms_est",
+                (F.col("cms_est") - F.col("cnt"))
+                .cast("bigint")
+                .alias("overcount"),
+                (F.col("all_match") == 1).alias("stream_matches_batch"),
+            )
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
