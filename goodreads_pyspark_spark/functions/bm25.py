@@ -65,21 +65,50 @@ def bm25_presence_rank(
     tie-break, so the result is total-order deterministic even when
     fewer than ``k`` documents match.
     """
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
-    ).select("doc_id", "t", F.size("t").cast("bigint").alias("dl"))
-
-    stats = toks.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("dl").cast("bigint").alias("n_toks"),
-    )
-
+    toks = _bm25_toks(docs, id_col, text_col)
     # presence hits: distinct (doc, term) restricted to the query's terms
     # before any shuffle — the exploded stream a keyed agg sees is at most
     # |query_terms| rows per document.
     hits = (
         toks.select("doc_id", F.explode(F.array_distinct("t")).alias("tok"))
         .filter(F.col("tok").isin(*[str(t) for t in query_terms]))
+    )
+    return _bm25_rank_hits(toks, hits, k)
+
+
+def bm25_presence_rank_terms(
+    docs: DataFrame,
+    terms: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``bm25_presence_rank`` with a DATA-DEPENDENT term set.
+
+    ``terms`` is a (small, distinct) one-column ``tok`` frame — e.g. the
+    expansion terms a pseudo-relevance-feedback pass just mined. The
+    literal variant filters hits with an IN-list (pushable to the scan);
+    here the restriction is a broadcast join against the term table —
+    the right shape when the query is itself a query result.
+    """
+    toks = _bm25_toks(docs, id_col, text_col)
+    hits = toks.select(
+        "doc_id", F.explode(F.array_distinct("t")).alias("tok")
+    ).join(F.broadcast(terms.select("tok")), "tok")
+    return _bm25_rank_hits(toks, hits, k)
+
+
+def _bm25_toks(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"), tokens(text_col).alias("t")
+    ).select("doc_id", "t", F.size("t").cast("bigint").alias("dl"))
+
+
+def _bm25_rank_hits(toks: DataFrame, hits: DataFrame, k: int) -> DataFrame:
+    """Shared scoring tail: presence hits -> idf -> per-doc score -> top-k."""
+    stats = toks.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_toks"),
     )
 
     idf = (

@@ -554,3 +554,140 @@ def h04_rerank_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("system")
     )
+
+
+# --- pseudo-relevance-feedback query expansion (new in r9) ----------------------
+_H05_SEED = ("spark", "batch")
+_H05_FB = 5  # feedback depth (top docs mined for expansion terms)
+_H05_EXP = 3  # expansion terms added to the query
+
+
+def _h05_oracle() -> str:
+    seeds = ", ".join(f"'{t}'" for t in _H05_SEED)
+    return f"""
+    WITH tkb AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+    dtl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tkb),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(dl) AS BIGINT) AS n_toks FROM dtl),
+    ex AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM tkb),
+    hit1 AS (SELECT doc_id, tok FROM ex WHERE tok IN ({seeds})),
+    dfc1 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+             FROM hit1 GROUP BY tok),
+    idf1 AS (SELECT tok, CAST(length(bin(2 * n_docs + 2))
+                              - length(bin(2 * df + 1)) AS BIGINT) AS idf
+             FROM dfc1, stats),
+    hs1 AS (SELECT doc_id, CAST(SUM(idf) AS BIGINT) AS idf_sum
+            FROM hit1 JOIN idf1 USING (tok) GROUP BY doc_id),
+    sc1 AS (SELECT d.doc_id,
+                   CAST(22 * n_toks * COALESCE(idf_sum, 0) * 100000
+                        // (13 * n_toks + 9 * dl * n_docs) AS BIGINT) AS s
+            FROM dtl d LEFT JOIN hs1 USING (doc_id), stats),
+    fb AS (SELECT doc_id FROM sc1 ORDER BY s DESC, doc_id LIMIT {_H05_FB}),
+    cand AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS fb_df
+             FROM ex JOIN fb USING (doc_id)
+             WHERE tok NOT IN ({seeds}) GROUP BY tok),
+    gdf AS (SELECT ex.tok, CAST(COUNT(*) AS BIGINT) AS df
+            FROM ex JOIN cand ON cand.tok = ex.tok GROUP BY ex.tok),
+    esc AS (SELECT c.tok,
+                   c.fb_df * CAST(length(bin(2 * n_docs + 2))
+                                  - length(bin(2 * g.df + 1)) AS BIGINT)
+                     AS escore
+            FROM cand c JOIN gdf g ON g.tok = c.tok, stats),
+    exp AS (SELECT tok FROM esc ORDER BY escore DESC, tok LIMIT {_H05_EXP}),
+    terms AS (SELECT tok FROM exp UNION SELECT unnest([{seeds}])),
+    hit2 AS (SELECT ex.doc_id, ex.tok FROM ex JOIN terms USING (tok)),
+    dfc2 AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+             FROM hit2 GROUP BY tok),
+    idf2 AS (SELECT tok, CAST(length(bin(2 * n_docs + 2))
+                              - length(bin(2 * df + 1)) AS BIGINT) AS idf
+             FROM dfc2, stats),
+    hs2 AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+                   CAST(SUM(idf) AS BIGINT) AS idf_sum
+            FROM hit2 JOIN idf2 USING (tok) GROUP BY doc_id),
+    sc2 AS (SELECT d.doc_id,
+                   COALESCE(n_hits, 0) AS n_hits,
+                   COALESCE(idf_sum, 0) AS idf_sum,
+                   dl,
+                   CAST(22 * n_toks * COALESCE(idf_sum, 0) * 100000
+                        // (13 * n_toks + 9 * dl * n_docs) AS BIGINT)
+                     AS score_scaled
+            FROM dtl d LEFT JOIN hs2 USING (doc_id), stats),
+    expstr AS (SELECT string_agg(tok, ',' ORDER BY tok)
+                 AS expansion_terms FROM exp)
+    SELECT doc_id, n_hits, idf_sum, dl, score_scaled, expansion_terms
+    FROM (SELECT * FROM sc2
+          ORDER BY score_scaled DESC, doc_id LIMIT 10), expstr
+    """
+
+
+@query(
+    "h05_prf_query_expansion",
+    oracle=_h05_oracle(),
+    doc="Pseudo-relevance-feedback query expansion (Rocchio 1971 / the "
+    "RM-style PRF loop every lexical retrieval stack ships): seed query "
+    f"{_H05_SEED!r} -> integer-exact BM25 (the d41 kernel) top-{_H05_FB} "
+    "feedback docs -> expansion terms scored by feedback-frequency x "
+    "global bit-length idf (rare-but-locally-common terms win, the "
+    f"Rocchio signal) -> top-{_H05_EXP} terms join the query -> final "
+    "BM25 top-10 under the expanded query, expansion terms riding each "
+    "row. The expanded term set is DATA-DEPENDENT, so the final pass "
+    "uses bm25_presence_rank_terms (broadcast term-table join) rather "
+    "than an IN-list — the shape a PRF loop needs at scale. Everything "
+    "is integer arithmetic (counts, bit-length idf, one scaled integer "
+    "division), so both stages and even the mined expansion terms are "
+    "hash-gated. Scale: two corpus passes (seed + final) plus one "
+    "feedback-doc-bounded candidate pass; term/stat tables broadcast; "
+    "both rankings are TakeOrdered.",
+)
+def h05_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.functions.bm25 import (
+        bm25_presence_rank,
+        bm25_presence_rank_terms,
+    )
+    from goodreads_pyspark_spark.operators.relational import top_k
+
+    docs = tbl(spark, sf_dir, "documents").select("doc_id", "text")
+    fb = bm25_presence_rank(docs, _H05_SEED, k=_H05_FB).select("doc_id")
+    toks = docs.select("doc_id", tokens("text").alias("t"))
+    stats = toks.select(
+        F.size("t").cast("bigint").alias("dl")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("n_toks"),
+    )
+    ex = toks.select("doc_id", F.explode(F.array_distinct("t")).alias("tok"))
+    cand = (
+        ex.join(F.broadcast(fb), "doc_id")
+        .filter(~F.col("tok").isin(*_H05_SEED))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fb_df"))
+    )
+    gdf = (
+        ex.join(F.broadcast(cand), "tok")
+        .groupBy("tok", "fb_df")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
+    esc = gdf.crossJoin(F.broadcast(stats)).select(
+        "tok",
+        (
+            F.col("fb_df")
+            * (
+                F.length(F.bin(F.lit(2) * F.col("n_docs") + F.lit(2)))
+                - F.length(F.bin(F.lit(2) * F.col("df") + F.lit(1)))
+            ).cast("bigint")
+        ).alias("escore"),
+    )
+    exp = top_k(esc, _H05_EXP, [F.desc("escore"), F.asc("tok")]).select("tok")
+    exp = exp.cache()  # feeds the expanded-term run AND the label column
+    seeds = docs.sparkSession.createDataFrame(
+        [(t,) for t in _H05_SEED], ["tok"]
+    )
+    final = bm25_presence_rank_terms(
+        docs, exp.unionByName(seeds).distinct(), k=10
+    )
+    expstr = exp.agg(
+        F.array_join(F.array_sort(F.collect_list("tok")), ",").alias(
+            "expansion_terms"
+        )
+    )
+    return final.crossJoin(F.broadcast(expstr))
