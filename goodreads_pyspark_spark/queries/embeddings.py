@@ -2340,3 +2340,151 @@ def e33_ivfpq_residual_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_adc_topk(
         emb, query_id=3, k=10, nlist=8, nprobe=2, n_sub=4, sub_dim=16, ksub=16
     )
+
+
+# --- IVFADC recall audit (new in r9) -------------------------------------------
+@query(
+    "e34_ivfpq_recall_audit",
+    oracle=f"""
+    WITH {_LONG},
+    cc AS (SELECT vec_id AS ccid, pos, v AS cval FROM e WHERE vec_id < 8),
+    ad2 AS (SELECT e.vec_id, cc.ccid,
+                   {_DSUM.format(expr='(e.v - cc.cval) * (e.v - cc.cval)')}
+                     AS d2
+            FROM e JOIN cc USING (pos) GROUP BY e.vec_id, cc.ccid),
+    asg AS (SELECT vec_id, ccid FROM (
+              SELECT vec_id, ccid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, ccid) AS rn
+              FROM ad2) WHERE rn = 1),
+    res AS (SELECT e.vec_id, a.ccid, e.pos, e.v - cc.cval AS r
+            FROM e JOIN asg a ON a.vec_id = e.vec_id
+            JOIN cc ON cc.ccid = a.ccid AND cc.pos = e.pos),
+    cw AS (SELECT vec_id AS cid, pos, r AS cwv FROM res WHERE vec_id < 16),
+    ed2 AS (SELECT res.vec_id, res.ccid, (res.pos - 1) // 16 AS sub, cw.cid,
+                   {_DSUM.format(expr='(res.r - cw.cwv) * (res.r - cw.cwv)')}
+                     AS d2
+            FROM res JOIN cw ON cw.pos = res.pos
+            GROUP BY res.vec_id, res.ccid, (res.pos - 1) // 16, cw.cid),
+    enc AS (SELECT vec_id, ccid, sub, cid FROM (
+              SELECT vec_id, ccid, sub, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY d2, cid) AS rn
+              FROM ed2) WHERE rn = 1),
+    probe AS (SELECT ccid FROM ad2 WHERE vec_id = 3
+              ORDER BY d2, ccid LIMIT 2),
+    qr AS (SELECT p.ccid, e.pos, e.v - cc.cval AS qr
+           FROM e CROSS JOIN probe p
+           JOIN cc ON cc.ccid = p.ccid AND cc.pos = e.pos
+           WHERE e.vec_id = 3),
+    lutr AS (SELECT qr.ccid, (qr.pos - 1) // 16 AS sub, cw.cid,
+                    SUM(CAST((qr.qr - cw.cwv) * (qr.qr - cw.cwv)
+                             AS DECIMAL(38,12))) AS lut_d2
+             FROM qr JOIN cw ON cw.pos = qr.pos
+             GROUP BY qr.ccid, (qr.pos - 1) // 16, cw.cid),
+    ivfpq AS (SELECT vec_id FROM (
+                SELECT enc.vec_id, CAST(SUM(lut_d2) AS DOUBLE) AS adc_d2
+                FROM enc JOIN lutr ON lutr.ccid = enc.ccid
+                                  AND lutr.sub = enc.sub
+                                  AND lutr.cid = enc.cid
+                WHERE enc.vec_id <> 3 GROUP BY enc.vec_id)
+              ORDER BY adc_d2, vec_id LIMIT 10),
+    fcw AS (SELECT vec_id AS cid, pos, v AS cval FROM e WHERE vec_id < 16),
+    fd2 AS (SELECT e.vec_id, (e.pos - 1) // 16 AS sub, fcw.cid,
+                   {_DSUM.format(expr='(e.v - fcw.cval) * (e.v - fcw.cval)')}
+                     AS d2
+            FROM e JOIN fcw USING (pos)
+            GROUP BY e.vec_id, (e.pos - 1) // 16, fcw.cid),
+    fenc AS (SELECT vec_id, sub, cid FROM (
+               SELECT vec_id, sub, cid,
+                      ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                         ORDER BY d2, cid) AS rn
+               FROM fd2) WHERE rn = 1),
+    fq AS (SELECT pos, v AS qv FROM e WHERE vec_id = 3),
+    flut AS (SELECT (fq.pos - 1) // 16 AS sub, fcw.cid,
+                    SUM(CAST((fq.qv - fcw.cval) * (fq.qv - fcw.cval)
+                             AS DECIMAL(38,12))) AS lut_d2
+             FROM fq JOIN fcw ON fcw.pos = fq.pos
+             GROUP BY (fq.pos - 1) // 16, fcw.cid),
+    flat AS (SELECT vec_id FROM (
+               SELECT fenc.vec_id, CAST(SUM(lut_d2) AS DOUBLE) AS adc_d2
+               FROM fenc JOIN flut USING (sub, cid)
+               WHERE fenc.vec_id <> 3 GROUP BY fenc.vec_id)
+             ORDER BY adc_d2, vec_id LIMIT 10),
+    exact AS (SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       {_DSUM.format(expr='(e.v - fq.qv) * (e.v - fq.qv)')}
+                         AS d2
+                FROM e JOIN fq USING (pos) WHERE e.vec_id <> 3
+                GROUP BY e.vec_id)
+              ORDER BY d2, vec_id LIMIT 10)
+    SELECT CAST(10 AS INTEGER) AS k,
+           CAST((SELECT COUNT(*) FROM ivfpq JOIN exact USING (vec_id))
+                AS BIGINT) AS ivfpq_hits,
+           CAST((SELECT COUNT(*) FROM ivfpq JOIN exact USING (vec_id))
+                AS DOUBLE) / 10 AS ivfpq_recall,
+           CAST((SELECT COUNT(*) FROM flat JOIN exact USING (vec_id))
+                AS BIGINT) AS flatpq_hits,
+           CAST((SELECT COUNT(*) FROM flat JOIN exact USING (vec_id))
+                AS DOUBLE) / 10 AS flatpq_recall
+    """,
+    doc="IVFADC quality audit: recall@10 of the residual IVF-PQ search "
+    "(e33, nprobe=2 of 8) AND of flat-PQ ADC (the e14 kernel, same "
+    "query vec_id=3) against the exact L2 top-10, side by side — the "
+    "e11/e12/e15 'measure, don't guess' discipline applied to the "
+    "completed index family. The pair of numbers separates the two "
+    "error sources the combined index carries: routing loss (probing 2 "
+    "cells) and code loss (16 codewords x 4 subspaces), vs flat PQ's "
+    "code loss alone. All three rankings are deterministic, so both "
+    "recall values are hash-gated, not banded. Scale shape: three "
+    "already-audited kernels + two 10-row joins.",
+)
+def e34_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.similarity.ann import _ACC, _long_form
+    from goodreads_pyspark_spark.similarity.quantize import (
+        ivfpq_adc_topk,
+        pq_adc_topk,
+    )
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    ivfpq = ivfpq_adc_topk(emb, query_id=3, k=10).select("vec_id")
+    flat = pq_adc_topk(emb, query_id=3, k=10).select("vec_id")
+
+    e = _long_form(emb, "vec_id", "embedding")
+    q = e.filter(F.col("vec_id") == 3).select("pos", F.col("v").alias("qv"))
+    exact = (
+        e.filter(F.col("vec_id") != 3)
+        .join(F.broadcast(q), "pos")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(
+                ((F.col("v") - F.col("qv")) * (F.col("v") - F.col("qv"))).cast(
+                    _ACC
+                )
+            )
+            .cast("double")
+            .alias("d2")
+        )
+        .orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+        .limit(10)
+        .select("vec_id")
+    )
+    exact = exact.cache()  # consumed by both recall joins
+    h1 = ivfpq.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ivfpq_hits")
+    )
+    h2 = flat.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("flatpq_hits")
+    )
+    return (
+        h1.crossJoin(F.broadcast(h2))
+        .select(
+            F.lit(10).cast("int").alias("k"),
+            "ivfpq_hits",
+            (F.col("ivfpq_hits").cast("double") / 10).alias("ivfpq_recall"),
+            "flatpq_hits",
+            (F.col("flatpq_hits").cast("double") / 10).alias("flatpq_recall"),
+        )
+    )
