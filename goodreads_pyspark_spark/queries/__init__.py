@@ -60,14 +60,16 @@ REGISTRY: dict[str, Query] = {}
 # COVERAGE.md carries the per-query last-green ledger this is computed
 # from.
 #
-# r9 window: ALL 23 never-driver-gated queries first (the 12 whose
+# r9 window: ALL 31 never-driver-gated queries first (the 12 whose
 # intended r8 window never reached the driver — the r8 export sorted by
 # canonical key, so the a_ renames never moved rows; fixed in
-# _export_sorted — plus the 11 queries added in r9 itself), then the 24
-# rows last green in r2, then q05/mm04 (promised their slots back after
-# yielding to the r8 additions), then the first sorted remaining r3 row.
-# The r3 tail (e09–e14, g07–g10, io02–io04, q29–q34, s05/s06, t06–t13)
-# rotates in r10.
+# _export_sorted — plus the 11 queries added in r9's first session and
+# the 8 added after the driver restarted the round), then the first 19
+# sorted of the 24 rows last green in r2. Additions outrank age classes
+# (policy rule 1), so gr09/gr10/mm01–mm03 (r2) and q05/mm04/e08 (r3,
+# twice-promised — they go to the FRONT of r10) yield their slots. The
+# r10 window: q05, mm04, gr09, gr10, mm01–mm03, then e08–e14, g07–g10,
+# io02–io04, q29–q34, s05/s06, t06–t13 by age/name.
 GATE_WINDOW: frozenset[str] = frozenset(
     {
         # never driver-gated: r7/r8 additions (the r8 rotation bug means
@@ -96,7 +98,16 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "e32_quantization_recall_sweep",
         "g19_fanout_neighborhood_sample",
         "io17_jsonl_gz_datasource",
-        # last green in r2
+        # never driver-gated: post-restart r9 additions
+        "d61_bigram_fluency",
+        "d63_containment_audit",
+        "t27_cms_heavy_hitters",
+        "s14_streaming_heavy_hitters",
+        "m07_fpgrowth_itemsets",
+        "e33_ivfpq_residual_adc",
+        "e34_ivfpq_recall_audit",
+        "h05_prf_query_expansion",
+        # last green in r2 (first 19 sorted of 24)
         "e02_cosine_neardup_pairs",
         "e03_lsh_buckets",
         "e04_ann_topk_vec0",
@@ -116,17 +127,6 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "gr06_avg_rating_per_year",
         "gr07_prolific_authors",
         "gr08_top_rated_authors",
-        "gr09_best_stephen_king",
-        "gr10_books_per_year",
-        "mm01_image_features",
-        "mm02_video_frame_plan",
-        "mm03_thumbnail_blobs",
-        # last green in r3: promised carry-overs first (yielded their
-        # r8 slots to the h04/d56 additions), then the first sorted
-        # remaining r3 row
-        "q05_nations_per_region",
-        "mm04_audio_window_plan",
-        "e08_ivf_partial_probe_vec1",
     }
 )
 
