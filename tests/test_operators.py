@@ -711,3 +711,112 @@ def test_pii_redaction_order_and_idempotence(spark):
     assert {r.doc_id: r.rr for r in twice.collect()} == {
         k: v.r for k, v in rows.items()
     }
+
+
+def test_containment_bounds_and_orientation(spark):
+    """containment >= jaccard always (|A∩B|/min <= |A∩B|/|A∪B| is false —
+    the inequality goes the other way: min(|A|,|B|) <= |A∪B|, so
+    containment >= jaccard), containment <= 1, and the smaller shingle
+    set is the contained side."""
+    from goodreads_pyspark_spark.dedup.ngram import (
+        containment_pairs_from_shingles,
+    )
+
+    rows = [
+        # doc 1 ⊂ doc 2 (strict subset), doc 3 disjoint-ish
+        (1, "a b"), (1, "b c"),
+        (2, "a b"), (2, "b c"), (2, "c d"), (2, "d e"), (2, "e f"),
+        (3, "x y"), (3, "b c"),
+    ]
+    sh = spark.createDataFrame(rows, ["id", "sh"])
+    out = containment_pairs_from_shingles(sh).collect()
+    assert out, "shared shingles must produce pairs"
+    for r in out:
+        assert 0.0 < r.containment <= 1.0
+        assert r.containment >= r.jaccard
+    full = {(r.doc_a, r.doc_b): r for r in out}
+    r12 = full[(1, 2)]
+    assert r12.containment == 1.0  # doc 1 fully contained in doc 2
+    assert r12.jaccard == pytest.approx(2 / 5)
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """The count-min one-sided error property: for EVERY key (not just
+    the gated top-20), min-of-cells >= the exact count."""
+    from goodreads_pyspark_spark.queries.timeseries import _cms_pairs
+
+    kc = spark.createDataFrame(
+        [(i, (i % 7) + 1) for i in range(500)], ["user_id", "cnt"]
+    )
+    r = _cms_pairs(kc)
+    cells = r.groupBy("j", "b").agg(F.sum("cnt").alias("cell"))
+    est = (
+        r.join(F.broadcast(cells), ["j", "b"])
+        .groupBy("user_id", "cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    bad = est.filter(F.col("est") < F.col("cnt")).count()
+    assert bad == 0
+
+
+def test_fpgrowth_supports_match_brute_force(spark):
+    """MLlib FPGrowth is exact: its 2-itemset supports must equal the
+    enumerated pair counts on a random (seeded) basket set."""
+    import random
+
+    from pyspark.ml.fpm import FPGrowth
+
+    rng = random.Random(7)
+    baskets = [
+        (sorted(rng.sample(range(12), rng.randint(2, 6))),) for _ in range(60)
+    ]
+    df = spark.createDataFrame(baskets, ["items"])
+    model = FPGrowth(itemsCol="items", minSupport=0.05).fit(df)
+    got = {
+        tuple(sorted(r["items"])): r["freq"]
+        for r in model.freqItemsets.filter(F.size("items") == 2).collect()
+    }
+    brute: dict[tuple[int, int], int] = {}
+    for (items,) in baskets:
+        s = set(items)
+        for a in s:
+            for b in s:
+                if a < b:
+                    brute[(a, b)] = brute.get((a, b), 0) + 1
+    minc = -(-0.05 * len(baskets) // 1)  # ceil
+    expected = {k: v for k, v in brute.items() if v >= minc}
+    assert got == expected
+
+
+def test_ivfpq_exhaustive_probe_covers_all_candidates(spark):
+    """With nprobe == nlist the IVFADC candidate set must be every
+    non-query vector (routing restriction vanishes; only code loss
+    remains) — the e08 'dial end' invariant applied to the combined
+    index."""
+    import random
+
+    from goodreads_pyspark_spark.similarity.quantize import ivfpq_adc_topk
+
+    rng = random.Random(3)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = ivfpq_adc_topk(
+        df, query_id=5, k=100, nlist=4, nprobe=4, n_sub=2, sub_dim=4, ksub=4
+    )
+    assert out.count() == 39  # every vector except the query
+
+
+def test_d61_fluency_fixed_point_in_unit_range(spark):
+    """Per-doc fixed-point fluency is floor(1e9 * mean smoothed bigram
+    probability) — a probability, so every per-source mean must land in
+    [0, 1e9]."""
+    from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+
+    _load_all()
+    out = REGISTRY["d61_bigram_fluency"].spark_fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    for r in out:
+        assert 0 <= r.avg_fluency_fp <= 1_000_000_000
+        assert 0 <= r.n_above_mean <= r.n_docs
