@@ -2679,3 +2679,97 @@ def s14_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --- quantile sketch audit (new in r9) -------------------------------------------
+#: GK sketch accuracy parameter: guaranteed rank error <= n/accuracy.
+_T28_ACC = 200
+
+
+@query(
+    "t28_quantile_sketch_audit",
+    oracle="""
+    WITH v AS (SELECT event_type, value,
+                      ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY value) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM events)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                    THEN value END) AS p50_disc,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                    THEN value END) AS p90_disc,
+           TRUE AS ok50, TRUE AS ok90
+    FROM v GROUP BY event_type
+    """,
+    doc="Quantile-sketch audit — the last classic sketch next to d59 "
+    "KMV (cardinality), d60 Bloom (membership), t26 HLL (distinct) and "
+    "t27 CMS (frequency): per event_type, Spark's Greenwald-Khanna "
+    f"percentile_approx at accuracy {_T28_ACC} for p50/p90, gated the "
+    "t26 way — the oracle recomputes the exact DISCRETE percentiles "
+    "(value at row rank ceil(p*n): picked input values, no "
+    "interpolation arithmetic to mismatch) and pins TRUE the measured "
+    "in-query booleans that each estimate's rank interval [#(<est)+1, "
+    "#(<=est)] overlaps p*n +/- n/accuracy (GK's guarantee is a RANK "
+    "bound, not a value bound, so the audit checks ranks: a broken "
+    "sketch flips the cell no matter how values are distributed). "
+    "Scale shape: the sketch is one mergeable pass (fixed summary per "
+    "group); the exact side sorts within event_type partitions and "
+    "exists only as the audit column, per the t26 discipline — at "
+    "100 TB a deployment keeps the sketch and samples the audit.",
+)
+def t28_quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = events_tbl(spark, sf_dir).select("event_type", "value")
+    ev = ev.cache()  # three consumers: disc ranks, sketch, rank audit
+    w = Window.partitionBy("event_type").orderBy("value")
+    wn = Window.partitionBy("event_type")
+    v = ev.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(wn)
+    )
+    disc = v.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.5) * F.col("n")), F.col("value"))
+        ).alias("p50_disc"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.lit(0.9) * F.col("n")), F.col("value"))
+        ).alias("p90_disc"),
+    )
+    apx = (
+        ev.groupBy("event_type")
+        .agg(
+            F.percentile_approx(
+                "value", F.array(F.lit(0.5), F.lit(0.9)), F.lit(_T28_ACC)
+            ).alias("ap")
+        )
+        .select(
+            "event_type",
+            F.col("ap")[0].alias("a50"),
+            F.col("ap")[1].alias("a90"),
+        )
+    )
+    ranks = (
+        ev.join(F.broadcast(apx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nn"),
+            F.sum((F.col("value") <= F.col("a50")).cast("long")).alias("le50"),
+            F.sum((F.col("value") < F.col("a50")).cast("long")).alias("lt50"),
+            F.sum((F.col("value") <= F.col("a90")).cast("long")).alias("le90"),
+            F.sum((F.col("value") < F.col("a90")).cast("long")).alias("lt90"),
+        )
+    )
+    eps = F.col("nn") / _T28_ACC + 1
+
+    def ok(p: float, le: str, lt: str):
+        target = F.lit(p) * F.col("nn")
+        return (F.col(le) >= target - eps) & (F.col(lt) <= target + eps)
+
+    return disc.join(F.broadcast(ranks), "event_type").select(
+        "event_type",
+        "n",
+        "p50_disc",
+        "p90_disc",
+        ok(0.5, "le50", "lt50").alias("ok50"),
+        ok(0.9, "le90", "lt90").alias("ok90"),
+    )
