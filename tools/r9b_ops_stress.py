@@ -1,4 +1,4 @@
-"""Round-9 second-batch new-operator stress probe: d61/d63/t27/m07/e33 at 1x/10x.
+"""Round-9 second-batch new-operator stress probe: d61/d63/t27/m07/e33/h05/t28 at 1x/10x.
 
 Replication conventions: tools/r7_ops_stress.py (id-offset copies;
 document replicas carry a per-copy text suffix so they are not exact
@@ -17,6 +17,10 @@ Expected shapes:
   cap-50 baskets. Linear in baskets at fixed alphabet.
 - e33 residual IVF-PQ: assignment/encode shuffles of (id, key, distance)
   rows; centroids/codebooks/LUTs broadcast. Linear in vectors x dims.
+- h05 PRF expansion: two BM25 corpus passes + a feedback-bounded
+  candidate pass; term/stat tables broadcast. Linear in tokens.
+- t28 quantile audit: sketch pass linear; the exact-disc audit sorts
+  within event_type partitions (audit column only at scale).
 
 Usage: python tools/r9b_ops_stress.py [factors...]   (default 1 10)
 """
@@ -44,6 +48,8 @@ QUERIES = {
     "t27_cms_heavy_hitters": ("events",),
     "m07_fpgrowth_itemsets": ("events",),
     "e33_ivfpq_residual_adc": ("embeddings",),
+    "h05_prf_query_expansion": ("documents",),
+    "t28_quantile_sketch_audit": ("events",),
 }
 
 
