@@ -140,7 +140,7 @@ def plot_edge_sample(graph: PropertyGraph, n: int = 1000) -> list:
     return graph.edges.select("src", "dst").take(n)
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, pre_deduped: bool = False) -> DataFrame:
     """Exact global triangle count via degree-ordered (forward) counting.
 
     ``edges`` is an undirected edge list (src, dst) — duplicates and
@@ -171,15 +171,21 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # adjacency fold, closing join, the count aggregates); without a cache
     # the expensive distinct-pairs shuffle re-executes once per consumer.
     # Both frames are id-pairs only — a few MB per million edges.
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
+    # pre_deduped: the caller passes an ALREADY (src<dst)-distinct,
+    # already-materialized pair table (e.g. the queries/graph.py
+    # session memo) — skip the dedup shuffle and its cache.
+    if pre_deduped:
+        und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    else:
+        und = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+            .cache()
         )
-        .distinct()
-        .cache()
-    )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
@@ -200,7 +206,8 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     # plan references und/o from three sibling subtrees (counts, adjacency,
     # closing join); left lazy, those siblings race to fill the cache and
     # each recomputes the distinct-pairs shuffle (measured ~2.5x cost).
-    und.count()
+    if not pre_deduped:
+        und.count()
     o.count()
     adj = o.groupBy(F.col("lo").alias("v")).agg(
         F.collect_list("hi").alias("nbrs")
@@ -225,7 +232,11 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 
 def kcore_trim(
-    edges: DataFrame, k: int, rounds: int, checkpoint_dir: str | None = None
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    checkpoint_dir: str | None = None,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Fixed-round k-core peeling: iteratively drop vertices with
     degree < k, ``rounds`` times; return survivors with final degree.
@@ -243,21 +254,26 @@ def kcore_trim(
     Returns (id, degree) of vertices alive after ``rounds`` trims,
     with their degree in the surviving subgraph.
     """
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
+    if pre_deduped:
+        und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    else:
+        und = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
         )
-        .distinct()
-    )
     # Per-round cache + eager materialization (the Pregel superstep
     # pattern, graph/pregel.py): each round's edge set feeds BOTH the
     # next degree count and the next semi-join base — left lazy, round r
     # re-executes round r-1 twice and the recomputation nests
-    # geometrically with depth.
-    cur = und.cache()
-    cur.count()
+    # geometrically with depth. A pre_deduped (checkpointed) input is
+    # already materialized — rounds still cache their own shrinking sets.
+    cur = und if pre_deduped else und.cache()
+    if not pre_deduped:
+        cur.count()
     for _ in range(rounds):
         deg = (
             cur.select(F.col("a").alias("id"))
@@ -289,7 +305,9 @@ def kcore_trim(
 
 
 def clustering_coefficients(
-    edges: DataFrame, checkpoint_dir: str | None = None
+    edges: DataFrame,
+    checkpoint_dir: str | None = None,
+    pre_deduped: bool = False,
 ) -> DataFrame:
     """Per-vertex local clustering coefficient, exactly.
 
@@ -304,15 +322,18 @@ def clustering_coefficients(
 
     Returns (id, degree, n_triangles, clustering_coeff).
     """
-    und = (
-        edges.filter(F.col("src") != F.col("dst"))
-        .select(
-            F.least("src", "dst").alias("a"),
-            F.greatest("src", "dst").alias("b"),
+    if pre_deduped:
+        und = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    else:
+        und = (
+            edges.filter(F.col("src") != F.col("dst"))
+            .select(
+                F.least("src", "dst").alias("a"),
+                F.greatest("src", "dst").alias("b"),
+            )
+            .distinct()
+            .cache()
         )
-        .distinct()
-        .cache()
-    )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
@@ -330,7 +351,8 @@ def clustering_coefficients(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("hi"),
     ).cache()
-    und.count()
+    if not pre_deduped:
+        und.count()
     deg.count()
     o.count()
     adj = o.groupBy(F.col("lo").alias("v")).agg(

@@ -326,11 +326,22 @@ def test_e09_broadcasts_query_block(spark):
 
 
 def test_g07_no_cartesian_and_pruned_scan(spark):
-    # Degree-ordered triangle counting: every stage is a keyed join;
-    # the lineitem scan reads only the two join columns.
+    # Degree-ordered triangle counting: every stage is a keyed join. The
+    # query consumes the session-memoized co-occurrence pair checkpoint
+    # (g07/g08/g11 share one build), so the pruned-scan assertion runs
+    # against the KERNEL's lazy plan and the query plan is asserted to
+    # actually consume the checkpoint.
+    from goodreads_pyspark_spark.queries.graph import _copart_lazy
+
     plan = plan_of(spark, "g07_triangle_count")
     assert "CartesianProduct" not in plan
-    schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert "Scan ExistingRDD" in plan, "must consume the memoized kernel"
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        _copart_lazy(spark, SF).explain("formatted")
+    kplan = buf.getvalue()
+    assert "CartesianProduct" not in kplan
+    schemas = [seg.splitlines()[0] for seg in kplan.split("ReadSchema:")[1:]]
     assert schemas and all(
         "l_extendedprice" not in s and "l_comment" not in s for s in schemas
     ), schemas
