@@ -3879,6 +3879,36 @@ def _d49_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
     """
 
 
+_LOGIT_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _logit_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Session-memoized d49/d52 classifier fit: the hashed feature frame
+    and the FINAL fitted weight table (both localCheckpoint-backed — the
+    _jac05_pairs rationale). d49 ranks the weights and d52 scores the
+    corpus against them; before the memo each ran the identical
+    2-round full-batch fit (tokenize + 2x2 linear passes) from scratch."""
+    from goodreads_pyspark_spark.functions.logistic import (
+        feature_matrix,
+        logistic_fit,
+    )
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in _LOGIT_MEMO:
+        _evict_dead(_LOGIT_MEMO, app)
+        docs = tbl(spark, sf_dir, "documents")
+        labels = docs.select(
+            "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+        )
+        x = feature_matrix(docs).localCheckpoint()
+        w = logistic_fit(
+            x, labels, n_rounds=_D49_ROUNDS, eta=_D49_ETA
+        ).localCheckpoint()
+        _LOGIT_MEMO[key] = (x, w)
+    return _LOGIT_MEMO[key]
+
+
 @query(
     "d49_logistic_fit",
     oracle=_d49_oracle(),
@@ -3902,16 +3932,12 @@ def _d49_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
     "gradient pass — n_rounds x 2 linear passes, no driver matrix.",
 )
 def d49_logistic_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from goodreads_pyspark_spark.functions.logistic import feature_matrix, logistic_fit
     from goodreads_pyspark_spark.operators import bounded_rank
 
-    docs = tbl(spark, sf_dir, "documents")
-    labels = docs.select(
-        "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
+    _, wfit = _logit_fit(spark, sf_dir)
+    w = wfit.select(
+        "b", F.round("w", 12).alias("w"), F.abs(F.round("w", 12)).alias("aw")
     )
-    w = logistic_fit(
-        feature_matrix(docs), labels, n_rounds=_D49_ROUNDS, eta=_D49_ETA
-    ).select("b", F.round("w", 12).alias("w"), F.abs(F.round("w", 12)).alias("aw"))
     top = w.orderBy(F.col("aw").desc(), "b").limit(_D49_TOP)
     return bounded_rank(top, [("aw", "desc"), ("b", "asc")], "rank").select(
         F.col("rank").cast("int").alias("rank"),
@@ -4226,18 +4252,13 @@ def _d52_oracle(n_rounds: int = _D49_ROUNDS, eta: float = _D49_ETA) -> str:
     "confusion rollup is a single-row aggregate.",
 )
 def d52_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from goodreads_pyspark_spark.functions.logistic import (
-        DSUM_SQL,
-        feature_matrix,
-        logistic_fit,
-    )
+    from goodreads_pyspark_spark.functions.logistic import DSUM_SQL
 
     docs = tbl(spark, sf_dir, "documents")
     labels = docs.select(
         "doc_id", F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y")
     )
-    x = feature_matrix(docs).cache()
-    w = logistic_fit(x, labels, n_rounds=_D49_ROUNDS, eta=_D49_ETA, unpersist=False)
+    x, w = _logit_fit(spark, sf_dir)
     zf = (
         x.join(F.broadcast(w), "b")
         .groupBy("doc_id")
