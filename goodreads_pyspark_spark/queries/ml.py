@@ -546,3 +546,89 @@ def m07_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("item_b"),
         F.col("freq").cast("bigint").alias("freq"),
     )
+
+
+# --- Word2Vec embeddings (new in r9) --------------------------------------------
+_M08_MIN_COUNT = 5
+_M08_DIMS = 16
+_M08_TOKS = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+)
+
+
+@query(
+    "m08_word2vec_vocab",
+    oracle=f"""
+    WITH tk AS (SELECT unnest({_M08_TOKS}) AS tok
+                FROM documents WHERE doc_id % 20 = 0),
+    c AS (SELECT tok, COUNT(*) AS cnt FROM tk GROUP BY tok)
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST({_M08_DIMS} AS INTEGER) AS dims,
+           TRUE AS norms_ok, TRUE AS refit_stable
+    FROM c WHERE cnt >= {_M08_MIN_COUNT}
+    """,
+    doc="Word2Vec (pyspark.ml.feature, MLlib's skip-gram; Mikolov et al. "
+    "2013, public) over a 5% document sample — widens the §2.11 MLlib "
+    "surface with learned word embeddings, gated the m01-m05 way: the "
+    "oracle independently recomputes the EXACT vocabulary size (tokens "
+    f"with corpus count >= {_M08_MIN_COUNT} — the model's own admission "
+    "rule, a pure SQL count), and pins TRUE two measured in-query "
+    "booleans: every learned vector has a positive finite L2 norm, and "
+    "a same-seed refit reproduces every vector bit-for-bit (u01's "
+    "seeded-reproducibility discipline; numPartitions=1 removes the "
+    "merge-order nondeterminism MLlib documents for multi-partition "
+    "fits). Scale shape: training at scale raises numPartitions (and "
+    "accepts documented nondeterminism) — the gate deliberately pins "
+    "the deterministic single-partition configuration; vocab counting "
+    "is one tokenize + keyed count either way.",
+)
+def m08_word2vec_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import Word2Vec
+    from pyspark.ml.functions import vector_to_array
+
+    from goodreads_pyspark_spark.functions.text import tokens
+
+    docs = tbl(spark, sf_dir, "documents").filter(F.col("doc_id") % 20 == 0)
+    tk = docs.select(tokens("text").alias("words"))
+
+    def fit():
+        return (
+            Word2Vec(
+                vectorSize=_M08_DIMS,
+                minCount=_M08_MIN_COUNT,
+                seed=42,
+                numPartitions=1,
+                maxIter=1,
+                inputCol="words",
+                outputCol="v",
+            )
+            .fit(tk)
+            .getVectors()
+            .select("word", vector_to_array("vector").alias("vec"))
+        )
+
+    v1, v2 = fit(), fit().withColumnRenamed("vec", "vec2")
+    joined = v1.join(v2, "word", "full")
+    norm2 = F.aggregate(
+        "vec", F.lit(0.0), lambda acc, x: acc + x * x
+    )
+    same = F.coalesce(
+        F.size(F.col("vec")) == F.size(F.col("vec2")), F.lit(False)
+    ) & F.coalesce(
+        F.size(
+            F.filter(
+                F.zip_with("vec", "vec2", lambda a, b: (a == b).cast("int")),
+                lambda z: z == 0,
+            )
+        )
+        == 0,
+        F.lit(False),
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.min(F.size("vec")).cast("int").alias("dims"),
+        F.min(
+            ((norm2 > 0.0) & ~F.isnan(norm2)).cast("int")
+        ).cast("boolean").alias("norms_ok"),
+        F.min(same.cast("int")).cast("boolean").alias("refit_stable"),
+    )
