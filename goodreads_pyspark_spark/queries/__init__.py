@@ -60,13 +60,13 @@ REGISTRY: dict[str, Query] = {}
 # COVERAGE.md carries the per-query last-green ledger this is computed
 # from.
 #
-# r9 window: ALL 33 never-driver-gated queries first (the 12 whose
+# r9 window: ALL 34 never-driver-gated queries first (the 12 whose
 # intended r8 window never reached the driver — the r8 export sorted by
 # canonical key, so the a_ renames never moved rows; fixed in
 # _export_sorted — plus the 11 queries added in r9's first session and
-# the 10 added after the driver restarted the round), then the first 17
+# the 11 added after the driver restarted the round), then the first 16
 # sorted of the 24 rows last green in r2. Additions outrank age classes
-# (policy rule 1), so gr07–gr10/mm01–mm03 (r2) and q05/mm04/e08 (r3,
+# (policy rule 1), so gr06–gr10/mm01–mm03 (r2) and q05/mm04/e08 (r3,
 # twice-promised — they go to the FRONT of r10) yield their slots. The
 # r10 window: q05, mm04, gr09, gr10, mm01–mm03, then e08–e14, g07–g10,
 # io02–io04, q29–q34, s05/s06, t06–t13 by age/name.
@@ -109,7 +109,8 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "h05_prf_query_expansion",
         "t28_quantile_sketch_audit",
         "m08_word2vec_vocab",
-        # last green in r2 (first 17 sorted of 24)
+        "d64_containment_banding_audit",
+        # last green in r2 (first 16 sorted of 24)
         "e02_cosine_neardup_pairs",
         "e03_lsh_buckets",
         "e04_ann_topk_vec0",
@@ -126,7 +127,6 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "gr03_highest_rated_books",
         "gr04_most_rated_books",
         "gr05_reviews_per_year",
-        "gr06_avg_rating_per_year",
     }
 )
 
