@@ -1,4 +1,4 @@
-"""Round-9 second-batch new-operator stress probe: d61/d63/t27/m07/e33/h05/t28 at 1x/10x.
+"""Round-9 second-batch new-operator stress probe: the r9 continuation additions at 1x/10x.
 
 Replication conventions: tools/r7_ops_stress.py (id-offset copies;
 document replicas carry a per-copy text suffix so they are not exact
@@ -50,6 +50,7 @@ QUERIES = {
     "e33_ivfpq_residual_adc": ("embeddings",),
     "h05_prf_query_expansion": ("documents",),
     "t28_quantile_sketch_audit": ("events",),
+    "d64_containment_banding_audit": ("documents",),
 }
 
 
