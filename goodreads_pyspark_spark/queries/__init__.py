@@ -60,7 +60,10 @@ REGISTRY: dict[str, Query] = {}
 # COVERAGE.md carries the per-query last-green ledger this is computed
 # from.
 #
-# r9 window: ALL 34 never-driver-gated queries first (the 12 whose
+# r9 window: ALL 34 never-driver-gated queries first, then the 5
+# queries whose kernels were rewritten this session (policy rule 2:
+# g07/g08/g11 now consume the shared co-occurrence pair memo, d49/d52
+# the shared classifier fit), then 11 r2-aged rows (the 12 whose
 # intended r8 window never reached the driver — the r8 export sorted by
 # canonical key, so the a_ renames never moved rows; fixed in
 # _export_sorted — plus the 11 queries added in r9's first session and
@@ -110,7 +113,15 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "t28_quantile_sketch_audit",
         "m08_word2vec_vocab",
         "d64_containment_banding_audit",
-        # last green in r2 (first 16 sorted of 24)
+        # code-changed this session (policy rule 2): the shared
+        # co-occurrence pair kernel rewired g07/g08/g11 and the fitted-
+        # classifier memo rewired d49/d52 — all five re-gate now
+        "g07_triangle_count",
+        "g08_kcore_trim",
+        "g11_clustering_coefficient",
+        "d49_logistic_fit",
+        "d52_classifier_eval",
+        # last green in r2 (first 11 sorted of 24)
         "e02_cosine_neardup_pairs",
         "e03_lsh_buckets",
         "e04_ann_topk_vec0",
@@ -122,11 +133,6 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "g03_lpa_labels",
         "g05_connected_components",
         "g06_bfs_shortest_paths",
-        "gr01_ratings_histogram",
-        "gr02_top_reviewers",
-        "gr03_highest_rated_books",
-        "gr04_most_rated_books",
-        "gr05_reviews_per_year",
     }
 )
 
