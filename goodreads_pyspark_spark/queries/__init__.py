@@ -60,7 +60,7 @@ REGISTRY: dict[str, Query] = {}
 # COVERAGE.md carries the per-query last-green ledger this is computed
 # from.
 #
-# r9 window: ALL 34 never-driver-gated queries first, then the 5
+# r9 window: ALL 35 never-driver-gated queries first, then the 5
 # queries whose kernels were rewritten this session (policy rule 2:
 # g07/g08/g11 now consume the shared co-occurrence pair memo, d49/d52
 # the shared classifier fit), then 11 r2-aged rows (the 12 whose
@@ -113,6 +113,7 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "t28_quantile_sketch_audit",
         "m08_word2vec_vocab",
         "d64_containment_banding_audit",
+        "e35_ivfpq_nprobe_curve",
         # code-changed this session (policy rule 2): the shared
         # co-occurrence pair kernel rewired g07/g08/g11 and the fitted-
         # classifier memo rewired d49/d52 — all five re-gate now
@@ -132,7 +133,6 @@ GATE_WINDOW: frozenset[str] = frozenset(
         "g02_motif_common_dst",
         "g03_lpa_labels",
         "g05_connected_components",
-        "g06_bfs_shortest_paths",
     }
 )
 

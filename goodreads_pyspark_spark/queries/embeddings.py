@@ -2488,3 +2488,96 @@ def e34_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("flatpq_hits").cast("double") / 10).alias("flatpq_recall"),
         )
     )
+
+
+# --- IVFADC nprobe recall curve (new in r9) -------------------------------------
+def _e35_oracle(probes: tuple[int, ...] = (1, 4, 8), k: int = 10) -> str:
+    shared = f"""
+    WITH {_LONG},
+    cc AS (SELECT vec_id AS ccid, pos, v AS cval FROM e WHERE vec_id < 8),
+    ad2 AS (SELECT e.vec_id, cc.ccid,
+                   {_DSUM.format(expr='(e.v - cc.cval) * (e.v - cc.cval)')}
+                     AS d2
+            FROM e JOIN cc USING (pos) GROUP BY e.vec_id, cc.ccid),
+    asg AS (SELECT vec_id, ccid FROM (
+              SELECT vec_id, ccid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY d2, ccid) AS rn
+              FROM ad2) WHERE rn = 1),
+    res AS (SELECT e.vec_id, a.ccid, e.pos, e.v - cc.cval AS r
+            FROM e JOIN asg a ON a.vec_id = e.vec_id
+            JOIN cc ON cc.ccid = a.ccid AND cc.pos = e.pos),
+    cw AS (SELECT vec_id AS cid, pos, r AS cwv FROM res WHERE vec_id < 16),
+    ed2 AS (SELECT res.vec_id, res.ccid, (res.pos - 1) // 16 AS sub, cw.cid,
+                   {_DSUM.format(expr='(res.r - cw.cwv) * (res.r - cw.cwv)')}
+                     AS d2
+            FROM res JOIN cw ON cw.pos = res.pos
+            GROUP BY res.vec_id, res.ccid, (res.pos - 1) // 16, cw.cid),
+    enc AS (SELECT vec_id, ccid, sub, cid FROM (
+              SELECT vec_id, ccid, sub, cid,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                        ORDER BY d2, cid) AS rn
+              FROM ed2) WHERE rn = 1),
+    fq AS (SELECT pos, v AS qv FROM e WHERE vec_id = 3),
+    exact AS (SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       {_DSUM.format(expr='(e.v - fq.qv) * (e.v - fq.qv)')}
+                         AS d2
+                FROM e JOIN fq USING (pos) WHERE e.vec_id <> 3
+                GROUP BY e.vec_id)
+              ORDER BY d2, vec_id LIMIT {k})"""
+    per = []
+    sel = []
+    for p in probes:
+        per.append(f""",
+    probe{p} AS (SELECT ccid FROM ad2 WHERE vec_id = 3
+                 ORDER BY d2, ccid LIMIT {p}),
+    qr{p} AS (SELECT pp.ccid, e.pos, e.v - cc.cval AS qr
+              FROM e CROSS JOIN probe{p} pp
+              JOIN cc ON cc.ccid = pp.ccid AND cc.pos = e.pos
+              WHERE e.vec_id = 3),
+    lut{p} AS (SELECT qr{p}.ccid, (qr{p}.pos - 1) // 16 AS sub, cw.cid,
+                      SUM(CAST((qr{p}.qr - cw.cwv) * (qr{p}.qr - cw.cwv)
+                               AS DECIMAL(38,12))) AS lut_d2
+               FROM qr{p} JOIN cw ON cw.pos = qr{p}.pos
+               GROUP BY qr{p}.ccid, (qr{p}.pos - 1) // 16, cw.cid),
+    top{p} AS (SELECT vec_id FROM (
+                 SELECT enc.vec_id, CAST(SUM(lut_d2) AS DOUBLE) AS adc_d2
+                 FROM enc JOIN lut{p} ON lut{p}.ccid = enc.ccid
+                                     AND lut{p}.sub = enc.sub
+                                     AND lut{p}.cid = enc.cid
+                 WHERE enc.vec_id <> 3 GROUP BY enc.vec_id)
+               ORDER BY adc_d2, vec_id LIMIT {k})""")
+        sel.append(f"""
+    SELECT CAST({p} AS INTEGER) AS nprobe, CAST({k} AS INTEGER) AS k,
+           CAST((SELECT COUNT(*) FROM top{p} JOIN exact USING (vec_id))
+                AS BIGINT) AS n_hits,
+           CAST((SELECT COUNT(*) FROM top{p} JOIN exact USING (vec_id))
+                AS DOUBLE) / {k} AS recall""")
+    return shared + "".join(per) + "\n    UNION ALL".join(sel)
+
+
+@query(
+    "e35_ivfpq_nprobe_curve",
+    oracle=_e35_oracle(),
+    doc="The nprobe dial for the combined IVFADC index (e33): recall@10 "
+    "vs the exact L2 top-10 at probe depths 1/4/8 of 8 cells — e19's "
+    "probe-depth discipline applied to the residual-PQ index. ONE "
+    "assignment pass and ONE residual-encode pass serve the whole "
+    "curve (similarity/quantize.py ivfpq_recall_curve; each depth adds "
+    "only its own broadcast LUT build and ADC ranking). At nprobe=8 "
+    "(== nlist) routing loss vanishes and the residual remaining gap "
+    "is pure code loss — together with e34's flat-PQ column this "
+    "separates all three error sources of the production index. All "
+    "rankings deterministic, recalls hash-gated. Scale shape: the "
+    "index build is e33's; per depth only nprobe*4*16 LUT rows and "
+    "the code-table ADC join are added.",
+)
+def e35_ivfpq_nprobe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.similarity.quantize import ivfpq_recall_curve
+
+    emb = tbl(spark, sf_dir, "embeddings")
+    return ivfpq_recall_curve(
+        emb, query_id=3, k=10, probes=(1, 4, 8), nlist=8,
+        n_sub=4, sub_dim=16, ksub=16,
+    )

@@ -289,6 +289,25 @@ def ivfpq_adc_topk(
     touches integer codes inside the probed cells — the candidate
     restriction is a semi-join on the assignment before any scoring.
     """
+    parts = _ivfpq_parts(df, nlist, sub_dim, ksub, id_col, vec_col)
+    return _ivfpq_search(parts, query_id, k, nprobe, id_col).select(
+        id_col, F.col("ccid").alias("cell"), "adc_d2"
+    )
+
+
+def _ivfpq_parts(
+    df: DataFrame,
+    nlist: int,
+    sub_dim: int,
+    ksub: int,
+    id_col: str,
+    vec_col: str,
+) -> dict:
+    """The query-independent half of IVFADC — long form, coarse
+    centroids/assignment distances, residual codebooks and the encoded
+    table — shared by single-query search (``ivfpq_adc_topk``) and the
+    nprobe recall curve (``ivfpq_recall_curve``), which probes the SAME
+    index at several depths (the e19 one-assignment-pass discipline)."""
     from pyspark.sql import Window
 
     acc = "decimal(38,12)"
@@ -346,7 +365,19 @@ def ivfpq_adc_topk(
         .filter(F.col("rn") == 1)
         .select(id_col, "ccid", "sub", "cid")
     )
-    # query side: nprobe nearest cells, then per-cell query residual LUTs
+    return {
+        "e": e, "cc": cc, "ad2": ad2, "enc": enc, "cw": cw,
+        "sub": sub, "dsq": dsq,
+    }
+
+
+def _ivfpq_search(
+    parts: dict, query_id: int, k: int, nprobe: int, id_col: str
+) -> DataFrame:
+    """The query-dependent half: probe set, per-cell residual LUTs, ADC
+    ranking. Returns (id, ccid, adc_d2) ascending, top-k."""
+    e, cc, ad2 = parts["e"], parts["cc"], parts["ad2"]
+    enc, cw, sub, dsq = parts["enc"], parts["cw"], parts["sub"], parts["dsq"]
     probe = (
         ad2.filter(F.col(id_col) == query_id)
         .orderBy(F.col("d2").asc(), F.col("ccid"))
@@ -370,7 +401,65 @@ def ivfpq_adc_topk(
         .filter(F.col(id_col) != query_id)
         .groupBy(id_col, "ccid")
         .agg(F.sum("lut_d2").cast("double").alias("adc_d2"))
-        .select(id_col, F.col("ccid").alias("cell"), "adc_d2")
         .orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def ivfpq_recall_curve(
+    df: DataFrame,
+    query_id: int,
+    k: int = 10,
+    probes: tuple[int, ...] = (1, 4, 8),
+    nlist: int = 8,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Recall@k of IVFADC at several probe depths against the exact L2
+    top-k — the nprobe dial for the combined index (e19's discipline:
+    ONE assignment pass and ONE encode pass serve the whole curve; each
+    probe depth adds only its own LUT build and ADC ranking). At
+    ``nprobe == nlist`` routing loss vanishes and the remaining gap is
+    pure code loss. Returns one row per probe depth:
+    (nprobe, k, n_hits, recall), ascending nprobe."""
+    acc = "decimal(38,12)"
+    parts = _ivfpq_parts(df, nlist, sub_dim, ksub, id_col, vec_col)
+    e = parts["e"]
+    q = e.filter(F.col(id_col) == query_id).select(
+        "pos", F.col("v").alias("qv")
+    )
+    exact = (
+        e.filter(F.col(id_col) != query_id)
+        .join(F.broadcast(q), "pos")
+        .groupBy(id_col)
+        .agg(
+            F.sum(((F.col("v") - F.col("qv")) * (F.col("v") - F.col("qv"))).cast(acc))
+            .cast("double")
+            .alias("d2")
+        )
+        .orderBy(F.col("d2").asc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col)
+    )
+    exact = exact.cache()  # consumed once per probe depth
+    rows = []
+    for p in probes:
+        got = _ivfpq_search(parts, query_id, k, p, id_col).select(id_col)
+        hits = got.join(exact, id_col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+        )
+        rows.append(
+            hits.select(
+                F.lit(p).cast("int").alias("nprobe"),
+                F.lit(k).cast("int").alias("k"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / k).alias("recall"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
