@@ -91,6 +91,7 @@ def jaccard_pairs(
 def containment_pairs_from_shingles(
     sh: DataFrame,
     max_df: int | None = None,
+    already_cached: bool = False,
 ) -> DataFrame:
     """Asymmetric containment per shingle-sharing pair.
 
@@ -109,10 +110,17 @@ def containment_pairs_from_shingles(
     sh = sh.withColumn(
         "sh", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
     )
-    sh = sh.cache()
+    # Same caching discipline as jaccard_pairs_from_shingles (ADVICE r9):
+    # when the caller owns a cached shingle table, skip the pre-filter
+    # cache so at most one extra cached copy (the df-capped table) lives
+    # here instead of three overlapping ones.
     if max_df is not None:
+        if not already_cached:
+            sh = sh.cache()
         dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         sh = sh.join(dfreq.filter(F.col("__df") <= max_df).drop("__df"), "sh")
+        sh = sh.cache()
+    elif not already_cached:
         sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")

@@ -137,6 +137,29 @@ GATE_WINDOW: frozenset[str] = frozenset(
 )
 
 
+# Shared-kernel ledger (ADVICE r9): a few session-scoped memos
+# (localCheckpoint-backed) deliberately survive the bench harness's
+# clearCache, so per-query bench timings measure MARGINAL cost given a
+# warm kernel — correct, but uninterpretable without the build cost.
+# Each memo registers a builder here; bench.py forces every kernel up
+# front, times it as its own line, and records this consumer map in
+# BENCH_DETAIL so the amortization is explicit. Registration order is
+# dependency order (e.g. neardup_cc consumes jac05_pairs), so builds
+# are timed against warm upstream kernels, never double-counted.
+SHARED_KERNELS: dict[str, dict] = {}
+
+
+def shared_kernel(name: str, consumers: tuple[str, ...]):
+    """Decorator registering a shared-kernel builder ``(spark, sf_dir)
+    -> None`` with the bench-facing list of amortizing query names."""
+
+    def deco(fn):
+        SHARED_KERNELS[name] = {"build": fn, "consumers": list(consumers)}
+        return fn
+
+    return deco
+
+
 def canonical(name: str) -> str:
     """Strip the ``a_`` gate-window prefix, returning the registry key.
 

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from goodreads_pyspark_spark.graph.frames import PropertyGraph
 from goodreads_pyspark_spark.graph.pregel import label_propagation, pagerank_scaled
-from goodreads_pyspark_spark.queries import PRE_MATERIALIZATION, query
+from goodreads_pyspark_spark.queries import PRE_MATERIALIZATION, query, shared_kernel
 from goodreads_pyspark_spark.queries._helpers import tbl
 from goodreads_pyspark_spark.queries.timeseries import T14_MAX_BASKET
 
@@ -1365,3 +1365,14 @@ def g19_fanout_neighborhood_sample(spark: SparkSession, sf_dir: str) -> DataFram
             F.coalesce("cks", F.lit("0")).alias("frontier_checksum"),
         )
     )
+
+
+# --- shared-kernel ledger registration (ADVICE r9) ----------------------------
+
+
+@shared_kernel(
+    "copart_pairs",
+    ("g07_triangle_count", "g08_kcore_trim", "g11_clustering_coefficient"),
+)
+def _kernel_copart(spark: SparkSession, sf_dir: str) -> None:
+    _copart_pairs(spark, sf_dir)

@@ -479,7 +479,9 @@ _M07_MAX_BASKET = 50
     oracle=f"""
     WITH pur AS (
       SELECT DISTINCT user_id, CAST(props->>'k' AS INTEGER) AS item
-      FROM events WHERE event_type = 'purchase'),
+      FROM events
+      WHERE event_type = 'purchase'
+        AND CAST(props->>'k' AS INTEGER) IS NOT NULL),
     ok_users AS (SELECT user_id FROM pur GROUP BY user_id
                  HAVING COUNT(*) <= {_M07_MAX_BASKET}),
     basket AS (SELECT pur.user_id, item FROM pur JOIN ok_users USING (user_id)),
@@ -525,6 +527,11 @@ def m07_fpgrowth_itemsets(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.get_json_object("props", "$.k").cast("int").alias("item"),
         )
+        # NULL items (purchase events missing props.k) would be dropped
+        # silently by collect_list but kept by the oracle's basket-size
+        # HAVING and 1-itemset counts; exclude them explicitly on BOTH
+        # sides so the two engines agree by construction (ADVICE r9).
+        .filter(F.col("item").isNotNull())
         .distinct()
     )
     baskets = (

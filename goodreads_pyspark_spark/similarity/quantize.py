@@ -21,6 +21,34 @@ from pyspark.sql import functions as F
 from goodreads_pyspark_spark.operators.partitioning import fan_out
 
 
+def _require_geometry(
+    df: DataFrame, n_sub: int, sub_dim: int, vec_col: str
+) -> DataFrame:
+    """Guard that the vector dimension equals ``n_sub * sub_dim``.
+
+    Subspaces are derived from ``pos div sub_dim`` alone, so an
+    inconsistent ``n_sub`` would otherwise change geometry silently
+    (ADVICE r9). The check is an inline JVM-side expression — a per-row
+    array-size comparison folded into the same scan, no extra driver
+    job — that raises at execution time with the actual/expected dims.
+    ``raise_error`` lives inside the WHERE so Catalyst cannot prune it.
+    """
+    dim = n_sub * sub_dim
+    return df.where(
+        F.when(F.size(vec_col) == dim, F.lit(True)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"PQ geometry mismatch: expected n_sub*sub_dim = "
+                        f"{n_sub}*{sub_dim} = {dim} dims, got "
+                    ),
+                    F.size(vec_col).cast("string"),
+                )
+            )
+        )
+    )
+
+
 def int8_quantize(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -167,7 +195,7 @@ def pq_assignments(
 
     acc = "decimal(38,12)"
     e = (
-        fan_out(df)
+        fan_out(_require_geometry(df, n_sub, sub_dim, vec_col))
         .select(F.col(id_col), F.posexplode(vec_col).alias("pos", "v"))
         .withColumn("v", F.col("v").cast("double"))
         .withColumn("sub", F.expr(f"pos div {sub_dim}"))
@@ -289,7 +317,7 @@ def ivfpq_adc_topk(
     touches integer codes inside the probed cells — the candidate
     restriction is a semi-join on the assignment before any scoring.
     """
-    parts = _ivfpq_parts(df, nlist, sub_dim, ksub, id_col, vec_col)
+    parts = _ivfpq_parts(df, nlist, n_sub, sub_dim, ksub, id_col, vec_col)
     return _ivfpq_search(parts, query_id, k, nprobe, id_col).select(
         id_col, F.col("ccid").alias("cell"), "adc_d2"
     )
@@ -298,6 +326,7 @@ def ivfpq_adc_topk(
 def _ivfpq_parts(
     df: DataFrame,
     nlist: int,
+    n_sub: int,
     sub_dim: int,
     ksub: int,
     id_col: str,
@@ -314,7 +343,7 @@ def _ivfpq_parts(
     dsq = lambda a, b: F.sum(((a - b) * (a - b)).cast(acc))  # noqa: E731
 
     e = (
-        fan_out(df)
+        fan_out(_require_geometry(df, n_sub, sub_dim, vec_col))
         .select(F.col(id_col), F.posexplode(vec_col).alias("pos", "v"))
         .withColumn("v", F.col("v").cast("double"))
     )
@@ -426,7 +455,7 @@ def ivfpq_recall_curve(
     pure code loss. Returns one row per probe depth:
     (nprobe, k, n_hits, recall), ascending nprobe."""
     acc = "decimal(38,12)"
-    parts = _ivfpq_parts(df, nlist, sub_dim, ksub, id_col, vec_col)
+    parts = _ivfpq_parts(df, nlist, n_sub, sub_dim, ksub, id_col, vec_col)
     e = parts["e"]
     q = e.filter(F.col(id_col) == query_id).select(
         "pos", F.col("v").alias("qv")

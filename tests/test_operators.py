@@ -820,3 +820,48 @@ def test_d61_fluency_fixed_point_in_unit_range(spark):
     for r in out:
         assert 0 <= r.avg_fluency_fp <= 1_000_000_000
         assert 0 <= r.n_above_mean <= r.n_docs
+
+
+def test_pq_geometry_guard_raises_on_mismatched_n_sub(spark):
+    """pq subspaces derive from pos div sub_dim; a caller passing an
+    n_sub inconsistent with the vector dimension must fail loudly at
+    execution (ADVICE r9), not get silently different geometry."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.similarity.quantize import pq_assignments
+
+    df = spark.range(8).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.rand(seed=1) for _ in range(8)]).alias("embedding"),
+    )
+    # consistent geometry: fine
+    assert pq_assignments(df, n_sub=2, sub_dim=4, ksub=4).count() > 0
+    # inconsistent: raises with the actual/expected dims in the message
+    with pytest.raises(Exception, match="PQ geometry mismatch"):
+        pq_assignments(df, n_sub=3, sub_dim=4, ksub=4).collect()
+
+
+def test_shared_kernel_ledger_names_registered_queries():
+    """Every bench-facing shared-kernel consumer must be a registered
+    query name, and every localCheckpoint-backed memo must be in the
+    ledger — otherwise BENCH_DETAIL's amortization map silently rots."""
+    from goodreads_pyspark_spark.queries import (
+        REGISTRY,
+        SHARED_KERNELS,
+        _load_all,
+    )
+
+    _load_all()
+    assert set(SHARED_KERNELS) == {
+        "jac05_pairs",
+        "neardup_cc",
+        "c_pipeline_stages",
+        "minhash_sigs8",
+        "logit_fit",
+        "copart_pairs",
+    }
+    for kname, spec in SHARED_KERNELS.items():
+        assert spec["consumers"], kname
+        for c in spec["consumers"]:
+            assert c in REGISTRY, (kname, c)
