@@ -99,6 +99,14 @@ def m01_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- M11-M12: seeded KMeans + silhouette ------------------------------------
+# Gate-scope rotation (COVERAGE.md gate-scope notes; VERDICT r9 item 4):
+# maxIter=8 in cheap rounds, the pyspark default 20 in full-scale re-gate
+# rounds (every ~4 rounds; r10 is one) so the reduced scope never becomes
+# the only driver-certified configuration. The gate's invariants hold at
+# any fixed iteration count; both fits always share the constant.
+_M02_MAX_ITER = 20
+
+
 @query(
     "m02_kmeans_silhouette",
     oracle="""
@@ -139,10 +147,7 @@ def m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     n_vectors = emb.count()
-    # maxIter=8 for BOTH fits: the gate's invariants (full assignment,
-    # k bound, silhouette range, same-seed refit identity) hold at any
-    # fixed iteration count — 20 default sweeps buy the gate nothing.
-    clustered = kmeans_cluster(emb, k=8, seed=1, max_iter=8).cache()
+    clustered = kmeans_cluster(emb, k=8, seed=1, max_iter=_M02_MAX_ITER).cache()
     sil = silhouette(clustered)
     assert -1.0 <= sil <= 1.0, f"silhouette {sil} out of bounds"
     sizes = sorted(
@@ -153,7 +158,7 @@ def m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes2 = sorted(
         (r["prediction"], r["n"])
-        for r in kmeans_cluster(emb, k=8, seed=1, max_iter=8)
+        for r in kmeans_cluster(emb, k=8, seed=1, max_iter=_M02_MAX_ITER)
         .groupBy("prediction")
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
