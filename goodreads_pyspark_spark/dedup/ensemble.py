@@ -1,0 +1,178 @@
+"""LSH-Ensemble: size-partitioned containment LSH (Zhu, Nargesian, Pu &
+Miller, "LSH Ensemble: Internet-Scale Domain Search", VLDB 2016 — public).
+
+WHY a plain MinHash/banding index cannot find containment pairs: banding
+collision probability is a function of JACCARD, and a containment pair
+(a quote, a boilerplate wrapper, a concatenation) has high containment
+with arbitrarily low Jaccard — the bigger the container, the lower the
+Jaccard. d64 measures this on our corpus: the d07 banding index recovers
+100% of jaccard>=0.5 pairs but only 0-9% of containment-only pairs.
+
+The ensemble fix: partition the indexed sets BY SIZE and give each
+partition its own banding scheme. Within a partition the container size
+is bounded by the partition's upper edge, so the Jaccard equivalent of a
+containment threshold t is bounded below (J >= t*q / (q + u_p - t*q)),
+and a per-partition (bands, rows) choice can target it — small-container
+partitions keep cheap high-r banding, large-container partitions switch
+to aggressive low-r banding that plain LSH could never afford globally.
+A query (the potential CONTAINED doc) probes every partition that could
+hold a container at least its size, using THAT partition's scheme.
+
+Differences from the paper, chosen for oracle replayability:
+  * static geometric size boundaries instead of equi-depth partitioning
+    (the paper proves equi-depth near-optimal; at 100 TB you would
+    compute P-1 approximate size quantiles in one pass and range-
+    partition — the partitioning map stays a broadcast scalar either
+    way, and static edges make the DuckDB oracle a CASE expression);
+  * per-partition rows-per-band from a fixed table rather than the
+    paper's per-query optimization (fixed (b,r) is what an INDEX can
+    precompute; the optimization chooses among the same splits).
+
+Scale shape: signatures are one min-hash aggregation over the shingle
+pass (shared with every other MinHash consumer); the only thing that
+shuffles afterwards is (doc_id, size, partition, band, 16-byte md5 key)
+— sum(b_p) rows per doc on the probe side, b_own on the index side.
+The per-(partition, band, key) bucket cap bounds any bucket's m^2 join
+contribution exactly like d07's ``max_bucket``; candidate volume is
+measured, not hoped (d65 gates it).
+
+Reference parity: the reference notebook has no containment index at
+all; this is part of the beyond-reference LLM-data-pipeline surface
+(SURVEY.md LLM-ops), motivated quantitatively by d64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.dedup.minhash import (
+    minhash_signatures_from_shingles,
+)
+
+#: Static size-partition upper edges (shingle-set size, 2-gram corpus
+#: quartile-ish geometric edges) — partition p holds sizes in
+#: [edges[p-1], edges[p]); the last partition is unbounded.
+DEFAULT_SIZE_EDGES: tuple[int, ...] = (24, 48, 72)
+
+#: rows-per-band per partition (bands = num_hashes // rows). Larger
+#: containers → lower worst-case Jaccard for the same containment →
+#: fewer rows per band (more, shorter bands: the S-curve moves left).
+DEFAULT_ROWS_PER_BAND: tuple[int, ...] = (2, 2, 1, 1)
+
+
+def _partition_of(sz: Column, edges: tuple[int, ...]) -> Column:
+    """Static range partitioning of set sizes — a map-side CASE chain."""
+    out = F.lit(len(edges))  # last (unbounded) partition
+    for p in reversed(range(len(edges))):
+        out = F.when(sz < edges[p], F.lit(p)).otherwise(out)
+    return out.cast("int")
+
+
+def lsh_ensemble_candidate_pairs(
+    sh: DataFrame,
+    id_col: str = "id",
+    num_hashes: int = 16,
+    size_edges: tuple[int, ...] = DEFAULT_SIZE_EDGES,
+    rows_per_band: tuple[int, ...] = DEFAULT_ROWS_PER_BAND,
+    max_bucket: int | None = 100,
+    max_probe: int | None = None,
+) -> DataFrame:
+    """Oriented containment candidates ``(contained, container)`` from a
+    prebuilt ``(id_col, sh)`` distinct-shingle table.
+
+    Every doc is INDEXED once under its own partition's scheme and
+    PROBES every partition that could hold a container at least its
+    size (a container is never smaller than what it contains), using
+    that partition's scheme. A pair is a candidate when any band key
+    collides under the container's partition scheme; orientation is
+    (smaller, larger) with id as the equal-size tiebreak — the d63
+    convention. ``max_bucket`` caps index-side bucket sizes per
+    (partition, band, key); ``max_probe`` (default ``4 * max_bucket``)
+    drops probe-side buckets above that size — a key probed by that
+    many docs carries no discriminative signal (the df-cap rationale),
+    and uncapped it multiplies the join by the probe bucket size
+    (measured 1.4x wall on the d65 gate with ZERO candidate change at
+    both test sfs).
+    """
+    if len(rows_per_band) != len(size_edges) + 1:
+        raise ValueError(
+            f"rows_per_band has {len(rows_per_band)} entries for "
+            f"{len(size_edges) + 1} partitions"
+        )
+    for r in rows_per_band:
+        if r <= 0 or num_hashes % r != 0:
+            raise ValueError(
+                f"rows-per-band {r} must divide num_hashes ({num_hashes})"
+            )
+
+    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    docs = (
+        sigs.join(sizes, id_col)
+        .withColumn("part", _partition_of(F.col("sz"), size_edges))
+    )
+
+    # One exploded (id, sz, part, p, band, key) frame carrying, per doc,
+    # the band keys of EVERY partition scheme — index and probe sides
+    # are then filters over the same subtree (cached: two consumers).
+    entries = []
+    for p, r in enumerate(rows_per_band):
+        bands = num_hashes // r
+        for b in range(bands):
+            key = F.md5(
+                F.concat(*[F.col(f"mh{b * r + k}") for k in range(r)])
+            )
+            entries.append(
+                F.struct(
+                    F.lit(p).alias("p"), F.lit(b).alias("band"), key.alias("key")
+                )
+            )
+    keyed = (
+        docs.select(
+            F.col(id_col),
+            "sz",
+            "part",
+            F.explode(F.array(*entries)).alias("e"),
+        )
+        .select(id_col, "sz", "part", "e.p", "e.band", "e.key")
+        .cache()
+    )
+
+    index = keyed.filter(F.col("part") == F.col("p"))
+    if max_bucket is not None:
+        counts = index.groupBy("p", "band", "key").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        index = index.join(
+            counts.filter(F.col("__n") <= max_bucket).drop("__n"),
+            ["p", "band", "key"],
+        )
+    probe = keyed.filter(F.col("p") >= F.col("part"))
+    if max_probe is None and max_bucket is not None:
+        max_probe = 4 * max_bucket
+    if max_probe is not None:
+        pcounts = probe.groupBy("p", "band", "key").agg(
+            F.count(F.lit(1)).alias("__m")
+        )
+        probe = probe.join(
+            pcounts.filter(F.col("__m") <= max_probe).drop("__m"),
+            ["p", "band", "key"],
+        )
+
+    q, x = probe.alias("q"), index.alias("x")
+    return (
+        q.join(x, ["p", "band", "key"])
+        .filter(
+            (F.col("q.sz") < F.col("x.sz"))
+            | (
+                (F.col("q.sz") == F.col("x.sz"))
+                & (F.col(f"q.{id_col}") < F.col(f"x.{id_col}"))
+            )
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("contained"),
+            F.col(f"x.{id_col}").alias("container"),
+        )
+        .distinct()
+    )

@@ -47,9 +47,9 @@ REGISTRY: dict[str, Query] = {}
 # and cross-references all use canonical names; only the driver-facing
 # export sees the prefix.
 #
-# Staleness policy (restated r9 so it is arithmetically auditable at
-# 244 registered queries × 50-slot windows): every query's newest green
-# CORRECTNESS row must be ≤5 rounds old (ceil(244/50) = 5 is the floor).
+# Staleness policy (restated r9 so it is arithmetically auditable; at
+# 268 registered queries × 50-slot windows the floor is ceil(268/50) =
+# 6): every query's newest green CORRECTNESS row must be ≤6 rounds old.
 # Window selection each round, in priority order:
 #   1. additions — queries that have never had a driver-green row;
 #   2. code-changed — queries whose kernel was rewritten since their
@@ -60,82 +60,81 @@ REGISTRY: dict[str, Query] = {}
 # COVERAGE.md carries the per-query last-green ledger this is computed
 # from.
 #
-# r9 window: ALL 35 never-driver-gated queries first, then the 5
-# queries whose kernels were rewritten this session (policy rule 2:
-# g07/g08/g11 now consume the shared co-occurrence pair memo, d49/d52
-# the shared classifier fit), then 11 r2-aged rows (the 12 whose
-# intended r8 window never reached the driver — the r8 export sorted by
-# canonical key, so the a_ renames never moved rows; fixed in
-# _export_sorted — plus the 11 queries added in r9's first session and
-# the 11 added after the driver restarted the round), then the first 16
-# sorted of the 24 rows last green in r2. Additions outrank age classes
-# (policy rule 1), so gr06–gr10/mm01–mm03 (r2) and q05/mm04/e08 (r3,
-# twice-promised — they go to the FRONT of r10) yield their slots. The
-# r10 window: q05, mm04, gr09, gr10, mm01–mm03, then e08–e14, g07–g10,
-# io02–io04, q29–q34, s05/s06, t06–t13 by age/name.
+# r10 window: exactly the 37 names promised at r9 close (q05, mm04,
+# gr09, gr10, mm01-mm03, e08-e14, g07-g10, io02-io04, q29-q34, s05/s06,
+# t06-t13), plus the r10 addition (d65), plus the 7 rule-2 code-changed
+# re-gates (m07/d64/m02/g17/e33/e34/e35 - g10 is rule-2 too but already
+# promised), plus the first 5 sorted of the 9 remaining r2-aged overdue
+# rows (g06, gr01-gr04). That gates 40 of the 44 overdue names;
+# gr05-gr08 are the only r2 rows left and go FIRST in r11.
 GATE_WINDOW: frozenset[str] = frozenset(
     {
-        # never driver-gated: r7/r8 additions (the r8 rotation bug means
-        # io16/d55/h04/d56 still have no driver row)
-        "d53_unimax_allocation",
-        "d54_boilerplate_detection",
-        "d55_datamix_card",
-        "d56_datacard_snapshot_diff",
-        "e29_ivf_incremental_add",
-        "g17_incremental_components",
-        "g18_degree_stratified_edge_sample",
-        "h04_rerank_calibration",
-        "io15_write_audit_publish",
-        "io16_index_publish",
-        "s13_streaming_approx_users",
-        "t26_daily_approx_users",
-        # never driver-gated: r9 additions
-        "c06_disposition_ledger",
-        "d57_pii_scrub",
-        "d58_dsir_importance",
-        "d59_kmv_source_overlap",
-        "d60_bloom_prefilter",
-        "d62_cluster_cohesion_audit",
-        "e30_embedding_outliers",
-        "e31_matryoshka_recall",
-        "e32_quantization_recall_sweep",
-        "g19_fanout_neighborhood_sample",
-        "io17_jsonl_gz_datasource",
-        # never driver-gated: post-restart r9 additions
-        "d61_bigram_fluency",
-        "d63_containment_audit",
-        "t27_cms_heavy_hitters",
-        "s14_streaming_heavy_hitters",
-        "m07_fpgrowth_itemsets",
-        "e33_ivfpq_residual_adc",
-        "e34_ivfpq_recall_audit",
-        "h05_prf_query_expansion",
-        "t28_quantile_sketch_audit",
-        "m08_word2vec_vocab",
-        "d64_containment_banding_audit",
-        "e35_ivfpq_nprobe_curve",
-        # code-changed this session (policy rule 2): the shared
-        # co-occurrence pair kernel rewired g07/g08/g11 and the fitted-
-        # classifier memo rewired d49/d52 — all five re-gate now
+        # --- the 37 names promised in r9 (VERDICT r9 item 1 requires
+        # CORRECTNESS_r10.json keys to match this plan): twice-promised
+        # slot-yields first, then the r2-aged families by age/name
+        "q05_nations_per_region",
+        "mm04_audio_window_plan",
+        "gr09_best_stephen_king",
+        "gr10_books_per_year",
+        "mm01_image_features",
+        "mm02_video_frame_plan",
+        "mm03_thumbnail_blobs",
+        "e08_ivf_partial_probe_vec1",
+        "e09_batch_knn",
+        "e10_pq_codes",
+        "e11_ann_recall_audit",
+        "e12_ivf_recall_audit",
+        "e13_bucketed_neardup_pairs",
+        "e14_pq_adc_topk",
         "g07_triangle_count",
         "g08_kcore_trim",
-        "g11_clustering_coefficient",
-        "d49_logistic_fit",
-        "d52_classifier_eval",
-        # last green in r2 (first 11 sorted of 24)
-        "e02_cosine_neardup_pairs",
-        "e03_lsh_buckets",
-        "e04_ann_topk_vec0",
-        "e05_label_centroids",
-        "e06_ivf_knn_vec1",
-        "e07_int8_quantization",
-        "g01_degrees",
-        "g02_motif_common_dst",
-        "g03_lpa_labels",
-        "g05_connected_components",
+        "g09_sssp_rounds",
+        "g10_personalized_pagerank",
+        "io02_schema_evolution",
+        "io03_compaction_roundtrip",
+        "io04_cdc_upsert",
+        "q29_local_supplier_volume",
+        "q30_returned_item_customers",
+        "q31_distributed_median",
+        "q32_exact_quantiles",
+        "q33_set_ops",
+        "q34_price_rank_tiles",
+        "s05_stream_static_enrich",
+        "s06_stream_stream_join",
+        "t06_json_prop_stats",
+        "t07_asof_purchase_last_view",
+        "t08_sliding_window_by_type",
+        "t09_day_over_day",
+        "t10_new_users_cumulative",
+        "t11_hourly_gap_fill",
+        "t12_funnel_conversion",
+        "t13_retention_cohorts",
+        # --- policy rule 1: r10 addition (never driver-gated)
+        "d65_lsh_ensemble_containment",
+        # --- policy rule 2: code-changed this session. m07 (NULL-item
+        # filter, both sides), d64 (zero-division guard + caching),
+        # m02/g17 (full-scale gate-scope rotation: maxIter=20 and the
+        # original %5/%97 fixture), e33/e34/e35 (the PQ geometry guard
+        # threads a new n_sub-validating WHERE through _ivfpq_parts).
+        # g10 (reliable-checkpoint boolean) is rule-2 too but already
+        # sits in the promised list above.
+        "m07_fpgrowth_itemsets",
+        "d64_containment_banding_audit",
+        "m02_kmeans_silhouette",
+        "g17_incremental_components",
+        "e33_ivfpq_residual_adc",
+        "e34_ivfpq_recall_audit",
+        "e35_ivfpq_nprobe_curve",
+        # --- policy rule 3: oldest remaining (r2), sorted-name — the
+        # first 5 of the 9 overdue rows the promised list didn't cover;
+        # gr05-gr08 yield their slots and go FIRST in r11's window.
+        "g06_bfs_shortest_paths",
+        "gr01_ratings_histogram",
+        "gr02_top_reviewers",
+        "gr03_highest_rated_books",
+        "gr04_most_rated_books",
     }
 )
-
 
 # Shared-kernel ledger (ADVICE r9): a few session-scoped memos
 # (localCheckpoint-backed) deliberately survive the bench harness's

@@ -5755,6 +5755,42 @@ def _d63_oracle() -> str:
     """
 
 
+_CONT2_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _containment_pairs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized FULL 2-gram shingle-sharing pair table with
+    n_common/sizes/jaccard/containment at df cap ``_D63_CAP`` — the
+    exact verifier d63/d64/d65 each rebuilt from its own corpus pass
+    (localCheckpoint-backed; the _jac05_pairs rationale). The frame is
+    pair-count-sized (~1k rows at sf0.1): everything upstream — the
+    tokenize pass, the hashed inverted index, the size join — runs once
+    per (session, sf_dir)."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in _CONT2_MEMO:
+        _evict_dead(_CONT2_MEMO, app)
+        _CONT2_MEMO[key] = _containment_pairs2_lazy(
+            spark, sf_dir
+        ).localCheckpoint()
+    return _CONT2_MEMO[key]
+
+
+def _containment_pairs2_lazy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNCHECKPOINTED containment-pair frame — exposed separately so
+    plan audits can assert on the real hashed-shingle join shape
+    (the _copart_lazy convention)."""
+    from goodreads_pyspark_spark.dedup.ngram import (
+        containment_pairs_from_shingles,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    return containment_pairs_from_shingles(sh, max_df=_D63_CAP)
+
+
+
 @query(
     "d63_containment_audit",
     oracle=_d63_oracle(),
@@ -5772,14 +5808,12 @@ def _d63_oracle() -> str:
     "adds zero new shuffle classes over Jaccard.".format(cap=_D63_CAP),
 )
 def d63_containment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from goodreads_pyspark_spark.dedup.ngram import (
-        containment_pairs_from_shingles,
-    )
-    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+    from goodreads_pyspark_spark.queries import PRE_MATERIALIZATION
 
-    docs = tbl(spark, sf_dir, "documents")
-    sh = shingle_rows(docs, shingle_n=2, out_id="id")
-    p = containment_pairs_from_shingles(sh, max_df=_D63_CAP).filter(
+    PRE_MATERIALIZATION["d63_containment_audit"] = _containment_pairs2_lazy(
+        spark, sf_dir
+    ).filter((F.col("containment") >= 0.4) & (F.col("jaccard") < 0.5))
+    p = _containment_pairs2(spark, sf_dir).filter(
         (F.col("containment") >= 0.4) & (F.col("jaccard") < 0.5)
     )
     smaller_is_a = F.col("sz_a") < F.col("sz_b")
@@ -5886,23 +5920,17 @@ def d64_containment_banding_audit(spark: SparkSession, sf_dir: str) -> DataFrame
     from goodreads_pyspark_spark.dedup.minhash import (
         lsh_candidate_pairs_from_shingles,
     )
-    from goodreads_pyspark_spark.dedup.ngram import (
-        containment_pairs_from_shingles,
-    )
     from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 
     docs = tbl(spark, sf_dir, "documents")
-    # ONE raw-string shingle pass feeds the MinHash aggregation and the
-    # (internally hashed) exact inverted index.
-    sh = shingle_rows(docs, shingle_n=2, out_id="doc_id").cache()
+    sh = shingle_rows(docs, shingle_n=2, out_id="doc_id")
     cand = lsh_candidate_pairs_from_shingles(
         sh, num_hashes=8, bands=4, max_bucket=D07_MAX_BUCKET
     ).cache()
-    p = containment_pairs_from_shingles(
-        sh.withColumnRenamed("doc_id", "id"),
-        max_df=_D63_CAP,
-        already_cached=True,
-    ).cache()
+    # exact side comes from the shared containment-pair memo (also
+    # consumed by d63/d65) — the banding side above is this query's own
+    # only corpus pass.
+    p = _containment_pairs2(spark, sf_dir)
     cont = p.filter(
         (F.col("containment") >= 0.4) & (F.col("jaccard") < 0.5)
     ).select("doc_a", "doc_b")
@@ -5993,3 +6021,217 @@ def _kernel_minhash_sigs8(spark: SparkSession, sf_dir: str) -> None:
 @shared_kernel("logit_fit", ("d49_logistic_fit", "d52_classifier_eval"))
 def _kernel_logit_fit(spark: SparkSession, sf_dir: str) -> None:
     _logit_fit(spark, sf_dir)
+
+
+@shared_kernel(
+    "containment_pairs2",
+    (
+        "d63_containment_audit",
+        "d64_containment_banding_audit",
+        "d65_lsh_ensemble_containment",
+    ),
+)
+def _kernel_containment_pairs2(spark: SparkSession, sf_dir: str) -> None:
+    _containment_pairs2(spark, sf_dir)
+
+
+# --- d65: LSH-Ensemble containment candidates (new in r10) --------------------
+_D65_HASHES = 16
+_D65_EDGES = (24, 48, 72)
+_D65_ROWS = (2, 2, 1, 1)
+_D65_BUCKET = 50
+
+
+def _d65_oracle() -> str:
+    """Full SQL replay of the LSH-Ensemble candidate generator beside the
+    d64 plain-banding baseline: 16 salted min-hashes, static size
+    partitions with per-partition (bands, rows) schemes, index-side
+    bucket cap, size-oriented candidate join — then recall of BOTH
+    generators against the exact containment-only pairs (d63's filter)
+    over the same df-capped shingle pass."""
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(_D65_HASHES)
+    )
+    edge_case = "CASE " + " ".join(
+        f"WHEN sz0 < {e} THEN {p}" for p, e in enumerate(_D65_EDGES)
+    ) + f" ELSE {len(_D65_EDGES)} END"
+    branches = []
+    for p, r in enumerate(_D65_ROWS):
+        for b in range(_D65_HASHES // r):
+            key = " || ".join(f"mh{b * r + k}" for k in range(r))
+            branches.append(
+                f"      SELECT doc_id, sz0, part, {p} AS p, {b} AS band,"
+                f" md5({key}) AS key FROM mhsz"
+            )
+    keys_sql = "\n      UNION ALL\n".join(branches)
+    # plain d07/d64 baseline: first 8 hashes, 4 bands of 2
+    base_rows = "\n      UNION ALL\n".join(
+        f"      SELECT doc_id, {b} AS band, md5(mh{2 * b} || mh{2 * b + 1})"
+        f" AS key FROM mhsz"
+        for b in range(4)
+    )
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    mh AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM sh0 GROUP BY doc_id),
+    s0 AS MATERIALIZED (SELECT doc_id, count(*) AS sz0 FROM sh0 GROUP BY doc_id),
+    mhsz AS MATERIALIZED (SELECT mh.*, s0.sz0, {edge_case} AS part
+             FROM mh JOIN s0 USING (doc_id)),
+    keys AS MATERIALIZED (
+{keys_sql}),
+    idx AS MATERIALIZED (SELECT * FROM keys WHERE part = p),
+    bc AS MATERIALIZED (SELECT p, band, key, count(*) AS n FROM idx GROUP BY 1, 2, 3),
+    idxf AS MATERIALIZED (SELECT idx.* FROM idx JOIN bc USING (p, band, key)
+             WHERE n <= {_D65_BUCKET}),
+    probe0 AS MATERIALIZED (SELECT * FROM keys WHERE p >= part),
+    pc AS MATERIALIZED (SELECT p, band, key, count(*) AS m FROM probe0
+          GROUP BY 1, 2, 3),
+    probe AS MATERIALIZED (SELECT probe0.* FROM probe0
+             JOIN pc USING (p, band, key)
+             WHERE m <= {4 * _D65_BUCKET}),
+    ecand AS MATERIALIZED (SELECT DISTINCT
+                LEAST(q.doc_id, x.doc_id) AS doc_a,
+                GREATEST(q.doc_id, x.doc_id) AS doc_b
+              FROM probe q JOIN idxf x USING (p, band, key)
+              WHERE q.sz0 < x.sz0
+                 OR (q.sz0 = x.sz0 AND q.doc_id < x.doc_id)),
+    bands AS MATERIALIZED (
+{base_rows}),
+    bbc AS MATERIALIZED (SELECT band, key, count(*) AS n FROM bands GROUP BY band, key),
+    bf AS MATERIALIZED (SELECT bands.* FROM bands JOIN bbc USING (band, key)
+           WHERE n <= {_D65_BUCKET}),
+    bcand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM bf a JOIN bf b USING (band, key)
+              WHERE a.doc_id < b.doc_id),
+    shh AS MATERIALIZED (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh
+            FROM sh0),
+    dfreq AS MATERIALIZED (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+    shf AS MATERIALIZED (SELECT s.doc_id, s.sh FROM shh s
+            JOIN dfreq USING (sh) WHERE df <= {_D63_CAP}),
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    inter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_common
+              FROM shf a JOIN shf b USING (sh)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pr AS MATERIALIZED (SELECT doc_a, doc_b,
+                 CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                   AS jaccard,
+                 CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz)
+                   AS containment
+          FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b),
+    cont AS MATERIALIZED (SELECT doc_a, doc_b FROM pr
+             WHERE containment >= 0.4 AND jaccard < 0.5)
+    SELECT
+      CAST((SELECT COUNT(*) FROM cont) AS BIGINT) AS n_containment_pairs,
+      CAST((SELECT COUNT(*) FROM ecand) AS BIGINT) AS n_ensemble_candidates,
+      CAST((SELECT COUNT(*) FROM cont JOIN ecand USING (doc_a, doc_b))
+           AS BIGINT) AS n_ensemble_recovered,
+      CAST((SELECT COUNT(*) FROM cont JOIN ecand USING (doc_a, doc_b))
+           AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM cont), 0)
+        AS ensemble_recall,
+      CAST((SELECT COUNT(*) FROM bcand) AS BIGINT) AS n_banding_candidates,
+      CAST((SELECT COUNT(*) FROM cont JOIN bcand USING (doc_a, doc_b))
+           AS BIGINT) AS n_banding_recovered,
+      CAST((SELECT COUNT(*) FROM cont JOIN bcand USING (doc_a, doc_b))
+           AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM cont), 0)
+        AS banding_recall
+    """
+
+
+@query(
+    "d65_lsh_ensemble_containment",
+    oracle=_d65_oracle(),
+    doc="LSH-Ensemble containment candidate generation (Zhu et al. 2016 "
+    "VLDB, public; dedup/ensemble.py) — the size-partitioned index d64 "
+    "measured the need for: the corpus is range-partitioned by "
+    "shingle-set size with static geometric edges "
+    f"{_D65_EDGES}, each partition gets its own (bands, rows) banding "
+    f"scheme over the SAME {_D65_HASHES} salted min-hashes (rows/band "
+    f"{_D65_ROWS}: big-container partitions band aggressively because "
+    "a containment pair's Jaccard shrinks with container size), every "
+    "doc is indexed once under its own partition and probes every "
+    "partition that could hold a container its size. The gate measures "
+    "BOTH generators' recall on the exact containment-only pairs "
+    "(containment >= 0.4, jaccard < 0.5 — d63's filter) over one "
+    "shared 2-gram pass: ensemble_recall must beat d64's 0-9% "
+    "banding_recall at bounded candidate volume (both counts in the "
+    "row, index buckets capped at "
+    f"{_D65_BUCKET}). Scale shape: one min-hash aggregation; only "
+    "(doc_id, size, partition, band, 16-byte key) rows shuffle — "
+    "sum(b_p)=48 probe rows per doc, b_own index rows; the bucket cap "
+    "bounds any key's m^2 join contribution; exact verification runs "
+    "only on candidates in production (here on the full pair set, to "
+    "measure recall honestly).",
+)
+def d65_lsh_ensemble_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        lsh_ensemble_candidate_pairs,
+    )
+    from goodreads_pyspark_spark.dedup.minhash import (
+        lsh_candidate_pairs_from_shingles,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    # ONE raw-string shingle pass feeds the ensemble index and the
+    # plain-banding baseline; the exact containment verifier comes from
+    # the shared memo.
+    sh = shingle_rows(docs, shingle_n=2, out_id="id").cache()
+    ecand = lsh_ensemble_candidate_pairs(
+        sh,
+        id_col="id",
+        num_hashes=_D65_HASHES,
+        size_edges=_D65_EDGES,
+        rows_per_band=_D65_ROWS,
+        max_bucket=_D65_BUCKET,
+    ).select(
+        F.least("contained", "container").alias("doc_a"),
+        F.greatest("contained", "container").alias("doc_b"),
+    )
+    bcand = lsh_candidate_pairs_from_shingles(
+        sh, id_col="id", num_hashes=8, bands=4, max_bucket=_D65_BUCKET
+    ).cache()
+    cont = (
+        _containment_pairs2(spark, sf_dir)
+        .filter((F.col("containment") >= 0.4) & (F.col("jaccard") < 0.5))
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    ecand = ecand.cache()
+
+    def cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+
+    nc = cnt(cont, "n_containment_pairs")
+    ne = cnt(ecand, "n_ensemble_candidates")
+    ner = cnt(cont.join(ecand, ["doc_a", "doc_b"]), "n_ensemble_recovered")
+    nb = cnt(bcand, "n_banding_candidates")
+    nbr = cnt(cont.join(bcand, ["doc_a", "doc_b"]), "n_banding_recovered")
+    recall = lambda num, den: F.when(  # noqa: E731
+        F.col(den) > 0, F.col(num).cast("double") / F.col(den)
+    )
+    return (
+        nc.crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(ner))
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nbr))
+        .select(
+            "n_containment_pairs",
+            "n_ensemble_candidates",
+            "n_ensemble_recovered",
+            recall("n_ensemble_recovered", "n_containment_pairs").alias(
+                "ensemble_recall"
+            ),
+            "n_banding_candidates",
+            "n_banding_recovered",
+            recall("n_banding_recovered", "n_containment_pairs").alias(
+                "banding_recall"
+            ),
+        )
+    )

@@ -865,3 +865,50 @@ def test_shared_kernel_ledger_names_registered_queries():
         assert spec["consumers"], kname
         for c in spec["consumers"]:
             assert c in REGISTRY, (kname, c)
+
+
+def test_lsh_ensemble_finds_containment_pair(spark):
+    """A small doc fully contained in a much larger one (Jaccard far
+    below any symmetric threshold) must surface as an oriented
+    (contained, container) candidate; parameter validation must reject
+    inconsistent (rows_per_band, size_edges) shapes."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        lsh_ensemble_candidate_pairs,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    # md5 min-hashing is deterministic, so this fixture's collision
+    # outcome is fixed: the quote contributes ~29 of the container's ~69
+    # shingles (containment 1.0, Jaccard ~0.42 — under every symmetric
+    # threshold), which collides on at least one of the container
+    # partition's 16 single-hash bands.
+    quote = " ".join(f"q{i}" for i in range(30))
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote),  # the contained doc
+            (2, quote + " " + filler),  # the container (low Jaccard)
+            (3, "totally unrelated content here only once"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    got = {
+        (r.contained, r.container)
+        for r in lsh_ensemble_candidate_pairs(sh, id_col="id").collect()
+    }
+    assert (1, 2) in got
+    # orientation: contained is always the smaller shingle set
+    sz = {
+        r.id: r.n
+        for r in sh.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for a, b in got:
+        assert sz[a] <= sz[b]
+    with pytest.raises(ValueError, match="partitions"):
+        lsh_ensemble_candidate_pairs(sh, rows_per_band=(2, 1))
+    with pytest.raises(ValueError, match="divide num_hashes"):
+        lsh_ensemble_candidate_pairs(sh, rows_per_band=(3, 2, 1, 1))

@@ -39,6 +39,7 @@ def _uncached_scans(spark):
 # mid-plan from per-superstep truncation; their surrounding plan is real,
 # so they don't belong in this set.)
 CHECKPOINTED_RESULTS = {
+    "d63_containment_audit",
     "t22_association_rules",
     "h03_rag_context_pack",
     "h04_rerank_calibration",
@@ -161,6 +162,7 @@ def test_whole_stage_codegen_covers_agg(spark):
         "d11_simhash_neardup_pairs",
         "d61_bigram_fluency",
         "d63_containment_audit",
+        "d65_lsh_ensemble_containment",
     ],
 )
 def test_dedup_plans_shuffle_hashes_not_documents(spark, name):

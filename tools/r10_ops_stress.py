@@ -1,0 +1,99 @@
+"""Round-10 scaling probe: the containment kernel at 1x/2x/4x
+(VERDICT r9 item 5) plus the new LSH-Ensemble index (d65).
+
+Replication conventions: tools/r7_ops_stress.py / scaling_probe.py
+(id-offset document copies with per-copy text suffixes, so replicas are
+near- but not exact duplicates — the worst case for a near-dup kernel,
+since pair density grows with replication).
+
+Expected shapes:
+- d63 containment audit: hashed-shingle inverted index, df cap 100. The
+  cap bounds any shingle's m^2 contribution, so growth tracks shingle
+  volume + surviving-pair count (output-sensitive, near-linear).
+- d65 LSH-Ensemble: one 16-hash min-hash aggregation; probe side 48
+  (doc, band, key) rows/doc, index side b_own rows/doc; candidate join
+  bounded by the per-(partition, band, key) bucket cap — volume is
+  O(docs * bands * cap), linear in docs once buckets saturate.
+
+Usage: python tools/r10_ops_stress.py [factors...]   (default 1 2 4)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import replicate
+
+QUERIES = (
+    "d63_containment_audit",
+    "d65_lsh_ensemble_containment",
+)
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    _load_all()
+    spark = get_spark("r10_ops_stress")
+    rows = []
+    for factor in factors:
+        out_dir = tempfile.mkdtemp(prefix=f"r10ops_x{factor}_")
+        sf_dir = f"{out_dir}/sf"
+        Path(sf_dir).mkdir()
+        p = replicate(spark, "documents", factor, "doc_id", out_dir)
+        spark.read.parquet(p).write.parquet(f"{sf_dir}/documents.parquet")
+
+        def force(df) -> int:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+            ).first()
+            return row["n"]
+
+        # The containment KERNEL itself (shared memo since r10): time the
+        # cold build per factor — this is the curve VERDICT r9 item 5
+        # asks for; consumer queries below then measure their marginal
+        # cost over the warm kernel, same semantics as the bench.
+        from goodreads_pyspark_spark.queries.documents import (
+            _CONT2_MEMO,
+            _containment_pairs2,
+        )
+
+        best = None
+        for _ in range(3):
+            _CONT2_MEMO.clear()
+            spark.catalog.clearCache()
+            t0 = time.time()
+            n = _containment_pairs2(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        rows.append(("containment_kernel(all pairs)", factor, best, n))
+        print(f"# containment_kernel x{factor}: {best:.2f}s ({n} pairs)", flush=True)
+
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            best, n = None, 0
+            for _ in range(3):
+                t0 = time.time()
+                n = force(REGISTRY[name].spark_fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            rows.append((name, factor, best, n))
+            print(f"# {name} x{factor}: {best:.2f}s ({n} rows)", flush=True)
+    print("\n| query | factor | wall (min of 3) | rows |")
+    print("|---|---|---|---|")
+    for name, factor, dt, n in rows:
+        print(f"| {name} | {factor}x | {dt:.2f}s | {n} |")
+
+
+if __name__ == "__main__":
+    main()
