@@ -19,11 +19,12 @@ A query (the potential CONTAINED doc) probes every partition that could
 hold a container at least its size, using THAT partition's scheme.
 
 Differences from the paper, chosen for oracle replayability:
-  * static geometric size boundaries instead of equi-depth partitioning
-    (the paper proves equi-depth near-optimal; at 100 TB you would
-    compute P-1 approximate size quantiles in one pass and range-
-    partition — the partitioning map stays a broadcast scalar either
-    way, and static edges make the DuckDB oracle a CASE expression);
+  * size boundaries are either static geometric edges (d65's gate — a
+    pure CASE expression) or EXACT equi-depth quantile edges computed
+    distributedly from the size histogram (``equi_depth_edges``, d66's
+    gate — the partitioning the paper proves near-optimal; exact
+    value-at-rank stays replayable where an approx-quantile sketch
+    would not, and costs one tiny-histogram pass);
   * per-partition rows-per-band from a fixed table rather than the
     paper's per-query optimization (fixed (b,r) is what an INDEX can
     precompute; the optimization chooses among the same splits).
@@ -176,3 +177,41 @@ def lsh_ensemble_candidate_pairs(
         )
         .distinct()
     )
+
+
+def equi_depth_edges(
+    sh: DataFrame,
+    id_col: str = "id",
+    n_partitions: int = 4,
+) -> list[int]:
+    """Equi-depth size-partition edges from the shingle table — the
+    partitioning Zhu et al. prove near-optimal (each partition holds
+    ~the same number of sets, so no scheme is tuned for a size range
+    that barely exists).
+
+    Exact distributed value-at-rank WITHOUT a global sort: set sizes are
+    small integers (bounded by document length), so the size histogram
+    is a tiny table — one groupBy shuffle builds it, a window over the
+    ~100 distinct sizes cumulates it, and the edge for quantile q is the
+    smallest size whose cumulative count reaches ceil(q·n), plus one
+    (edges are exclusive upper bounds for ``_partition_of``). Only the
+    n_partitions-1 edge scalars reach the driver — at 100 TB this is
+    the same one-histogram-pass + broadcast-scalars shape.
+    """
+    from pyspark.sql import Window
+
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    n = hist.agg(F.sum("c")).first()[0] or 0
+    edges = []
+    for k in range(1, n_partitions):
+        rank = -(-k * n // n_partitions)  # ceil(k*n/P), integer-exact
+        row = (
+            cum.filter(F.col("cum") >= rank)
+            .agg(F.min("sz").alias("e"))
+            .first()
+        )
+        edges.append(int(row["e"]) + 1)
+    return edges

@@ -105,7 +105,10 @@ def containment_pairs_from_shingles(
     ``MinHashLSHEnsemble`` use case). Same inverted-index shape and
     ``max_df`` discipline as ``jaccard_pairs_from_shingles`` — hashed
     8-byte shingle keys, only shingle-sharing pairs materialize, the df
-    cap bounds any key's m² contribution.
+    cap bounds any key's m² contribution. Measured (SCALING.md addendum
+    10): the kernel build stays FLAT at 1×/2×/4× corpus replication
+    (2.1s → 1.7s) even as near-dup density grows output pairs 17× —
+    the cap, not luck, is what holds the join.
     """
     sh = sh.withColumn(
         "sh", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")

@@ -6235,3 +6235,177 @@ def d65_lsh_ensemble_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- d66: equi-depth LSH-Ensemble (new in r10; r11 gate window) ---------------
+def _d66_oracle() -> str:
+    """d65's full replay with DATA-DEPENDENT equi-depth edges: the k-th
+    partition edge is the smallest size whose cumulative doc count
+    reaches ceil(k*n/4), plus one (exclusive upper bound) — exact
+    value-at-rank from the size histogram, the same arithmetic the
+    engine's ``equi_depth_edges`` runs distributedly."""
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(_D65_HASHES)
+    )
+    branches = []
+    for p, r in enumerate(_D65_ROWS):
+        for b in range(_D65_HASHES // r):
+            key = " || ".join(f"mh{b * r + k}" for k in range(r))
+            branches.append(
+                f"      SELECT doc_id, sz0, part, {p} AS p, {b} AS band,"
+                f" md5({key}) AS key FROM mhsz"
+            )
+    keys_sql = "\n      UNION ALL\n".join(branches)
+    # integer-exact ceil(k*n/4) = (k*n + 3) // 4 — matches the engine's
+    # -(-k*n // P) arithmetic bit-for-bit at any n
+    edge = (
+        "(SELECT min(sz) + 1 FROM cum CROSS JOIN tot"
+        " WHERE cum >= ({k} * n + 3) // 4)"
+    )
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    mh AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM sh0 GROUP BY doc_id),
+    s0 AS MATERIALIZED (SELECT doc_id, count(*) AS sz0 FROM sh0 GROUP BY doc_id),
+    hist AS MATERIALIZED (SELECT sz0 AS sz, count(*) AS c FROM s0 GROUP BY sz0),
+    cum AS MATERIALIZED (SELECT sz, sum(c) OVER (ORDER BY sz
+             ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+    tot AS MATERIALIZED (SELECT sum(c) AS n FROM hist),
+    edges AS MATERIALIZED (SELECT
+      {edge.format(k=1)} AS e1,
+      {edge.format(k=2)} AS e2,
+      {edge.format(k=3)} AS e3),
+    mhsz AS MATERIALIZED (
+      SELECT mh.*, s0.sz0,
+             CASE WHEN sz0 < e1 THEN 0 WHEN sz0 < e2 THEN 1
+                  WHEN sz0 < e3 THEN 2 ELSE 3 END AS part
+      FROM mh JOIN s0 USING (doc_id) CROSS JOIN edges),
+    keys AS MATERIALIZED (
+{keys_sql}),
+    idx AS MATERIALIZED (SELECT * FROM keys WHERE part = p),
+    bc AS MATERIALIZED (SELECT p, band, key, count(*) AS n FROM idx
+          GROUP BY 1, 2, 3),
+    idxf AS MATERIALIZED (SELECT idx.* FROM idx JOIN bc USING (p, band, key)
+             WHERE n <= {_D65_BUCKET}),
+    probe0 AS MATERIALIZED (SELECT * FROM keys WHERE p >= part),
+    pc AS MATERIALIZED (SELECT p, band, key, count(*) AS m FROM probe0
+          GROUP BY 1, 2, 3),
+    probe AS MATERIALIZED (SELECT probe0.* FROM probe0
+             JOIN pc USING (p, band, key)
+             WHERE m <= {4 * _D65_BUCKET}),
+    ecand AS MATERIALIZED (SELECT DISTINCT
+                LEAST(q.doc_id, x.doc_id) AS doc_a,
+                GREATEST(q.doc_id, x.doc_id) AS doc_b
+              FROM probe q JOIN idxf x USING (p, band, key)
+              WHERE q.sz0 < x.sz0
+                 OR (q.sz0 = x.sz0 AND q.doc_id < x.doc_id)),
+    shh AS MATERIALIZED (SELECT doc_id,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM sh0),
+    dfreq AS MATERIALIZED (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+    shf AS MATERIALIZED (SELECT s.doc_id, s.sh FROM shh s
+            JOIN dfreq USING (sh) WHERE df <= {_D63_CAP}),
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    inter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_common
+              FROM shf a JOIN shf b USING (sh)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    pr AS MATERIALIZED (SELECT doc_a, doc_b,
+                 CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                   AS jaccard,
+                 CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz)
+                   AS containment
+          FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b),
+    cont AS MATERIALIZED (SELECT doc_a, doc_b FROM pr
+             WHERE containment >= 0.4 AND jaccard < 0.5)
+    SELECT
+      CAST(e1 AS BIGINT) AS edge1, CAST(e2 AS BIGINT) AS edge2,
+      CAST(e3 AS BIGINT) AS edge3,
+      CAST((SELECT COUNT(*) FROM cont) AS BIGINT) AS n_containment_pairs,
+      CAST((SELECT COUNT(*) FROM ecand) AS BIGINT) AS n_ensemble_candidates,
+      CAST((SELECT COUNT(*) FROM cont JOIN ecand USING (doc_a, doc_b))
+           AS BIGINT) AS n_ensemble_recovered,
+      CAST((SELECT COUNT(*) FROM cont JOIN ecand USING (doc_a, doc_b))
+           AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM cont), 0)
+        AS ensemble_recall
+    FROM edges
+    """
+
+
+@query(
+    "d66_equidepth_ensemble",
+    oracle=_d66_oracle(),
+    doc="LSH-Ensemble with EQUI-DEPTH size partitions (the partitioning "
+    "Zhu et al. 2016 prove near-optimal, completing d65's static-edge "
+    "form): the three partition edges are exact value-at-rank quantiles "
+    "of the shingle-set size distribution, computed distributedly from "
+    "the size histogram (one tiny-cardinality shuffle + a window over "
+    "~100 distinct sizes — dedup/ensemble.py equi_depth_edges; an "
+    "approx-quantile sketch is the 100 TB drop-in but is not oracle-"
+    "replayable, so the gate runs the exact form). The edges land in "
+    "the output row (data-dependent, oracle-recomputed), then the same "
+    "16-hash/per-partition-banding/caps path as d65 runs on them; "
+    "recall is measured against the same exact containment-only pairs "
+    "from the shared kernel. Scale shape: identical to d65 plus the "
+    "histogram pass; the P-1 edge scalars broadcast.",
+)
+def d66_equidepth_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        equi_depth_edges,
+        lsh_ensemble_candidate_pairs,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, shingle_n=2, out_id="id").cache()
+    edges = equi_depth_edges(sh, id_col="id", n_partitions=4)
+    ecand = lsh_ensemble_candidate_pairs(
+        sh,
+        id_col="id",
+        num_hashes=_D65_HASHES,
+        size_edges=tuple(edges),
+        rows_per_band=_D65_ROWS,
+        max_bucket=_D65_BUCKET,
+    ).select(
+        F.least("contained", "container").alias("doc_a"),
+        F.greatest("contained", "container").alias("doc_b"),
+    ).cache()
+    cont = (
+        _containment_pairs2(spark, sf_dir)
+        .filter((F.col("containment") >= 0.4) & (F.col("jaccard") < 0.5))
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+
+    def cnt(df: DataFrame, alias: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias(alias))
+
+    nc = cnt(cont, "n_containment_pairs")
+    ne = cnt(ecand, "n_ensemble_candidates")
+    ner = cnt(cont.join(ecand, ["doc_a", "doc_b"]), "n_ensemble_recovered")
+    edge_row = spark.createDataFrame(
+        [tuple(edges)], "edge1 bigint, edge2 bigint, edge3 bigint"
+    )
+    return (
+        edge_row.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(ner))
+        .select(
+            "edge1",
+            "edge2",
+            "edge3",
+            "n_containment_pairs",
+            "n_ensemble_candidates",
+            "n_ensemble_recovered",
+            F.when(
+                F.col("n_containment_pairs") > 0,
+                F.col("n_ensemble_recovered").cast("double")
+                / F.col("n_containment_pairs"),
+            ).alias("ensemble_recall"),
+        )
+    )

@@ -912,3 +912,19 @@ def test_lsh_ensemble_finds_containment_pair(spark):
         lsh_ensemble_candidate_pairs(sh, rows_per_band=(2, 1))
     with pytest.raises(ValueError, match="divide num_hashes"):
         lsh_ensemble_candidate_pairs(sh, rows_per_band=(3, 2, 1, 1))
+
+
+def test_equi_depth_edges_exact_rank_arithmetic(spark):
+    """Edges are value-at-rank ceil(k*n/4) + 1 over the size histogram —
+    pinned on a fixture where ranks are computable by hand."""
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.dedup.ensemble import equi_depth_edges
+
+    # 8 docs with shingle-set sizes 1,1,2,3,5,8,13,21
+    rows = []
+    for i, size in enumerate([1, 1, 2, 3, 5, 8, 13, 21]):
+        rows += [(i, f"s{i}_{j}") for j in range(size)]
+    sh = spark.createDataFrame(rows, "id bigint, sh string")
+    # n=8: ranks ceil(2)=2, ceil(4)=4, ceil(6)=6 -> sizes 1,3,8 -> +1
+    assert equi_depth_edges(sh, id_col="id") == [2, 4, 9]

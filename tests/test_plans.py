@@ -163,6 +163,7 @@ def test_whole_stage_codegen_covers_agg(spark):
         "d61_bigram_fluency",
         "d63_containment_audit",
         "d65_lsh_ensemble_containment",
+        "d66_equidepth_ensemble",
     ],
 )
 def test_dedup_plans_shuffle_hashes_not_documents(spark, name):
