@@ -6409,3 +6409,166 @@ def d66_equidepth_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ensemble_recall"),
         )
     )
+
+
+# --- d67: containment dedup ACTION (new in r10; r11 gate window) --------------
+_D67_THRESHOLD = 0.8  # drop docs >=80%-contained in a larger doc
+
+
+def _d67_oracle() -> str:
+    """Candidates (d65's ensemble replay) -> exact containment verify
+    restricted to candidates -> drop contained docs -> per-source
+    ledger with an io15-style checksum of the dropped ids."""
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(_D65_HASHES)
+    )
+    edge_case = "CASE " + " ".join(
+        f"WHEN sz0 < {e} THEN {p}" for p, e in enumerate(_D65_EDGES)
+    ) + f" ELSE {len(_D65_EDGES)} END"
+    branches = []
+    for p, r in enumerate(_D65_ROWS):
+        for b in range(_D65_HASHES // r):
+            key = " || ".join(f"mh{b * r + k}" for k in range(r))
+            branches.append(
+                f"      SELECT doc_id, sz0, part, {p} AS p, {b} AS band,"
+                f" md5({key}) AS key FROM mhsz"
+            )
+    keys_sql = "\n      UNION ALL\n".join(branches)
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    mh AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM sh0 GROUP BY doc_id),
+    s0 AS MATERIALIZED (SELECT doc_id, count(*) AS sz0 FROM sh0 GROUP BY doc_id),
+    mhsz AS MATERIALIZED (SELECT mh.*, s0.sz0, {edge_case} AS part
+             FROM mh JOIN s0 USING (doc_id)),
+    keys AS MATERIALIZED (
+{keys_sql}),
+    idx AS MATERIALIZED (SELECT * FROM keys WHERE part = p),
+    bc AS MATERIALIZED (SELECT p, band, key, count(*) AS n FROM idx
+          GROUP BY 1, 2, 3),
+    idxf AS MATERIALIZED (SELECT idx.* FROM idx JOIN bc USING (p, band, key)
+             WHERE n <= {_D65_BUCKET}),
+    probe0 AS MATERIALIZED (SELECT * FROM keys WHERE p >= part),
+    pc AS MATERIALIZED (SELECT p, band, key, count(*) AS m FROM probe0
+          GROUP BY 1, 2, 3),
+    probe AS MATERIALIZED (SELECT probe0.* FROM probe0
+             JOIN pc USING (p, band, key)
+             WHERE m <= {4 * _D65_BUCKET}),
+    ecand AS MATERIALIZED (SELECT DISTINCT
+                LEAST(q.doc_id, x.doc_id) AS doc_a,
+                GREATEST(q.doc_id, x.doc_id) AS doc_b
+              FROM probe q JOIN idxf x USING (p, band, key)
+              WHERE q.sz0 < x.sz0
+                 OR (q.sz0 = x.sz0 AND q.doc_id < x.doc_id)),
+    shh AS MATERIALIZED (SELECT doc_id,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM sh0),
+    dfreq AS MATERIALIZED (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+    shf AS MATERIALIZED (SELECT s.doc_id, s.sh FROM shh s
+            JOIN dfreq USING (sh) WHERE df <= {_D63_CAP}),
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    inter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_common
+              FROM shf a JOIN shf b USING (sh)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    ver AS MATERIALIZED (
+      SELECT i.doc_a, i.doc_b, sa.sz AS sz_a, sb.sz AS sz_b,
+             CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz) AS containment
+      FROM inter i
+      JOIN ecand USING (doc_a, doc_b)
+      JOIN sz sa ON sa.doc_id = i.doc_a
+      JOIN sz sb ON sb.doc_id = i.doc_b),
+    dropped AS MATERIALIZED (
+      SELECT DISTINCT CASE WHEN sz_a <= sz_b THEN doc_a ELSE doc_b END
+               AS doc_id
+      FROM ver WHERE containment >= {_D67_THRESHOLD})
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(dr.doc_id) AS BIGINT) AS n_kept,
+           CAST(CAST(COALESCE(SUM(
+             ('0x' || substr(md5(CAST(dr.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           ), 0) AS DECIMAL(38,0)) AS VARCHAR) AS dropped_checksum
+    FROM documents d LEFT JOIN dropped dr USING (doc_id)
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@query(
+    "d67_containment_dedup",
+    oracle=_d67_oracle(),
+    doc="Containment dedup as a production ACTION, completing the "
+    "d63-d66 arc (detect -> index -> act): LSH-Ensemble candidates "
+    "(d65's exact configuration), exact containment verified ONLY on "
+    "candidate pairs (the restriction join is what makes verification "
+    f"affordable at scale), docs >= {_D67_THRESHOLD}-contained in a "
+    "larger doc dropped — quotes, boilerplate wrappers and "
+    "concatenation shadows that symmetric near-dup dedup (c03's 0.8 "
+    "Jaccard) structurally misses. Orientation is strictly "
+    "(size, id)-monotone so drop chains terminate at the maximal "
+    "container, which always survives; the gate row is a per-source "
+    "ledger (docs/dropped/kept + io15-style md5-prefix checksum of the "
+    "dropped ids, so the EXACT drop set is hash-pinned, not just its "
+    "count). Scale shape: d65's index + one candidates-sized verify "
+    "join + one broadcast-able drop anti-join; nothing quadratic.",
+)
+def d67_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        lsh_ensemble_candidate_pairs,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, shingle_n=2, out_id="id").cache()
+    cand = lsh_ensemble_candidate_pairs(
+        sh,
+        id_col="id",
+        num_hashes=_D65_HASHES,
+        size_edges=_D65_EDGES,
+        rows_per_band=_D65_ROWS,
+        max_bucket=_D65_BUCKET,
+    ).select(
+        F.least("contained", "container").alias("doc_a"),
+        F.greatest("contained", "container").alias("doc_b"),
+    )
+    # exact containment restricted to candidates (the shared kernel holds
+    # every shingle-sharing pair, so the restriction is a pair-keyed join)
+    ver = _containment_pairs2(spark, sf_dir).join(cand, ["doc_a", "doc_b"])
+    dropped = (
+        ver.filter(F.col("containment") >= _D67_THRESHOLD)
+        .select(
+            F.when(F.col("sz_a") <= F.col("sz_b"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("doc_id")
+        )
+        .distinct()
+        .withColumn("__dropped", F.lit(1))
+    )
+    row_int = F.conv(
+        F.substring(F.md5(F.col("__did").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(dropped), "doc_id", "left")
+        .withColumn(
+            "__did", F.when(F.col("__dropped") == 1, F.col("doc_id"))
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count("__did").cast("bigint").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("__did"))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.coalesce(
+                F.sum(row_int.cast("decimal(38,0)")), F.lit(0)
+            )
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("dropped_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -164,6 +164,7 @@ def test_whole_stage_codegen_covers_agg(spark):
         "d63_containment_audit",
         "d65_lsh_ensemble_containment",
         "d66_equidepth_ensemble",
+        "d67_containment_dedup",
     ],
 )
 def test_dedup_plans_shuffle_hashes_not_documents(spark, name):
