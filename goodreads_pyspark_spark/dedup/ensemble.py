@@ -31,7 +31,7 @@ Differences from the paper, chosen for oracle replayability:
 
 Scale shape: signatures are one min-hash aggregation over the shingle
 pass (shared with every other MinHash consumer); the only thing that
-shuffles afterwards is (doc_id, size, partition, band, 16-byte md5 key)
+shuffles afterwards is (doc_id, size, partition, band, 8-byte md5-prefix int key)
 — sum(b_p) rows per doc on the probe side, b_own on the index side.
 The per-(partition, band, key) bucket cap bounds any bucket's m^2 join
 contribution exactly like d07's ``max_bucket``; candidate volume is
@@ -121,9 +121,21 @@ def lsh_ensemble_candidate_pairs(
     for p, r in enumerate(rows_per_band):
         bands = num_hashes // r
         for b in range(bands):
-            key = F.md5(
-                F.concat(*[F.col(f"mh{b * r + k}") for k in range(r)])
-            )
+            # 60-bit md5-prefix int, not the 32-char hex string: band
+            # keys are pure join keys, and 8-byte ints shuffle ~4x
+            # cheaper (the d54 hashed-shingle discipline; measured in
+            # SCALING.md addendum 10b)
+            key = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(*[F.col(f"mh{b * r + k}") for k in range(r)])
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
             entries.append(
                 F.struct(
                     F.lit(p).alias("p"), F.lit(b).alias("band"), key.alias("key")
@@ -204,14 +216,17 @@ def equi_depth_edges(
     hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("c").over(w))
-    n = hist.agg(F.sum("c")).first()[0] or 0
+    # ONE action: the cumulated histogram is ~|distinct sizes| rows
+    # (bounded by max document length) — collect it once and read every
+    # edge out of it, instead of one Spark job per edge (the 4-job form
+    # measured 2.4x the shuffle volume of d65 in the r10 audit).
+    rows = sorted(
+        ((r["sz"], r["cum"]) for r in cum.collect()), key=lambda t: t[0]
+    )
+    n = rows[-1][1] if rows else 0
     edges = []
     for k in range(1, n_partitions):
         rank = -(-k * n // n_partitions)  # ceil(k*n/P), integer-exact
-        row = (
-            cum.filter(F.col("cum") >= rank)
-            .agg(F.min("sz").alias("e"))
-            .first()
-        )
-        edges.append(int(row["e"]) + 1)
+        edge_sz = next(sz for sz, c in rows if c >= rank)
+        edges.append(int(edge_sz) + 1)
     return edges

@@ -6061,7 +6061,7 @@ def _d65_oracle() -> str:
             key = " || ".join(f"mh{b * r + k}" for k in range(r))
             branches.append(
                 f"      SELECT doc_id, sz0, part, {p} AS p, {b} AS band,"
-                f" md5({key}) AS key FROM mhsz"
+                f" ('0x' || substr(md5({key}), 1, 15))::BIGINT AS key FROM mhsz"
             )
     keys_sql = "\n      UNION ALL\n".join(branches)
     # plain d07/d64 baseline: first 8 hashes, 4 bands of 2
@@ -6253,7 +6253,7 @@ def _d66_oracle() -> str:
             key = " || ".join(f"mh{b * r + k}" for k in range(r))
             branches.append(
                 f"      SELECT doc_id, sz0, part, {p} AS p, {b} AS band,"
-                f" md5({key}) AS key FROM mhsz"
+                f" ('0x' || substr(md5({key}), 1, 15))::BIGINT AS key FROM mhsz"
             )
     keys_sql = "\n      UNION ALL\n".join(branches)
     # integer-exact ceil(k*n/4) = (k*n + 3) // 4 — matches the engine's
@@ -6431,7 +6431,7 @@ def _d67_oracle() -> str:
             key = " || ".join(f"mh{b * r + k}" for k in range(r))
             branches.append(
                 f"      SELECT doc_id, sz0, part, {p} AS p, {b} AS band,"
-                f" md5({key}) AS key FROM mhsz"
+                f" ('0x' || substr(md5({key}), 1, 15))::BIGINT AS key FROM mhsz"
             )
     keys_sql = "\n      UNION ALL\n".join(branches)
     return f"""

@@ -859,6 +859,7 @@ def test_shared_kernel_ledger_names_registered_queries():
         "c_pipeline_stages",
         "minhash_sigs8",
         "logit_fit",
+        "containment_pairs2",
         "copart_pairs",
     }
     for kname, spec in SHARED_KERNELS.items():

@@ -8,7 +8,7 @@ text volume: a dedup/scoring pass whose shuffles moved a small fraction
 of the text volume is genuinely id/hash-keyed; one that moved a multiple
 of it is shipping documents around the cluster.
 
-Usage: python tools/shuffle_audit.py
+Usage: python tools/shuffle_audit.py [query ...]   (default: the r8 set)
 """
 
 from __future__ import annotations
@@ -71,7 +71,7 @@ def main() -> None:
 
     rows = []
     _, base = shuffle_bytes_seen()
-    for name in QUERIES:
+    for name in (sys.argv[1:] or QUERIES):
         REGISTRY[name].spark_fn(spark, SF).collect()
         spark.catalog.clearCache()
         _, now = shuffle_bytes_seen()
