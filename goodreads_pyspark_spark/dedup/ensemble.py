@@ -230,3 +230,142 @@ def equi_depth_edges(
         edge_sz = next(sz for sz, c in rows if c >= rank)
         edges.append(int(edge_sz) + 1)
     return edges
+
+
+def incremental_containment_matches(
+    corpus_sh: DataFrame,
+    incoming_sh: DataFrame,
+    id_col: str = "id",
+    num_hashes: int = 16,
+    size_edges: tuple[int, ...] = DEFAULT_SIZE_EDGES,
+    rows_per_band: tuple[int, ...] = DEFAULT_ROWS_PER_BAND,
+    max_bucket: int | None = 100,
+    max_df: int | None = 100,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Ingestion-time containment dedup: incoming docs that are
+    ``threshold``-contained in a STANDING corpus doc — the d19
+    (incremental MinHash) pattern applied to the ensemble index.
+
+    The standing corpus is indexed ONCE (each doc keyed under its own
+    partition's scheme, bucket-capped) — in production that index is a
+    persisted table maintained across batches. Each incoming doc probes
+    only the partitions that could hold a ``threshold``-container of its
+    size (|q∩x| <= |x|, so containment(q) >= t forces |x| >= t·|q|;
+    with integer-exact ceil the probe floor is partition_of(ceil(t·q))).
+    The batch's probe keys BROADCAST against the standing index — the
+    corpus never reshuffles per batch. Exact containment is then
+    verified ONLY on candidate pairs, in the df-capped shingle space
+    (df computed over the standing corpus; both sides filtered to the
+    surviving shingles, incoming sizes measured in the same space —
+    d63's convention).
+
+    Returns (incoming ``id_col``, container, n_common, sz_in,
+    containment_in) for matches with ``containment_in >= threshold``.
+    """
+    # --- standing index (own-partition scheme only) ---
+    sigs_c = minhash_signatures_from_shingles(corpus_sh, id_col, num_hashes)
+    sz_c = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    docs_c = sigs_c.join(sz_c, id_col).withColumn(
+        "part", _partition_of(F.col("sz"), size_edges)
+    )
+
+    # ONE F.expr string for all 96 band-key structs: building these as
+    # nested Column objects costs thousands of py4j round-trips (~6s of
+    # driver-side plan construction measured at any sf); a single parsed
+    # SQL expression is free.
+    structs = []
+    for p, r in enumerate(rows_per_band):
+        for b in range(num_hashes // r):
+            cat = ", ".join(f"mh{b * r + k}" for k in range(r))
+            structs.append(
+                f"struct({p} as p, {b} as band, "
+                f"cast(conv(substring(md5(concat({cat})), 1, 15), 16, 10)"
+                f" as bigint) as key)"
+            )
+    entries_expr = F.explode(F.expr("array(" + ", ".join(structs) + ")"))
+
+    index = (
+        docs_c.select(
+            F.col(id_col).alias("container"),
+            "part",
+            entries_expr.alias("e"),
+        )
+        .filter(F.col("part") == F.col("e.p"))
+        .select("container", "e.p", "e.band", "e.key")
+        # cache: the bucket count and the cap join both consume this
+        # subtree, and uncached each re-runs the 16-min-hash aggregation
+        .cache()
+    )
+    if max_bucket is not None:
+        counts = index.groupBy("p", "band", "key").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        index = index.join(
+            counts.filter(F.col("__n") <= max_bucket).drop("__n"),
+            ["p", "band", "key"],
+        )
+
+    # --- incoming probes: partitions that can hold a t-container ---
+    sigs_i = minhash_signatures_from_shingles(incoming_sh, id_col, num_hashes)
+    sz_i = incoming_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("szq"))
+    t_num, t_den = int(threshold * 10), 10  # 0.8 -> 8/10, integer-exact
+    floor_sz = F.expr(f"({t_num} * szq + {t_den} - 1) div {t_den}")
+    probe = (
+        sigs_i.join(sz_i, id_col)
+        .withColumn("pmin", _partition_of(floor_sz, size_edges))
+        .select(
+            F.col(id_col).alias("incoming"),
+            "pmin",
+            entries_expr.alias("e"),
+        )
+        .filter(F.col("e.p") >= F.col("pmin"))
+        .select("incoming", "e.p", "e.band", "e.key")
+    )
+    # cache: cand feeds the container restriction, the verify join and
+    # the final match filter — uncached, the whole index+probe pipeline
+    # re-runs per consumer
+    cand = (
+        F.broadcast(probe)
+        .join(index, ["p", "band", "key"])
+        .select("incoming", "container")
+        .distinct()
+        .cache()
+    )
+
+    # --- exact verify on candidates, in the standing df-capped space ---
+    hash_sh = lambda df: df.withColumn(  # noqa: E731
+        "sh", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
+    )
+    st = hash_sh(corpus_sh).withColumnRenamed(id_col, "container").cache()
+    inc = hash_sh(incoming_sh).withColumnRenamed(id_col, "incoming").cache()
+    if max_df is not None:
+        # EXCLUDE over-df shingles (anti-join), never inner-join a keep
+        # set: incoming shingles absent from the corpus have no df row,
+        # and dropping them would shrink sz_in and inflate containment
+        # for novel documents.
+        dfreq = st.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        hot = dfreq.filter(F.col("__df") > max_df).drop("__df")
+        st = st.join(hot, "sh", "left_anti")
+        inc = inc.join(hot, "sh", "left_anti")
+    st = st.join(cand.select("container").distinct(), "container")
+    sz_in = inc.groupBy("incoming").agg(F.count(F.lit(1)).alias("sz_in"))
+    common = (
+        F.broadcast(inc)
+        .join(st, "sh")
+        .groupBy("incoming", "container")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["incoming", "container"])
+        .join(sz_in, "incoming")
+        .withColumn(
+            "containment_in",
+            F.col("n_common").cast("double") / F.col("sz_in").cast("double"),
+        )
+    )
+    return common.filter(F.col("containment_in") >= threshold).select(
+        "incoming",
+        "container",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.col("sz_in").cast("bigint").alias("sz_in"),
+        "containment_in",
+    )

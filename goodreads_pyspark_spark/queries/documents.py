@@ -6572,3 +6572,178 @@ def d67_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- d68: incremental containment admission (new in r10; r11 window) ----------
+_D68_THRESHOLD_NUM = 8  # containment threshold 8/10 — integer-exact
+
+
+def _d68_oracle() -> str:
+    """SQL replay of the incremental path: standing index from the ~86%
+    corpus (own-partition scheme, bucket cap), incoming ~14% batch probes
+    partitions that can hold an 0.8-container of its size, exact
+    containment verified on candidates in the standing-df-capped shingle
+    space, per-source admission ledger."""
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(_D65_HASHES)
+    )
+    edge_case = "CASE " + " ".join(
+        f"WHEN {{v}} < {e} THEN {p}" for p, e in enumerate(_D65_EDGES)
+    ) + f" ELSE {len(_D65_EDGES)} END"
+    idx_branches, probe_branches = [], []
+    for p, r in enumerate(_D65_ROWS):
+        for b in range(_D65_HASHES // r):
+            key = " || ".join(f"mh{b * r + k}" for k in range(r))
+            k_expr = f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
+            idx_branches.append(
+                f"      SELECT doc_id AS container, {p} AS p, {b} AS band,"
+                f" {k_expr} AS key FROM mhsz_c WHERE part = {p}"
+            )
+            probe_branches.append(
+                f"      SELECT doc_id AS incoming, {p} AS p, {b} AS band,"
+                f" {k_expr} AS key FROM mhsz_i WHERE {p} >= pmin"
+            )
+    t = _D68_THRESHOLD_NUM
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    shc AS MATERIALIZED (SELECT * FROM sh0 WHERE doc_id % 7 <> 0),
+    shi AS MATERIALIZED (SELECT * FROM sh0 WHERE doc_id % 7 = 0),
+    mh_c AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM shc GROUP BY doc_id),
+    sz_c AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+    mhsz_c AS MATERIALIZED (SELECT mh_c.*, sz_c.sz,
+             {edge_case.format(v="sz")} AS part
+             FROM mh_c JOIN sz_c USING (doc_id)),
+    mh_i AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM shi GROUP BY doc_id),
+    sz_i AS MATERIALIZED (SELECT doc_id, count(*) AS szq FROM shi GROUP BY doc_id),
+    mhsz_i AS MATERIALIZED (SELECT mh_i.*, sz_i.szq,
+             {edge_case.format(v=f"(({t} * szq + 9) // 10)")} AS pmin
+             FROM mh_i JOIN sz_i USING (doc_id)),
+    idx0 AS MATERIALIZED (
+{chr(10).join(["      UNION ALL".join([br + chr(10) for br in idx_branches])])}    ),
+    bc AS MATERIALIZED (SELECT p, band, key, count(*) AS n FROM idx0
+          GROUP BY 1, 2, 3),
+    idx AS MATERIALIZED (SELECT idx0.* FROM idx0 JOIN bc USING (p, band, key)
+           WHERE n <= {_D65_BUCKET}),
+    probe AS MATERIALIZED (
+{chr(10).join(["      UNION ALL".join([br + chr(10) for br in probe_branches])])}    ),
+    cand AS MATERIALIZED (SELECT DISTINCT incoming, container
+            FROM probe JOIN idx USING (p, band, key)),
+    sth AS MATERIALIZED (SELECT doc_id AS container,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shc),
+    dfreq AS MATERIALIZED (SELECT sh, count(*) AS df FROM sth GROUP BY sh),
+    hot AS MATERIALIZED (SELECT sh FROM dfreq WHERE df > {_D63_CAP}),
+    stf AS MATERIALIZED (SELECT * FROM sth WHERE sh NOT IN (SELECT sh FROM hot)
+           AND container IN (SELECT DISTINCT container FROM cand)),
+    inch AS MATERIALIZED (SELECT doc_id AS incoming,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shi),
+    incf AS MATERIALIZED (SELECT * FROM inch
+            WHERE sh NOT IN (SELECT sh FROM hot)),
+    szin AS MATERIALIZED (SELECT incoming, count(*) AS sz_in FROM incf
+           GROUP BY incoming),
+    common AS MATERIALIZED (
+      SELECT i.incoming, s.container, count(*) AS n_common
+      FROM incf i JOIN stf s USING (sh)
+      GROUP BY 1, 2),
+    matches AS MATERIALIZED (
+      SELECT c.incoming
+      FROM common c
+      JOIN cand USING (incoming, container)
+      JOIN szin USING (incoming)
+      WHERE CAST(n_common AS DOUBLE) / sz_in >= {t} / 10.0),
+    rejected AS MATERIALIZED (SELECT DISTINCT incoming AS doc_id FROM matches)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_incoming,
+           CAST(COUNT(rj.doc_id) AS BIGINT) AS n_rejected,
+           CAST(COUNT(*) - COUNT(rj.doc_id) AS BIGINT) AS n_admitted,
+           CAST(CAST(COALESCE(SUM(
+             ('0x' || substr(md5(CAST(rj.doc_id AS VARCHAR)), 1, 15))::BIGINT
+           ), 0) AS DECIMAL(38,0)) AS VARCHAR) AS rejected_checksum
+    FROM documents d LEFT JOIN rejected rj USING (doc_id)
+    WHERE d.doc_id % 7 = 0
+    GROUP BY d.source ORDER BY d.source
+    """
+
+
+@query(
+    "d68_incremental_containment_admission",
+    oracle=_d68_oracle(),
+    doc="Ingestion-time containment dedup (the d19 incremental pattern "
+    "applied to the LSH-Ensemble index, completing the d63-d67 arc "
+    "with its STREAMING-shaped form): the standing ~86% corpus is "
+    "indexed once — in production a persisted table maintained across "
+    "batches — and the incoming 10% batch's band keys BROADCAST "
+    "against it, so the corpus never reshuffles per batch. Each "
+    "incoming doc probes only partitions that can hold an "
+    "0.8-container of its size (|q∩x| <= |x| forces |x| >= 0.8|q|; "
+    "integer-exact ceil floor); the batch is doc_id%7 (coprime with "
+    "the source layout, so every source sees admissions). Exact "
+    "containment verified ONLY on "
+    "candidates, in the standing-df-capped shingle space with over-df "
+    "shingles EXCLUDED on both sides (an inner keep-join would drop "
+    "novel incoming shingles and inflate containment). Gate row: "
+    "per-source admission ledger for the batch + md5-prefix checksum "
+    "pinning the exact rejected set. Scale shape: one standing index "
+    "build amortized across batches, batch-side broadcasts, verify "
+    "join restricted to candidates — nothing corpus-quadratic, "
+    "nothing per-batch-corpus-shuffling.",
+)
+def d68_incremental_containment_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        incremental_containment_matches,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    sh = shingle_rows(docs, shingle_n=2, out_id="id").cache()
+    # %7, not %10: the synthetic source column is doc_id%20, so a %10
+    # batch would land in only two sources — %7 is coprime with the
+    # layout and spreads the batch over every source (~14% of docs).
+    corpus_sh = sh.filter(F.col("id") % 7 != 0)
+    incoming_sh = sh.filter(F.col("id") % 7 == 0)
+    matches = incremental_containment_matches(
+        corpus_sh,
+        incoming_sh,
+        id_col="id",
+        num_hashes=_D65_HASHES,
+        size_edges=_D65_EDGES,
+        rows_per_band=_D65_ROWS,
+        max_bucket=_D65_BUCKET,
+        max_df=_D63_CAP,
+        threshold=_D68_THRESHOLD_NUM / 10.0,
+    )
+    rejected = (
+        matches.select(F.col("incoming").alias("doc_id"))
+        .distinct()
+        .withColumn("__rej", F.lit(1))
+    )
+    row_int = F.conv(
+        F.substring(F.md5(F.col("__rid").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    return (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id", "source")
+        .join(F.broadcast(rejected), "doc_id", "left")
+        .withColumn("__rid", F.when(F.col("__rej") == 1, F.col("doc_id")))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_incoming"),
+            F.count("__rid").cast("bigint").alias("n_rejected"),
+            (F.count(F.lit(1)) - F.count("__rid"))
+            .cast("bigint")
+            .alias("n_admitted"),
+            F.coalesce(F.sum(row_int.cast("decimal(38,0)")), F.lit(0))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("rejected_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -929,3 +929,40 @@ def test_equi_depth_edges_exact_rank_arithmetic(spark):
     sh = spark.createDataFrame(rows, "id bigint, sh string")
     # n=8: ranks ceil(2)=2, ceil(4)=4, ceil(6)=6 -> sizes 1,3,8 -> +1
     assert equi_depth_edges(sh, id_col="id") == [2, 4, 9]
+
+
+def test_incremental_containment_novel_shingles_not_inflated(spark):
+    """An incoming doc mostly made of NOVEL shingles must not be
+    rejected just because its small corpus-overlap is fully contained —
+    the df filter EXCLUDES over-df shingles rather than keeping only
+    corpus-known ones (an inner keep-join would shrink sz_in and
+    inflate containment for novel documents)."""
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        incremental_containment_matches,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    base = " ".join(f"c{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, base), (2, " ".join(f"z{i}" for i in range(30)))],
+        "doc_id bigint, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            # 10 duplicated: a verbatim chunk of doc 1 -> contained
+            (10, " ".join(f"c{i}" for i in range(35))),
+            # 11 novel: tiny overlap with doc 1, mostly new shingles
+            (11, "c0 c1 c2 " + " ".join(f"n{i}" for i in range(40))),
+        ],
+        "doc_id bigint, text string",
+    )
+    m = incremental_containment_matches(
+        shingle_rows(corpus, shingle_n=2, out_id="id"),
+        shingle_rows(incoming, shingle_n=2, out_id="id"),
+        id_col="id",
+    )
+    got = {r["incoming"]: r["containment_in"] for r in m.collect()}
+    assert 10 in got and got[10] >= 0.8
+    assert 11 not in got  # novel doc admitted

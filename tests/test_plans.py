@@ -177,6 +177,19 @@ def test_dedup_plans_shuffle_hashes_not_documents(spark, name):
         assert "text#" not in ex, f"document text crosses a shuffle: {ex}"
 
 
+def test_d68_broadcasts_incoming_batch(spark):
+    # Incremental containment admission: the incoming batch's probe keys
+    # and the verify-side incoming shingles broadcast against the
+    # standing index — the corpus must never reshuffle per batch.
+    plan = plan_of(spark, "d68_incremental_containment_admission")
+    assert "BroadcastHashJoin" in plan
+    exchanges = [
+        seg.splitlines()[0] for seg in plan.split("Exchange hashpartitioning")[1:]
+    ]
+    for ex in exchanges:
+        assert "text#" not in ex, f"document text crosses a shuffle: {ex}"
+
+
 def test_d19_broadcasts_incoming_batch(spark):
     # Ingestion dedup must broadcast the small batch's band keys against
     # the corpus index — a SortMergeJoin here would shuffle the corpus
