@@ -242,6 +242,7 @@ def incremental_containment_matches(
     max_bucket: int | None = 100,
     max_df: int | None = 100,
     threshold: float = 0.8,
+    prebuilt_standing: dict[str, DataFrame] | None = None,
 ) -> DataFrame:
     """Ingestion-time containment dedup: incoming docs that are
     ``threshold``-contained in a STANDING corpus doc — the d19
@@ -262,18 +263,36 @@ def incremental_containment_matches(
 
     Returns (incoming ``id_col``, container, n_common, sz_in,
     containment_in) for matches with ``containment_in >= threshold``.
+
+    ``prebuilt_standing`` (the dict from
+    :func:`build_containment_standing`) skips every standing-state
+    build — the production shape, where the index, the hot-shingle set
+    and the corpus shingle table are maintained across batches.
     """
-    # --- standing index (own-partition scheme only) ---
-    sigs_c = minhash_signatures_from_shingles(corpus_sh, id_col, num_hashes)
-    sz_c = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    docs_c = sigs_c.join(sz_c, id_col).withColumn(
-        "part", _partition_of(F.col("sz"), size_edges)
+    standing = prebuilt_standing or build_containment_standing(
+        corpus_sh,
+        id_col,
+        num_hashes,
+        size_edges,
+        rows_per_band,
+        max_bucket,
+        max_df,
+    )
+    return _containment_probe(
+        standing,
+        incoming_sh,
+        id_col,
+        num_hashes,
+        size_edges,
+        rows_per_band,
+        threshold,
     )
 
-    # ONE F.expr string for all 96 band-key structs: building these as
-    # nested Column objects costs thousands of py4j round-trips (~6s of
-    # driver-side plan construction measured at any sf); a single parsed
-    # SQL expression is free.
+
+def _band_struct_expr(num_hashes: int, rows_per_band: tuple[int, ...]):
+    """All band-key structs of every partition scheme as ONE parsed SQL
+    expression (nested Column construction costs thousands of py4j
+    round-trips — ~6s of driver time measured at any sf)."""
     structs = []
     for p, r in enumerate(rows_per_band):
         for b in range(num_hashes // r):
@@ -283,13 +302,37 @@ def incremental_containment_matches(
                 f"cast(conv(substring(md5(concat({cat})), 1, 15), 16, 10)"
                 f" as bigint) as key)"
             )
-    entries_expr = F.explode(F.expr("array(" + ", ".join(structs) + ")"))
+    return F.explode(F.expr("array(" + ", ".join(structs) + ")"))
 
+
+def build_containment_standing(
+    corpus_sh: DataFrame,
+    id_col: str = "id",
+    num_hashes: int = 16,
+    size_edges: tuple[int, ...] = DEFAULT_SIZE_EDGES,
+    rows_per_band: tuple[int, ...] = DEFAULT_ROWS_PER_BAND,
+    max_bucket: int | None = 100,
+    max_df: int | None = 100,
+) -> dict[str, DataFrame]:
+    """The ENTIRE standing half of incremental containment admission,
+    i.e. everything a production system persists across ingestion
+    batches: ``index`` — every corpus doc keyed under its OWN
+    partition's scheme, bucket-capped, (container, p, band, key) rows;
+    ``hot`` — the over-``max_df`` shingle hashes (excluded from
+    verification on both sides); ``st`` — the hashed corpus shingle
+    table with hot shingles removed (what exact verification reads,
+    restricted to candidate containers per batch). Batches only probe
+    and join these; none of them is recomputed per batch."""
+    sigs_c = minhash_signatures_from_shingles(corpus_sh, id_col, num_hashes)
+    sz_c = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    docs_c = sigs_c.join(sz_c, id_col).withColumn(
+        "part", _partition_of(F.col("sz"), size_edges)
+    )
     index = (
         docs_c.select(
             F.col(id_col).alias("container"),
             "part",
-            entries_expr.alias("e"),
+            _band_struct_expr(num_hashes, rows_per_band).alias("e"),
         )
         .filter(F.col("part") == F.col("e.p"))
         .select("container", "e.p", "e.band", "e.key")
@@ -305,6 +348,32 @@ def incremental_containment_matches(
             counts.filter(F.col("__n") <= max_bucket).drop("__n"),
             ["p", "band", "key"],
         )
+    st = corpus_sh.withColumn(
+        "sh", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
+    ).withColumnRenamed(id_col, "container").cache()
+    if max_df is not None:
+        dfreq = st.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
+        hot = dfreq.filter(F.col("__df") > max_df).drop("__df")
+        st = st.join(hot, "sh", "left_anti")
+    else:
+        hot = st.select("sh").limit(0)
+    return {"index": index, "hot": hot, "st": st}
+
+
+def _containment_probe(
+    standing: dict[str, DataFrame],
+    incoming_sh: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    size_edges: tuple[int, ...],
+    rows_per_band: tuple[int, ...],
+    threshold: float,
+) -> DataFrame:
+    """The per-batch half: probe the standing index, verify exact
+    containment on candidates only (standing-df-capped shingle space,
+    over-df shingles excluded on both sides)."""
+    index, hot = standing["index"], standing["hot"]
+    entries_expr = _band_struct_expr(num_hashes, rows_per_band)
 
     # --- incoming probes: partitions that can hold a t-container ---
     sigs_i = minhash_signatures_from_shingles(incoming_sh, id_col, num_hashes)
@@ -333,22 +402,21 @@ def incremental_containment_matches(
         .cache()
     )
 
-    # --- exact verify on candidates, in the standing df-capped space ---
-    hash_sh = lambda df: df.withColumn(  # noqa: E731
-        "sh", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
+    # --- exact verify on candidates, in the standing df-capped space.
+    # Over-df shingles are EXCLUDED on both sides (anti-join), never an
+    # inner keep-join: incoming shingles absent from the corpus have no
+    # df row, and dropping them would shrink sz_in and inflate
+    # containment for novel documents.
+    inc = (
+        incoming_sh.withColumn(
+            "sh",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint"),
+        )
+        .withColumnRenamed(id_col, "incoming")
+        .join(hot, "sh", "left_anti")
+        .cache()
     )
-    st = hash_sh(corpus_sh).withColumnRenamed(id_col, "container").cache()
-    inc = hash_sh(incoming_sh).withColumnRenamed(id_col, "incoming").cache()
-    if max_df is not None:
-        # EXCLUDE over-df shingles (anti-join), never inner-join a keep
-        # set: incoming shingles absent from the corpus have no df row,
-        # and dropping them would shrink sz_in and inflate containment
-        # for novel documents.
-        dfreq = st.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-        hot = dfreq.filter(F.col("__df") > max_df).drop("__df")
-        st = st.join(hot, "sh", "left_anti")
-        inc = inc.join(hot, "sh", "left_anti")
-    st = st.join(cand.select("container").distinct(), "container")
+    st = standing["st"].join(cand.select("container").distinct(), "container")
     sz_in = inc.groupBy("incoming").agg(F.count(F.lit(1)).alias("sz_in"))
     common = (
         F.broadcast(inc)

@@ -860,6 +860,7 @@ def test_shared_kernel_ledger_names_registered_queries():
         "minhash_sigs8",
         "logit_fit",
         "containment_pairs2",
+        "d68_standing_index",
         "copart_pairs",
     }
     for kname, spec in SHARED_KERNELS.items():
