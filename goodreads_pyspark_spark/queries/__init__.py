@@ -48,7 +48,7 @@ REGISTRY: dict[str, Query] = {}
 # export sees the prefix.
 #
 # Staleness policy (restated r9 so it is arithmetically auditable; at
-# 268 registered queries × 50-slot windows the floor is ceil(268/50) =
+# 271 registered queries × 50-slot windows the floor is ceil(271/50) =
 # 6): every query's newest green CORRECTNESS row must be ≤6 rounds old.
 # Window selection each round, in priority order:
 #   1. additions — queries that have never had a driver-green row;
