@@ -233,7 +233,7 @@ def equi_depth_edges(
 
 
 def incremental_containment_matches(
-    corpus_sh: DataFrame,
+    corpus_sh: DataFrame | None,
     incoming_sh: DataFrame,
     id_col: str = "id",
     num_hashes: int = 16,
@@ -267,8 +267,12 @@ def incremental_containment_matches(
     ``prebuilt_standing`` (the dict from
     :func:`build_containment_standing`) skips every standing-state
     build — the production shape, where the index, the hot-shingle set
-    and the corpus shingle table are maintained across batches.
+    and the corpus shingle table are maintained across batches;
+    ``corpus_sh`` may then be ``None`` (it is only read to build
+    standing state).
     """
+    if prebuilt_standing is None and corpus_sh is None:
+        raise ValueError("corpus_sh is required without prebuilt_standing")
     standing = prebuilt_standing or build_containment_standing(
         corpus_sh,
         id_col,

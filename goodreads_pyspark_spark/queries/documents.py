@@ -6795,3 +6795,127 @@ def d68_incremental_containment_admission(
         )
         .orderBy("source")
     )
+
+
+# --- s15: STREAMING containment admission (new in r10; r11 window) ------------
+@query(
+    "s15_streaming_containment_admission",
+    oracle=_d68_oracle(),
+    doc="d68's containment admission run as a Structured Streaming job "
+    "(the s12 discipline applied to the ensemble index): the incoming "
+    "%7 batch is staged as files, streamed with maxFilesPerTrigger=1, "
+    "and every micro-batch probes the PRECOMPUTED standing state — the "
+    "size-partitioned banding index, the hot-shingle set and the "
+    "df-filtered corpus shingle table, exactly what a production "
+    "ingest daemon keeps warm (here the d68 session memo). Verdicts "
+    "are ORDER-INDEPENDENT by construction — each incoming doc's "
+    "containment verdict depends only on (doc, standing corpus), never "
+    "on other incoming docs or arrival order — so the streamed ledger "
+    "is bit-equal to the batch form no matter how the source splits "
+    "micro-batches: proven by gating against THE SAME oracle as d68, "
+    "plus the in-query completeness assert (ledger rows == incoming "
+    "rows, the s08 discipline). Scale shape: per micro-batch cost is "
+    "linear in the slice — the slice's shingles/signatures broadcast "
+    "against static indexes; the corpus is never rescanned after the "
+    "standing build.",
+)
+def s15_streaming_containment_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        incremental_containment_matches,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    incoming = docs.filter(F.col("doc_id") % 7 == 0)
+    standing = _d68_standing_index(spark, sf_dir)
+
+    stage = tempfile.mkdtemp(prefix="s15_stage_")
+    out = tempfile.mkdtemp(prefix="s15_out_")
+    chk = tempfile.mkdtemp(prefix="s15_chk_")
+    incoming.repartition(3).write.mode("overwrite").parquet(stage)
+
+    def screen(bdf: DataFrame, batch_id: int) -> None:
+        bsh = shingle_rows(bdf, "doc_id", "text", 2, out_id="id")
+        rejected = (
+            incremental_containment_matches(
+                None,  # standing state is prebuilt; corpus_sh unused
+                bsh,
+                id_col="id",
+                num_hashes=_D65_HASHES,
+                size_edges=_D65_EDGES,
+                rows_per_band=_D65_ROWS,
+                max_bucket=_D65_BUCKET,
+                max_df=_D63_CAP,
+                threshold=_D68_THRESHOLD_NUM / 10.0,
+                prebuilt_standing=standing,
+            )
+            .select(F.col("incoming").alias("doc_id"))
+            .distinct()
+            .withColumn("__rej", F.lit(1))
+        )
+        (
+            bdf.select("doc_id", "source")
+            .join(F.broadcast(rejected), "doc_id", "left")
+            .select(
+                "doc_id",
+                "source",
+                F.coalesce("__rej", F.lit(0)).alias("rejected"),
+            )
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    try:
+        from goodreads_pyspark_spark.streaming import state_partitions
+
+        with state_partitions(spark, 8):
+            q = (
+                spark.readStream.schema(incoming.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+                .writeStream.foreachBatch(screen)
+                .option("checkpointLocation", chk)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+
+        ledger = spark.read.parquet(out)
+        n_led, n_in = ledger.count(), incoming.count()
+        if n_led != n_in:
+            raise AssertionError(
+                f"streamed ledger has {n_led} rows, incoming batch has {n_in}"
+            )
+        row_int = F.conv(
+            F.substring(F.md5(F.col("__rid").cast("string")), 1, 15), 16, 10
+        ).cast("bigint")
+        # materialize before the finally-block deletes the parquet dirs
+        return (
+            ledger.withColumn(
+                "__rid", F.when(F.col("rejected") == 1, F.col("doc_id"))
+            )
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_incoming"),
+                F.count("__rid").cast("bigint").alias("n_rejected"),
+                (F.count(F.lit(1)) - F.count("__rid"))
+                .cast("bigint")
+                .alias("n_admitted"),
+                F.coalesce(F.sum(row_int.cast("decimal(38,0)")), F.lit(0))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("rejected_checksum"),
+            )
+            .orderBy("source")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        for d in (stage, out, chk):
+            shutil.rmtree(d, ignore_errors=True)
