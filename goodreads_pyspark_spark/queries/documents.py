@@ -6025,7 +6025,10 @@ def _kernel_logit_fit(spark: SparkSession, sf_dir: str) -> None:
 
 @shared_kernel(
     "d68_standing_index",
-    ("d68_incremental_containment_admission",),
+    (
+        "d68_incremental_containment_admission",
+        "s15_streaming_containment_admission",
+    ),
 )
 def _kernel_d68_index(spark: SparkSession, sf_dir: str) -> None:
     _d68_standing_index(spark, sf_dir)

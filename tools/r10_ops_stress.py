@@ -36,6 +36,9 @@ from tools.scaling_probe import replicate
 QUERIES = (
     "d63_containment_audit",
     "d65_lsh_ensemble_containment",
+    "d66_equidepth_ensemble",
+    "d67_containment_dedup",
+    "d68_incremental_containment_admission",
 )
 
 
@@ -64,9 +67,11 @@ def main() -> None:
         # cost over the warm kernel, same semantics as the bench.
         from goodreads_pyspark_spark.queries.documents import (
             _CONT2_MEMO,
+            _D68_INDEX_MEMO,
             _containment_pairs2,
         )
 
+        _D68_INDEX_MEMO.clear()
         best = None
         for _ in range(3):
             _CONT2_MEMO.clear()
