@@ -71,16 +71,20 @@ def _partition_of(sz: Column, edges: tuple[int, ...]) -> Column:
 
 
 def lsh_ensemble_candidate_pairs(
-    sh: DataFrame,
+    sh: DataFrame | None,
     id_col: str = "id",
     num_hashes: int = 16,
     size_edges: tuple[int, ...] = DEFAULT_SIZE_EDGES,
     rows_per_band: tuple[int, ...] = DEFAULT_ROWS_PER_BAND,
     max_bucket: int | None = 100,
     max_probe: int | None = None,
+    sig_sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Oriented containment candidates ``(contained, container)`` from a
-    prebuilt ``(id_col, sh)`` distinct-shingle table.
+    prebuilt ``(id_col, sh)`` distinct-shingle table — or, when
+    ``sig_sizes`` (a precomputed (id_col, sz, mh0..mh{K-1}) table) is
+    given, without touching ``sh`` at all (the signature aggregation is
+    the expensive corpus pass; several queries share one).
 
     Every doc is INDEXED once under its own partition's scheme and
     PROBES every partition that could hold a container at least its
@@ -107,12 +111,16 @@ def lsh_ensemble_candidate_pairs(
                 f"rows-per-band {r} must divide num_hashes ({num_hashes})"
             )
 
-    sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    docs = (
-        sigs.join(sizes, id_col)
-        .withColumn("part", _partition_of(F.col("sz"), size_edges))
-    )
+    if sig_sizes is not None:
+        docs = sig_sizes.withColumn(
+            "part", _partition_of(F.col("sz"), size_edges)
+        )
+    else:
+        sigs = minhash_signatures_from_shingles(sh, id_col, num_hashes)
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        docs = sigs.join(sizes, id_col).withColumn(
+            "part", _partition_of(F.col("sz"), size_edges)
+        )
 
     # One exploded (id, sz, part, p, band, key) frame carrying, per doc,
     # the band keys of EVERY partition scheme — index and probe sides
@@ -192,9 +200,10 @@ def lsh_ensemble_candidate_pairs(
 
 
 def equi_depth_edges(
-    sh: DataFrame,
+    sh: DataFrame | None,
     id_col: str = "id",
     n_partitions: int = 4,
+    sizes: DataFrame | None = None,
 ) -> list[int]:
     """Equi-depth size-partition edges from the shingle table — the
     partitioning Zhu et al. prove near-optimal (each partition holds
@@ -212,7 +221,8 @@ def equi_depth_edges(
     """
     from pyspark.sql import Window
 
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    if sizes is None:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy("sz").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("c").over(w))

@@ -6024,6 +6024,18 @@ def _kernel_logit_fit(spark: SparkSession, sf_dir: str) -> None:
 
 
 @shared_kernel(
+    "ensemble_sig_sizes",
+    (
+        "d65_lsh_ensemble_containment",
+        "d66_equidepth_ensemble",
+        "d67_containment_dedup",
+    ),
+)
+def _kernel_ensemble_sigs(spark: SparkSession, sf_dir: str) -> None:
+    _ensemble_sig_sizes(spark, sf_dir)
+
+
+@shared_kernel(
     "d68_standing_index",
     (
         "d68_incremental_containment_admission",
@@ -6155,6 +6167,34 @@ def _d65_oracle() -> str:
     """
 
 
+_D65_SIGS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _ensemble_sig_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized (id, sz, mh0..mh15) table over the 2-gram corpus
+    shingles (localCheckpoint-backed; the _jac05_pairs rationale) — the
+    16-hash signature aggregation is the expensive corpus pass behind
+    every ensemble consumer (d65/d66/d67), and its first 8 columns are
+    exactly the d07-convention 8-hash signatures, so the plain-banding
+    baseline reads the same table."""
+    from goodreads_pyspark_spark.dedup.minhash import (
+        minhash_signatures_from_shingles,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    if key not in _D65_SIGS_MEMO:
+        _evict_dead(_D65_SIGS_MEMO, app)
+        docs = tbl(spark, sf_dir, "documents")
+        sh = shingle_rows(docs, shingle_n=2, out_id="id").cache()
+        sigs = minhash_signatures_from_shingles(sh, "id", _D65_HASHES)
+        sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+        _D65_SIGS_MEMO[key] = sigs.join(sizes, "id").localCheckpoint()
+        sh.unpersist()
+    return _D65_SIGS_MEMO[key]
+
+
 @query(
     "d65_lsh_ensemble_containment",
     oracle=_d65_oracle(),
@@ -6185,28 +6225,28 @@ def d65_lsh_ensemble_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_ensemble_candidate_pairs,
     )
     from goodreads_pyspark_spark.dedup.minhash import (
-        lsh_candidate_pairs_from_shingles,
+        lsh_candidate_pairs_from_signatures,
     )
-    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 
-    docs = tbl(spark, sf_dir, "documents")
-    # ONE raw-string shingle pass feeds the ensemble index and the
-    # plain-banding baseline; the exact containment verifier comes from
-    # the shared memo.
-    sh = shingle_rows(docs, shingle_n=2, out_id="id").cache()
+    # No shingle pass in-query: the signature table and the exact
+    # verifier both come from shared session memos; the plain-banding
+    # baseline reads the SAME signature table (its first 8 hash columns
+    # are the d07 convention).
+    ss = _ensemble_sig_sizes(spark, sf_dir)
     ecand = lsh_ensemble_candidate_pairs(
-        sh,
+        None,
         id_col="id",
         num_hashes=_D65_HASHES,
         size_edges=_D65_EDGES,
         rows_per_band=_D65_ROWS,
         max_bucket=_D65_BUCKET,
+        sig_sizes=ss,
     ).select(
         F.least("contained", "container").alias("doc_a"),
         F.greatest("contained", "container").alias("doc_b"),
     )
-    bcand = lsh_candidate_pairs_from_shingles(
-        sh, id_col="id", num_hashes=8, bands=4, max_bucket=_D65_BUCKET
+    bcand = lsh_candidate_pairs_from_signatures(
+        ss, id_col="id", num_hashes=8, bands=4, max_bucket=_D65_BUCKET
     ).cache()
     cont = (
         _containment_pairs2(spark, sf_dir)
@@ -6370,18 +6410,19 @@ def d66_equidepth_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         equi_depth_edges,
         lsh_ensemble_candidate_pairs,
     )
-    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 
-    docs = tbl(spark, sf_dir, "documents")
-    sh = shingle_rows(docs, shingle_n=2, out_id="id").cache()
-    edges = equi_depth_edges(sh, id_col="id", n_partitions=4)
+    ss = _ensemble_sig_sizes(spark, sf_dir)
+    edges = equi_depth_edges(
+        None, id_col="id", n_partitions=4, sizes=ss.select("id", "sz")
+    )
     ecand = lsh_ensemble_candidate_pairs(
-        sh,
+        None,
         id_col="id",
         num_hashes=_D65_HASHES,
         size_edges=tuple(edges),
         rows_per_band=_D65_ROWS,
         max_bucket=_D65_BUCKET,
+        sig_sizes=ss,
     ).select(
         F.least("contained", "container").alias("doc_a"),
         F.greatest("contained", "container").alias("doc_b"),
@@ -6530,17 +6571,16 @@ def d67_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.dedup.ensemble import (
         lsh_ensemble_candidate_pairs,
     )
-    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 
     docs = tbl(spark, sf_dir, "documents")
-    sh = shingle_rows(docs, shingle_n=2, out_id="id").cache()
     cand = lsh_ensemble_candidate_pairs(
-        sh,
+        None,
         id_col="id",
         num_hashes=_D65_HASHES,
         size_edges=_D65_EDGES,
         rows_per_band=_D65_ROWS,
         max_bucket=_D65_BUCKET,
+        sig_sizes=_ensemble_sig_sizes(spark, sf_dir),
     ).select(
         F.least("contained", "container").alias("doc_a"),
         F.greatest("contained", "container").alias("doc_b"),

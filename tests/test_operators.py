@@ -860,6 +860,7 @@ def test_shared_kernel_ledger_names_registered_queries():
         "minhash_sigs8",
         "logit_fit",
         "containment_pairs2",
+        "ensemble_sig_sizes",
         "d68_standing_index",
         "copart_pairs",
     }
