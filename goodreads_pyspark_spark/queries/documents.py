@@ -6962,3 +6962,167 @@ def s15_streaming_containment_admission(
     finally:
         for d in (stage, out, chk):
             shutil.rmtree(d, ignore_errors=True)
+
+
+# --- d69: ensemble (bands, rows) tuning sweep (new in r10; r11 window) --------
+#: The swept rows-per-band tables: conservative / default / aggressive.
+_D69_CONFIGS: tuple[tuple[int, ...], ...] = (
+    (4, 4, 2, 2),
+    (2, 2, 1, 1),
+    (1, 1, 1, 1),
+)
+
+
+def _d69_oracle() -> str:
+    """Replays the ensemble candidate generator once PER swept config
+    over one shared signature table, plus the exact containment-only
+    pairs — the d34 band-tuning audit applied to the containment
+    index."""
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(_D65_HASHES)
+    )
+    edge_case = "CASE " + " ".join(
+        f"WHEN sz0 < {e} THEN {p}" for p, e in enumerate(_D65_EDGES)
+    ) + f" ELSE {len(_D65_EDGES)} END"
+    per_cfg = []
+    selects = []
+    for ci, rows_per_band in enumerate(_D69_CONFIGS):
+        branches = []
+        for p, r in enumerate(rows_per_band):
+            for b in range(_D65_HASHES // r):
+                key = " || ".join(f"mh{b * r + k}" for k in range(r))
+                branches.append(
+                    f"      SELECT doc_id, sz0, part, {p} AS p, {b} AS band,"
+                    f" ('0x' || substr(md5({key}), 1, 15))::BIGINT AS key"
+                    f" FROM mhsz"
+                )
+        keys_sql = "\n      UNION ALL\n".join(branches)
+        per_cfg.append(f"""
+    keys{ci} AS MATERIALIZED (
+{keys_sql}),
+    idx{ci}0 AS MATERIALIZED (SELECT * FROM keys{ci} WHERE part = p),
+    bc{ci} AS MATERIALIZED (SELECT p, band, key, count(*) AS n
+          FROM idx{ci}0 GROUP BY 1, 2, 3),
+    idx{ci} AS MATERIALIZED (SELECT idx{ci}0.* FROM idx{ci}0
+           JOIN bc{ci} USING (p, band, key) WHERE n <= {_D65_BUCKET}),
+    pr{ci}0 AS MATERIALIZED (SELECT * FROM keys{ci} WHERE p >= part),
+    pc{ci} AS MATERIALIZED (SELECT p, band, key, count(*) AS m
+          FROM pr{ci}0 GROUP BY 1, 2, 3),
+    pr{ci} AS MATERIALIZED (SELECT pr{ci}0.* FROM pr{ci}0
+           JOIN pc{ci} USING (p, band, key)
+           WHERE m <= {4 * _D65_BUCKET}),
+    cand{ci} AS MATERIALIZED (SELECT DISTINCT
+               LEAST(q.doc_id, x.doc_id) AS doc_a,
+               GREATEST(q.doc_id, x.doc_id) AS doc_b
+             FROM pr{ci} q JOIN idx{ci} x USING (p, band, key)
+             WHERE q.sz0 < x.sz0
+                OR (q.sz0 = x.sz0 AND q.doc_id < x.doc_id))""")
+        cfg_str = "/".join(str(r) for r in rows_per_band)
+        selects.append(f"""
+    SELECT '{cfg_str}' AS rows_per_band,
+      CAST((SELECT COUNT(*) FROM cont) AS BIGINT) AS n_containment_pairs,
+      CAST((SELECT COUNT(*) FROM cand{ci}) AS BIGINT) AS n_candidates,
+      CAST((SELECT COUNT(*) FROM cont JOIN cand{ci} USING (doc_a, doc_b))
+           AS BIGINT) AS n_recovered,
+      CAST((SELECT COUNT(*) FROM cont JOIN cand{ci} USING (doc_a, doc_b))
+           AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM cont), 0) AS recall""")
+    union_selects = "\n    UNION ALL".join(selects)
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    mh AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM sh0 GROUP BY doc_id),
+    s0 AS MATERIALIZED (SELECT doc_id, count(*) AS sz0 FROM sh0 GROUP BY doc_id),
+    mhsz AS MATERIALIZED (SELECT mh.*, s0.sz0, {edge_case} AS part
+             FROM mh JOIN s0 USING (doc_id)),{",".join(per_cfg)},
+    shh AS MATERIALIZED (SELECT doc_id,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM sh0),
+    dfreq AS MATERIALIZED (SELECT sh, count(*) AS df FROM shh GROUP BY sh),
+    shf AS MATERIALIZED (SELECT s.doc_id, s.sh FROM shh s
+            JOIN dfreq USING (sh) WHERE df <= {_D63_CAP}),
+    sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+    inter AS MATERIALIZED (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     count(*) AS n_common
+              FROM shf a JOIN shf b USING (sh)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    prx AS MATERIALIZED (SELECT doc_a, doc_b,
+                 CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+                   AS jaccard,
+                 CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz)
+                   AS containment
+          FROM inter
+          JOIN sz sa ON sa.doc_id = doc_a
+          JOIN sz sb ON sb.doc_id = doc_b),
+    cont AS MATERIALIZED (SELECT doc_a, doc_b FROM prx
+             WHERE containment >= 0.4 AND jaccard < 0.5)
+    SELECT * FROM ({union_selects})
+    ORDER BY rows_per_band
+    """
+
+
+@query(
+    "d69_ensemble_tuning_sweep",
+    oracle=_d69_oracle(),
+    doc="(bands, rows)-tuning sweep for the containment ensemble — the "
+    "d34 band-tuning discipline applied to the LSH-Ensemble index: "
+    "recall on the exact containment-only pairs AND candidate volume, "
+    "side by side, for a conservative (4/4/2/2), the production "
+    "default (2/2/1/1) and an aggressive (1/1/1/1) rows-per-band "
+    "table, all banding THE SAME memoized 16-hash signature table "
+    "(zero extra corpus passes — the signature aggregation is identical "
+    "for every split of the same hashes, which is exactly why the "
+    "sweep is affordable). This is the measured recall/volume frontier "
+    "the (b,r) knob trades along; hash-gated including the recall "
+    "doubles. Scale shape: per config only (doc, band, 8-byte key) "
+    "rows shuffle, both caps inherited from d65.",
+)
+def d69_ensemble_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        lsh_ensemble_candidate_pairs,
+    )
+
+    ss = _ensemble_sig_sizes(spark, sf_dir)
+    cont = (
+        _containment_pairs2(spark, sf_dir)
+        .filter((F.col("containment") >= 0.4) & (F.col("jaccard") < 0.5))
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    parts = []
+    for rows_per_band in _D69_CONFIGS:
+        cand = lsh_ensemble_candidate_pairs(
+            None,
+            id_col="id",
+            num_hashes=_D65_HASHES,
+            size_edges=_D65_EDGES,
+            rows_per_band=rows_per_band,
+            max_bucket=_D65_BUCKET,
+            sig_sizes=ss,
+        ).select(
+            F.least("contained", "container").alias("doc_a"),
+            F.greatest("contained", "container").alias("doc_b"),
+        ).cache()
+        nc = cand.count()
+        nr = cont.join(cand, ["doc_a", "doc_b"]).count()
+        cfg = "/".join(str(r) for r in rows_per_band)
+        parts.append((cfg, nc, nr))
+        cand.unpersist()
+    n_exact = cont.count()
+    out = spark.createDataFrame(
+        [
+            (
+                cfg,
+                n_exact,
+                nc,
+                nr,
+                (nr / n_exact) if n_exact else None,
+            )
+            for cfg, nc, nr in parts
+        ],
+        "rows_per_band string, n_containment_pairs bigint, "
+        "n_candidates bigint, n_recovered bigint, recall double",
+    )
+    return out.orderBy("rows_per_band")
