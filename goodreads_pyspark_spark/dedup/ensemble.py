@@ -62,6 +62,18 @@ DEFAULT_SIZE_EDGES: tuple[int, ...] = (24, 48, 72)
 DEFAULT_ROWS_PER_BAND: tuple[int, ...] = (2, 2, 1, 1)
 
 
+def _pin(df: DataFrame, registry: list | None) -> DataFrame:
+    """cache() that optionally hands the unpersist handle back to the
+    caller. Long-running callers (s15's foreachBatch probes once per
+    micro-batch; d69 sweeps three configs) must pass a registry and
+    unpersist after materializing, or per-call caches accumulate
+    unboundedly over the job's lifetime."""
+    df = df.cache()
+    if registry is not None:
+        registry.append(df)
+    return df
+
+
 def _partition_of(sz: Column, edges: tuple[int, ...]) -> Column:
     """Static range partitioning of set sizes — a map-side CASE chain."""
     out = F.lit(len(edges))  # last (unbounded) partition
@@ -79,6 +91,7 @@ def lsh_ensemble_candidate_pairs(
     max_bucket: int | None = 100,
     max_probe: int | None = None,
     sig_sizes: DataFrame | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Oriented containment candidates ``(contained, container)`` from a
     prebuilt ``(id_col, sh)`` distinct-shingle table — or, when
@@ -157,8 +170,8 @@ def lsh_ensemble_candidate_pairs(
             F.explode(F.array(*entries)).alias("e"),
         )
         .select(id_col, "sz", "part", "e.p", "e.band", "e.key")
-        .cache()
     )
+    keyed = _pin(keyed, cache_registry)
 
     index = keyed.filter(F.col("part") == F.col("p"))
     if max_bucket is not None:
@@ -233,7 +246,10 @@ def equi_depth_edges(
     rows = sorted(
         ((r["sz"], r["cum"]) for r in cum.collect()), key=lambda t: t[0]
     )
-    n = rows[-1][1] if rows else 0
+    if not rows:
+        # would otherwise surface as a bare StopIteration from next()
+        raise ValueError("equi_depth_edges: empty size table")
+    n = rows[-1][1]
     edges = []
     for k in range(1, n_partitions):
         rank = -(-k * n // n_partitions)  # ceil(k*n/P), integer-exact
@@ -253,6 +269,7 @@ def incremental_containment_matches(
     max_df: int | None = 100,
     threshold: float = 0.8,
     prebuilt_standing: dict[str, DataFrame] | None = None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Ingestion-time containment dedup: incoming docs that are
     ``threshold``-contained in a STANDING corpus doc — the d19
@@ -300,6 +317,7 @@ def incremental_containment_matches(
         size_edges,
         rows_per_band,
         threshold,
+        cache_registry,
     )
 
 
@@ -382,17 +400,24 @@ def _containment_probe(
     size_edges: tuple[int, ...],
     rows_per_band: tuple[int, ...],
     threshold: float,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """The per-batch half: probe the standing index, verify exact
     containment on candidates only (standing-df-capped shingle space,
-    over-df shingles excluded on both sides)."""
+    over-df shingles excluded on both sides). Per-call caches go in
+    ``cache_registry`` when given — repeated callers (one probe per
+    micro-batch) unpersist them after materializing, or pinned caches
+    accumulate for the life of the stream."""
     index, hot = standing["index"], standing["hot"]
     entries_expr = _band_struct_expr(num_hashes, rows_per_band)
 
     # --- incoming probes: partitions that can hold a t-container ---
     sigs_i = minhash_signatures_from_shingles(incoming_sh, id_col, num_hashes)
     sz_i = incoming_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("szq"))
-    t_num, t_den = int(threshold * 10), 10  # 0.8 -> 8/10, integer-exact
+    # threshold quantized to hundredths (round, not floor: int(0.7*100)
+    # floats to 69) so non-decile thresholds like 0.65 keep the
+    # integer-exact ceil floor; 0.8 -> 80/100, same floor as 8/10.
+    t_num, t_den = round(threshold * 100), 100
     floor_sz = F.expr(f"({t_num} * szq + {t_den} - 1) div {t_den}")
     probe = (
         sigs_i.join(sz_i, id_col)
@@ -408,12 +433,12 @@ def _containment_probe(
     # cache: cand feeds the container restriction, the verify join and
     # the final match filter — uncached, the whole index+probe pipeline
     # re-runs per consumer
-    cand = (
+    cand = _pin(
         F.broadcast(probe)
         .join(index, ["p", "band", "key"])
         .select("incoming", "container")
-        .distinct()
-        .cache()
+        .distinct(),
+        cache_registry,
     )
 
     # --- exact verify on candidates, in the standing df-capped space.
@@ -421,14 +446,14 @@ def _containment_probe(
     # inner keep-join: incoming shingles absent from the corpus have no
     # df row, and dropping them would shrink sz_in and inflate
     # containment for novel documents.
-    inc = (
+    inc = _pin(
         incoming_sh.withColumn(
             "sh",
             F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint"),
         )
         .withColumnRenamed(id_col, "incoming")
-        .join(hot, "sh", "left_anti")
-        .cache()
+        .join(hot, "sh", "left_anti"),
+        cache_registry,
     )
     st = standing["st"].join(cand.select("container").distinct(), "container")
     sz_in = inc.groupBy("incoming").agg(F.count(F.lit(1)).alias("sz_in"))

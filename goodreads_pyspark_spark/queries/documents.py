@@ -6029,6 +6029,9 @@ def _kernel_logit_fit(spark: SparkSession, sf_dir: str) -> None:
         "d65_lsh_ensemble_containment",
         "d66_equidepth_ensemble",
         "d67_containment_dedup",
+        "d69_ensemble_tuning_sweep",
+        "d70_equidepth_sketch_edges",
+        "d71_containment_threshold_sweep",
     ),
 )
 def _kernel_ensemble_sigs(spark: SparkSession, sf_dir: str) -> None:
@@ -6052,6 +6055,10 @@ def _kernel_d68_index(spark: SparkSession, sf_dir: str) -> None:
         "d63_containment_audit",
         "d64_containment_banding_audit",
         "d65_lsh_ensemble_containment",
+        "d66_equidepth_ensemble",
+        "d67_containment_dedup",
+        "d69_ensemble_tuning_sweep",
+        "d71_containment_threshold_sweep",
     ),
 )
 def _kernel_containment_pairs2(spark: SparkSession, sf_dir: str) -> None:
@@ -6884,6 +6891,10 @@ def s15_streaming_containment_admission(
 
     def screen(bdf: DataFrame, batch_id: int) -> None:
         bsh = shingle_rows(bdf, "doc_id", "text", 2, out_id="id")
+        # per-batch probe caches are handed back and released after the
+        # write — without this a long-running stream pins one (cand,
+        # inc) cache pair per micro-batch, unbounded (ADVICE r10)
+        caches: list = []
         rejected = (
             incremental_containment_matches(
                 None,  # standing state is prebuilt; corpus_sh unused
@@ -6896,6 +6907,7 @@ def s15_streaming_containment_admission(
                 max_df=_D63_CAP,
                 threshold=_D68_THRESHOLD_NUM / 10.0,
                 prebuilt_standing=standing,
+                cache_registry=caches,
             )
             .select(F.col("incoming").alias("doc_id"))
             .distinct()
@@ -6912,6 +6924,8 @@ def s15_streaming_containment_admission(
             .write.mode("append")
             .parquet(out)
         )
+        for c in caches:
+            c.unpersist()
 
     try:
         from goodreads_pyspark_spark.streaming import state_partitions
@@ -7093,6 +7107,11 @@ def d69_ensemble_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     parts = []
     for rows_per_band in _D69_CONFIGS:
+        # per-config caches (incl. the keyed band table inside
+        # lsh_ensemble_candidate_pairs) are released once the config's
+        # counters are materialized — the sweep never holds more than
+        # one config's working set pinned
+        caches: list = []
         cand = lsh_ensemble_candidate_pairs(
             None,
             id_col="id",
@@ -7101,6 +7120,7 @@ def d69_ensemble_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows_per_band=rows_per_band,
             max_bucket=_D65_BUCKET,
             sig_sizes=ss,
+            cache_registry=caches,
         ).select(
             F.least("contained", "container").alias("doc_a"),
             F.greatest("contained", "container").alias("doc_b"),
@@ -7110,6 +7130,8 @@ def d69_ensemble_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         cfg = "/".join(str(r) for r in rows_per_band)
         parts.append((cfg, nc, nr))
         cand.unpersist()
+        for c in caches:
+            c.unpersist()
     n_exact = cont.count()
     out = spark.createDataFrame(
         [
@@ -7125,4 +7147,5 @@ def d69_ensemble_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_per_band string, n_containment_pairs bigint, "
         "n_candidates bigint, n_recovered bigint, recall double",
     )
+    cont.unpersist()
     return out.orderBy("rows_per_band")

@@ -1065,10 +1065,11 @@ def g16_feature_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the r8 perf work shrank the gated fixture 4x (%5/%97 -> %20/%23) so the
 # driver gate certified a smaller graph than the r7 original. To keep the
 # original scale certified, every ~4 rounds the gate runs the FULL
-# fixture again — r10 is such a round. Engine and oracle read the SAME
+# fixture again — r10 did (%5/%97 certified, SCALING.md); r11–r13 are
+# cheap rounds per the rotation. Engine and oracle read the SAME
 # constants, so flipping them can never desynchronize the two sides.
-_G17_BASE_MOD = 5  # base graph: l_orderkey % _G17_BASE_MOD == 0
-_G17_BATCH_MOD = 97  # batch: % _G17_BASE_MOD == 1 AND % _G17_BATCH_MOD == 0
+_G17_BASE_MOD = 20  # base graph: l_orderkey % _G17_BASE_MOD == 0
+_G17_BATCH_MOD = 23  # batch: % _G17_BASE_MOD == 1 AND % _G17_BATCH_MOD == 0
 
 
 def _g17_oracle(rounds: int = 12) -> str:
