@@ -392,6 +392,65 @@ def build_containment_standing(
     return {"index": index, "hot": hot, "st": st}
 
 
+def containment_probe_candidates(
+    standing: dict[str, DataFrame],
+    incoming_sh: DataFrame | None,
+    id_col: str = "id",
+    num_hashes: int = 16,
+    size_edges: tuple[int, ...] = DEFAULT_SIZE_EDGES,
+    rows_per_band: tuple[int, ...] = DEFAULT_ROWS_PER_BAND,
+    threshold: float = 0.8,
+    incoming_sig_sizes: DataFrame | None = None,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Candidate (incoming, container) pairs from probing the standing
+    index — the banding half of the incremental path, exposed so audits
+    (d71's threshold sweep) can measure candidate volume per operating
+    point without re-verifying. The probe floor is the threshold's only
+    effect here: containment(q) >= t forces |x| >= t·|q|, so a doc only
+    probes partitions that can hold a t-container of its size (lower t
+    -> deeper probing -> more candidates). ``incoming_sig_sizes`` — a
+    precomputed (id_col, szq, mh0..) table — skips the signature pass
+    when one table serves several thresholds."""
+    index = standing["index"]
+    entries_expr = _band_struct_expr(num_hashes, rows_per_band)
+    if incoming_sig_sizes is None:
+        sigs_i = minhash_signatures_from_shingles(
+            incoming_sh, id_col, num_hashes
+        )
+        sz_i = incoming_sh.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("szq")
+        )
+        incoming_sig_sizes = sigs_i.join(sz_i, id_col)
+    # threshold quantized to hundredths (round, not floor: int(0.7*100)
+    # floats to 69) so non-decile thresholds like 0.65 keep the
+    # integer-exact ceil floor; 0.8 -> 80/100, same floor as 8/10.
+    t_num, t_den = round(threshold * 100), 100
+    floor_sz = F.expr(f"({t_num} * szq + {t_den} - 1) div {t_den}")
+    probe = (
+        incoming_sig_sizes.withColumn(
+            "pmin", _partition_of(floor_sz, size_edges)
+        )
+        .select(
+            F.col(id_col).alias("incoming"),
+            "pmin",
+            entries_expr.alias("e"),
+        )
+        .filter(F.col("e.p") >= F.col("pmin"))
+        .select("incoming", "e.p", "e.band", "e.key")
+    )
+    # cache: cand feeds the container restriction, the verify join and
+    # the final match filter — uncached, the whole index+probe pipeline
+    # re-runs per consumer
+    return _pin(
+        F.broadcast(probe)
+        .join(index, ["p", "band", "key"])
+        .select("incoming", "container")
+        .distinct(),
+        cache_registry,
+    )
+
+
 def _containment_probe(
     standing: dict[str, DataFrame],
     incoming_sh: DataFrame,
@@ -408,37 +467,16 @@ def _containment_probe(
     ``cache_registry`` when given — repeated callers (one probe per
     micro-batch) unpersist them after materializing, or pinned caches
     accumulate for the life of the stream."""
-    index, hot = standing["index"], standing["hot"]
-    entries_expr = _band_struct_expr(num_hashes, rows_per_band)
-
-    # --- incoming probes: partitions that can hold a t-container ---
-    sigs_i = minhash_signatures_from_shingles(incoming_sh, id_col, num_hashes)
-    sz_i = incoming_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("szq"))
-    # threshold quantized to hundredths (round, not floor: int(0.7*100)
-    # floats to 69) so non-decile thresholds like 0.65 keep the
-    # integer-exact ceil floor; 0.8 -> 80/100, same floor as 8/10.
-    t_num, t_den = round(threshold * 100), 100
-    floor_sz = F.expr(f"({t_num} * szq + {t_den} - 1) div {t_den}")
-    probe = (
-        sigs_i.join(sz_i, id_col)
-        .withColumn("pmin", _partition_of(floor_sz, size_edges))
-        .select(
-            F.col(id_col).alias("incoming"),
-            "pmin",
-            entries_expr.alias("e"),
-        )
-        .filter(F.col("e.p") >= F.col("pmin"))
-        .select("incoming", "e.p", "e.band", "e.key")
-    )
-    # cache: cand feeds the container restriction, the verify join and
-    # the final match filter — uncached, the whole index+probe pipeline
-    # re-runs per consumer
-    cand = _pin(
-        F.broadcast(probe)
-        .join(index, ["p", "band", "key"])
-        .select("incoming", "container")
-        .distinct(),
-        cache_registry,
+    hot = standing["hot"]
+    cand = containment_probe_candidates(
+        standing,
+        incoming_sh,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        size_edges=size_edges,
+        rows_per_band=rows_per_band,
+        threshold=threshold,
+        cache_registry=cache_registry,
     )
 
     # --- exact verify on candidates, in the standing df-capped space.

@@ -60,79 +60,74 @@ REGISTRY: dict[str, Query] = {}
 # COVERAGE.md carries the per-query last-green ledger this is computed
 # from.
 #
-# r10 window: exactly the 37 names promised at r9 close (q05, mm04,
-# gr09, gr10, mm01-mm03, e08-e14, g07-g10, io02-io04, q29-q34, s05/s06,
-# t06-t13), plus the r10 addition (d65), plus the 7 rule-2 code-changed
-# re-gates (m07/d64/m02/g17/e33/e34/e35 - g10 is rule-2 too but already
-# promised), plus the first 5 sorted of the 9 remaining r2-aged overdue
-# rows (g06, gr01-gr04). That gates 40 of the 44 overdue names;
-# gr05-gr08 are the only r2 rows left and go FIRST in r11.
+# r11 window (exactly the plan recorded at r10 close — VERDICT r10
+# item 1): the 8 rule-1 additions (the five r10-close registrations
+# d66-d69/s15 that postdated the r10 window freeze, plus this round's
+# d70/d71/io18), the 3 rule-2 code-changed re-gates (d65: the ensemble
+# candidate path was refactored for cache hygiene + the probe-floor
+# quantization fix; g17/m02: gate-scope rotation back to cheap-round
+# constants), the 4 promised gr05-gr08 rows (last r2-green rows
+# anywhere), then the overdue ledger strictly by age (oldest last-green
+# first, sorted-name tiebreak): e15-e20, g12/g13, h01, io05-io08, mm05,
+# q35-q48, s02-s04/s07/s08, t14/t15. The 18 names that don't fit
+# (t16-t22, u01, e01, e21, q49-q54, s09/s10) are recorded in
+# COVERAGE.md's r11/r12 two-round plan and lead r12's window.
 GATE_WINDOW: frozenset[str] = frozenset(
     {
-        # --- the 37 names promised in r9 (VERDICT r9 item 1 requires
-        # CORRECTNESS_r10.json keys to match this plan): twice-promised
-        # slot-yields first, then the r2-aged families by age/name
-        "q05_nations_per_region",
-        "mm04_audio_window_plan",
-        "gr09_best_stephen_king",
-        "gr10_books_per_year",
-        "mm01_image_features",
-        "mm02_video_frame_plan",
-        "mm03_thumbnail_blobs",
-        "e08_ivf_partial_probe_vec1",
-        "e09_batch_knn",
-        "e10_pq_codes",
-        "e11_ann_recall_audit",
-        "e12_ivf_recall_audit",
-        "e13_bucketed_neardup_pairs",
-        "e14_pq_adc_topk",
-        "g07_triangle_count",
-        "g08_kcore_trim",
-        "g09_sssp_rounds",
-        "g10_personalized_pagerank",
-        "io02_schema_evolution",
-        "io03_compaction_roundtrip",
-        "io04_cdc_upsert",
-        "q29_local_supplier_volume",
-        "q30_returned_item_customers",
-        "q31_distributed_median",
-        "q32_exact_quantiles",
-        "q33_set_ops",
-        "q34_price_rank_tiles",
-        "s05_stream_static_enrich",
-        "s06_stream_stream_join",
-        "t06_json_prop_stats",
-        "t07_asof_purchase_last_view",
-        "t08_sliding_window_by_type",
-        "t09_day_over_day",
-        "t10_new_users_cumulative",
-        "t11_hourly_gap_fill",
-        "t12_funnel_conversion",
-        "t13_retention_cohorts",
-        # --- policy rule 1: r10 addition (never driver-gated)
+        # --- policy rule 1: never driver-gated (r10-close + r11 additions)
+        "d66_equidepth_ensemble",
+        "d67_containment_dedup",
+        "d68_incremental_containment_admission",
+        "d69_ensemble_tuning_sweep",
+        "s15_streaming_containment_admission",
+        "d70_equidepth_sketch_edges",
+        "d71_containment_threshold_sweep",
+        "io18_containment_index_publish",
+        # --- policy rule 2: code-changed this session
         "d65_lsh_ensemble_containment",
-        # --- policy rule 2: code-changed this session. m07 (NULL-item
-        # filter, both sides), d64 (zero-division guard + caching),
-        # m02/g17 (full-scale gate-scope rotation: maxIter=20 and the
-        # original %5/%97 fixture), e33/e34/e35 (the PQ geometry guard
-        # threads a new n_sub-validating WHERE through _ivfpq_parts).
-        # g10 (reliable-checkpoint boolean) is rule-2 too but already
-        # sits in the promised list above.
-        "m07_fpgrowth_itemsets",
-        "d64_containment_banding_audit",
-        "m02_kmeans_silhouette",
         "g17_incremental_components",
-        "e33_ivfpq_residual_adc",
-        "e34_ivfpq_recall_audit",
-        "e35_ivfpq_nprobe_curve",
-        # --- policy rule 3: oldest remaining (r2), sorted-name — the
-        # first 5 of the 9 overdue rows the promised list didn't cover;
-        # gr05-gr08 yield their slots and go FIRST in r11's window.
-        "g06_bfs_shortest_paths",
-        "gr01_ratings_histogram",
-        "gr02_top_reviewers",
-        "gr03_highest_rated_books",
-        "gr04_most_rated_books",
+        "m02_kmeans_silhouette",
+        # --- promised FIRST at r10 close: the last r2-green rows
+        "gr05_reviews_per_year",
+        "gr06_avg_rating_per_year",
+        "gr07_prolific_authors",
+        "gr08_top_rated_authors",
+        # --- policy rule 3: overdue ledger by age, sorted-name tiebreak
+        "e15_adc_recall_audit",
+        "e16_truncated_dim_recall",
+        "e17_cosine_range_search",
+        "e18_centroid_drift",
+        "e19_ivf_nprobe_sweep",
+        "e20_centroid_separation",
+        "g12_degree_distribution",
+        "g13_link_prediction",
+        "h01_hybrid_search_rrf",
+        "io05_zorder_key",
+        "io06_incremental_rollup",
+        "io07_snapshot_diff",
+        "io08_partition_pruning_audit",
+        "mm05_media_exact_dedup",
+        "q35_small_qty_part_revenue",
+        "q36_nation_trade_volume",
+        "q37_sole_late_suppliers",
+        "q38_fk_integrity_audit",
+        "q39_top_supplier_revenue",
+        "q40_grouping_sets",
+        "q41_column_profile",
+        "q42_market_share",
+        "q43_product_profit",
+        "q44_order_count_distribution",
+        "q45_supplier_part_variety",
+        "q46_large_volume_customers",
+        "q47_excess_inventory_suppliers",
+        "q48_dormant_customers",
+        "s02_stateful_user_totals",
+        "s03_streaming_dedup",
+        "s04_streaming_sliding_window",
+        "s07_streaming_session_window",
+        "s08_foreachbatch_sink",
+        "t14_copurchase_pairs",
+        "t15_hourly_anomaly",
     }
 )
 

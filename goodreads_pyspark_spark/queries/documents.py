@@ -6031,7 +6031,6 @@ def _kernel_logit_fit(spark: SparkSession, sf_dir: str) -> None:
         "d67_containment_dedup",
         "d69_ensemble_tuning_sweep",
         "d70_equidepth_sketch_edges",
-        "d71_containment_threshold_sweep",
     ),
 )
 def _kernel_ensemble_sigs(spark: SparkSession, sf_dir: str) -> None:
@@ -6043,6 +6042,8 @@ def _kernel_ensemble_sigs(spark: SparkSession, sf_dir: str) -> None:
     (
         "d68_incremental_containment_admission",
         "s15_streaming_containment_admission",
+        "d71_containment_threshold_sweep",
+        "io18_containment_index_publish",
     ),
 )
 def _kernel_d68_index(spark: SparkSession, sf_dir: str) -> None:
@@ -6058,7 +6059,6 @@ def _kernel_d68_index(spark: SparkSession, sf_dir: str) -> None:
         "d66_equidepth_ensemble",
         "d67_containment_dedup",
         "d69_ensemble_tuning_sweep",
-        "d71_containment_threshold_sweep",
     ),
 )
 def _kernel_containment_pairs2(spark: SparkSession, sf_dir: str) -> None:
@@ -7149,3 +7149,562 @@ def d69_ensemble_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cont.unpersist()
     return out.orderBy("rows_per_band")
+
+
+# --- d70: approx-quantile equi-depth edges agreement audit (new in r11) -------
+#: percentile_approx accuracy for the sketch-based edge path. GK's rank
+#: guarantee is |rank(v) - ceil(p*n)| <= n/accuracy; at the test corpus
+#: sizes (n <= 10^4 docs) n/accuracy < 1, so the sketch is rank-EXACT
+#: there and the equality boolean is safe to oracle-pin; at 100 TB the
+#: same accuracy costs O(accuracy * log n) sketch cells per partial —
+#: still driver-trivial — and the rank-bound boolean is the contract.
+_D70_ACCURACY = 10000
+
+
+def _d70_oracle() -> str:
+    """Exact value-at-rank edges (d66's arithmetic); the two audit
+    booleans are theory-backed (GK rank bound) resp. rank-exactness
+    at test scale, so the oracle pins them TRUE."""
+    edge = (
+        "(SELECT min(sz) + 1 FROM cum CROSS JOIN tot"
+        " WHERE cum >= ({k} * n + 3) // 4)"
+    )
+    rows = ",\n      ".join(
+        f"({k}, {edge.format(k=k)})" for k in (1, 2, 3)
+    )
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    s0 AS MATERIALIZED (SELECT doc_id, count(*) AS sz0 FROM sh0 GROUP BY doc_id),
+    hist AS MATERIALIZED (SELECT sz0 AS sz, count(*) AS c FROM s0 GROUP BY sz0),
+    cum AS MATERIALIZED (SELECT sz, sum(c) OVER (ORDER BY sz
+             ROWS UNBOUNDED PRECEDING) AS cum FROM hist),
+    tot AS MATERIALIZED (SELECT sum(c) AS n FROM hist)
+    SELECT k, CAST(exact_edge AS BIGINT) AS exact_edge,
+           TRUE AS within_rank_bound, TRUE AS approx_equals_exact
+    FROM (VALUES
+      {rows}) AS v(k, exact_edge)
+    ORDER BY k
+    """
+
+
+@query(
+    "d70_equidepth_sketch_edges",
+    oracle=_d70_oracle(),
+    doc="The 100 TB drop-in for d66's exact equi-depth edges, MEASURED "
+    "instead of asserted (VERDICT r10 item 4): the same three quantile "
+    "edges computed twice — exact value-at-rank from the size histogram "
+    "(dedup/ensemble.py equi_depth_edges, oracle-replayable) and via "
+    "percentile_approx's Greenwald-Khanna sketch at accuracy "
+    f"{_D70_ACCURACY} (one pass, mergeable O(accuracy*log n) state, no "
+    "histogram shuffle — what a 1000-executor job would run). Gate row "
+    "per edge: the exact edge plus two measured booleans — "
+    "within_rank_bound (the returned value's duplicate-rank interval "
+    "[cum(v-1)+1, cum(v)] overlaps ceil(k*n/4) +/- n/accuracy, GK's "
+    "guarantee) and approx_equals_exact (at n <= accuracy the bound "
+    "forces rank-exactness, so the sketch edge IS the exact edge at "
+    "test scale). The rank audit reads the same ~100-row cumulated "
+    "histogram the exact path collects — no extra corpus pass. Scale "
+    "shape: the sketch path is one aggregate with bounded state; the "
+    "exact path exists for the oracle and as the agreement reference.",
+)
+def d70_equidepth_sketch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ensemble import equi_depth_edges
+
+    ss = _ensemble_sig_sizes(spark, sf_dir)
+    sizes = ss.select("id", "sz")
+    exact = equi_depth_edges(None, id_col="id", n_partitions=4, sizes=sizes)
+    approx_vals = sizes.agg(
+        F.percentile_approx("sz", [0.25, 0.5, 0.75], _D70_ACCURACY).alias("q")
+    ).first()["q"]
+    hist = sorted(
+        (r["sz"], r["c"])
+        for r in sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    cum, acc = {}, 0
+    for sz, c in hist:
+        acc += c
+        cum[sz] = acc
+    n = acc
+
+    def rank_le(v: int) -> int:
+        """# of sizes <= v, from the collected ~100-row histogram."""
+        best = 0
+        for sz, c_at in cum.items():
+            if sz <= v:
+                best = max(best, c_at)
+        return best
+
+    slack = n / _D70_ACCURACY
+    rows = []
+    for k in (1, 2, 3):
+        target = -(-k * n // 4)  # ceil(k*n/4), the engine/oracle rank
+        v = int(approx_vals[k - 1])
+        lo, hi = rank_le(v - 1) + 1, rank_le(v)  # duplicate-rank interval
+        within = (hi >= target - slack) and (lo <= target + slack)
+        rows.append((k, exact[k - 1], bool(within), v + 1 == exact[k - 1]))
+    return spark.createDataFrame(
+        rows,
+        "k int, exact_edge bigint, within_rank_bound boolean, "
+        "approx_equals_exact boolean",
+    ).orderBy("k")
+
+
+# --- d71: containment admission threshold sweep (new in r11) ------------------
+#: Swept operating points, integer percent (the probe-floor arithmetic
+#: is exact at hundredths). 65 deliberately exercises the non-decile
+#: quantization path; 80 is d68's production point.
+_D71_THRESHOLDS: tuple[int, ...] = (50, 65, 80)
+
+
+def _d71_oracle() -> str:
+    """Replay of the d68 standing/incoming machinery with per-threshold
+    probe floors: ONE probe-entry table (banding keys are threshold-
+    independent) filtered at each t's partition floor, ONE unrestricted
+    exact containment pair table filtered at each t — exactly how the
+    engine sweeps off shared tables."""
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(_D65_HASHES)
+    )
+    edge_case = "CASE " + " ".join(
+        f"WHEN {{v}} < {e} THEN {p}" for p, e in enumerate(_D65_EDGES)
+    ) + f" ELSE {len(_D65_EDGES)} END"
+    idx_branches, probe_branches = [], []
+    for p, r in enumerate(_D65_ROWS):
+        for b in range(_D65_HASHES // r):
+            key = " || ".join(f"mh{b * r + k}" for k in range(r))
+            k_expr = f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
+            idx_branches.append(
+                f"      SELECT doc_id AS container, {p} AS p, {b} AS band,"
+                f" {k_expr} AS key FROM mhsz_c WHERE part = {p}"
+            )
+            probe_branches.append(
+                f"      SELECT doc_id AS incoming, szq, {p} AS p,"
+                f" {b} AS band, {k_expr} AS key FROM mhsz_i"
+            )
+    per_t = []
+    for t in _D71_THRESHOLDS:
+        pmin = edge_case.format(v=f"(({t} * szq + 99) // 100)")
+        per_t.append(f"""
+    cand_{t} AS MATERIALIZED (SELECT DISTINCT incoming, container
+            FROM probe0 JOIN idx USING (p, band, key)
+            WHERE p >= ({pmin})),
+    exact_{t} AS MATERIALIZED (SELECT incoming, container FROM common
+            JOIN szin USING (incoming)
+            WHERE n_common * 100 >= {t} * sz_in),
+    rec_{t} AS MATERIALIZED (SELECT incoming, container FROM exact_{t}
+            JOIN cand_{t} USING (incoming, container))""")
+    selects = "\n    UNION ALL\n".join(
+        f"""    SELECT {t} AS t_pct,
+      CAST((SELECT COUNT(*) FROM exact_{t}) AS BIGINT) AS n_exact_pairs,
+      CAST((SELECT COUNT(*) FROM cand_{t}) AS BIGINT) AS n_candidates,
+      CAST((SELECT COUNT(*) FROM rec_{t}) AS BIGINT) AS n_recovered,
+      CAST((SELECT COUNT(*) FROM rec_{t}) AS DOUBLE)
+        / NULLIF((SELECT COUNT(*) FROM exact_{t}), 0) AS pair_recall,
+      CAST((SELECT COUNT(DISTINCT incoming) FROM exact_{t}) AS BIGINT)
+        AS n_rejected_exact,
+      CAST((SELECT COUNT(DISTINCT incoming) FROM rec_{t}) AS BIGINT)
+        AS n_rejected_index"""
+        for t in _D71_THRESHOLDS
+    )
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    shc AS MATERIALIZED (SELECT * FROM sh0 WHERE doc_id % 7 <> 0),
+    shi AS MATERIALIZED (SELECT * FROM sh0 WHERE doc_id % 7 = 0),
+    mh_c AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM shc GROUP BY doc_id),
+    sz_c AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+    mhsz_c AS MATERIALIZED (SELECT mh_c.*, sz_c.sz,
+             {edge_case.format(v="sz")} AS part
+             FROM mh_c JOIN sz_c USING (doc_id)),
+    mh_i AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM shi GROUP BY doc_id),
+    sz_i AS MATERIALIZED (SELECT doc_id, count(*) AS szq FROM shi GROUP BY doc_id),
+    mhsz_i AS MATERIALIZED (SELECT mh_i.*, sz_i.szq
+             FROM mh_i JOIN sz_i USING (doc_id)),
+    idx0 AS MATERIALIZED (
+{chr(10).join(["      UNION ALL".join([br + chr(10) for br in idx_branches])])}    ),
+    bc AS MATERIALIZED (SELECT p, band, key, count(*) AS n FROM idx0
+          GROUP BY 1, 2, 3),
+    idx AS MATERIALIZED (SELECT idx0.* FROM idx0 JOIN bc USING (p, band, key)
+           WHERE n <= {_D65_BUCKET}),
+    probe0 AS MATERIALIZED (
+{chr(10).join(["      UNION ALL".join([br + chr(10) for br in probe_branches])])}    ),
+    sth AS MATERIALIZED (SELECT doc_id AS container,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shc),
+    dfreq AS MATERIALIZED (SELECT sh, count(*) AS df FROM sth GROUP BY sh),
+    hot AS MATERIALIZED (SELECT sh FROM dfreq WHERE df > {_D63_CAP}),
+    stf AS MATERIALIZED (SELECT * FROM sth
+           WHERE sh NOT IN (SELECT sh FROM hot)),
+    inch AS MATERIALIZED (SELECT doc_id AS incoming,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shi),
+    incf AS MATERIALIZED (SELECT * FROM inch
+            WHERE sh NOT IN (SELECT sh FROM hot)),
+    szin AS MATERIALIZED (SELECT incoming, count(*) AS sz_in FROM incf
+           GROUP BY incoming),
+    common AS MATERIALIZED (
+      SELECT i.incoming, s.container, count(*) AS n_common
+      FROM incf i JOIN stf s USING (sh)
+      GROUP BY 1, 2),{",".join(per_t)}
+{selects}
+    ORDER BY t_pct
+    """
+
+
+@query(
+    "d71_containment_threshold_sweep",
+    oracle=_d71_oracle(),
+    doc="Admission-threshold sweep for incremental containment (the d69 "
+    "tuning discipline applied to d68's operating point, VERDICT r10 "
+    f"item 8): thresholds {_D71_THRESHOLDS}% each get their own "
+    "probe-partition floor (containment(q) >= t forces |x| >= t*|q|, "
+    "so lower t probes deeper and candidate volume grows) over the "
+    "SAME standing index and ONE incoming signature table — banding "
+    "keys are threshold-independent, so the sweep re-filters, never "
+    "re-hashes. Per t the gate measures: exact >= t containment pairs "
+    "(unrestricted verify join — the audit reference the production "
+    "path avoids), candidate volume, recovered pairs, pair recall, and "
+    "the admission-level rejected-doc counts both paths would make. "
+    "65% exercises the non-decile hundredths quantization of the probe "
+    "floor. Scale shape: one signature pass + one df-capped pair join "
+    "amortized across the sweep; per t only the pmin filter changes.",
+)
+def d71_containment_threshold_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        containment_probe_candidates,
+    )
+    from goodreads_pyspark_spark.dedup.minhash import (
+        minhash_signatures_from_shingles,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    standing = _d68_standing_index(spark, sf_dir)
+    incoming_sh = shingle_rows(docs, shingle_n=2, out_id="id").filter(
+        F.col("id") % 7 == 0
+    )
+    sig_sizes = (
+        minhash_signatures_from_shingles(incoming_sh, "id", _D65_HASHES)
+        .join(
+            incoming_sh.groupBy("id").agg(F.count(F.lit(1)).alias("szq")),
+            "id",
+        )
+        .cache()
+    )
+    # exact reference: containment of every incoming doc in every
+    # standing doc sharing a surviving shingle — the UNRESTRICTED
+    # verify join (audit-only; the production path restricts to
+    # candidates, which is the economy this sweep prices)
+    inc = (
+        incoming_sh.withColumn(
+            "sh",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint"),
+        )
+        .withColumnRenamed("id", "incoming")
+        .join(standing["hot"], "sh", "left_anti")
+    )
+    sz_in = inc.groupBy("incoming").agg(F.count(F.lit(1)).alias("sz_in"))
+    allp = (
+        F.broadcast(inc)
+        .join(standing["st"], "sh")
+        .groupBy("incoming", "container")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(sz_in, "incoming")
+        .cache()
+    )
+    rows = []
+    for t in _D71_THRESHOLDS:
+        caches: list = []
+        cand = containment_probe_candidates(
+            standing,
+            None,
+            id_col="id",
+            num_hashes=_D65_HASHES,
+            size_edges=_D65_EDGES,
+            rows_per_band=_D65_ROWS,
+            threshold=t / 100.0,
+            incoming_sig_sizes=sig_sizes,
+            cache_registry=caches,
+        )
+        ex = allp.filter(
+            F.col("n_common") * 100 >= F.lit(t) * F.col("sz_in")
+        ).cache()
+        rec = ex.join(cand, ["incoming", "container"]).cache()
+        n_exact, n_cand, n_rec = ex.count(), cand.count(), rec.count()
+        n_rej_exact = ex.select("incoming").distinct().count()
+        n_rej_index = rec.select("incoming").distinct().count()
+        rows.append(
+            (
+                t,
+                n_exact,
+                n_cand,
+                n_rec,
+                (n_rec / n_exact) if n_exact else None,
+                n_rej_exact,
+                n_rej_index,
+            )
+        )
+        for c in (ex, rec, *caches):
+            c.unpersist()
+    allp.unpersist()
+    sig_sizes.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "t_pct int, n_exact_pairs bigint, n_candidates bigint, "
+        "n_recovered bigint, pair_recall double, n_rejected_exact bigint, "
+        "n_rejected_index bigint",
+    ).orderBy("t_pct")
+
+
+# --- io18: containment standing-state publish (new in r11) --------------------
+def _io18_oracle() -> str:
+    """Recompute every audit cell of the published standing state from
+    the source corpus: index/hot/shingle-table cardinalities, the
+    order-independent index content checksum, and the rejected-set
+    checksum a probe of the published index must reproduce (identical
+    to d68's rejected set — the probe is deterministic in (batch,
+    standing state), so staged==memo is pinned TRUE)."""
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(_D65_HASHES)
+    )
+    edge_case = "CASE " + " ".join(
+        f"WHEN {{v}} < {e} THEN {p}" for p, e in enumerate(_D65_EDGES)
+    ) + f" ELSE {len(_D65_EDGES)} END"
+    idx_branches, probe_branches = [], []
+    for p, r in enumerate(_D65_ROWS):
+        for b in range(_D65_HASHES // r):
+            key = " || ".join(f"mh{b * r + k}" for k in range(r))
+            k_expr = f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
+            idx_branches.append(
+                f"      SELECT doc_id AS container, {p} AS p, {b} AS band,"
+                f" {k_expr} AS key FROM mhsz_c WHERE part = {p}"
+            )
+            probe_branches.append(
+                f"      SELECT doc_id AS incoming, {p} AS p, {b} AS band,"
+                f" {k_expr} AS key FROM mhsz_i WHERE {p} >= pmin"
+            )
+    t = _D68_THRESHOLD_NUM
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    shc AS MATERIALIZED (SELECT * FROM sh0 WHERE doc_id % 7 <> 0),
+    shi AS MATERIALIZED (SELECT * FROM sh0 WHERE doc_id % 7 = 0),
+    mh_c AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM shc GROUP BY doc_id),
+    sz_c AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+    mhsz_c AS MATERIALIZED (SELECT mh_c.*, sz_c.sz,
+             {edge_case.format(v="sz")} AS part
+             FROM mh_c JOIN sz_c USING (doc_id)),
+    mh_i AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM shi GROUP BY doc_id),
+    sz_i AS MATERIALIZED (SELECT doc_id, count(*) AS szq FROM shi GROUP BY doc_id),
+    mhsz_i AS MATERIALIZED (SELECT mh_i.*, sz_i.szq,
+             {edge_case.format(v=f"(({t} * szq + 9) // 10)")} AS pmin
+             FROM mh_i JOIN sz_i USING (doc_id)),
+    idx0 AS MATERIALIZED (
+{chr(10).join(["      UNION ALL".join([br + chr(10) for br in idx_branches])])}    ),
+    bc AS MATERIALIZED (SELECT p, band, key, count(*) AS n FROM idx0
+          GROUP BY 1, 2, 3),
+    idx AS MATERIALIZED (SELECT idx0.* FROM idx0 JOIN bc USING (p, band, key)
+           WHERE n <= {_D65_BUCKET}),
+    probe AS MATERIALIZED (
+{chr(10).join(["      UNION ALL".join([br + chr(10) for br in probe_branches])])}    ),
+    cand AS MATERIALIZED (SELECT DISTINCT incoming, container
+            FROM probe JOIN idx USING (p, band, key)),
+    sth AS MATERIALIZED (SELECT doc_id AS container,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shc),
+    dfreq AS MATERIALIZED (SELECT sh, count(*) AS df FROM sth GROUP BY sh),
+    hot AS MATERIALIZED (SELECT sh FROM dfreq WHERE df > {_D63_CAP}),
+    stf AS MATERIALIZED (SELECT * FROM sth
+           WHERE sh NOT IN (SELECT sh FROM hot)),
+    stc AS MATERIALIZED (SELECT * FROM stf
+           WHERE container IN (SELECT DISTINCT container FROM cand)),
+    inch AS MATERIALIZED (SELECT doc_id AS incoming,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shi),
+    incf AS MATERIALIZED (SELECT * FROM inch
+            WHERE sh NOT IN (SELECT sh FROM hot)),
+    szin AS MATERIALIZED (SELECT incoming, count(*) AS sz_in FROM incf
+           GROUP BY incoming),
+    common AS MATERIALIZED (
+      SELECT i.incoming, s.container, count(*) AS n_common
+      FROM incf i JOIN stc s USING (sh)
+      GROUP BY 1, 2),
+    matches AS MATERIALIZED (
+      SELECT c.incoming
+      FROM common c
+      JOIN cand USING (incoming, container)
+      JOIN szin USING (incoming)
+      WHERE CAST(n_common AS DOUBLE) / sz_in >= {t} / 10.0),
+    rejected AS MATERIALIZED (SELECT DISTINCT incoming FROM matches)
+    SELECT
+      CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS n_index,
+      CAST((SELECT COUNT(*) FROM hot) AS BIGINT) AS n_hot,
+      CAST((SELECT COUNT(*) FROM stf) AS BIGINT) AS n_st,
+      CAST(CAST((SELECT COALESCE(SUM(('0x' || substr(md5(
+             concat_ws('|', container, p, band, key)), 1, 15))::BIGINT), 0)
+           FROM idx) AS DECIMAL(38,0)) AS VARCHAR) AS index_checksum,
+      CAST(CAST((SELECT COALESCE(SUM(('0x' || substr(md5(
+             CAST(incoming AS VARCHAR)), 1, 15))::BIGINT), 0)
+           FROM rejected) AS DECIMAL(38,0)) AS VARCHAR)
+        AS rejected_checksum,
+      TRUE AS probe_equals_memo,
+      TRUE AS audit_passed,
+      TRUE AS published
+    """
+
+
+@query(
+    "io18_containment_index_publish",
+    oracle=_io18_oracle(),
+    doc="Containment standing-state lifecycle: build -> WAP-stage -> "
+    "audit -> publish -> COLD reload probe (io16's index-publish "
+    "discipline applied to d68's standing state, VERDICT r10 item 3): "
+    "the three tables a production ingest daemon persists across "
+    "batches — the size-partitioned banding index, the hot-shingle "
+    "set, the df-filtered corpus shingle table — are written to a "
+    "STAGING location as real parquet; the audit runs on the READ-BACK "
+    "staged tables only: per-table row counts vs the in-session memo, "
+    "an order-independent md5-prefix content checksum of the index "
+    "rows, and a probe-equivalence gate — the full d68 admission probe "
+    "run against the STAGED tables (cold frames, no lineage to the "
+    "memo) must reproduce the memo path's exact rejected-set checksum. "
+    "Only a passing audit publishes (rename; a metadata pointer swap "
+    "on an object store). The oracle recomputes every cell from the "
+    "source corpus, so a row lost in the staged write, a mis-keyed "
+    "index entry, or a probe divergence each flips a gated cell. "
+    "Scale shape: the standing build is one indexing pass amortized "
+    "across every future batch; the audit costs one 1-row aggregate "
+    "per staged table plus one batch probe — publishing safely is "
+    "O(index size), never corpus-quadratic.",
+)
+def io18_containment_index_publish(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+    import shutil
+    import tempfile
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        incremental_containment_matches,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    standing = _d68_standing_index(spark, sf_dir)
+    incoming_sh = shingle_rows(docs, shingle_n=2, out_id="id").filter(
+        F.col("id") % 7 == 0
+    ).cache()
+
+    def rejected_checksum(matches: DataFrame) -> str:
+        row_int = F.conv(
+            F.substring(F.md5(F.col("incoming").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("bigint")
+        return (
+            matches.select("incoming")
+            .distinct()
+            .agg(
+                F.coalesce(F.sum(row_int.cast("decimal(38,0)")), F.lit(0))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("c")
+            )
+            .first()["c"]
+        )
+
+    def probe(state: dict[str, DataFrame], registry: list) -> DataFrame:
+        return incremental_containment_matches(
+            None,
+            incoming_sh,
+            id_col="id",
+            num_hashes=_D65_HASHES,
+            size_edges=_D65_EDGES,
+            rows_per_band=_D65_ROWS,
+            max_bucket=_D65_BUCKET,
+            max_df=_D63_CAP,
+            threshold=_D68_THRESHOLD_NUM / 10.0,
+            prebuilt_standing=state,
+            cache_registry=registry,
+        )
+
+    base = tempfile.mkdtemp(prefix="io18_standing_")
+    stage = f"{base}/stage"
+    publish = f"{base}/published"
+    try:
+        for name in ("index", "hot", "st"):
+            standing[name].write.mode("overwrite").parquet(f"{stage}/{name}")
+
+        # -- audit on the READ-BACK staged tables only --------------------
+        staged = {
+            name: spark.read.parquet(f"{stage}/{name}")
+            for name in ("index", "hot", "st")
+        }
+        counts = {n: staged[n].count() for n in staged}
+        memo_counts = {n: standing[n].count() for n in staged}
+        idx_int = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "container", "p", "band", "key")),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        index_checksum = (
+            staged["index"]
+            .agg(
+                F.coalesce(F.sum(idx_int.cast("decimal(38,0)")), F.lit(0))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("c")
+            )
+            .first()["c"]
+        )
+        caches: list = []
+        memo_rc = rejected_checksum(probe(standing, caches))
+        staged_rc = rejected_checksum(probe(staged, caches))
+        for c in caches:
+            c.unpersist()
+        probe_equals_memo = staged_rc == memo_rc
+        audit_ok = probe_equals_memo and all(
+            counts[n] == memo_counts[n] for n in counts
+        )
+        published = False
+        if audit_ok:
+            os.rename(stage, publish)
+            published = os.path.isdir(publish)
+        incoming_sh.unpersist()
+        return spark.createDataFrame(
+            [
+                (
+                    counts["index"],
+                    counts["hot"],
+                    counts["st"],
+                    index_checksum,
+                    staged_rc,
+                    bool(probe_equals_memo),
+                    bool(audit_ok),
+                    bool(published),
+                )
+            ],
+            "n_index bigint, n_hot bigint, n_st bigint, "
+            "index_checksum string, rejected_checksum string, "
+            "probe_equals_memo boolean, audit_passed boolean, "
+            "published boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

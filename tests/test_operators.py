@@ -869,6 +869,34 @@ def test_shared_kernel_ledger_names_registered_queries():
         for c in spec["consumers"]:
             assert c in REGISTRY, (kname, c)
 
+    # Completeness, not just membership (ADVICE r10): every registered
+    # query whose source DIRECTLY calls a kernel's memo accessor must be
+    # in that kernel's consumer list, or BENCH_DETAIL's amortization map
+    # under-reports. (Indirect consumption through another kernel's memo
+    # is attributed to that kernel, so only direct references count.)
+    import inspect
+
+    accessors = {
+        "jac05_pairs": "_jac05_pairs",
+        "neardup_cc": "_neardup_cc",
+        "c_pipeline_stages": "_c_pipeline_stages",
+        "minhash_sigs8": "_minhash_sigs8",
+        "logit_fit": "_logit_fit",
+        "containment_pairs2": "_containment_pairs2",
+        "ensemble_sig_sizes": "_ensemble_sig_sizes",
+        "d68_standing_index": "_d68_standing_index",
+        "copart_pairs": "_copart_pairs",
+    }
+    assert set(accessors) == set(SHARED_KERNELS)
+    for qname, q in REGISTRY.items():
+        src = inspect.getsource(q.spark_fn)
+        for kname, acc in accessors.items():
+            if f"{acc}(" in src:
+                assert qname in SHARED_KERNELS[kname]["consumers"], (
+                    f"{qname} consumes kernel {kname} (calls {acc}) but is "
+                    "not in its consumer list"
+                )
+
 
 def test_lsh_ensemble_finds_containment_pair(spark):
     """A small doc fully contained in a much larger one (Jaccard far
