@@ -996,3 +996,79 @@ def test_incremental_containment_novel_shingles_not_inflated(spark):
     got = {r["incoming"]: r["containment_in"] for r in m.collect()}
     assert 10 in got and got[10] >= 0.8
     assert 11 not in got  # novel doc admitted
+
+
+def test_equi_depth_edges_empty_raises(spark):
+    """An empty size table must raise a clear ValueError, not leak a
+    bare StopIteration from the edge scan (ADVICE r10)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.dedup.ensemble import equi_depth_edges
+
+    empty = spark.createDataFrame([], "id bigint, sz bigint")
+    with pytest.raises(ValueError, match="empty size table"):
+        equi_depth_edges(None, id_col="id", sizes=empty.select("id", "sz"))
+
+
+def test_containment_probe_floor_monotone_in_threshold(spark):
+    """Lower admission thresholds must probe at least as many partitions,
+    so the candidate set at t=0.5 contains the candidate set at t=0.8;
+    t=0.65 exercises the non-decile hundredths quantization of the
+    probe floor (ADVICE r10: int(0.65*10) would floor to 6/10)."""
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        build_containment_standing,
+        containment_probe_candidates,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    big = " ".join(f"w{i}" for i in range(120))
+    mid = " ".join(f"w{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(1, big), (2, mid), (3, " ".join(f"q{i}" for i in range(40)))],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    standing = build_containment_standing(
+        sh.filter(F.col("id") != 3), id_col="id"
+    )
+    incoming = sh.filter(F.col("id") == 3)
+    cands = {}
+    for t in (0.5, 0.65, 0.8):
+        cands[t] = {
+            (r["incoming"], r["container"])
+            for r in containment_probe_candidates(
+                standing, incoming, id_col="id", threshold=t
+            ).collect()
+        }
+    assert cands[0.8] <= cands[0.65] <= cands[0.5]
+
+
+def test_cache_registry_returns_unpersist_handles(spark):
+    """cache_registry must collect every per-call cache so repeated
+    callers (foreachBatch, sweeps) can release them — and unpersisting
+    must actually clear the storage level (ADVICE r10)."""
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        lsh_ensemble_candidate_pairs,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{j}" for j in range(i, i + 30))) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    registry: list = []
+    cand = lsh_ensemble_candidate_pairs(
+        sh, id_col="id", cache_registry=registry
+    )
+    cand.count()  # materialize so the caches are populated
+    assert registry, "no caches were registered"
+    assert all(df.storageLevel.useMemory for df in registry)
+    for df in registry:
+        df.unpersist(blocking=True)
+    assert all(not df.storageLevel.useMemory for df in registry)

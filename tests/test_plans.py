@@ -1326,3 +1326,46 @@ def test_e33_ivfpq_broadcasts_index_structures(spark):
     assert "SortMergeJoin" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, f"unexpected operator: {marker}"
+
+
+def test_d71_candidate_probe_broadcasts_at_every_threshold(spark):
+    """The threshold sweep's candidate generator (also io18's audit
+    probe) must keep d68's shape at EVERY operating point: the incoming
+    batch broadcasts against the standing index (lower thresholds probe
+    more partitions but must not flip the join to SortMerge), and no
+    shuffle carries document text."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        containment_probe_candidates,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+    from goodreads_pyspark_spark.queries.documents import (
+        _d68_standing_index,
+    )
+
+    standing = _d68_standing_index(spark, SF)
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    incoming = shingle_rows(docs, shingle_n=2, out_id="id").filter(
+        F.col("id") % 7 == 0
+    )
+    for t in (0.5, 0.8):
+        cand = containment_probe_candidates(
+            standing, incoming, id_col="id", threshold=t
+        )
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            cand.explain("formatted")
+        plan = buf.getvalue()
+        assert "BroadcastHashJoin" in plan, f"t={t}: probe not broadcast"
+        assert "SortMergeJoin" not in plan, f"t={t}: corpus reshuffles"
+        exchanges = [
+            seg.splitlines()[0]
+            for seg in plan.split("Exchange hashpartitioning")[1:]
+        ]
+        for ex in exchanges:
+            assert "text#" not in ex, f"t={t}: text crosses a shuffle: {ex}"
+        cand.unpersist()

@@ -1,0 +1,105 @@
+"""Round-11 scaling probe: the new containment-family members at
+1x/2x/4x — d70 (sketch-edge agreement), d71 (threshold sweep), io18
+(standing-state publish).
+
+Replication conventions: tools/scaling_probe.replicate (id-offset
+document copies with per-copy text suffixes — near- but not exact
+duplicates, the worst case for a containment kernel since eligible
+pair density grows with replication).
+
+Expected shapes:
+- d70: one histogram aggregation + one percentile_approx aggregate over
+  the memoized signature table — flat in docs beyond the kernel build.
+- d71: one unrestricted incoming-x-standing df-capped pair join
+  (audit-only reference) + three pmin-filtered candidate joins off one
+  signature table — near-linear in docs, threshold only changes the
+  filter.
+- io18: three parquet writes + read-back aggregates + two admission
+  probes — linear in standing-state size.
+
+Usage: python tools/r11_ops_stress.py [factors...]   (default 1 2 4)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.queries import REGISTRY, _load_all
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import replicate
+
+QUERIES = (
+    "d70_equidepth_sketch_edges",
+    "d71_containment_threshold_sweep",
+    "io18_containment_index_publish",
+)
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    _load_all()
+    spark = get_spark("r11_ops_stress")
+    rows = []
+    for factor in factors:
+        out_dir = tempfile.mkdtemp(prefix=f"r11ops_x{factor}_")
+        sf_dir = f"{out_dir}/sf"
+        Path(sf_dir).mkdir()
+        p = replicate(spark, "documents", factor, "doc_id", out_dir)
+        spark.read.parquet(p).write.parquet(f"{sf_dir}/documents.parquet")
+
+        def force(df) -> int:
+            row = df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+            ).first()
+            return row["n"]
+
+        # kernels first (bench semantics: queries measure marginal cost
+        # over warm memos; the builds are their own lines)
+        from goodreads_pyspark_spark.queries.documents import (
+            _D65_SIGS_MEMO,
+            _D68_INDEX_MEMO,
+            _d68_standing_index,
+            _ensemble_sig_sizes,
+        )
+
+        _D65_SIGS_MEMO.clear()
+        _D68_INDEX_MEMO.clear()
+        spark.catalog.clearCache()
+        t0 = time.time()
+        _ensemble_sig_sizes(spark, sf_dir).count()
+        dt = time.time() - t0
+        rows.append(("kernel ensemble_sig_sizes", factor, dt, 0))
+        print(f"# kernel sig_sizes x{factor}: {dt:.2f}s", flush=True)
+        t0 = time.time()
+        _d68_standing_index(spark, sf_dir)["index"].count()
+        dt = time.time() - t0
+        rows.append(("kernel d68_standing_index", factor, dt, 0))
+        print(f"# kernel standing x{factor}: {dt:.2f}s", flush=True)
+
+        for name in QUERIES:
+            spark.catalog.clearCache()
+            best, n = None, 0
+            for _ in range(3):
+                t0 = time.time()
+                n = force(REGISTRY[name].spark_fn(spark, sf_dir))
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                spark.catalog.clearCache()
+            rows.append((name, factor, best, n))
+            print(f"# {name} x{factor}: {best:.2f}s ({n} rows)", flush=True)
+    print("\n| query | factor | wall (min of 3) | rows |")
+    print("|---|---|---|---|")
+    for name, factor, dt, n in rows:
+        print(f"| {name} | {factor}x | {dt:.2f}s | {n} |")
+
+
+if __name__ == "__main__":
+    main()
