@@ -1072,3 +1072,86 @@ def test_cache_registry_returns_unpersist_handles(spark):
     for df in registry:
         df.unpersist(blocking=True)
     assert all(not df.storageLevel.useMemory for df in registry)
+
+
+def test_containment_standing_cold_process_reload(spark, tmp_path):
+    """The io18 lifecycle's end state, certified across a PROCESS
+    boundary: standing state published by one Spark application must be
+    reloadable by a genuinely cold one (fresh JVM, no memo, no cache)
+    and produce bit-identical admission verdicts — the production shape
+    where the index is built by one job and probed by every later
+    ingest job."""
+    import json
+    import subprocess
+    import sys as _sys
+    import textwrap
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        build_containment_standing,
+        incremental_containment_matches,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    quote = " ".join(f"q{i}" for i in range(30))
+    filler = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, quote + " " + filler),  # the container (standing)
+            (2, "totally unrelated standing content here only once"),
+            (3, quote),  # incoming: fully contained in doc 1
+            (6, "novel incoming text that matches nothing at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    standing = build_containment_standing(
+        sh.filter(F.col("id") % 3 != 0), id_col="id"
+    )
+    base = str(tmp_path / "published")
+    for name in ("index", "hot", "st"):
+        standing[name].write.parquet(f"{base}/{name}")
+    incoming_path = str(tmp_path / "incoming")
+    docs.filter(F.col("doc_id") % 3 == 0).write.parquet(incoming_path)
+
+    memo_matches = sorted(
+        (r["incoming"], r["container"])
+        for r in incremental_containment_matches(
+            None,
+            sh.filter(F.col("id") % 3 == 0),
+            id_col="id",
+            prebuilt_standing=standing,
+        ).collect()
+    )
+    assert memo_matches == [(3, 1)], "fixture must produce one admission hit"
+
+    out_json = str(tmp_path / "cold.json")
+    script = textwrap.dedent(f"""
+        import json, sys
+        sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})
+        from pyspark.sql import SparkSession, functions as F
+        from goodreads_pyspark_spark.dedup.ensemble import (
+            incremental_containment_matches,
+        )
+        from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+        spark = (SparkSession.builder.master("local[4]")
+                 .config("spark.sql.shuffle.partitions", "4")
+                 .appName("cold_reload").getOrCreate())
+        standing = {{n: spark.read.parquet({base!r} + "/" + n)
+                     for n in ("index", "hot", "st")}}
+        incoming = spark.read.parquet({incoming_path!r})
+        sh = shingle_rows(incoming, shingle_n=2, out_id="id")
+        got = sorted((r["incoming"], r["container"])
+                     for r in incremental_containment_matches(
+                         None, sh, id_col="id",
+                         prebuilt_standing=standing).collect())
+        json.dump(got, open({out_json!r}, "w"))
+        spark.stop()
+    """)
+    subprocess.run(
+        [_sys.executable, "-c", script], check=True, capture_output=True
+    )
+    cold_matches = [tuple(x) for x in json.load(open(out_json))]
+    assert cold_matches == memo_matches
