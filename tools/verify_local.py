@@ -10,6 +10,7 @@ cell values. Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -62,7 +63,22 @@ def main() -> int:
         if p.exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    spark = get_spark("verify_local")
+    if os.environ.get("SPARK_GRAFT_HOSTILE"):
+        # Driver-simulation mode: a PLAIN session (no factory configs)
+        # with a non-UTC timezone — catches any query that silently
+        # relies on factory session settings (tbl()/configure_for_oracle
+        # must pin everything the oracle comparison needs).
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "America/Los_Angeles")
+            .appName("verify_hostile")
+            .getOrCreate()
+        )
+        print("# HOSTILE session: plain local[8], America/Los_Angeles")
+    else:
+        spark = get_spark("verify_local")
     failures, passed = [], 0
     for name, q in sorted(REGISTRY.items()):
         if only and name not in only:
