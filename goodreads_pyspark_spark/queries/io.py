@@ -1217,3 +1217,70 @@ def io17_jsonl_gz_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+# --- ORC interchange roundtrip (new in r11) ------------------------------------
+@query(
+    "io19_orc_roundtrip",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(CAST(SUM(('0x' || substr(md5({_IO15_ROWKEY}), 1, 15))::BIGINT)
+                     AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum,
+           CAST(SUM(CASE WHEN doc_id <= 250 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_filtered,
+           TRUE AS roundtrip_equal
+    FROM documents
+    """,
+    doc="ORC source/sink roundtrip (io15's checksum discipline on the "
+    "second columnar interchange format a lake actually mixes with "
+    "parquet): the corpus is written as zlib ORC, read back through "
+    "Spark's vectorized ORC reader, and gated on the exact row count, "
+    "the order-independent md5-prefix content checksum of the "
+    "READ-BACK rows (the oracle recomputes it from the source, so a "
+    "row lost, duplicated, or value-mangled anywhere in the ORC "
+    "write/read path flips the cell), a predicate-pushdown count "
+    "(a doc_id range filter over the ORC files — the pushable shape "
+    "min/max stripe stats serve at scale; the plan test pins "
+    "PushedFilters on the ORC scan), and the measured roundtrip-equality "
+    "boolean vs the source frame. Scale shape: two linear passes + "
+    "1-row aggregates, no shuffle; ORC stripes give the same "
+    "column-pruned, filter-pushed scan contract as parquet.",
+)
+def io19_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import shutil
+    import tempfile
+
+    docs = tbl(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="io19_orc_")
+    try:
+        docs.write.mode("overwrite").option("compression", "zlib").orc(
+            f"{base}/t"
+        )
+        back = spark.read.orc(f"{base}/t")
+
+        def summary(df: DataFrame):
+            key = F.expr(_IO15_ROWKEY)
+            row_int = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast(
+                "bigint"
+            )
+            return df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.sum(row_int.cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("content_checksum"),
+            ).first()
+
+        src, rb = summary(docs), summary(back)
+        n_filtered = back.filter(F.col("doc_id") <= 250).count()
+        equal = (
+            src["n_rows"] == rb["n_rows"]
+            and src["content_checksum"] == rb["content_checksum"]
+        )
+        return spark.createDataFrame(
+            [(rb["n_rows"], rb["content_checksum"], n_filtered, bool(equal))],
+            "n_rows bigint, content_checksum string, n_filtered bigint, "
+            "roundtrip_equal boolean",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -1369,3 +1369,27 @@ def test_d71_candidate_probe_broadcasts_at_every_threshold(spark):
         for ex in exchanges:
             assert "text#" not in ex, f"t={t}: text crosses a shuffle: {ex}"
         cand.unpersist()
+
+
+def test_io19_orc_scan_pushes_range_filter(spark, tmp_path):
+    """The ORC read path must give the same scan contract as parquet:
+    the range predicate reaches the file scan (PushedFilters), so
+    stripe min/max stats can skip data at scale."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    path = str(tmp_path / "orc")
+    docs.write.mode("overwrite").option("compression", "zlib").orc(path)
+    scan = spark.read.orc(path).filter(F.col("doc_id") <= 250)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        scan.explain("formatted")
+    plan = buf.getvalue()
+    assert "orc" in plan.lower()
+    import re
+
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and "LessThanOrEqual(doc_id,250)" in m.group(1), plan[:2000]
