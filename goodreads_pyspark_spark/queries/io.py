@@ -1284,3 +1284,91 @@ def io19_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- custom DataSource WRITE path roundtrip (new in r11) ------------------------
+@query(
+    "io20_jsonl_gz_write_roundtrip",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(CAST(SUM(('0x' || substr(md5({_IO17_ROWKEY}), 1, 15))::BIGINT)
+                     AS DECIMAL(38,0)) AS VARCHAR) AS content_checksum,
+           TRUE AS roundtrip_equal
+    FROM documents
+    """,
+    doc="Custom Python DataSource WRITE path (Spark 4 "
+    "pyspark.sql.datasource DataSourceWriter, SPARK-44076 — "
+    "sources/jsonl_gz.py JsonlGzWriter), completing io17's read half "
+    "into a full custom-format roundtrip of the reference's dump "
+    "layout: the corpus is written as gzipped JSONL shards by the "
+    "custom writer — one gzip shard per task, streamed in constant "
+    "memory, two-phase commit (tasks write temp names; only the "
+    "driver-side commit renames them visible, abort removes temps — so "
+    "readers never observe a half-written shard) — then read back "
+    "through the custom 'jsonlgz' reader. Gate: exact row count, "
+    "source cardinality, the io15 order-independent md5-prefix content "
+    "checksum of the READ-BACK frame (oracle recomputes from source), "
+    "and the measured write->read==source equality boolean. Scale "
+    "shape: shard-per-task on both directions; Python workers confined "
+    "to the format adapter.",
+)
+def io20_jsonl_gz_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import shutil
+    import tempfile
+
+    from goodreads_pyspark_spark.sources.jsonl_gz import JsonlGzDataSource
+
+    docs = tbl(spark, sf_dir, "documents")
+    stage = tempfile.mkdtemp(prefix="io20_jsonlgz_")
+    try:
+        try:
+            spark.dataSource.register(JsonlGzDataSource)
+        except Exception:  # noqa: BLE001 — already registered in session
+            pass
+        (
+            docs.repartition(4)
+            .write.format("jsonlgz")
+            .mode("overwrite")
+            .option("path", stage)
+            .save()
+        )
+        back = (
+            spark.read.format("jsonlgz")
+            .schema(_IO17_DDL)
+            .option("path", stage)
+            .load()
+        )
+        key = F.expr(_IO17_ROWKEY)
+        row_int = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+
+        def summary(df: DataFrame):
+            return df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.countDistinct("source").cast("bigint").alias("n_sources"),
+                F.sum(row_int.cast("decimal(38,0)"))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("content_checksum"),
+            ).first()
+
+        src, rb = summary(docs), summary(back)
+        equal = all(src[c] == rb[c] for c in src.asDict())
+        return spark.createDataFrame(
+            [
+                (
+                    rb["n_rows"],
+                    rb["n_sources"],
+                    rb["content_checksum"],
+                    bool(equal),
+                )
+            ],
+            "n_rows bigint, n_sources bigint, content_checksum string, "
+            "roundtrip_equal boolean",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)

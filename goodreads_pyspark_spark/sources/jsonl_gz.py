@@ -29,8 +29,16 @@ import glob
 import gzip
 import json
 import os
+import uuid
+from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import StructType
 
 
@@ -58,6 +66,9 @@ class JsonlGzDataSource(DataSource):
     def reader(self, schema: StructType) -> DataSourceReader:
         return JsonlGzReader(self.options, schema)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "JsonlGzWriter":
+        return JsonlGzWriter(self.options, schema, overwrite)
+
 
 class JsonlGzReader(DataSourceReader):
     def __init__(self, options, schema: StructType) -> None:
@@ -79,3 +90,70 @@ class JsonlGzReader(DataSourceReader):
                     continue
                 rec = json.loads(line)
                 yield tuple(rec.get(f) for f in self.fields)
+
+
+@dataclass
+class _ShardCommit(WriterCommitMessage):
+    """Per-task commit message: the temp shard path and its row count."""
+
+    shard: str
+    n_rows: int
+
+
+class JsonlGzWriter(DataSourceWriter):
+    """``df.write.format("jsonlgz").mode(...).option("path", dir).save()``.
+
+    One gzip shard per task (gzip members are not splittable, so the
+    shard IS the parallelism unit on read — symmetric with
+    :class:`JsonlGzReader`), written with the two-phase protocol the
+    API is designed around: each task streams its rows into a
+    temp-named shard (constant memory) and returns a commit message;
+    only the driver-side ``commit`` renames temp shards to their final
+    names, so readers never observe a half-written shard and a failed
+    job leaves no visible output (``abort`` removes temps). Targets a
+    shared filesystem / object-store mount, like any file sink.
+    """
+
+    def __init__(self, options, schema: StructType, overwrite: bool) -> None:
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonlgz requires a path")
+        self.fields = [f.name for f in schema.fields]
+        self.job_id = uuid.uuid4().hex[:12]
+        if overwrite and os.path.isdir(self.path):
+            import glob as _glob
+
+            for old in _glob.glob(os.path.join(self.path, "*.json.gz")):
+                os.remove(old)
+
+    def write(self, iterator):
+        import gzip as _gzip
+
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f"_tmp-{self.job_id}-{uuid.uuid4().hex[:12]}"
+        )
+        n = 0
+        with _gzip.open(tmp, "wt", encoding="utf-8") as fh:
+            for row in iterator:
+                rec = {f: row[f] for f in self.fields}
+                fh.write(json.dumps(rec, ensure_ascii=False) + "\n")
+                n += 1
+        return _ShardCommit(shard=tmp, n_rows=n)
+
+    def commit(self, messages):
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            if m.n_rows == 0:
+                os.remove(m.shard)  # no empty shards in the layout
+                continue
+            final = os.path.join(
+                self.path, f"part-{i:05d}-{self.job_id}.json.gz"
+            )
+            os.replace(m.shard, final)
+
+    def abort(self, messages):
+        for m in messages or []:
+            if m is not None and os.path.exists(m.shard):
+                os.remove(m.shard)

@@ -1155,3 +1155,54 @@ def test_containment_standing_cold_process_reload(spark, tmp_path):
     )
     cold_matches = [tuple(x) for x in json.load(open(out_json))]
     assert cold_matches == memo_matches
+
+
+def test_jsonlgz_writer_roundtrip_and_two_phase(spark, tmp_path):
+    """Custom DataSource WRITE path: unicode/null fidelity through the
+    gzip shards, no empty shards in the layout, overwrite replaces the
+    previous job's shards, and abort removes temp files so a failed job
+    leaves no visible output."""
+    import glob
+    import os
+
+    from goodreads_pyspark_spark.sources.jsonl_gz import (
+        JsonlGzDataSource,
+        JsonlGzWriter,
+        _ShardCommit,
+    )
+
+    try:
+        spark.dataSource.register(JsonlGzDataSource)
+    except Exception:  # noqa: BLE001 — registered by an earlier test
+        pass
+    d = str(tmp_path / "shards")
+    df = spark.createDataFrame(
+        [(1, "héllo |x"), (2, None), (3, "c")], "id bigint, s string"
+    )
+    df.repartition(8).write.format("jsonlgz").mode("overwrite").option(
+        "path", d
+    ).save()
+    shards = glob.glob(f"{d}/*.json.gz")
+    assert 0 < len(shards) <= 3  # empty partitions produce no shards
+    back = (
+        spark.read.format("jsonlgz")
+        .schema("id bigint, s string")
+        .option("path", d)
+        .load()
+    )
+    assert sorted(map(tuple, back.collect())) == [
+        (1, "héllo |x"),
+        (2, None),
+        (3, "c"),
+    ]
+    # overwrite: a second job's shards fully replace the first's
+    df.limit(1).write.format("jsonlgz").mode("overwrite").option(
+        "path", d
+    ).save()
+    assert len(glob.glob(f"{d}/*.json.gz")) == 1
+    # abort: temp shards are removed, nothing becomes visible
+    w = JsonlGzWriter({"path": d}, df.schema, overwrite=False)
+    tmp = os.path.join(d, "_tmp-abort-test")
+    open(tmp, "w").close()
+    w.abort([_ShardCommit(shard=tmp, n_rows=1)])
+    assert not os.path.exists(tmp)
