@@ -13,6 +13,15 @@ provider in production); per-batch work is one shuffle on the key plus an
 Arrow round-trip for GROUPS TOUCHED IN THE BATCH only. Unbounded key
 spaces need a timeout policy (pass ``timeout='ProcessingTimeTimeout'``
 and expire in the handler) or state grows monotonically.
+
+API choice note (probed r11): Spark 4's newer ``transformWithState[In
+Pandas]`` (SPARK-46913) supersedes this API upstream, but its Python
+state server requires a working ``google.protobuf`` — broken in this
+container (``ImportError: cannot import name 'descriptor'``, and
+installs are off-limits), so ``applyInPandasWithState`` is deliberately
+the stateful surface here. The operator semantics are expressible in
+either; migrating is a mechanical handler rewrite when the dependency
+exists.
 """
 
 from __future__ import annotations
