@@ -39,6 +39,8 @@ QUERIES = (
     "d70_equidepth_sketch_edges",
     "d71_containment_threshold_sweep",
     "io18_containment_index_publish",
+    "io19_orc_roundtrip",
+    "io20_jsonl_gz_write_roundtrip",
 )
 
 
