@@ -217,7 +217,8 @@ def equi_depth_edges(
     id_col: str = "id",
     n_partitions: int = 4,
     sizes: DataFrame | None = None,
-) -> list[int]:
+    with_hist: bool = False,
+) -> list[int] | tuple[list[int], list[tuple[int, int]]]:
     """Equi-depth size-partition edges from the shingle table — the
     partitioning Zhu et al. prove near-optimal (each partition holds
     ~the same number of sets, so no scheme is tuned for a size range
@@ -255,6 +256,10 @@ def equi_depth_edges(
         rank = -(-k * n // n_partitions)  # ceil(k*n/P), integer-exact
         edge_sz = next(sz for sz, c in rows if c >= rank)
         edges.append(int(edge_sz) + 1)
+    if with_hist:
+        # callers auditing sketch edges (d70) read the SAME collected
+        # cumulated histogram instead of re-collecting it
+        return edges, rows
     return edges
 
 
@@ -422,10 +427,14 @@ def containment_probe_candidates(
             F.count(F.lit(1)).alias("szq")
         )
         incoming_sig_sizes = sigs_i.join(sz_i, id_col)
-    # threshold quantized to hundredths (round, not floor: int(0.7*100)
-    # floats to 69) so non-decile thresholds like 0.65 keep the
-    # integer-exact ceil floor; 0.8 -> 80/100, same floor as 8/10.
-    t_num, t_den = round(threshold * 100), 100
+    # threshold quantized to hundredths, FLOORED with an epsilon: the
+    # quantized value must never exceed the true threshold (the floor
+    # |x| >= t·|q| is a lower bound — rounding UP would raise the probe
+    # partition floor past the bound and silently skip valid
+    # containers). The epsilon absorbs float representation (plain
+    # int(0.7*100) floats to 69); flooring 0.836 -> 83/100 probes
+    # conservatively deeper, never shallower.
+    t_num, t_den = int(threshold * 100 + 1e-9), 100
     floor_sz = F.expr(f"({t_num} * szq + {t_den} - 1) div {t_den}")
     probe = (
         incoming_sig_sizes.withColumn(

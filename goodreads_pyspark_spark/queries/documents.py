@@ -6031,6 +6031,7 @@ def _kernel_logit_fit(spark: SparkSession, sf_dir: str) -> None:
         "d67_containment_dedup",
         "d69_ensemble_tuning_sweep",
         "d70_equidepth_sketch_edges",
+        "d71_containment_threshold_sweep",
     ),
 )
 def _kernel_ensemble_sigs(spark: SparkSession, sf_dir: str) -> None:
@@ -7153,12 +7154,14 @@ def d69_ensemble_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- d70: approx-quantile equi-depth edges agreement audit (new in r11) -------
 #: percentile_approx accuracy for the sketch-based edge path. GK's rank
-#: guarantee is |rank(v) - ceil(p*n)| <= n/accuracy; at the test corpus
-#: sizes (n <= 10^4 docs) n/accuracy < 1, so the sketch is rank-EXACT
-#: there and the equality boolean is safe to oracle-pin; at 100 TB the
-#: same accuracy costs O(accuracy * log n) sketch cells per partial —
-#: still driver-trivial — and the rank-bound boolean is the contract.
-_D70_ACCURACY = 10000
+#: guarantee is |rank(v) - ceil(p*n)| <= n/accuracy; for n STRICTLY
+#: below accuracy that slack is < 1 rank, so the sketch is rank-EXACT
+#: and the equality boolean is safe to oracle-pin (at n == accuracy a
+#: legal ±1 rank error could flip it — hence 10^5 against the test
+#: corpora's <= 10^4 docs, strict). At 100 TB the same accuracy costs
+#: O(accuracy * log n) sketch cells per partial — still trivial — and
+#: the rank-bound boolean is the contract there.
+_D70_ACCURACY = 100_000
 
 
 def _d70_oracle() -> str:
@@ -7203,7 +7206,7 @@ def _d70_oracle() -> str:
     "per edge: the exact edge plus two measured booleans — "
     "within_rank_bound (the returned value's duplicate-rank interval "
     "[cum(v-1)+1, cum(v)] overlaps ceil(k*n/4) +/- n/accuracy, GK's "
-    "guarantee) and approx_equals_exact (at n <= accuracy the bound "
+    "guarantee) and approx_equals_exact (at n < accuracy the bound "
     "forces rank-exactness, so the sketch edge IS the exact edge at "
     "test scale). The rank audit reads the same ~100-row cumulated "
     "histogram the exact path collects — no extra corpus pass. Scale "
@@ -7215,19 +7218,16 @@ def d70_equidepth_sketch_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ss = _ensemble_sig_sizes(spark, sf_dir)
     sizes = ss.select("id", "sz")
-    exact = equi_depth_edges(None, id_col="id", n_partitions=4, sizes=sizes)
+    exact, rows = equi_depth_edges(
+        None, id_col="id", n_partitions=4, sizes=sizes, with_hist=True
+    )
     approx_vals = sizes.agg(
         F.percentile_approx("sz", [0.25, 0.5, 0.75], _D70_ACCURACY).alias("q")
     ).first()["q"]
-    hist = sorted(
-        (r["sz"], r["c"])
-        for r in sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("c")).collect()
-    )
-    cum, acc = {}, 0
-    for sz, c in hist:
-        acc += c
-        cum[sz] = acc
-    n = acc
+    # the rank audit reads the SAME cumulated histogram the exact path
+    # collected (already (sz, cum) sorted) — no second histogram job
+    cum = dict(rows)
+    n = rows[-1][1]
 
     def rank_le(v: int) -> int:
         """# of sizes <= v, from the collected ~100-row histogram."""
@@ -7382,9 +7382,6 @@ def d71_containment_threshold_sweep(
     from goodreads_pyspark_spark.dedup.ensemble import (
         containment_probe_candidates,
     )
-    from goodreads_pyspark_spark.dedup.minhash import (
-        minhash_signatures_from_shingles,
-    )
     from goodreads_pyspark_spark.dedup.shingles import shingle_rows
 
     docs = tbl(spark, sf_dir, "documents")
@@ -7392,12 +7389,14 @@ def d71_containment_threshold_sweep(
     incoming_sh = shingle_rows(docs, shingle_n=2, out_id="id").filter(
         F.col("id") % 7 == 0
     )
+    # a doc's distinct-shingle set (and so its min-hashes and size) is
+    # independent of the corpus split, so the memoized full-corpus
+    # signature kernel serves the incoming slice directly — no second
+    # 16-hash aggregation
     sig_sizes = (
-        minhash_signatures_from_shingles(incoming_sh, "id", _D65_HASHES)
-        .join(
-            incoming_sh.groupBy("id").agg(F.count(F.lit(1)).alias("szq")),
-            "id",
-        )
+        _ensemble_sig_sizes(spark, sf_dir)
+        .filter(F.col("id") % 7 == 0)
+        .withColumnRenamed("sz", "szq")
         .cache()
     )
     # exact reference: containment of every incoming doc in every

@@ -1194,10 +1194,10 @@ def io17_jsonl_gz_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("compression", "gzip")
             .json(stage)
         )
-        try:
-            spark.dataSource.register(JsonlGzDataSource)
-        except Exception:  # noqa: BLE001 — already registered in session
-            pass
+        # duplicate registration is a silent replace in Spark 4 (probed),
+        # so no guard — a real registration failure must surface here,
+        # not as a misleading 'format not found' at write time
+        spark.dataSource.register(JsonlGzDataSource)
         back = (
             spark.read.format("jsonlgz")
             .schema(_IO17_DDL)
@@ -1324,10 +1324,10 @@ def io20_jsonl_gz_write_roundtrip(
     docs = tbl(spark, sf_dir, "documents")
     stage = tempfile.mkdtemp(prefix="io20_jsonlgz_")
     try:
-        try:
-            spark.dataSource.register(JsonlGzDataSource)
-        except Exception:  # noqa: BLE001 — already registered in session
-            pass
+        # duplicate registration is a silent replace in Spark 4 (probed),
+        # so no guard — a real registration failure must surface here,
+        # not as a misleading 'format not found' at write time
+        spark.dataSource.register(JsonlGzDataSource)
         (
             docs.repartition(4)
             .write.format("jsonlgz")

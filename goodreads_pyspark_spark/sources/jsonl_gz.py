@@ -120,11 +120,11 @@ class JsonlGzWriter(DataSourceWriter):
             raise ValueError("jsonlgz requires a path")
         self.fields = [f.name for f in schema.fields]
         self.job_id = uuid.uuid4().hex[:12]
-        if overwrite and os.path.isdir(self.path):
-            import glob as _glob
-
-            for old in _glob.glob(os.path.join(self.path, "*.json.gz")):
-                os.remove(old)
+        # NOTE: prior shards are removed in commit(), never here — this
+        # runs at query planning, and deleting then would mean a later
+        # task failure destroys the previous job's data (the exact
+        # anti-pattern two-phase commit exists to prevent)
+        self.overwrite = overwrite
 
     def write(self, iterator):
         import gzip as _gzip
@@ -142,6 +142,9 @@ class JsonlGzWriter(DataSourceWriter):
         return _ShardCommit(shard=tmp, n_rows=n)
 
     def commit(self, messages):
+        import glob as _glob
+
+        # 1. make the new shards visible (rename is atomic per file)
         for i, m in enumerate(messages):
             if m is None:
                 continue
@@ -152,8 +155,30 @@ class JsonlGzWriter(DataSourceWriter):
                 self.path, f"part-{i:05d}-{self.job_id}.json.gz"
             )
             os.replace(m.shard, final)
+        # 2. only now drop the previous job's shards — a failure before
+        # this point leaves the old data fully intact (overwrite is
+        # "publish new, then retire old", never "delete first")
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.path, "*.json.gz")):
+                if f"-{self.job_id}." not in os.path.basename(old):
+                    os.remove(old)
+        # 3. sweep orphan temps: a crashed task ATTEMPT's temp file is
+        # known only to the dead worker (no commit message), so it would
+        # otherwise leak into the layout forever. Always sweep THIS
+        # job's prefix; an overwrite job owns the directory and sweeps
+        # every stale temp (prior failed jobs whose abort never ran).
+        pattern = "_tmp-*" if self.overwrite else f"_tmp-{self.job_id}-*"
+        for tmp in _glob.glob(os.path.join(self.path, pattern)):
+            os.remove(tmp)
 
     def abort(self, messages):
+        import glob as _glob
+
         for m in messages or []:
             if m is not None and os.path.exists(m.shard):
                 os.remove(m.shard)
+        # crashed attempts of THIS job left temps no message points at
+        for tmp in _glob.glob(
+            os.path.join(self.path, f"_tmp-{self.job_id}-*")
+        ):
+            os.remove(tmp)

@@ -1171,10 +1171,7 @@ def test_jsonlgz_writer_roundtrip_and_two_phase(spark, tmp_path):
         _ShardCommit,
     )
 
-    try:
-        spark.dataSource.register(JsonlGzDataSource)
-    except Exception:  # noqa: BLE001 — registered by an earlier test
-        pass
+    spark.dataSource.register(JsonlGzDataSource)  # idempotent in Spark 4
     d = str(tmp_path / "shards")
     df = spark.createDataFrame(
         [(1, "héllo |x"), (2, None), (3, "c")], "id bigint, s string"
