@@ -6894,39 +6894,43 @@ def s15_streaming_containment_admission(
         bsh = shingle_rows(bdf, "doc_id", "text", 2, out_id="id")
         # per-batch probe caches are handed back and released after the
         # write — without this a long-running stream pins one (cand,
-        # inc) cache pair per micro-batch, unbounded (ADVICE r10)
+        # inc) cache pair per micro-batch, unbounded (ADVICE r10). The
+        # release lives in finally so a failed write/probe does not pin
+        # them either (ADVICE r11 — the failure path was the leak).
         caches: list = []
-        rejected = (
-            incremental_containment_matches(
-                None,  # standing state is prebuilt; corpus_sh unused
-                bsh,
-                id_col="id",
-                num_hashes=_D65_HASHES,
-                size_edges=_D65_EDGES,
-                rows_per_band=_D65_ROWS,
-                max_bucket=_D65_BUCKET,
-                max_df=_D63_CAP,
-                threshold=_D68_THRESHOLD_NUM / 10.0,
-                prebuilt_standing=standing,
-                cache_registry=caches,
+        try:
+            rejected = (
+                incremental_containment_matches(
+                    None,  # standing state is prebuilt; corpus_sh unused
+                    bsh,
+                    id_col="id",
+                    num_hashes=_D65_HASHES,
+                    size_edges=_D65_EDGES,
+                    rows_per_band=_D65_ROWS,
+                    max_bucket=_D65_BUCKET,
+                    max_df=_D63_CAP,
+                    threshold=_D68_THRESHOLD_NUM / 10.0,
+                    prebuilt_standing=standing,
+                    cache_registry=caches,
+                )
+                .select(F.col("incoming").alias("doc_id"))
+                .distinct()
+                .withColumn("__rej", F.lit(1))
             )
-            .select(F.col("incoming").alias("doc_id"))
-            .distinct()
-            .withColumn("__rej", F.lit(1))
-        )
-        (
-            bdf.select("doc_id", "source")
-            .join(F.broadcast(rejected), "doc_id", "left")
-            .select(
-                "doc_id",
-                "source",
-                F.coalesce("__rej", F.lit(0)).alias("rejected"),
+            (
+                bdf.select("doc_id", "source")
+                .join(F.broadcast(rejected), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    "source",
+                    F.coalesce("__rej", F.lit(0)).alias("rejected"),
+                )
+                .write.mode("append")
+                .parquet(out)
             )
-            .write.mode("append")
-            .parquet(out)
-        )
-        for c in caches:
-            c.unpersist()
+        finally:
+            for c in caches:
+                c.unpersist()
 
     try:
         from goodreads_pyspark_spark.streaming import state_partitions
@@ -7412,8 +7416,14 @@ def d71_containment_threshold_sweep(
         .join(standing["hot"], "sh", "left_anti")
     )
     sz_in = inc.groupBy("incoming").agg(F.count(F.lit(1)).alias("sz_in"))
+    # no broadcast hint on this audit join: inc here is the FULL incoming
+    # hashed-shingle table (one row per shingle, ~1/7 of corpus shingles),
+    # not the compact band-key table the production probe broadcasts — at
+    # higher replication a forced broadcast hits the size cap / driver
+    # memory. AQE picks the strategy; the plan shape need not match d68's
+    # (ADVICE r11).
     allp = (
-        F.broadcast(inc)
+        inc
         .join(standing["st"], "sh")
         .groupBy("incoming", "container")
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -7423,37 +7433,41 @@ def d71_containment_threshold_sweep(
     rows = []
     for t in _D71_THRESHOLDS:
         caches: list = []
-        cand = containment_probe_candidates(
-            standing,
-            None,
-            id_col="id",
-            num_hashes=_D65_HASHES,
-            size_edges=_D65_EDGES,
-            rows_per_band=_D65_ROWS,
-            threshold=t / 100.0,
-            incoming_sig_sizes=sig_sizes,
-            cache_registry=caches,
-        )
-        ex = allp.filter(
-            F.col("n_common") * 100 >= F.lit(t) * F.col("sz_in")
-        ).cache()
-        rec = ex.join(cand, ["incoming", "container"]).cache()
-        n_exact, n_cand, n_rec = ex.count(), cand.count(), rec.count()
-        n_rej_exact = ex.select("incoming").distinct().count()
-        n_rej_index = rec.select("incoming").distinct().count()
-        rows.append(
-            (
-                t,
-                n_exact,
-                n_cand,
-                n_rec,
-                (n_rec / n_exact) if n_exact else None,
-                n_rej_exact,
-                n_rej_index,
+        ex = rec = None
+        try:
+            cand = containment_probe_candidates(
+                standing,
+                None,
+                id_col="id",
+                num_hashes=_D65_HASHES,
+                size_edges=_D65_EDGES,
+                rows_per_band=_D65_ROWS,
+                threshold=t / 100.0,
+                incoming_sig_sizes=sig_sizes,
+                cache_registry=caches,
             )
-        )
-        for c in (ex, rec, *caches):
-            c.unpersist()
+            ex = allp.filter(
+                F.col("n_common") * 100 >= F.lit(t) * F.col("sz_in")
+            ).cache()
+            rec = ex.join(cand, ["incoming", "container"]).cache()
+            n_exact, n_cand, n_rec = ex.count(), cand.count(), rec.count()
+            n_rej_exact = ex.select("incoming").distinct().count()
+            n_rej_index = rec.select("incoming").distinct().count()
+            rows.append(
+                (
+                    t,
+                    n_exact,
+                    n_cand,
+                    n_rec,
+                    (n_rec / n_exact) if n_exact else None,
+                    n_rej_exact,
+                    n_rej_index,
+                )
+            )
+        finally:
+            for c in (ex, rec, *caches):
+                if c is not None:
+                    c.unpersist()
     allp.unpersist()
     sig_sizes.unpersist()
     return spark.createDataFrame(

@@ -36,11 +36,20 @@ def main() -> None:
         sum(k["build_sec"] for k in kernels.values()), 3
     )
     base["wall_clock_sec"] = [p["wall_clock_sec"] for p in passes]
+    # 'value' is a composite no single pass achieved; carry the best
+    # MEASURED single-pass totals beside it so a consumer reading only
+    # scalar fields cannot mistake the merge for a run (ADVICE r11)
+    base["best_single_pass_value"] = min(p["value"] for p in passes)
+    base["best_single_pass_wall_clock_sec"] = min(
+        p["wall_clock_sec"] for p in passes
+    )
     calibs = "/".join(str(p["host"]["calib_ms"]) for p in passes)
     base["merge_note"] = (
         f"per-query MIN across {len(passes)} full passes (bench's min-of-N "
         f"doctrine applied across passes; calib_ms {calibs}). Kernel "
-        "builds are min of the single-sample builds."
+        "builds are min of the single-sample builds. 'value' is the "
+        "min-merged composite; best_single_pass_value/"
+        "best_single_pass_wall_clock_sec are the best MEASURED pass."
     )
     Path(out_path).write_text(json.dumps(base, indent=1) + "\n")
     print(
