@@ -70,6 +70,19 @@ class JsonlGzDataSource(DataSource):
         return JsonlGzWriter(self.options, schema, overwrite)
 
 
+def _manifests(path: str) -> list[str]:
+    """All manifest files under ``path``, oldest-first. Manifest names
+    embed a zero-padded sequence number, so lexicographic order IS
+    publication order — 'newest' needs no mtime (mtimes are unreliable
+    across object-store copies)."""
+    return sorted(glob.glob(os.path.join(path, "_manifest-*.json")))
+
+
+def _read_manifest(path: str) -> dict:
+    with open(path, encoding="utf-8") as fh:
+        return json.load(fh)
+
+
 class JsonlGzReader(DataSourceReader):
     def __init__(self, options, schema: StructType) -> None:
         self.path = options.get("path")
@@ -78,7 +91,27 @@ class JsonlGzReader(DataSourceReader):
         self.fields = [f.name for f in schema.fields]
 
     def partitions(self):
-        shards = sorted(glob.glob(os.path.join(self.path, "*.json.gz")))
+        # A manifest, when present, is the source of truth: the reader
+        # sees exactly the newest committed job's view, so a crash
+        # between "new shards renamed visible" and "old shards retired"
+        # can never silently union two jobs' data (the newest manifest
+        # still names a single consistent set). A shard named by the
+        # manifest but missing from disk is corruption — raise, don't
+        # skip. Directories produced by other writers (e.g. Spark's
+        # stock .json.gz sink) have no manifest and fall back to the
+        # plain glob.
+        manifests = _manifests(self.path)
+        if manifests:
+            names = _read_manifest(manifests[-1])["shards"]
+            shards = [os.path.join(self.path, n) for n in sorted(names)]
+            missing = [s for s in shards if not os.path.exists(s)]
+            if missing:
+                raise FileNotFoundError(
+                    f"manifest {os.path.basename(manifests[-1])} names "
+                    f"missing shards: {missing}"
+                )
+        else:
+            shards = sorted(glob.glob(os.path.join(self.path, "*.json.gz")))
         if not shards:
             raise FileNotFoundError(f"no *.json.gz shards under {self.path}")
         return [InputPartition(s) for s in shards]
@@ -110,8 +143,11 @@ class JsonlGzWriter(DataSourceWriter):
     temp-named shard (constant memory) and returns a commit message;
     only the driver-side ``commit`` renames temp shards to their final
     names, so readers never observe a half-written shard and a failed
-    job leaves no visible output (``abort`` removes temps). Targets a
-    shared filesystem / object-store mount, like any file sink.
+    job leaves no visible output (``abort`` removes temps). Publication
+    itself is a single atomic manifest rename — readers trust only the
+    newest manifest, so the multi-file retirement step can crash or
+    re-run without ever exposing a mixed-job view. Targets a shared
+    filesystem / object-store mount, like any file sink.
     """
 
     def __init__(self, options, schema: StructType, overwrite: bool) -> None:
@@ -141,35 +177,97 @@ class JsonlGzWriter(DataSourceWriter):
                 n += 1
         return _ShardCommit(shard=tmp, n_rows=n)
 
+    #: Foreign in-flight temps younger than this are left alone by the
+    #: overwrite sweep (a concurrent job may still rename them); only
+    #: temps stale past the horizon are treated as crash debris.
+    STALE_TEMP_SEC = 3600.0
+
     def commit(self, messages):
         import glob as _glob
+        import time as _time
 
+        # Single-writer assumption: at most one COMMITTING job per path
+        # at a time (Spark's own file sinks assume the same of a plain
+        # directory). Concurrent jobs that violate it are still safe for
+        # READERS — the manifest makes publication atomic and
+        # newest-wins — but the losing job's shards become unreferenced
+        # garbage a later overwrite retires.
         # 1. make the new shards visible (rename is atomic per file)
+        published: list[str] = []
         for i, m in enumerate(messages):
             if m is None:
                 continue
             if m.n_rows == 0:
                 os.remove(m.shard)  # no empty shards in the layout
                 continue
-            final = os.path.join(
-                self.path, f"part-{i:05d}-{self.job_id}.json.gz"
+            final = f"part-{i:05d}-{self.job_id}.json.gz"
+            os.replace(m.shard, os.path.join(self.path, final))
+            published.append(final)
+        # 2. publish atomically via a manifest (ADVICE r11): the visible
+        # set is whatever the NEWEST manifest names, so a crash anywhere
+        # between here and the retirement step leaves readers on exactly
+        # one job's consistent view, never a silent union. Append mode
+        # carries the previous view forward; a legacy directory (no
+        # manifest yet) is adopted by globbing once.
+        manifests = _manifests(self.path)
+        if self.overwrite:
+            visible = list(published)
+        else:
+            if manifests:
+                prior = _read_manifest(manifests[-1])["shards"]
+            else:
+                prior = [
+                    os.path.basename(p)
+                    for p in _glob.glob(
+                        os.path.join(self.path, "*.json.gz")
+                    )
+                ]
+            visible = sorted(set(prior)) + published
+        seq = (
+            int(os.path.basename(manifests[-1]).split("-")[1]) + 1
+            if manifests
+            else 1
+        )
+        manifest_name = f"_manifest-{seq:010d}-{self.job_id}.json"
+        tmp_manifest = os.path.join(
+            self.path, f"_tmp-{self.job_id}-manifest"
+        )
+        with open(tmp_manifest, "w", encoding="utf-8") as fh:
+            json.dump(
+                {"job_id": self.job_id, "shards": sorted(visible)}, fh
             )
-            os.replace(m.shard, final)
-        # 2. only now drop the previous job's shards — a failure before
-        # this point leaves the old data fully intact (overwrite is
-        # "publish new, then retire old", never "delete first")
+        os.replace(tmp_manifest, os.path.join(self.path, manifest_name))
+        # 3. retire: drop shards the new manifest does not name
+        # (overwrite's previous-job data plus any unreferenced garbage)
+        # and superseded manifests. Idempotent and re-runnable — a crash
+        # mid-retirement leaves extra files that are INVISIBLE to
+        # manifest readers and removed by the next commit.
+        keep = set(visible)
         if self.overwrite:
             for old in _glob.glob(os.path.join(self.path, "*.json.gz")):
-                if f"-{self.job_id}." not in os.path.basename(old):
+                if os.path.basename(old) not in keep:
                     os.remove(old)
-        # 3. sweep orphan temps: a crashed task ATTEMPT's temp file is
+        for old_m in _manifests(self.path):
+            if os.path.basename(old_m) != manifest_name:
+                os.remove(old_m)
+        # 4. sweep orphan temps: a crashed task ATTEMPT's temp file is
         # known only to the dead worker (no commit message), so it would
-        # otherwise leak into the layout forever. Always sweep THIS
-        # job's prefix; an overwrite job owns the directory and sweeps
-        # every stale temp (prior failed jobs whose abort never ran).
-        pattern = "_tmp-*" if self.overwrite else f"_tmp-{self.job_id}-*"
-        for tmp in _glob.glob(os.path.join(self.path, pattern)):
-            os.remove(tmp)
+        # otherwise leak forever. Always sweep THIS job's prefix; an
+        # overwrite job also sweeps foreign temps, but only ones stale
+        # past STALE_TEMP_SEC — a CONCURRENT job's in-flight temps are
+        # young and left alone (ADVICE r11).
+        now = _time.time()
+        for tmp in _glob.glob(os.path.join(self.path, "_tmp-*")):
+            mine = os.path.basename(tmp).startswith(f"_tmp-{self.job_id}-")
+            if mine:
+                os.remove(tmp)
+            elif self.overwrite:
+                try:
+                    stale = now - os.path.getmtime(tmp) > self.STALE_TEMP_SEC
+                except OSError:
+                    continue  # vanished: its owner just renamed/removed it
+                if stale:
+                    os.remove(tmp)
 
     def abort(self, messages):
         import glob as _glob

@@ -1203,3 +1203,75 @@ def test_jsonlgz_writer_roundtrip_and_two_phase(spark, tmp_path):
     open(tmp, "w").close()
     w.abort([_ShardCommit(shard=tmp, n_rows=1)])
     assert not os.path.exists(tmp)
+
+
+def test_jsonlgz_manifest_publish_protocol(spark, tmp_path):
+    """Manifest-atomic publication (ADVICE r11): readers trust only the
+    newest manifest, so (a) a stray shard from a crashed/interrupted job
+    is invisible instead of silently unioned, (b) a shard the manifest
+    names but the filesystem lost raises instead of returning partial
+    data, (c) append mode carries the prior view forward, and (d) the
+    overwrite temp sweep spares a concurrent job's young in-flight temps
+    while reaping stale crash debris."""
+    import glob
+    import json as _json
+    import os
+
+    from goodreads_pyspark_spark.sources.jsonl_gz import JsonlGzDataSource
+
+    spark.dataSource.register(JsonlGzDataSource)
+    d = str(tmp_path / "shards")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string")
+    df.write.format("jsonlgz").mode("overwrite").option("path", d).save()
+    manifests = glob.glob(f"{d}/_manifest-*.json")
+    assert len(manifests) == 1  # superseded manifests are retired
+
+    def read_back():
+        return sorted(
+            map(
+                tuple,
+                spark.read.format("jsonlgz")
+                .schema("id bigint, s string")
+                .option("path", d)
+                .load()
+                .collect(),
+            )
+        )
+
+    # (a) an unreferenced shard (crash between publish and retire, or a
+    # lost concurrent job) does not leak into reads
+    import gzip
+
+    stray = os.path.join(d, "part-99999-deadbeef.json.gz")
+    with gzip.open(stray, "wt") as fh:
+        fh.write('{"id": 99, "s": "stray"}\n')
+    assert read_back() == [(1, "a"), (2, "b")]
+
+    # (c) append carries the prior manifest view forward (and retires
+    # the unreferenced stray via the next overwrite below)
+    df2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
+    df2.write.format("jsonlgz").mode("append").option("path", d).save()
+    assert read_back() == [(1, "a"), (2, "b"), (3, "c")]
+    assert len(glob.glob(f"{d}/_manifest-*.json")) == 1
+
+    # (d) overwrite sweep: young foreign temp survives, stale one reaped
+    young = os.path.join(d, "_tmp-otherjob-live")
+    stale = os.path.join(d, "_tmp-otherjob-dead")
+    open(young, "w").close()
+    open(stale, "w").close()
+    os.utime(stale, (0, 0))
+    df2.write.format("jsonlgz").mode("overwrite").option("path", d).save()
+    assert os.path.exists(young) and not os.path.exists(stale)
+    os.remove(young)
+    assert not os.path.exists(stray)  # retired: not in the new manifest
+    assert read_back() == [(3, "c")]
+
+    # (b) a manifest naming a missing shard is corruption, not a skip
+    m = glob.glob(f"{d}/_manifest-*.json")[0]
+    doc = _json.load(open(m))
+    doc["shards"].append("part-00042-gone.json.gz")
+    _json.dump(doc, open(m, "w"))
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="missing shards"):
+        read_back()
