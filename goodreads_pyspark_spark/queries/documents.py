@@ -7566,6 +7566,7 @@ def _io18_oracle() -> str:
       CAST((SELECT COUNT(*) FROM idx) AS BIGINT) AS n_index,
       CAST((SELECT COUNT(*) FROM hot) AS BIGINT) AS n_hot,
       CAST((SELECT COUNT(*) FROM stf) AS BIGINT) AS n_st,
+      CAST((SELECT COUNT(*) FROM bc) AS BIGINT) AS n_counts,
       CAST(CAST((SELECT COALESCE(SUM(('0x' || substr(md5(
              concat_ws('|', container, p, band, key)), 1, 15))::BIGINT), 0)
            FROM idx) AS DECIMAL(38,0)) AS VARCHAR) AS index_checksum,
@@ -7587,13 +7588,17 @@ def _io18_oracle() -> str:
     "discipline applied to d68's standing state, VERDICT r10 item 3): "
     "the three tables a production ingest daemon persists across "
     "batches — the size-partitioned banding index, the hot-shingle "
-    "set, the df-filtered corpus shingle table — are written to a "
-    "STAGING location as real parquet; the audit runs on the READ-BACK "
-    "staged tables only: per-table row counts vs the in-session memo, "
-    "an order-independent md5-prefix content checksum of the index "
-    "rows, and a probe-equivalence gate — the full d68 admission probe "
-    "run against the STAGED tables (cold frames, no lineage to the "
-    "memo) must reproduce the memo path's exact rejected-set checksum. "
+    "set, the df-filtered corpus shingle table, and the pre-cap bucket "
+    "counts that make fold-in maintenance (io21) possible — are "
+    "written to a STAGING location as real parquet, the index "
+    "partitionBy('p') so the probe floor becomes a DISK partition "
+    "prune (plan test pins PartitionFilters); the audit runs on the "
+    "READ-BACK staged tables only: per-table row counts vs the "
+    "in-session memo, an order-independent md5-prefix content checksum "
+    "of the index rows, and a probe-equivalence gate — the full d68 "
+    "admission probe run against the STAGED tables (cold frames, no "
+    "lineage to the memo, index pruned to the batch's global probe "
+    "floor) must reproduce the memo path's exact rejected-set checksum. "
     "Only a passing audit publishes (rename; a metadata pointer swap "
     "on an object store). The oracle recomputes every cell from the "
     "source corpus, so a row lost in the staged write, a mis-keyed "
@@ -7658,13 +7663,22 @@ def io18_containment_index_publish(
     stage = f"{base}/stage"
     publish = f"{base}/published"
     try:
-        for name in ("index", "hot", "st"):
+        # the index is written partitionBy("p") (VERDICT r11 item 3):
+        # the probe floor p >= partition_of(ceil(t·|q|)) is a partition
+        # predicate, so laying size partitions out as disk partitions
+        # turns it into a scan-level prune — at 100 TB the low-size
+        # partitions of the index are never read off disk for a batch
+        # of large documents (plan test pins PartitionFilters).
+        standing["index"].write.mode("overwrite").partitionBy("p").parquet(
+            f"{stage}/index"
+        )
+        for name in ("hot", "st", "counts"):
             standing[name].write.mode("overwrite").parquet(f"{stage}/{name}")
 
         # -- audit on the READ-BACK staged tables only --------------------
         staged = {
             name: spark.read.parquet(f"{stage}/{name}")
-            for name in ("index", "hot", "st")
+            for name in ("index", "hot", "st", "counts")
         }
         counts = {n: staged[n].count() for n in staged}
         memo_counts = {n: standing[n].count() for n in staged}
@@ -7687,11 +7701,37 @@ def io18_containment_index_publish(
             )
             .first()["c"]
         )
+        # the staged probe reads the index with the batch's GLOBAL probe
+        # floor as a literal partition predicate (min over the batch of
+        # each doc's pmin = the floor for the batch's smallest doc):
+        # every probe row already satisfies e.p >= its own pmin >= the
+        # global floor, so pruning partitions below it cannot drop a
+        # match — probe_equals_memo certifies exactly that, against the
+        # unpruned in-memory path.
+        szq_min = (
+            incoming_sh.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("szq"))
+            .agg(F.min("szq").alias("m"))
+            .first()["m"]
+        )
+        floor_sz = (
+            0 if szq_min is None else (_D68_THRESHOLD_NUM * szq_min + 9) // 10
+        )
+        pmin_glob = sum(1 for e in _D65_EDGES if floor_sz >= e)
+        staged_probe = dict(staged)
+        staged_probe["index"] = staged["index"].filter(
+            F.col("p") >= F.lit(pmin_glob)
+        )
         caches: list = []
-        memo_rc = rejected_checksum(probe(standing, caches))
-        staged_rc = rejected_checksum(probe(staged, caches))
-        for c in caches:
-            c.unpersist()
+        try:
+            memo_rc = rejected_checksum(probe(standing, caches))
+            staged_rc = rejected_checksum(probe(staged_probe, caches))
+        finally:
+            # release in finally or a failed probe/write pins the
+            # registered caches for the session (ADVICE r11)
+            for c in caches:
+                c.unpersist()
+            incoming_sh.unpersist()
         probe_equals_memo = staged_rc == memo_rc
         audit_ok = probe_equals_memo and all(
             counts[n] == memo_counts[n] for n in counts
@@ -7700,13 +7740,13 @@ def io18_containment_index_publish(
         if audit_ok:
             os.rename(stage, publish)
             published = os.path.isdir(publish)
-        incoming_sh.unpersist()
         return spark.createDataFrame(
             [
                 (
                     counts["index"],
                     counts["hot"],
                     counts["st"],
+                    counts["counts"],
                     index_checksum,
                     staged_rc,
                     bool(probe_equals_memo),
@@ -7714,7 +7754,7 @@ def io18_containment_index_publish(
                     bool(published),
                 )
             ],
-            "n_index bigint, n_hot bigint, n_st bigint, "
+            "n_index bigint, n_hot bigint, n_st bigint, n_counts bigint, "
             "index_checksum string, rejected_checksum string, "
             "probe_equals_memo boolean, audit_passed boolean, "
             "published boolean",

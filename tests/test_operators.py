@@ -1011,6 +1011,79 @@ def test_equi_depth_edges_empty_raises(spark):
         equi_depth_edges(None, id_col="id", sizes=empty.select("id", "sz"))
 
 
+def test_extend_containment_standing_equals_rebuild(spark):
+    """Fold-in index maintenance (VERDICT r11 item 2): extending the
+    standing state with an admitted batch must be ROW-IDENTICAL to a
+    from-scratch rebuild on corpus ∪ batch, for all four standing
+    tables, including the two stateful cliffs — a bucket the batch
+    pushes OVER max_bucket (its pre-existing entries must drop out) and
+    a shingle the batch pushes over max_df (newly hot: removed from st
+    on both old and new rows). Folding two batches in sequence must
+    equal one rebuild on the full union (composability)."""
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        build_containment_standing,
+        extend_containment_standing,
+    )
+
+    kw = dict(
+        id_col="id",
+        num_hashes=16,
+        size_edges=(4, 8, 12),
+        rows_per_band=(2, 2, 1, 1),
+        max_bucket=2,
+        max_df=2,
+    )
+
+    def sh_table(spec):
+        rows = [(i, s) for i, shs in spec.items() for s in shs]
+        return spark.createDataFrame(rows, "id bigint, sh string")
+
+    ident = [f"dup{j}" for j in range(6)]  # shared set -> shared buckets
+    corpus = sh_table(
+        {
+            1: ident,  # identical pair: every bucket at count 2 == cap
+            2: ident,
+            3: [f"a{j}" for j in range(10)] + ["hotsh"],
+            4: [f"b{j}" for j in range(3)] + ["hotsh"],
+        }
+    )
+    batch1 = sh_table(
+        {
+            # same set as 1/2: pushes every shared bucket to 3 > cap,
+            # and pushes 'dup*' shingle df to 3 > max_df (newly hot)
+            10: ident,
+            11: [f"c{j}" for j in range(14)],
+        }
+    )
+    batch2 = sh_table({20: [f"d{j}" for j in range(5)] + ["hotsh"]})
+
+    def snap(state):
+        return {
+            name: sorted(map(tuple, df.collect()))
+            for name, df in state.items()
+        }
+
+    base = build_containment_standing(corpus, **kw)
+    ext1 = extend_containment_standing(base, batch1, **kw)
+    rebuilt1 = build_containment_standing(corpus.unionByName(batch1), **kw)
+    s_ext1, s_reb1 = snap(ext1), snap(rebuilt1)
+    assert set(s_ext1) == {"index", "hot", "st", "counts"}
+    for name in s_ext1:
+        assert s_ext1[name] == s_reb1[name], f"{name} diverged from rebuild"
+    # the cliffs actually fired: doc 1/2 entries left the index, and the
+    # 'dup*' shingles went hot (so st no longer carries them)
+    assert ext1["index"].filter("container in (1, 2, 10)").count() == 0
+    assert ext1["hot"].count() > base["hot"].count()
+
+    ext2 = extend_containment_standing(ext1, batch2, **kw)
+    rebuilt2 = build_containment_standing(
+        corpus.unionByName(batch1).unionByName(batch2), **kw
+    )
+    s_ext2, s_reb2 = snap(ext2), snap(rebuilt2)
+    for name in s_ext2:
+        assert s_ext2[name] == s_reb2[name], f"{name} diverged after batch 2"
+
+
 def test_containment_probe_floor_monotone_in_threshold(spark):
     """Lower admission thresholds must probe at least as many partitions,
     so the candidate set at t=0.5 contains the candidate set at t=0.8;

