@@ -350,6 +350,7 @@ def build_containment_standing(
     rows_per_band: tuple[int, ...] = DEFAULT_ROWS_PER_BAND,
     max_bucket: int | None = 100,
     max_df: int | None = 100,
+    cache_registry: list | None = None,
 ) -> dict[str, DataFrame]:
     """The ENTIRE standing half of incremental containment admission,
     i.e. everything a production system persists across ingestion
@@ -370,17 +371,17 @@ def build_containment_standing(
     docs_c = sigs_c.join(sz_c, id_col).withColumn(
         "part", _partition_of(F.col("sz"), size_edges)
     )
-    index = (
+    index = _pin(
         docs_c.select(
             F.col(id_col).alias("container"),
             "part",
             _band_struct_expr(num_hashes, rows_per_band).alias("e"),
         )
         .filter(F.col("part") == F.col("e.p"))
-        .select("container", "e.p", "e.band", "e.key")
+        .select("container", "e.p", "e.band", "e.key"),
         # cache: the bucket count and the cap join both consume this
         # subtree, and uncached each re-runs the 16-min-hash aggregation
-        .cache()
+        cache_registry,
     )
     counts = index.groupBy("p", "band", "key").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -390,9 +391,13 @@ def build_containment_standing(
             counts.filter(F.col("n") <= max_bucket).drop("n"),
             ["p", "band", "key"],
         )
-    st = corpus_sh.withColumn(
-        "sh", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
-    ).withColumnRenamed(id_col, "container").cache()
+    st = _pin(
+        corpus_sh.withColumn(
+            "sh",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint"),
+        ).withColumnRenamed(id_col, "container"),
+        cache_registry,
+    )
     if max_df is not None:
         dfreq = st.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
         hot = dfreq.filter(F.col("__df") > max_df).drop("__df")
@@ -411,6 +416,7 @@ def extend_containment_standing(
     rows_per_band: tuple[int, ...] = DEFAULT_ROWS_PER_BAND,
     max_bucket: int | None = 100,
     max_df: int | None = 100,
+    cache_registry: list | None = None,
 ) -> dict[str, DataFrame]:
     """Fold an ADMITTED batch into the standing containment state —
     the index-maintenance step that closes the production ingest loop
@@ -454,16 +460,16 @@ def extend_containment_standing(
     docs_b = sigs_b.join(sz_b, id_col).withColumn(
         "part", _partition_of(F.col("sz"), size_edges)
     )
-    entries_b = (
+    entries_b = _pin(
         docs_b.select(
             F.col(id_col).alias("container"),
             "part",
             _band_struct_expr(num_hashes, rows_per_band).alias("e"),
         )
         .filter(F.col("part") == F.col("e.p"))
-        .select("container", "e.p", "e.band", "e.key")
+        .select("container", "e.p", "e.band", "e.key"),
         # cache: consumed by both the counts merge and the index union
-        .cache()
+        cache_registry,
     )
     counts = (
         standing["counts"]

@@ -60,74 +60,78 @@ REGISTRY: dict[str, Query] = {}
 # COVERAGE.md carries the per-query last-green ledger this is computed
 # from.
 #
-# r11 window (exactly the plan recorded at r10 close — VERDICT r10
-# item 1): the 8 rule-1 additions (the five r10-close registrations
-# d66-d69/s15 that postdated the r10 window freeze, plus this round's
-# d70/d71/io18), the 3 rule-2 code-changed re-gates (d65: the ensemble
-# candidate path was refactored for cache hygiene + the probe-floor
-# quantization fix; g17/m02: gate-scope rotation back to cheap-round
-# constants), the 4 promised gr05-gr08 rows (last r2-green rows
-# anywhere), then the overdue ledger strictly by age (oldest last-green
-# first, sorted-name tiebreak): e15-e20, g12/g13, h01, io05-io08, mm05,
-# q35-q48, s02-s04/s07/s08, t14/t15. The 18 names that don't fit
-# (t16-t22, u01, e01, e21, q49-q54, s09/s10) are recorded in
-# COVERAGE.md's r11/r12 two-round plan and lead r12's window.
+# r12 window (exactly the two-round staleness plan recorded at r11
+# close — COVERAGE.md "r11 window note" / VERDICT r11 item 1): the 3
+# rule-1 additions (io19/io20 registered after the r11 window froze;
+# io21 new this round — fold-in index maintenance), the 4 rule-2
+# code-changed re-gates (io17: manifest-based publication in the
+# jsonlgz reader; io18: counts table + partitionBy("p") publish +
+# floor-pruned staged probe; s15: failure-path cache release; d71:
+# audit join strategy), the 18 recorded leftovers that lead by age —
+# t16-t22, u01, e01, e21, q49-q54, s09/s10 — then the overdue ledger
+# strictly by age: ALL 22 r6 rows (d46-d48, e22-e27, g14/g15,
+# io09-io13, m06, s01/s11/s12, t23/t24), then the oldest r7 rows by
+# sorted-name tiebreak in the 3 remaining slots (d50/d51/e28). After
+# this round every registry row's newest driver-green is >= r7,
+# restoring the <=6-round staleness invariant (279 registered queries /
+# 50-slot windows -> floor is 6 rounds).
 GATE_WINDOW: frozenset[str] = frozenset(
     {
-        # --- policy rule 1: never driver-gated (r10-close + r11 additions)
-        "d66_equidepth_ensemble",
-        "d67_containment_dedup",
-        "d68_incremental_containment_admission",
-        "d69_ensemble_tuning_sweep",
-        "s15_streaming_containment_admission",
-        "d70_equidepth_sketch_edges",
-        "d71_containment_threshold_sweep",
-        "io18_containment_index_publish",
+        # --- policy rule 1: never driver-gated
+        "io19_orc_roundtrip",
+        "io20_jsonl_gz_write_roundtrip",
+        "io21_containment_index_fold_in",
         # --- policy rule 2: code-changed this session
-        "d65_lsh_ensemble_containment",
-        "g17_incremental_components",
-        "m02_kmeans_silhouette",
-        # --- promised FIRST at r10 close: the last r2-green rows
-        "gr05_reviews_per_year",
-        "gr06_avg_rating_per_year",
-        "gr07_prolific_authors",
-        "gr08_top_rated_authors",
-        # --- policy rule 3: overdue ledger by age, sorted-name tiebreak
-        "e15_adc_recall_audit",
-        "e16_truncated_dim_recall",
-        "e17_cosine_range_search",
-        "e18_centroid_drift",
-        "e19_ivf_nprobe_sweep",
-        "e20_centroid_separation",
-        "g12_degree_distribution",
-        "g13_link_prediction",
-        "h01_hybrid_search_rrf",
-        "io05_zorder_key",
-        "io06_incremental_rollup",
-        "io07_snapshot_diff",
-        "io08_partition_pruning_audit",
-        "mm05_media_exact_dedup",
-        "q35_small_qty_part_revenue",
-        "q36_nation_trade_volume",
-        "q37_sole_late_suppliers",
-        "q38_fk_integrity_audit",
-        "q39_top_supplier_revenue",
-        "q40_grouping_sets",
-        "q41_column_profile",
-        "q42_market_share",
-        "q43_product_profit",
-        "q44_order_count_distribution",
-        "q45_supplier_part_variety",
-        "q46_large_volume_customers",
-        "q47_excess_inventory_suppliers",
-        "q48_dormant_customers",
-        "s02_stateful_user_totals",
-        "s03_streaming_dedup",
-        "s04_streaming_sliding_window",
-        "s07_streaming_session_window",
-        "s08_foreachbatch_sink",
-        "t14_copurchase_pairs",
-        "t15_hourly_anomaly",
+        "io17_jsonl_gz_datasource",
+        "io18_containment_index_publish",
+        "s15_streaming_containment_admission",
+        "d71_containment_threshold_sweep",
+        # --- the 18 recorded r11-close leftovers (lead by age)
+        "t16_rolling_range_revenue",
+        "t17_session_windows_native",
+        "t18_ewma_hourly_volume",
+        "t19_time_weighted_value",
+        "t20_interarrival_stats",
+        "t21_ohlc_bars",
+        "t22_association_rules",
+        "u01_seeded_split_invariants",
+        "e01_knn_vec0",
+        "e21_semdedup_clusters",
+        "q49_promo_revenue_share",
+        "q50_bracket_disjunction_revenue",
+        "q51_min_cost_supplier",
+        "q52_important_parts",
+        "q53_priority_shipclass",
+        "q54_fuzzy_name_match",
+        "s09_streaming_cdc_upsert",
+        "s10_stream_stream_left_join",
+        # --- policy rule 3: overdue ledger by age (all r6 rows)
+        "d46_dsir_selection",
+        "d47_quality_partitions",
+        "d48_threshold_buckets",
+        "e22_semdedup_bucketed",
+        "e23_semdedup_recall",
+        "e24_lloyd_kmeans",
+        "e25_mmr_rerank",
+        "e26_int8_pool_recall",
+        "e27_matryoshka_dim_sweep",
+        "g14_hits_scores",
+        "g15_landmark_harmonic",
+        "io09_dynamic_partition_pruning",
+        "io10_orc_roundtrip_pushdown",
+        "io11_bucketed_colocated_join",
+        "io12_bloom_filter_join",
+        "io13_aqe_skew_join_split",
+        "m06_ols_normal_equations",
+        "s01_streaming_hourly_counts",
+        "s11_session_timeout_close",
+        "s12_streaming_ingest_admission",
+        "t23_asof_with_tolerance",
+        "t24_locf_resample",
+        # --- rule 3 fill: oldest r7 rows, sorted-name tiebreak
+        "d50_repetition_rules",
+        "d51_domain_cap",
+        "e28_hard_negative_mining",
     }
 )
 

@@ -6045,6 +6045,7 @@ def _kernel_ensemble_sigs(spark: SparkSession, sf_dir: str) -> None:
         "s15_streaming_containment_admission",
         "d71_containment_threshold_sweep",
         "io18_containment_index_publish",
+        "io21_containment_index_fold_in",
     ),
 )
 def _kernel_d68_index(spark: SparkSession, sf_dir: str) -> None:
@@ -7761,3 +7762,270 @@ def io18_containment_index_publish(
         )
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+# --- io21: fold admitted batches into the published standing index (r12) ------
+def _io21_oracle() -> str:
+    """Independent from-scratch replay of the ENTIRE ingest loop:
+    probe the batch against the standing corpus (io18's CTEs), derive
+    the admitted set, then REBUILD the containment state on corpus ∪
+    admitted and emit its cardinalities and checksums. The engine side
+    computes the same cells from the FOLD-IN path
+    (extend_containment_standing), so any divergence between
+    incremental maintenance and a full rebuild — an entry not dropped
+    when its bucket crossed the cap, a stale df, a missed newly-hot
+    shingle — flips a gated cell. The equality booleans are pinned
+    TRUE: the engine measures them against its own from-scratch
+    rebuild, giving the same invariant a second, structural witness."""
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(_D65_HASHES)
+    )
+    mh_cols = ", ".join(f"mh{i}" for i in range(_D65_HASHES))
+    edge_case = "CASE " + " ".join(
+        f"WHEN {{v}} < {e} THEN {p}" for p, e in enumerate(_D65_EDGES)
+    ) + f" ELSE {len(_D65_EDGES)} END"
+    idx_branches, probe_branches, idx_u_branches = [], [], []
+    for p, r in enumerate(_D65_ROWS):
+        for b in range(_D65_HASHES // r):
+            key = " || ".join(f"mh{b * r + k}" for k in range(r))
+            k_expr = f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
+            idx_branches.append(
+                f"      SELECT doc_id AS container, {p} AS p, {b} AS band,"
+                f" {k_expr} AS key FROM mhsz_c WHERE part = {p}"
+            )
+            probe_branches.append(
+                f"      SELECT doc_id AS incoming, {p} AS p, {b} AS band,"
+                f" {k_expr} AS key FROM mhsz_i WHERE {p} >= pmin"
+            )
+            idx_u_branches.append(
+                f"      SELECT doc_id AS container, {p} AS p, {b} AS band,"
+                f" {k_expr} AS key FROM mhsz_u WHERE part = {p}"
+            )
+    t = _D68_THRESHOLD_NUM
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    shc AS MATERIALIZED (SELECT * FROM sh0 WHERE doc_id % 7 <> 0),
+    shi AS MATERIALIZED (SELECT * FROM sh0 WHERE doc_id % 7 = 0),
+    mh_c AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM shc GROUP BY doc_id),
+    sz_c AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM shc GROUP BY doc_id),
+    mhsz_c AS MATERIALIZED (SELECT mh_c.*, sz_c.sz,
+             {edge_case.format(v="sz")} AS part
+             FROM mh_c JOIN sz_c USING (doc_id)),
+    mh_i AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM shi GROUP BY doc_id),
+    sz_i AS MATERIALIZED (SELECT doc_id, count(*) AS szq FROM shi GROUP BY doc_id),
+    mhsz_i AS MATERIALIZED (SELECT mh_i.*, sz_i.szq,
+             {edge_case.format(v=f"(({t} * szq + 9) // 10)")} AS pmin
+             FROM mh_i JOIN sz_i USING (doc_id)),
+    idx0 AS MATERIALIZED (
+{chr(10).join(["      UNION ALL".join([br + chr(10) for br in idx_branches])])}    ),
+    bc AS MATERIALIZED (SELECT p, band, key, count(*) AS n FROM idx0
+          GROUP BY 1, 2, 3),
+    idx AS MATERIALIZED (SELECT idx0.* FROM idx0 JOIN bc USING (p, band, key)
+           WHERE n <= {_D65_BUCKET}),
+    probe AS MATERIALIZED (
+{chr(10).join(["      UNION ALL".join([br + chr(10) for br in probe_branches])])}    ),
+    cand AS MATERIALIZED (SELECT DISTINCT incoming, container
+            FROM probe JOIN idx USING (p, band, key)),
+    sth AS MATERIALIZED (SELECT doc_id AS container,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shc),
+    dfreq AS MATERIALIZED (SELECT sh, count(*) AS df FROM sth GROUP BY sh),
+    hot AS MATERIALIZED (SELECT sh FROM dfreq WHERE df > {_D63_CAP}),
+    stc AS MATERIALIZED (SELECT * FROM sth
+           WHERE sh NOT IN (SELECT sh FROM hot)
+             AND container IN (SELECT DISTINCT container FROM cand)),
+    inch AS MATERIALIZED (SELECT doc_id AS incoming,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM shi),
+    incf AS MATERIALIZED (SELECT * FROM inch
+            WHERE sh NOT IN (SELECT sh FROM hot)),
+    szin AS MATERIALIZED (SELECT incoming, count(*) AS sz_in FROM incf
+           GROUP BY incoming),
+    common AS MATERIALIZED (
+      SELECT i.incoming, s.container, count(*) AS n_common
+      FROM incf i JOIN stc s USING (sh)
+      GROUP BY 1, 2),
+    rejected AS MATERIALIZED (
+      SELECT DISTINCT c.incoming
+      FROM common c
+      JOIN cand USING (incoming, container)
+      JOIN szin USING (incoming)
+      WHERE CAST(n_common AS DOUBLE) / sz_in >= {t} / 10.0),
+    -- the admitted batch, then the from-scratch rebuild on corpus ∪ admitted
+    adm AS MATERIALIZED (SELECT * FROM mhsz_i
+           WHERE doc_id NOT IN (SELECT incoming FROM rejected)),
+    mhsz_u AS MATERIALIZED (
+      SELECT doc_id, {mh_cols}, sz, part FROM mhsz_c
+      UNION ALL
+      SELECT doc_id, {mh_cols}, szq AS sz,
+             {edge_case.format(v="szq")} AS part FROM adm),
+    idx0_u AS MATERIALIZED (
+{chr(10).join(["      UNION ALL".join([br + chr(10) for br in idx_u_branches])])}    ),
+    bc_u AS MATERIALIZED (SELECT p, band, key, count(*) AS n FROM idx0_u
+          GROUP BY 1, 2, 3),
+    idx_u AS MATERIALIZED (SELECT idx0_u.* FROM idx0_u
+           JOIN bc_u USING (p, band, key)
+           WHERE n <= {_D65_BUCKET}),
+    sth_u AS MATERIALIZED (
+      SELECT * FROM sth
+      UNION ALL
+      SELECT incoming AS container, sh FROM inch
+      WHERE incoming NOT IN (SELECT incoming FROM rejected)),
+    dfreq_u AS MATERIALIZED (SELECT sh, count(*) AS df FROM sth_u GROUP BY sh),
+    hot_u AS MATERIALIZED (SELECT sh FROM dfreq_u WHERE df > {_D63_CAP}),
+    stf_u AS MATERIALIZED (SELECT * FROM sth_u
+           WHERE sh NOT IN (SELECT sh FROM hot_u))
+    SELECT
+      CAST((SELECT COUNT(*) FROM adm) AS BIGINT) AS n_admitted,
+      CAST((SELECT COUNT(*) FROM idx_u) AS BIGINT) AS n_index,
+      CAST((SELECT COUNT(*) FROM hot_u) AS BIGINT) AS n_hot,
+      CAST((SELECT COUNT(*) FROM stf_u) AS BIGINT) AS n_st,
+      CAST((SELECT COUNT(*) FROM bc_u) AS BIGINT) AS n_counts,
+      CAST(CAST((SELECT COALESCE(SUM(('0x' || substr(md5(
+             concat_ws('|', container, p, band, key)), 1, 15))::BIGINT), 0)
+           FROM idx_u) AS DECIMAL(38,0)) AS VARCHAR) AS index_checksum,
+      CAST(CAST((SELECT COALESCE(SUM(('0x' || substr(md5(
+             concat_ws('|', container, sh)), 1, 15))::BIGINT), 0)
+           FROM stf_u) AS DECIMAL(38,0)) AS VARCHAR) AS st_checksum,
+      TRUE AS index_equals_rebuild,
+      TRUE AS hot_equals_rebuild,
+      TRUE AS st_equals_rebuild,
+      TRUE AS counts_equals_rebuild
+    """
+
+
+@query(
+    "io21_containment_index_fold_in",
+    oracle=_io21_oracle(),
+    doc="Standing-index MAINTENANCE — the step that closes the "
+    "production ingest loop the d63-d68/io18 arc built (VERDICT r11 "
+    "item 2): probe the batch against the standing state, derive the "
+    "admitted set, then FOLD the admitted docs into the index "
+    "(dedup/ensemble.py extend_containment_standing) instead of "
+    "rebuilding from scratch — band entries and bucket counts append "
+    "additively, previously-kept entries of buckets the batch pushes "
+    "over the cap drop out, newly-hot shingles leave the verification "
+    "table on both old and new rows. Gate: every cardinality and "
+    "checksum of the EXTENDED state is recomputed by the oracle from "
+    "a from-scratch rebuild on corpus ∪ admitted, and the engine "
+    "additionally measures per-table equality against its own Spark "
+    "rebuild (booleans pinned TRUE) — fold-in must be row-identical "
+    "to rebuild, not approximately right. Scale shape: the fold-in "
+    "touches only batch shingles plus groupBy-sum merges against the "
+    "standing tables — no corpus re-shingle, no corpus reshuffle; at "
+    "100 TB this turns index refresh from a full-corpus job into a "
+    "batch-sized one (the d19 incremental discipline applied to the "
+    "index itself).",
+)
+def io21_containment_index_fold_in(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        build_containment_standing,
+        extend_containment_standing,
+        incremental_containment_matches,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    standing = _d68_standing_index(spark, sf_dir)
+    all_sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    incoming_sh = all_sh.filter(F.col("id") % 7 == 0)
+
+    caches: list = []
+    try:
+        rejected = (
+            incremental_containment_matches(
+                None,
+                incoming_sh,
+                id_col="id",
+                num_hashes=_D65_HASHES,
+                size_edges=_D65_EDGES,
+                rows_per_band=_D65_ROWS,
+                max_bucket=_D65_BUCKET,
+                max_df=_D63_CAP,
+                threshold=_D68_THRESHOLD_NUM / 10.0,
+                prebuilt_standing=standing,
+                cache_registry=caches,
+            )
+            .select(F.col("incoming").alias("id"))
+            .distinct()
+            .cache()
+        )
+        caches.append(rejected)
+        admitted_sh = incoming_sh.join(F.broadcast(rejected), "id", "left_anti")
+        kw = dict(
+            id_col="id",
+            num_hashes=_D65_HASHES,
+            size_edges=_D65_EDGES,
+            rows_per_band=_D65_ROWS,
+            max_bucket=_D65_BUCKET,
+            max_df=_D63_CAP,
+        )
+        extended = extend_containment_standing(
+            standing, admitted_sh, cache_registry=caches, **kw
+        )
+        # the from-scratch reference: corpus ∪ admitted in ONE shingle
+        # pass (all docs minus the rejected batch docs)
+        rebuilt = build_containment_standing(
+            all_sh.join(F.broadcast(rejected), "id", "left_anti"),
+            cache_registry=caches,
+            **kw,
+        )
+
+        def table_fingerprint(df: DataFrame, cols: list[str]):
+            row_int = F.conv(
+                F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+            ).cast("bigint")
+            r = df.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.coalesce(F.sum(row_int.cast("decimal(38,0)")), F.lit(0))
+                .cast("decimal(38,0)")
+                .cast("string")
+                .alias("c"),
+            ).first()
+            return r["n"], r["c"]
+
+        key_cols = {
+            "index": ["container", "p", "band", "key"],
+            "hot": ["sh"],
+            "st": ["container", "sh"],
+            "counts": ["p", "band", "key", "n"],
+        }
+        ext_fp = {
+            n: table_fingerprint(extended[n], key_cols[n]) for n in key_cols
+        }
+        reb_fp = {
+            n: table_fingerprint(rebuilt[n], key_cols[n]) for n in key_cols
+        }
+        equals = {n: ext_fp[n] == reb_fp[n] for n in key_cols}
+        n_admitted = admitted_sh.select("id").distinct().count()
+        return spark.createDataFrame(
+            [
+                (
+                    n_admitted,
+                    ext_fp["index"][0],
+                    ext_fp["hot"][0],
+                    ext_fp["st"][0],
+                    ext_fp["counts"][0],
+                    ext_fp["index"][1],
+                    ext_fp["st"][1],
+                    bool(equals["index"]),
+                    bool(equals["hot"]),
+                    bool(equals["st"]),
+                    bool(equals["counts"]),
+                )
+            ],
+            "n_admitted bigint, n_index bigint, n_hot bigint, n_st bigint, "
+            "n_counts bigint, index_checksum string, st_checksum string, "
+            "index_equals_rebuild boolean, hot_equals_rebuild boolean, "
+            "st_equals_rebuild boolean, counts_equals_rebuild boolean",
+        )
+    finally:
+        for c in caches:
+            c.unpersist()

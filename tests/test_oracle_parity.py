@@ -66,3 +66,43 @@ def test_gate_window_integrity():
     # oracles must iterate in the same relative order
     onames = list(all_oracles())
     assert onames == sorted(onames)
+
+
+def test_staleness_invariant_enforced_at_close():
+    """The ≤6-round staleness floor, self-enforcing (VERDICT r11 item
+    5): at round close every registry row's newest driver-green
+    CORRECTNESS record must be at most 6 rounds old — the arithmetic
+    floor at 279 queries x 50-slot windows. Rows in the current
+    GATE_WINDOW count as green THIS round (the driver gate itself fails
+    the round if they are not), and a row that has never been
+    driver-gated must be in the window (rule 1 of the rotation policy).
+    If this fails, the window in queries/__init__.py is not covering
+    the oldest ledger rows — fix the window, not the test."""
+    import importlib.util
+    from pathlib import Path
+
+    from goodreads_pyspark_spark.queries import GATE_WINDOW
+
+    repo = Path(__file__).resolve().parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "gate_ledger", repo / "tools" / "gate_ledger.py"
+    )
+    gl = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gl)
+    green = gl.last_green_rounds()
+    recorded = [
+        int(p.name.split("_r")[1].split(".")[0])
+        for p in repo.glob("CORRECTNESS_r*.json")
+    ]
+    cur_round = max(recorded) + 1  # the round being closed
+    stale, ungated = [], []
+    for name in sorted(REGISTRY):
+        if name in GATE_WINDOW:
+            continue  # re-certified this round by the driver gate
+        lg = green.get(name)
+        if lg is None:
+            ungated.append(name)
+        elif cur_round - lg > 6:
+            stale.append(f"{name} (last green r{lg}, age {cur_round - lg})")
+    assert not ungated, f"never-gated rows missing from the window: {ungated}"
+    assert not stale, f"rows past the 6-round staleness floor: {stale}"
