@@ -364,8 +364,11 @@ def build_containment_standing(
     cap makes non-recoverable from the capped index (needed by
     :func:`extend_containment_standing` to fold admitted batches in
     without a rebuild — bucket counts are additive, the capped index
-    alone is not). Batches only probe and join these; none of them is
-    recomputed per batch."""
+    alone is not); ``dfreq`` — exact per-shingle document frequency
+    over the full corpus (hot shingles included), so fold-in can detect
+    newly-hot shingles from the BATCH's shingles alone instead of
+    re-counting ``st``. Batches only probe and join these; none of
+    them is recomputed per batch."""
     sigs_c = minhash_signatures_from_shingles(corpus_sh, id_col, num_hashes)
     sz_c = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     docs_c = sigs_c.join(sz_c, id_col).withColumn(
@@ -398,13 +401,14 @@ def build_containment_standing(
         ).withColumnRenamed(id_col, "container"),
         cache_registry,
     )
+    dfreq = st.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     if max_df is not None:
-        dfreq = st.groupBy("sh").agg(F.count(F.lit(1)).alias("__df"))
-        hot = dfreq.filter(F.col("__df") > max_df).drop("__df")
+        hot = dfreq.filter(F.col("df") > max_df).select("sh")
         st = st.join(hot, "sh", "left_anti")
     else:
         hot = st.select("sh").limit(0)
-    return {"index": index, "hot": hot, "st": st, "counts": counts}
+    return {"index": index, "hot": hot, "st": st, "counts": counts,
+            "dfreq": dfreq}
 
 
 def extend_containment_standing(
@@ -431,29 +435,34 @@ def extend_containment_standing(
     every cross-doc quantity is additive:
 
     * ``counts`` — pre-cap bucket counts are a sum of per-doc
-      contributions: merged by unioned groupBy-sum.
+      contributions: the batch's bucket deltas (batch-sized) broadcast
+      against the standing counts, merged in one map-side pass.
     * ``index`` — a rebuild's capped index is (all entries) filtered by
-      merged count <= cap. Old entries of buckets the batch pushes OVER
-      the cap are dropped by re-filtering; batch entries landing in
-      already-over-cap buckets never enter. Buckets only grow, so no
-      dropped entry ever needs resurrecting — which is exactly why the
-      capped index alone is insufficient state and ``counts`` is
-      persisted beside it.
-    * ``hot`` — document frequency is additive and hotness is monotone
-      (df only grows): newly hot = shingles whose (standing df + batch
-      df) crosses ``max_df``, where standing df for a non-hot shingle
-      is exactly its row count in ``st`` (hot shingles need no exact
-      df — they stay hot forever).
+      merged count <= cap, and only buckets the batch TOUCHES can
+      change: entries leave exactly in buckets the batch pushed over
+      the cap (broadcast anti-join of the old index against that
+      batch-sized key set), batch entries enter exactly in buckets
+      still under it. Buckets only grow, so no dropped entry ever needs
+      resurrecting — which is exactly why the capped index alone is
+      insufficient state and ``counts`` is persisted beside it.
+    * ``hot``/``dfreq`` — document frequency is additive and hotness is
+      monotone (df only grows), and df can only change for shingles the
+      batch CONTAINS: newly hot = batch shingles whose (standing df +
+      batch df) crosses ``max_df``, from a broadcast of the batch's
+      per-shingle deltas against the standing ``dfreq`` (exact df incl.
+      hot shingles — persisted as standing state for exactly this).
     * ``st`` — (old ``st`` ∪ batch rows) minus the new hot set; old
       rows already exclude the old hot set, which the new one contains.
 
-    Scale shape: everything touches only the BATCH's shingles plus the
-    standing tables — one min-hash aggregation over the batch, one
-    groupBy-sum merge per table, no corpus re-shingle, no corpus
-    reshuffle. The df-merge joins the batch's distinct shingle hashes
-    against ``st``'s per-shingle counts; at 100 TB that is batch-sized
-    work against an indexed standing table, the d19 incremental
-    discipline applied to index maintenance itself.
+    Scale shape: one min-hash aggregation over the batch, then pure
+    DELTA maintenance — every standing table is only ever SCANNED with
+    a broadcast hash join or anti-join against a batch-sized key set;
+    nothing repartitions the standing state by key, nothing
+    re-shingles the corpus. At 100 TB a fold-in costs one linear
+    map-side pass per standing table plus batch-sized work — the d19
+    incremental discipline applied to index maintenance itself (a
+    naive union+groupBy merge would reshuffle the full index per
+    batch; the r12 stress probe prices the difference).
     """
     sigs_b = minhash_signatures_from_shingles(admitted_sh, id_col, num_hashes)
     sz_b = admitted_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
@@ -468,53 +477,132 @@ def extend_containment_standing(
         )
         .filter(F.col("part") == F.col("e.p"))
         .select("container", "e.p", "e.band", "e.key"),
-        # cache: consumed by both the counts merge and the index union
+        # cache: consumed by the bucket deltas and the index union
         cache_registry,
     )
-    counts = (
+    bkeys = ["p", "band", "key"]
+    counts_b = _pin(
+        entries_b.groupBy(*bkeys).agg(
+            F.count(F.lit(1)).cast("bigint").alias("nb")
+        ),
+        cache_registry,
+    )
+    # per-CHANGED-bucket merged counts, batch-sized: a map-side inner
+    # join of the standing counts against the broadcast batch deltas
+    # (buckets the batch does not touch cannot change), plus the
+    # batch-only buckets (no standing row). This is what keeps fold-in
+    # shuffle-free: the standing tables are only ever SCANNED with a
+    # broadcast hash join / anti-join — never repartitioned by key.
+    changed = _pin(
         standing["counts"]
+        .join(F.broadcast(counts_b), bkeys)
+        .select(*bkeys, F.col("n").alias("n_old"), "nb")
         .unionByName(
-            entries_b.groupBy("p", "band", "key").agg(
-                F.count(F.lit(1)).cast("bigint").alias("n")
+            counts_b.join(
+                F.broadcast(
+                    standing["counts"].join(F.broadcast(counts_b), bkeys)
+                    .select(*bkeys)
+                ),
+                bkeys,
+                "left_anti",
+            ).select(*bkeys, F.lit(0).cast("bigint").alias("n_old"), "nb")
+        )
+        .withColumn("n_new", F.col("n_old") + F.col("nb")),
+        cache_registry,
+    )
+    counts = standing["counts"].join(
+        F.broadcast(changed.select(*bkeys, "nb")), bkeys, "left"
+    ).select(
+        *bkeys,
+        (F.col("n") + F.coalesce(F.col("nb"), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+    ).unionByName(
+        changed.filter(F.col("n_old") == 0).select(
+            *bkeys, F.col("n_new").alias("n")
+        )
+    )
+    if max_bucket is not None:
+        # entries leave the index ONLY in buckets the batch pushed over
+        # the cap; batch entries enter ONLY in buckets still under it —
+        # both are broadcast-delta map-side operations on the old index
+        newly_over = changed.filter(
+            (F.col("n_old") <= max_bucket) & (F.col("n_new") > max_bucket)
+        ).select(*bkeys)
+        kept_b = changed.filter(F.col("n_new") <= max_bucket).select(*bkeys)
+        index = standing["index"].join(
+            F.broadcast(newly_over), bkeys, "left_anti"
+        ).unionByName(
+            entries_b.join(F.broadcast(kept_b), bkeys).select(
+                "container", *bkeys
             )
         )
-        .groupBy("p", "band", "key")
-        .agg(F.sum("n").cast("bigint").alias("n"))
+    else:
+        index = standing["index"].unionByName(
+            entries_b.select("container", *bkeys)
+        )
+    st_b = _pin(
+        admitted_sh.withColumn(
+            "sh",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint"),
+        ).withColumnRenamed(id_col, "container"),
+        cache_registry,
     )
-    index = standing["index"].unionByName(entries_b)
-    if max_bucket is not None:
-        index = index.join(
-            counts.filter(F.col("n") <= max_bucket).drop("n"),
-            ["p", "band", "key"],
+    df_b = _pin(
+        st_b.groupBy("sh").agg(F.count(F.lit(1)).cast("bigint").alias("db")),
+        cache_registry,
+    )
+    # df can only change for shingles the BATCH contains, so the hot
+    # frontier moves by a batch-sized delta against the standing dfreq
+    # (exact df incl. hot shingles — kept as standing state for exactly
+    # this): map-side scan + broadcast, never a corpus-vocabulary shuffle
+    df_changed = _pin(
+        standing["dfreq"]
+        .join(F.broadcast(df_b), "sh")
+        .select("sh", F.col("df").alias("df_old"), "db")
+        .unionByName(
+            df_b.join(
+                F.broadcast(
+                    standing["dfreq"].join(F.broadcast(df_b), "sh")
+                    .select("sh")
+                ),
+                "sh",
+                "left_anti",
+            ).select("sh", F.lit(0).cast("bigint").alias("df_old"), "db")
         )
-    st_b = admitted_sh.withColumn(
-        "sh", F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint")
-    ).withColumnRenamed(id_col, "container")
+        .withColumn("df_new", F.col("df_old") + F.col("db")),
+        cache_registry,
+    )
+    dfreq = standing["dfreq"].join(
+        F.broadcast(df_changed.select("sh", "db")), "sh", "left"
+    ).select(
+        "sh",
+        (F.col("df") + F.coalesce(F.col("db"), F.lit(0)))
+        .cast("bigint")
+        .alias("df"),
+    ).unionByName(
+        df_changed.filter(F.col("df_old") == 0).select(
+            "sh", F.col("df_new").alias("df")
+        )
+    )
     if max_df is not None:
-        df_merged = (
-            standing["st"]
-            .groupBy("sh")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .unionByName(st_b.groupBy("sh").agg(F.count(F.lit(1)).alias("n")))
-            .groupBy("sh")
-            .agg(F.sum("n").alias("n"))
-        )
-        newly_hot = df_merged.filter(F.col("n") > max_df).select("sh")
-        hot = (
-            standing["hot"]
-            .unionByName(newly_hot)
-            .select("sh")
-            .distinct()
-        )
+        newly_hot = df_changed.filter(
+            (F.col("df_old") <= max_df) & (F.col("df_new") > max_df)
+        ).select("sh")
+        hot = standing["hot"].unionByName(newly_hot)
+        # old rows already exclude the old hot set; the anti-join against
+        # the (small, broadcast) new hot set removes newly-hot rows from
+        # both old and new sides in one map-side pass
         st = (
             standing["st"]
             .unionByName(st_b)
-            .join(hot, "sh", "left_anti")
+            .join(F.broadcast(hot), "sh", "left_anti")
         )
     else:
         hot = standing["hot"]
         st = standing["st"].unionByName(st_b)
-    return {"index": index, "hot": hot, "st": st, "counts": counts}
+    return {"index": index, "hot": hot, "st": st, "counts": counts,
+            "dfreq": dfreq}
 
 
 def containment_probe_candidates(

@@ -7673,13 +7673,13 @@ def io18_containment_index_publish(
         standing["index"].write.mode("overwrite").partitionBy("p").parquet(
             f"{stage}/index"
         )
-        for name in ("hot", "st", "counts"):
+        for name in ("hot", "st", "counts", "dfreq"):
             standing[name].write.mode("overwrite").parquet(f"{stage}/{name}")
 
         # -- audit on the READ-BACK staged tables only --------------------
         staged = {
             name: spark.read.parquet(f"{stage}/{name}")
-            for name in ("index", "hot", "st", "counts")
+            for name in ("index", "hot", "st", "counts", "dfreq")
         }
         counts = {n: staged[n].count() for n in staged}
         memo_counts = {n: standing[n].count() for n in staged}
@@ -7886,6 +7886,7 @@ def _io21_oracle() -> str:
       CAST((SELECT COUNT(*) FROM hot_u) AS BIGINT) AS n_hot,
       CAST((SELECT COUNT(*) FROM stf_u) AS BIGINT) AS n_st,
       CAST((SELECT COUNT(*) FROM bc_u) AS BIGINT) AS n_counts,
+      CAST((SELECT COUNT(*) FROM dfreq_u) AS BIGINT) AS n_dfreq,
       CAST(CAST((SELECT COALESCE(SUM(('0x' || substr(md5(
              concat_ws('|', container, p, band, key)), 1, 15))::BIGINT), 0)
            FROM idx_u) AS DECIMAL(38,0)) AS VARCHAR) AS index_checksum,
@@ -7895,7 +7896,8 @@ def _io21_oracle() -> str:
       TRUE AS index_equals_rebuild,
       TRUE AS hot_equals_rebuild,
       TRUE AS st_equals_rebuild,
-      TRUE AS counts_equals_rebuild
+      TRUE AS counts_equals_rebuild,
+      TRUE AS dfreq_equals_rebuild
     """
 
 
@@ -7996,6 +7998,7 @@ def io21_containment_index_fold_in(
             "hot": ["sh"],
             "st": ["container", "sh"],
             "counts": ["p", "band", "key", "n"],
+            "dfreq": ["sh", "df"],
         }
         ext_fp = {
             n: table_fingerprint(extended[n], key_cols[n]) for n in key_cols
@@ -8013,18 +8016,22 @@ def io21_containment_index_fold_in(
                     ext_fp["hot"][0],
                     ext_fp["st"][0],
                     ext_fp["counts"][0],
+                    ext_fp["dfreq"][0],
                     ext_fp["index"][1],
                     ext_fp["st"][1],
                     bool(equals["index"]),
                     bool(equals["hot"]),
                     bool(equals["st"]),
                     bool(equals["counts"]),
+                    bool(equals["dfreq"]),
                 )
             ],
             "n_admitted bigint, n_index bigint, n_hot bigint, n_st bigint, "
-            "n_counts bigint, index_checksum string, st_checksum string, "
+            "n_counts bigint, n_dfreq bigint, index_checksum string, "
+            "st_checksum string, "
             "index_equals_rebuild boolean, hot_equals_rebuild boolean, "
-            "st_equals_rebuild boolean, counts_equals_rebuild boolean",
+            "st_equals_rebuild boolean, counts_equals_rebuild boolean, "
+            "dfreq_equals_rebuild boolean",
         )
     finally:
         for c in caches:

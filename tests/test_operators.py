@@ -1067,7 +1067,7 @@ def test_extend_containment_standing_equals_rebuild(spark):
     ext1 = extend_containment_standing(base, batch1, **kw)
     rebuilt1 = build_containment_standing(corpus.unionByName(batch1), **kw)
     s_ext1, s_reb1 = snap(ext1), snap(rebuilt1)
-    assert set(s_ext1) == {"index", "hot", "st", "counts"}
+    assert set(s_ext1) == {"index", "hot", "st", "counts", "dfreq"}
     for name in s_ext1:
         assert s_ext1[name] == s_reb1[name], f"{name} diverged from rebuild"
     # the cliffs actually fired: doc 1/2 entries left the index, and the
