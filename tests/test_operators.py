@@ -1084,6 +1084,59 @@ def test_extend_containment_standing_equals_rebuild(spark):
         assert s_ext2[name] == s_reb2[name], f"{name} diverged after batch 2"
 
 
+def test_fold_in_from_published_state(spark, tmp_path):
+    """The production loop's state dependency: fold-in must work from
+    the PUBLISHED standing tables (cold parquet read-back, no lineage
+    to the building session's frames — the io18 reload discipline
+    applied to maintenance) and produce exactly the in-memory fold's
+    tables, including the published-index layout (partitionBy('p'))."""
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        build_containment_standing,
+        extend_containment_standing,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}_{j}" for j in range(5 + i % 7)))
+            for i in range(40)
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    standing = build_containment_standing(
+        sh.filter(F.col("id") % 7 != 0), id_col="id", max_df=3, max_bucket=3
+    )
+    base = str(tmp_path / "published")
+    standing["index"].write.partitionBy("p").parquet(f"{base}/index")
+    for name in ("hot", "st", "counts", "dfreq"):
+        standing[name].write.parquet(f"{base}/{name}")
+    reloaded = {
+        name: spark.read.parquet(f"{base}/{name}")
+        for name in ("index", "hot", "st", "counts", "dfreq")
+    }
+    batch = sh.filter(F.col("id") % 7 == 0)
+    kw2 = dict(id_col="id", max_df=3, max_bucket=3)
+    from_memo = extend_containment_standing(standing, batch, **kw2)
+    from_disk = extend_containment_standing(reloaded, batch, **kw2)
+
+    def fp(df, cols):
+        return sorted(
+            map(tuple, df.select(*[F.col(c) for c in cols]).collect())
+        )
+
+    cols = {
+        "index": ["container", "p", "band", "key"],
+        "hot": ["sh"],
+        "st": ["container", "sh"],
+        "counts": ["p", "band", "key", "n"],
+        "dfreq": ["sh", "df"],
+    }
+    for name, cs in cols.items():
+        assert fp(from_disk[name], cs) == fp(from_memo[name], cs), name
+
+
 def test_containment_probe_floor_monotone_in_threshold(spark):
     """Lower admission thresholds must probe at least as many partitions,
     so the candidate set at t=0.5 contains the candidate set at t=0.8;

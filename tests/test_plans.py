@@ -1445,3 +1445,45 @@ def test_io18_published_index_prunes_size_partitions(spark, tmp_path):
         f"{path}/p=2", f"{path}/p=3"
     )
     assert direct.count() == pruned.count()
+
+
+def test_fold_in_is_delta_only_no_standing_shuffle(spark):
+    """extend_containment_standing must never repartition the standing
+    state (the 100 TB contract): every merge is a broadcast hash
+    join/anti-join of BATCH deltas against a scanned standing table. A
+    SortMergeJoin anywhere in an extended table's plan means the
+    standing index / shingle table / count table crossed a shuffle —
+    the naive union+groupBy merge shape this formulation replaces."""
+    import contextlib
+    import io as _io
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        build_containment_standing,
+        extend_containment_standing,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    standing = build_containment_standing(
+        sh.filter(F.col("id") % 7 != 0), id_col="id"
+    )
+    extended = extend_containment_standing(
+        standing, sh.filter(F.col("id") % 7 == 0), id_col="id"
+    )
+
+    def plan_str(df):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    for name in ("index", "st", "counts", "dfreq", "hot"):
+        plan = plan_str(extended[name])
+        assert "SortMergeJoin" not in plan, (
+            f"{name}: standing state crossed a shuffle join\n{plan[:1500]}"
+        )
+    idx_plan = plan_str(extended["index"])
+    assert "BroadcastHashJoin" in idx_plan
+    assert "LeftAnti BuildRight" in idx_plan  # newly-over-cap eviction

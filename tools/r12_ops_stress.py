@@ -1,0 +1,123 @@
+"""Round-12 scaling probe: fold-in index maintenance economics.
+
+The claim io21/extend_containment_standing makes for 100 TB: folding an
+admitted batch into the standing containment state costs BATCH-sized
+work plus one map-side linear pass per standing table, while a
+from-scratch rebuild re-pays the full corpus passes (shingle scan,
+16-hash min-hash aggregation, bucket counting, df counting) every
+refresh. So with the BATCH HELD FIXED and the corpus replicated
+1x/2x/4x, rebuild wall time should grow roughly linearly while fold-in
+grows much more slowly (its only corpus-proportional parts are the
+map-side scans that materializing the extended tables forces).
+
+Methodology: corpus = replicated documents with doc_id %% 7 != 0;
+batch = the BASE (1x) slice's %% 7 == 0 docs at every factor. Standing
+state is built and localCheckpointed OUTSIDE the timed region (it is
+amortized state in production). Timed:
+  * fold_in  — extend_containment_standing + materialize all five
+    extended tables (count + full-column force);
+  * rebuild  — build_containment_standing on corpus ∪ batch +
+    materialize the same five tables.
+min-of-3 per cell, caches cleared between reps (the standing memo
+stays, matching production where it is persisted state).
+
+Usage: python tools/r12_ops_stress.py [factors...]   (default 1 2 4)
+"""
+
+from __future__ import annotations
+
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from goodreads_pyspark_spark.dedup.ensemble import (
+    build_containment_standing,
+    extend_containment_standing,
+)
+from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+from goodreads_pyspark_spark.session import get_spark
+from tools.scaling_probe import replicate
+
+TABLES = ("index", "hot", "st", "counts", "dfreq")
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark("r12_ops_stress")
+    base_docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    batch_sh = (
+        shingle_rows(base_docs, shingle_n=2, out_id="id")
+        .filter(F.col("id") % 7 == 0)
+        .localCheckpoint()
+    )
+    n_batch = batch_sh.select("id").distinct().count()
+    print(f"# fixed batch: {n_batch} docs", flush=True)
+
+    def force(state) -> int:
+        total = 0
+        for t in TABLES:
+            df = state[t]
+            total += df.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64(*df.columns)).alias("h"),
+            ).first()["n"]
+        return total
+
+    rows = []
+    for factor in factors:
+        out_dir = tempfile.mkdtemp(prefix=f"r12ops_x{factor}_")
+        p = replicate(spark, "documents", factor, "doc_id", out_dir)
+        corpus_sh = (
+            shingle_rows(
+                spark.read.parquet(p), shingle_n=2, out_id="id"
+            )
+            .filter(F.col("id") % 7 != 0)
+            .localCheckpoint()
+        )
+        union_sh = corpus_sh.unionByName(batch_sh).localCheckpoint()
+        # standing state: amortized, built outside the timed region
+        standing = {
+            n: f.localCheckpoint()
+            for n, f in build_containment_standing(
+                corpus_sh, id_col="id"
+            ).items()
+        }
+
+        for label, fn in (
+            (
+                "fold_in",
+                lambda: extend_containment_standing(
+                    standing, batch_sh, id_col="id", cache_registry=caches
+                ),
+            ),
+            (
+                "rebuild",
+                lambda: build_containment_standing(
+                    union_sh, id_col="id", cache_registry=caches
+                ),
+            ),
+        ):
+            best, n = None, 0
+            for _ in range(3):
+                caches = []
+                t0 = time.time()
+                n = force(fn())
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+                for c in caches:
+                    c.unpersist()
+            rows.append((label, factor, best, n))
+            print(f"# {label} x{factor}: {best:.2f}s ({n} rows)", flush=True)
+    print("\n| op | corpus factor | wall (min of 3) | state rows |")
+    print("|---|---|---|---|")
+    for label, factor, dt, n in rows:
+        print(f"| {label} | {factor}x | {dt:.2f}s | {n} |")
+
+
+if __name__ == "__main__":
+    main()
