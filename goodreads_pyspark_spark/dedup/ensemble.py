@@ -493,21 +493,18 @@ def extend_containment_standing(
     # batch-only buckets (no standing row). This is what keeps fold-in
     # shuffle-free: the standing tables are only ever SCANNED with a
     # broadcast hash join / anti-join — never repartitioned by key.
-    changed = _pin(
+    matched = _pin(
         standing["counts"]
         .join(F.broadcast(counts_b), bkeys)
-        .select(*bkeys, F.col("n").alias("n_old"), "nb")
-        .unionByName(
+        .select(*bkeys, F.col("n").alias("n_old"), "nb"),
+        cache_registry,
+    )
+    changed = _pin(
+        matched.unionByName(
             counts_b.join(
-                F.broadcast(
-                    standing["counts"].join(F.broadcast(counts_b), bkeys)
-                    .select(*bkeys)
-                ),
-                bkeys,
-                "left_anti",
+                F.broadcast(matched.select(*bkeys)), bkeys, "left_anti"
             ).select(*bkeys, F.lit(0).cast("bigint").alias("n_old"), "nb")
-        )
-        .withColumn("n_new", F.col("n_old") + F.col("nb")),
+        ).withColumn("n_new", F.col("n_old") + F.col("nb")),
         cache_registry,
     )
     counts = standing["counts"].join(
@@ -556,21 +553,18 @@ def extend_containment_standing(
     # frontier moves by a batch-sized delta against the standing dfreq
     # (exact df incl. hot shingles — kept as standing state for exactly
     # this): map-side scan + broadcast, never a corpus-vocabulary shuffle
-    df_changed = _pin(
+    df_matched = _pin(
         standing["dfreq"]
         .join(F.broadcast(df_b), "sh")
-        .select("sh", F.col("df").alias("df_old"), "db")
-        .unionByName(
+        .select("sh", F.col("df").alias("df_old"), "db"),
+        cache_registry,
+    )
+    df_changed = _pin(
+        df_matched.unionByName(
             df_b.join(
-                F.broadcast(
-                    standing["dfreq"].join(F.broadcast(df_b), "sh")
-                    .select("sh")
-                ),
-                "sh",
-                "left_anti",
+                F.broadcast(df_matched.select("sh")), "sh", "left_anti"
             ).select("sh", F.lit(0).cast("bigint").alias("df_old"), "db")
-        )
-        .withColumn("df_new", F.col("df_old") + F.col("db")),
+        ).withColumn("df_new", F.col("df_old") + F.col("db")),
         cache_registry,
     )
     dfreq = standing["dfreq"].join(
@@ -590,13 +584,21 @@ def extend_containment_standing(
             (F.col("df_old") <= max_df) & (F.col("df_new") > max_df)
         ).select("sh")
         hot = standing["hot"].unionByName(newly_hot)
-        # old rows already exclude the old hot set; the anti-join against
-        # the (small, broadcast) new hot set removes newly-hot rows from
-        # both old and new sides in one map-side pass
+        # BOTH hot anti-joins broadcast batch-sized key sets, never the
+        # full hot set (corpus-proportional — a forced broadcast of it
+        # would bypass the size cap at scale): old rows already exclude
+        # the old hot set, so they only need newly_hot removed; and a
+        # batch shingle is hot-after-merge exactly when its merged df
+        # exceeds the cap (df only grows, and df_changed covers every
+        # batch shingle, already-hot ones included since dfreq keeps
+        # exact df for them)
+        batch_hot = df_changed.filter(F.col("df_new") > max_df).select("sh")
         st = (
             standing["st"]
-            .unionByName(st_b)
-            .join(F.broadcast(hot), "sh", "left_anti")
+            .join(F.broadcast(newly_hot), "sh", "left_anti")
+            .unionByName(
+                st_b.join(F.broadcast(batch_hot), "sh", "left_anti")
+            )
         )
     else:
         hot = standing["hot"]

@@ -7432,45 +7432,49 @@ def d71_containment_threshold_sweep(
         .cache()
     )
     rows = []
-    for t in _D71_THRESHOLDS:
-        caches: list = []
-        ex = rec = None
-        try:
-            cand = containment_probe_candidates(
-                standing,
-                None,
-                id_col="id",
-                num_hashes=_D65_HASHES,
-                size_edges=_D65_EDGES,
-                rows_per_band=_D65_ROWS,
-                threshold=t / 100.0,
-                incoming_sig_sizes=sig_sizes,
-                cache_registry=caches,
-            )
-            ex = allp.filter(
-                F.col("n_common") * 100 >= F.lit(t) * F.col("sz_in")
-            ).cache()
-            rec = ex.join(cand, ["incoming", "container"]).cache()
-            n_exact, n_cand, n_rec = ex.count(), cand.count(), rec.count()
-            n_rej_exact = ex.select("incoming").distinct().count()
-            n_rej_index = rec.select("incoming").distinct().count()
-            rows.append(
-                (
-                    t,
-                    n_exact,
-                    n_cand,
-                    n_rec,
-                    (n_rec / n_exact) if n_exact else None,
-                    n_rej_exact,
-                    n_rej_index,
+    try:
+        for t in _D71_THRESHOLDS:
+            caches: list = []
+            ex = rec = None
+            try:
+                cand = containment_probe_candidates(
+                    standing,
+                    None,
+                    id_col="id",
+                    num_hashes=_D65_HASHES,
+                    size_edges=_D65_EDGES,
+                    rows_per_band=_D65_ROWS,
+                    threshold=t / 100.0,
+                    incoming_sig_sizes=sig_sizes,
+                    cache_registry=caches,
                 )
-            )
-        finally:
-            for c in (ex, rec, *caches):
-                if c is not None:
-                    c.unpersist()
-    allp.unpersist()
-    sig_sizes.unpersist()
+                ex = allp.filter(
+                    F.col("n_common") * 100 >= F.lit(t) * F.col("sz_in")
+                ).cache()
+                rec = ex.join(cand, ["incoming", "container"]).cache()
+                n_exact, n_cand, n_rec = ex.count(), cand.count(), rec.count()
+                n_rej_exact = ex.select("incoming").distinct().count()
+                n_rej_index = rec.select("incoming").distinct().count()
+                rows.append(
+                    (
+                        t,
+                        n_exact,
+                        n_cand,
+                        n_rec,
+                        (n_rec / n_exact) if n_exact else None,
+                        n_rej_exact,
+                        n_rej_index,
+                    )
+                )
+            finally:
+                for c in (ex, rec, *caches):
+                    if c is not None:
+                        c.unpersist()
+    finally:
+        # the two biggest caches release even when a threshold pass
+        # fails (the ADVICE r11 failure-path discipline)
+        allp.unpersist()
+        sig_sizes.unpersist()
     return spark.createDataFrame(
         rows,
         "t_pct int, n_exact_pairs bigint, n_candidates bigint, "
@@ -7732,7 +7736,6 @@ def io18_containment_index_publish(
             # registered caches for the session (ADVICE r11)
             for c in caches:
                 c.unpersist()
-            incoming_sh.unpersist()
         probe_equals_memo = staged_rc == memo_rc
         audit_ok = probe_equals_memo and all(
             counts[n] == memo_counts[n] for n in counts
@@ -7761,6 +7764,9 @@ def io18_containment_index_publish(
             "published boolean",
         )
     finally:
+        # the batch cache releases on EVERY exit path, including a
+        # failure before the probe section (r12 review)
+        incoming_sh.unpersist()
         shutil.rmtree(base, ignore_errors=True)
 
 

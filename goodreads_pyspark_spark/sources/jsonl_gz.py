@@ -102,7 +102,13 @@ class JsonlGzReader(DataSourceReader):
         # plain glob.
         manifests = _manifests(self.path)
         if manifests:
-            names = _read_manifest(manifests[-1])["shards"]
+            try:
+                names = _read_manifest(manifests[-1])["shards"]
+            except FileNotFoundError:
+                # a commit retired this manifest between our listing and
+                # the open; the newer one is already in place (commit
+                # keeps the newest two, so a single re-list suffices)
+                names = _read_manifest(_manifests(self.path)[-1])["shards"]
             shards = [os.path.join(self.path, n) for n in sorted(names)]
             missing = [s for s in shards if not os.path.exists(s)]
             if missing:
@@ -188,10 +194,11 @@ class JsonlGzWriter(DataSourceWriter):
 
         # Single-writer assumption: at most one COMMITTING job per path
         # at a time (Spark's own file sinks assume the same of a plain
-        # directory). Concurrent jobs that violate it are still safe for
-        # READERS — the manifest makes publication atomic and
-        # newest-wins — but the losing job's shards become unreferenced
-        # garbage a later overwrite retires.
+        # directory). A violating job's shards become unreferenced
+        # garbage a later overwrite retires. Readers are atomic against
+        # APPEND publication (manifest rename is one atomic op and the
+        # two newest manifests are retained); an OVERWRITE deletes the
+        # prior view's data files, so readers must quiesce across it.
         # 1. make the new shards visible (rename is atomic per file)
         published: list[str] = []
         for i, m in enumerate(messages):
@@ -216,11 +223,17 @@ class JsonlGzWriter(DataSourceWriter):
             if manifests:
                 prior = _read_manifest(manifests[-1])["shards"]
             else:
+                # legacy (manifest-less) directory adoption: this glob
+                # runs AFTER step 1 made our own shards visible, so it
+                # must exclude them or each would be listed twice and
+                # every appended row read twice
+                ours = set(published)
                 prior = [
-                    os.path.basename(p)
+                    name
                     for p in _glob.glob(
                         os.path.join(self.path, "*.json.gz")
                     )
+                    if (name := os.path.basename(p)) not in ours
                 ]
             visible = sorted(set(prior)) + published
         seq = (
@@ -239,17 +252,23 @@ class JsonlGzWriter(DataSourceWriter):
         os.replace(tmp_manifest, os.path.join(self.path, manifest_name))
         # 3. retire: drop shards the new manifest does not name
         # (overwrite's previous-job data plus any unreferenced garbage)
-        # and superseded manifests. Idempotent and re-runnable — a crash
-        # mid-retirement leaves extra files that are INVISIBLE to
-        # manifest readers and removed by the next commit.
+        # and manifests older than the PREVIOUS one — the newest-minus-1
+        # is kept so a reader that listed manifests just before this
+        # commit can still open its file (it sees the previous job's
+        # consistent view). Retirement is idempotent and re-runnable —
+        # a crash mid-retirement leaves extra files that are INVISIBLE
+        # to manifest readers and removed by the next commit. NOTE:
+        # an OVERWRITE also deletes the previous view's shards here, so
+        # readers must quiesce across an overwrite (append-only
+        # publication is fully reader-safe; overwrite retirement is
+        # not, same as Spark's own file sinks).
         keep = set(visible)
         if self.overwrite:
             for old in _glob.glob(os.path.join(self.path, "*.json.gz")):
                 if os.path.basename(old) not in keep:
                     os.remove(old)
-        for old_m in _manifests(self.path):
-            if os.path.basename(old_m) != manifest_name:
-                os.remove(old_m)
+        for old_m in _manifests(self.path)[:-2]:
+            os.remove(old_m)
         # 4. sweep orphan temps: a crashed task ATTEMPT's temp file is
         # known only to the dead worker (no commit message), so it would
         # otherwise leak forever. Always sweep THIS job's prefix; an

@@ -1374,11 +1374,13 @@ def test_jsonlgz_manifest_publish_protocol(spark, tmp_path):
     assert read_back() == [(1, "a"), (2, "b")]
 
     # (c) append carries the prior manifest view forward (and retires
-    # the unreferenced stray via the next overwrite below)
+    # the unreferenced stray via the next overwrite below); the newest
+    # TWO manifests are retained so an in-flight reader that listed
+    # before the commit can still open its file
     df2 = spark.createDataFrame([(3, "c")], "id bigint, s string")
     df2.write.format("jsonlgz").mode("append").option("path", d).save()
     assert read_back() == [(1, "a"), (2, "b"), (3, "c")]
-    assert len(glob.glob(f"{d}/_manifest-*.json")) == 1
+    assert len(glob.glob(f"{d}/_manifest-*.json")) == 2
 
     # (d) overwrite sweep: young foreign temp survives, stale one reaped
     young = os.path.join(d, "_tmp-otherjob-live")
@@ -1393,7 +1395,7 @@ def test_jsonlgz_manifest_publish_protocol(spark, tmp_path):
     assert read_back() == [(3, "c")]
 
     # (b) a manifest naming a missing shard is corruption, not a skip
-    m = glob.glob(f"{d}/_manifest-*.json")[0]
+    m = sorted(glob.glob(f"{d}/_manifest-*.json"))[-1]
     doc = _json.load(open(m))
     doc["shards"].append("part-00042-gone.json.gz")
     _json.dump(doc, open(m, "w"))
@@ -1401,3 +1403,41 @@ def test_jsonlgz_manifest_publish_protocol(spark, tmp_path):
 
     with _pytest.raises(Exception, match="missing shards"):
         read_back()
+
+
+def test_jsonlgz_append_adopts_legacy_dir_without_duplication(
+    spark, tmp_path
+):
+    """Appending to a manifest-less directory (e.g. produced by another
+    writer) adopts its shards into the first manifest EXACTLY ONCE —
+    the adoption glob runs after the new shards are already visible, so
+    it must not count them a second time (a double-listed shard would
+    silently double every appended row on read)."""
+    import glob
+    import gzip
+    import os
+
+    from goodreads_pyspark_spark.sources.jsonl_gz import JsonlGzDataSource
+
+    spark.dataSource.register(JsonlGzDataSource)
+    d = str(tmp_path / "legacy")
+    os.makedirs(d)
+    with gzip.open(os.path.join(d, "old-shard.json.gz"), "wt") as fh:
+        fh.write('{"id": 1, "s": "legacy"}\n')
+    df = spark.createDataFrame([(2, "new")], "id bigint, s string")
+    df.write.format("jsonlgz").mode("append").option("path", d).save()
+    manifest_shards = __import__("json").load(
+        open(sorted(glob.glob(f"{d}/_manifest-*.json"))[-1])
+    )["shards"]
+    assert len(manifest_shards) == len(set(manifest_shards)) == 2
+    back = sorted(
+        map(
+            tuple,
+            spark.read.format("jsonlgz")
+            .schema("id bigint, s string")
+            .option("path", d)
+            .load()
+            .collect(),
+        )
+    )
+    assert back == [(1, "legacy"), (2, "new")]
