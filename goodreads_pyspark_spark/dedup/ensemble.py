@@ -464,6 +464,10 @@ def extend_containment_standing(
     naive union+groupBy merge would reshuffle the full index per
     batch; the r12 stress probe prices the difference).
     """
+    # the batch shingle subtree feeds three consumers (signatures,
+    # sizes, the hashed row table); pinned, the tokenize/explode pass
+    # over the batch runs once instead of three times
+    admitted_sh = _pin(admitted_sh, cache_registry)
     sigs_b = minhash_signatures_from_shingles(admitted_sh, id_col, num_hashes)
     sz_b = admitted_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     docs_b = sigs_b.join(sz_b, id_col).withColumn(

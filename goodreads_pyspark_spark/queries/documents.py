@@ -7966,7 +7966,9 @@ def io21_containment_index_fold_in(
             .cache()
         )
         caches.append(rejected)
-        admitted_sh = incoming_sh.join(F.broadcast(rejected), "id", "left_anti")
+        admitted_sh = incoming_sh.join(
+            F.broadcast(rejected), "id", "left_anti"
+        )
         kw = dict(
             id_col="id",
             num_hashes=_D65_HASHES,
@@ -7979,11 +7981,16 @@ def io21_containment_index_fold_in(
             standing, admitted_sh, cache_registry=caches, **kw
         )
         # the from-scratch reference: corpus ∪ admitted in ONE shingle
-        # pass (all docs minus the rejected batch docs)
+        # pass (all docs minus the rejected batch docs), PINNED — the
+        # standing build scans its corpus three times (signatures,
+        # sizes, shingle table) and each scan would otherwise re-run
+        # the full tokenize/explode subtree
+        union_sh = (
+            all_sh.join(F.broadcast(rejected), "id", "left_anti").cache()
+        )
+        caches.append(union_sh)
         rebuilt = build_containment_standing(
-            all_sh.join(F.broadcast(rejected), "id", "left_anti"),
-            cache_registry=caches,
-            **kw,
+            union_sh, cache_registry=caches, **kw
         )
 
         def table_fingerprint(df: DataFrame, cols: list[str]):
