@@ -7993,19 +7993,6 @@ def io21_containment_index_fold_in(
             union_sh, cache_registry=caches, **kw
         )
 
-        def table_fingerprint(df: DataFrame, cols: list[str]):
-            row_int = F.conv(
-                F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
-            ).cast("bigint")
-            r = df.agg(
-                F.count(F.lit(1)).cast("bigint").alias("n"),
-                F.coalesce(F.sum(row_int.cast("decimal(38,0)")), F.lit(0))
-                .cast("decimal(38,0)")
-                .cast("string")
-                .alias("c"),
-            ).first()
-            return r["n"], r["c"]
-
         key_cols = {
             "index": ["container", "p", "band", "key"],
             "hot": ["sh"],
@@ -8013,12 +8000,36 @@ def io21_containment_index_fold_in(
             "counts": ["p", "band", "key", "n"],
             "dfreq": ["sh", "df"],
         }
-        ext_fp = {
-            n: table_fingerprint(extended[n], key_cols[n]) for n in key_cols
-        }
-        reb_fp = {
-            n: table_fingerprint(rebuilt[n], key_cols[n]) for n in key_cols
-        }
+
+        def side_fingerprints(state: dict) -> dict:
+            # one 5-row job per side (not five 1-row jobs): the table
+            # subtrees are independent, so a union of their one-row
+            # aggregates lets the scheduler run them concurrently
+            aggs = []
+            for n, cols in key_cols.items():
+                row_int = F.conv(
+                    F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15),
+                    16,
+                    10,
+                ).cast("bigint")
+                aggs.append(
+                    state[n].agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n"),
+                        F.coalesce(
+                            F.sum(row_int.cast("decimal(38,0)")), F.lit(0)
+                        )
+                        .cast("decimal(38,0)")
+                        .cast("string")
+                        .alias("c"),
+                    ).select(F.lit(n).alias("t"), "n", "c")
+                )
+            merged = aggs[0]
+            for a in aggs[1:]:
+                merged = merged.unionByName(a)
+            return {r["t"]: (r["n"], r["c"]) for r in merged.collect()}
+
+        ext_fp = side_fingerprints(extended)
+        reb_fp = side_fingerprints(rebuilt)
         equals = {n: ext_fp[n] == reb_fp[n] for n in key_cols}
         n_admitted = admitted_sh.select("id").distinct().count()
         return spark.createDataFrame(
