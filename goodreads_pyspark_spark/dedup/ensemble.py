@@ -351,6 +351,7 @@ def build_containment_standing(
     max_bucket: int | None = 100,
     max_df: int | None = 100,
     cache_registry: list | None = None,
+    sig_sizes: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """The ENTIRE standing half of incremental containment admission,
     i.e. everything a production system persists across ingestion
@@ -368,12 +369,26 @@ def build_containment_standing(
     over the full corpus (hot shingles included), so fold-in can detect
     newly-hot shingles from the BATCH's shingles alone instead of
     re-counting ``st``. Batches only probe and join these; none of
-    them is recomputed per batch."""
-    sigs_c = minhash_signatures_from_shingles(corpus_sh, id_col, num_hashes)
-    sz_c = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    docs_c = sigs_c.join(sz_c, id_col).withColumn(
-        "part", _partition_of(F.col("sz"), size_edges)
-    )
+    them is recomputed per batch.
+
+    ``sig_sizes`` — an optional precomputed ``(id_col, sz, mh0..)``
+    table (the shared signature kernel) — skips the 16-hash
+    aggregation, the expensive corpus pass; ``corpus_sh`` is still
+    required (the shingle table is state). Signatures depend only on a
+    doc's own shingles, so a kernel slice is bit-identical to
+    recomputing."""
+    if sig_sizes is not None:
+        docs_c = sig_sizes.withColumn(
+            "part", _partition_of(F.col("sz"), size_edges)
+        )
+    else:
+        sigs_c = minhash_signatures_from_shingles(
+            corpus_sh, id_col, num_hashes
+        )
+        sz_c = corpus_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        docs_c = sigs_c.join(sz_c, id_col).withColumn(
+            "part", _partition_of(F.col("sz"), size_edges)
+        )
     index = _pin(
         docs_c.select(
             F.col(id_col).alias("container"),

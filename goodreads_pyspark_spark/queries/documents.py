@@ -6032,6 +6032,7 @@ def _kernel_logit_fit(spark: SparkSession, sf_dir: str) -> None:
         "d69_ensemble_tuning_sweep",
         "d70_equidepth_sketch_edges",
         "d71_containment_threshold_sweep",
+        "io21_containment_index_fold_in",
     ),
 )
 def _kernel_ensemble_sigs(spark: SparkSession, sf_dir: str) -> None:
@@ -6761,6 +6762,13 @@ def _d68_standing_index(spark: SparkSession, sf_dir: str) -> dict:
             rows_per_band=_D65_ROWS,
             max_bucket=_D65_BUCKET,
             max_df=_D63_CAP,
+            # signatures come from the shared kernel (bit-identical by
+            # construction: a doc's min-hashes depend only on its own
+            # shingles) — the standing build then costs one shingle
+            # pass instead of two
+            sig_sizes=_ensemble_sig_sizes(spark, sf_dir).filter(
+                F.col("id") % 7 != 0
+            ),
         )
         _D68_INDEX_MEMO[key] = {
             n: f.localCheckpoint() for n, f in standing.items()
@@ -7963,9 +7971,13 @@ def io21_containment_index_fold_in(
             )
             .select(F.col("incoming").alias("id"))
             .distinct()
-            .cache()
+            # localCheckpoint, not cache: the rejected set is tiny but
+            # its LINEAGE is the whole probe pipeline — without
+            # truncation every downstream extended/rebuilt table embeds
+            # that plan and re-pays its Catalyst analysis per job
+            # (measured ~3s of driver time per action at sf0.1)
+            .localCheckpoint()
         )
-        caches.append(rejected)
         admitted_sh = incoming_sh.join(
             F.broadcast(rejected), "id", "left_anti"
         )
@@ -7990,7 +8002,15 @@ def io21_containment_index_fold_in(
         )
         caches.append(union_sh)
         rebuilt = build_containment_standing(
-            union_sh, cache_registry=caches, **kw
+            union_sh,
+            cache_registry=caches,
+            # audit-side shortcut unavailable to production fold-in
+            # (whose docs are NEW): every union doc is in the corpus
+            # signature kernel, so the rebuild skips its 16-hash pass
+            sig_sizes=_ensemble_sig_sizes(spark, sf_dir).join(
+                F.broadcast(rejected), "id", "left_anti"
+            ),
+            **kw,
         )
 
         key_cols = {
