@@ -75,6 +75,17 @@ REGISTRY: dict[str, Query] = {}
 # this round every registry row's newest driver-green is >= r7,
 # restoring the <=6-round staleness invariant (279 registered queries /
 # 50-slot windows -> floor is 6 rounds).
+#: Queries registered AFTER this round's window froze (the io19/io20
+#: convention from r11): they carry no driver-green row yet and LEAD the
+#: next round's window as policy-rule-1 additions. The staleness pytest
+#: exempts exactly this set from the "never-gated rows must be in the
+#: window" assertion; rotate it to empty when the next window is cut.
+POST_FREEZE_ADDITIONS: frozenset[str] = frozenset(
+    {
+        "io22_containment_ingest_loop",
+    }
+)
+
 GATE_WINDOW: frozenset[str] = frozenset(
     {
         # --- policy rule 1: never driver-gated

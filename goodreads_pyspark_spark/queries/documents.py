@@ -6047,6 +6047,7 @@ def _kernel_ensemble_sigs(spark: SparkSession, sf_dir: str) -> None:
         "d71_containment_threshold_sweep",
         "io18_containment_index_publish",
         "io21_containment_index_fold_in",
+        "io22_containment_ingest_loop",
     ),
 )
 def _kernel_d68_index(spark: SparkSession, sf_dir: str) -> None:
@@ -8077,6 +8078,273 @@ def io21_containment_index_fold_in(
             "st_equals_rebuild boolean, counts_equals_rebuild boolean, "
             "dfreq_equals_rebuild boolean",
         )
+    finally:
+        for c in caches:
+            c.unpersist()
+
+
+# --- io22: the multi-round containment ingest loop (r12) ----------------------
+def _io22_oracle() -> str:
+    """From-scratch SQL replay of THREE ingest rounds: batch k probes
+    the standing state as grown by rounds 1..k-1 (corpus ∪ admitted so
+    far), rejected docs are dropped, admitted docs fold in, and the
+    next round sees the LARGER index. One shared signature/entry blob
+    serves every round (signatures are per-doc); each round re-derives
+    its own bucket counts, cap, hot set and df-capped verification
+    space from that round's membership — exactly what the engine's
+    fold-in must be equivalent to, now composed across rounds where a
+    single-round gate (io21) cannot see a stale-state bug."""
+    mins = ",\n           ".join(
+        f"min(md5('s{i}_' || sh)) AS mh{i}" for i in range(_D65_HASHES)
+    )
+    edge_case = "CASE " + " ".join(
+        f"WHEN {{v}} < {e} THEN {p}" for p, e in enumerate(_D65_EDGES)
+    ) + f" ELSE {len(_D65_EDGES)} END"
+    branches = []
+    for p, r in enumerate(_D65_ROWS):
+        for b in range(_D65_HASHES // r):
+            key = " || ".join(f"mh{b * r + k}" for k in range(r))
+            k_expr = f"('0x' || substr(md5({key}), 1, 15))::BIGINT"
+            branches.append(
+                f"      SELECT doc_id, {p} AS p, {b} AS band,"
+                f" {k_expr} AS key FROM mhsz"
+            )
+    ent_blob = "      UNION ALL\n".join(br + "\n" for br in branches)
+    t = _D68_THRESHOLD_NUM
+    rounds_sql = []
+    summaries = []
+    for k in (1, 2, 3):
+        prev_mem = (
+            "mem_r1" if k == 1 else f"mem_r{k}"
+        )
+        rounds_sql.append(f"""
+    batch_r{k} AS MATERIALIZED (
+      SELECT doc_id FROM mhsz WHERE doc_id % 7 = 0 AND doc_id % 3 = {k - 1}),
+    idx0_r{k} AS MATERIALIZED (
+      SELECT e.* FROM own_ent e JOIN {prev_mem} m USING (doc_id)),
+    bc_r{k} AS MATERIALIZED (
+      SELECT p, band, key, count(*) AS n FROM idx0_r{k} GROUP BY 1, 2, 3),
+    idx_r{k} AS MATERIALIZED (
+      SELECT idx0_r{k}.* FROM idx0_r{k} JOIN bc_r{k} USING (p, band, key)
+      WHERE n <= {_D65_BUCKET}),
+    probe_r{k} AS MATERIALIZED (
+      SELECT e.* FROM probe_ent e JOIN batch_r{k} USING (doc_id)),
+    cand_r{k} AS MATERIALIZED (
+      SELECT DISTINCT pr.doc_id AS incoming, ix.doc_id AS container
+      FROM probe_r{k} pr JOIN idx_r{k} ix USING (p, band, key)),
+    dfreq_r{k} AS MATERIALIZED (
+      SELECT sh, count(*) AS df FROM sth JOIN {prev_mem} m
+      ON sth.doc_id = m.doc_id GROUP BY sh),
+    hot_r{k} AS MATERIALIZED (SELECT sh FROM dfreq_r{k} WHERE df > {_D63_CAP}),
+    stc_r{k} AS MATERIALIZED (
+      SELECT sth.doc_id AS container, sh FROM sth
+      WHERE doc_id IN (SELECT DISTINCT container FROM cand_r{k})
+        AND sh NOT IN (SELECT sh FROM hot_r{k})),
+    incf_r{k} AS MATERIALIZED (
+      SELECT sth.doc_id AS incoming, sh FROM sth
+      JOIN batch_r{k} b ON sth.doc_id = b.doc_id
+      WHERE sh NOT IN (SELECT sh FROM hot_r{k})),
+    szin_r{k} AS MATERIALIZED (
+      SELECT incoming, count(*) AS sz_in FROM incf_r{k} GROUP BY incoming),
+    common_r{k} AS MATERIALIZED (
+      SELECT i.incoming, s.container, count(*) AS n_common
+      FROM incf_r{k} i JOIN stc_r{k} s USING (sh)
+      GROUP BY 1, 2),
+    matches_r{k} AS MATERIALIZED (
+      SELECT c.incoming, c.container
+      FROM common_r{k} c
+      JOIN cand_r{k} USING (incoming, container)
+      JOIN szin_r{k} USING (incoming)
+      WHERE CAST(n_common AS DOUBLE) / sz_in >= {t} / 10.0),
+    rej_r{k} AS MATERIALIZED (
+      SELECT DISTINCT incoming AS doc_id FROM matches_r{k}),
+    mem_r{k + 1} AS MATERIALIZED (
+      SELECT doc_id FROM {prev_mem}
+      UNION ALL
+      SELECT doc_id FROM batch_r{k}
+      WHERE doc_id NOT IN (SELECT doc_id FROM rej_r{k})),
+    after_idx_r{k} AS MATERIALIZED (
+      SELECT idx0.* FROM
+        (SELECT e.* FROM own_ent e JOIN mem_r{k + 1} m USING (doc_id)) idx0
+      JOIN (SELECT p, band, key, count(*) AS n
+            FROM own_ent e JOIN mem_r{k + 1} m USING (doc_id)
+            GROUP BY 1, 2, 3) bc USING (p, band, key)
+      WHERE n <= {_D65_BUCKET})""")
+        summaries.append(f"""
+      SELECT {k} AS round,
+        CAST((SELECT COUNT(*) FROM batch_r{k}) AS BIGINT) AS n_batch,
+        CAST((SELECT COUNT(*) FROM rej_r{k}) AS BIGINT) AS n_rejected,
+        CAST((SELECT COUNT(*) FROM batch_r{k})
+             - (SELECT COUNT(*) FROM rej_r{k}) AS BIGINT) AS n_admitted,
+        CAST((SELECT COUNT(DISTINCT incoming) FROM matches_r{k}
+              WHERE container % 7 = 0) AS BIGINT) AS n_rejected_by_admitted,
+        CAST(CAST((SELECT COALESCE(SUM(('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT), 0)
+             FROM rej_r{k}) AS DECIMAL(38,0)) AS VARCHAR)
+          AS rejected_checksum,
+        CAST((SELECT COUNT(*) FROM after_idx_r{k}) AS BIGINT) AS n_index_after,
+        CAST(CAST((SELECT COALESCE(SUM(('0x' || substr(md5(
+               concat_ws('|', doc_id, p, band, key)), 1, 15))::BIGINT), 0)
+             FROM after_idx_r{k}) AS DECIMAL(38,0)) AS VARCHAR)
+          AS index_checksum_after""")
+    return f"""
+    WITH tk AS MATERIALIZED (SELECT doc_id, {_TOKS} AS t FROM documents),
+    sh0 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(list_transform(
+              range(1, len(t)), i -> t[i] || ' ' || t[i+1]))) AS sh
+            FROM tk WHERE len(t) >= 2),
+    mh AS MATERIALIZED (SELECT doc_id,
+           {mins}
+           FROM sh0 GROUP BY doc_id),
+    szs AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh0
+           GROUP BY doc_id),
+    mhsz AS MATERIALIZED (SELECT mh.*, szs.sz,
+             {edge_case.format(v="sz")} AS part,
+             {edge_case.format(v=f"(({t} * sz + 9) // 10)")} AS pmin
+             FROM mh JOIN szs USING (doc_id)),
+    ent AS MATERIALIZED (
+{ent_blob}    ),
+    own_ent AS MATERIALIZED (
+      SELECT ent.doc_id, p, band, key FROM ent
+      JOIN mhsz USING (doc_id) WHERE p = part),
+    probe_ent AS MATERIALIZED (
+      SELECT ent.doc_id, p, band, key FROM ent
+      JOIN mhsz USING (doc_id) WHERE p >= pmin),
+    sth AS MATERIALIZED (SELECT doc_id,
+            ('0x' || substr(md5(sh), 1, 15))::BIGINT AS sh FROM sh0),
+    mem_r1 AS MATERIALIZED (SELECT DISTINCT doc_id FROM mhsz
+            WHERE doc_id % 7 <> 0),{",".join(rounds_sql)}
+    {chr(10).join(["      UNION ALL".join([sm + chr(10) for sm in summaries])])}
+    ORDER BY round
+    """
+
+
+@query(
+    "io22_containment_ingest_loop",
+    oracle=_io22_oracle(),
+    doc="The COMPLETE production ingest loop, three rounds end-to-end "
+    "(the capability the d63-d68/io18/io21 arc was building toward): "
+    "batch k probes the standing state AS GROWN by rounds 1..k-1, "
+    "rejected docs drop, admitted docs FOLD IN "
+    "(extend_containment_standing), and the next batch faces the "
+    "larger index — so a round-2 doc contained in a round-1 ADMITTED "
+    "doc is rejected by state no single-round gate ever exercises "
+    "(the n_rejected_by_admitted cell counts exactly those "
+    "loop-dependent verdicts; the synthetic corpus happens to contain "
+    "zero cross-batch containment pairs, so the cell is a pinned 0 at "
+    "both test sfs and the loop-dependent rejection itself is pinned "
+    "by test_ingest_loop_rejects_against_admitted_container on a "
+    "fixture where it must fire). Gate: per-round admission ledger "
+    "(batch/rejected/admitted counts, rejected-set checksum) plus the "
+    "post-fold index cardinality and content checksum, all recomputed "
+    "by the oracle from a from-scratch SQL replay of the whole "
+    "three-round history — a stale bucket count, a missed newly-hot "
+    "shingle, or any cross-round state drift flips a later round's "
+    "cells even when round 1 is perfect. Scale shape: per round, one "
+    "batch-sized probe (broadcast band keys, d68's plan) + one DELTA "
+    "fold-in (broadcast batch deltas, no standing shuffle — "
+    "test_fold_in_is_delta_only...); state is localCheckpointed "
+    "between rounds so lineage stays round-local (the io21 lesson: "
+    "driver re-planning of deep lineages, not executors, is what "
+    "compounds across iterations).",
+)
+def io22_containment_ingest_loop(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        extend_containment_standing,
+        incremental_containment_matches,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    docs = tbl(spark, sf_dir, "documents")
+    all_sh = shingle_rows(docs, shingle_n=2, out_id="id").localCheckpoint()
+    kw = dict(
+        id_col="id",
+        num_hashes=_D65_HASHES,
+        size_edges=_D65_EDGES,
+        rows_per_band=_D65_ROWS,
+        max_bucket=_D65_BUCKET,
+        max_df=_D63_CAP,
+    )
+    standing = _d68_standing_index(spark, sf_dir)
+
+    def checksum_of(df: DataFrame, cols: list[str]):
+        row_int = F.conv(
+            F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        ).cast("bigint")
+        r = df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(F.sum(row_int.cast("decimal(38,0)")), F.lit(0))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("c"),
+        ).first()
+        return r["n"], r["c"]
+
+    rows = []
+    caches: list = []
+    try:
+        for rnd in (1, 2, 3):
+            batch_sh = all_sh.filter(
+                (F.col("id") % 7 == 0) & (F.col("id") % 3 == rnd - 1)
+            )
+            n_batch = batch_sh.select("id").distinct().count()
+            matches = incremental_containment_matches(
+                None,
+                batch_sh,
+                threshold=_D68_THRESHOLD_NUM / 10.0,
+                prebuilt_standing=standing,
+                cache_registry=caches,
+                **kw,
+            ).localCheckpoint()
+            rejected = (
+                matches.select(F.col("incoming").alias("id"))
+                .distinct()
+                .localCheckpoint()
+            )
+            n_rej, rej_ck = checksum_of(rejected, ["id"])
+            n_by_admitted = (
+                matches.filter(F.col("container") % 7 == 0)
+                .select("incoming")
+                .distinct()
+                .count()
+            )
+            admitted_sh = batch_sh.join(
+                F.broadcast(rejected), "id", "left_anti"
+            )
+            extended = extend_containment_standing(
+                standing, admitted_sh, cache_registry=caches, **kw
+            )
+            # truncate lineage between rounds: round k+1's plans must
+            # not embed round k's probe/fold pipeline (the io21 lesson)
+            standing = {
+                n: f.localCheckpoint() for n, f in extended.items()
+            }
+            for c in caches:
+                c.unpersist()
+            caches.clear()
+            n_idx, idx_ck = checksum_of(
+                standing["index"], ["container", "p", "band", "key"]
+            )
+            rows.append(
+                (
+                    rnd,
+                    n_batch,
+                    n_rej,
+                    n_batch - n_rej,
+                    n_by_admitted,
+                    rej_ck,
+                    n_idx,
+                    idx_ck,
+                )
+            )
+        return spark.createDataFrame(
+            rows,
+            "round int, n_batch bigint, n_rejected bigint, "
+            "n_admitted bigint, n_rejected_by_admitted bigint, "
+            "rejected_checksum string, n_index_after bigint, "
+            "index_checksum_after string",
+        ).orderBy("round")
     finally:
         for c in caches:
             c.unpersist()

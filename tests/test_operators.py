@@ -1137,6 +1137,56 @@ def test_fold_in_from_published_state(spark, tmp_path):
         assert fp(from_disk[name], cs) == fp(from_memo[name], cs), name
 
 
+def test_ingest_loop_rejects_against_admitted_container(spark):
+    """The behavior that distinguishes the ingest LOOP from independent
+    probes (io22): a doc contained in a doc ADMITTED by an earlier
+    batch must be rejected by the grown index — and would have been
+    admitted had the index not been extended between batches."""
+    from pyspark.sql import functions as F
+
+    from goodreads_pyspark_spark.dedup.ensemble import (
+        build_containment_standing,
+        extend_containment_standing,
+        incremental_containment_matches,
+    )
+    from goodreads_pyspark_spark.dedup.shingles import shingle_rows
+
+    big = " ".join(f"x{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(f"c{i}" for i in range(30))),  # standing corpus
+            (2, big),  # batch 1: novel -> admitted
+            (3, " ".join(f"x{i}" for i in range(32))),  # batch 2: ⊂ doc 2
+        ],
+        "doc_id bigint, text string",
+    )
+    sh = shingle_rows(docs, shingle_n=2, out_id="id")
+    standing = build_containment_standing(
+        sh.filter(F.col("id") == 1), id_col="id"
+    )
+
+    def probe(state, batch_id):
+        return incremental_containment_matches(
+            None,
+            sh.filter(F.col("id") == batch_id),
+            id_col="id",
+            prebuilt_standing=state,
+        ).collect()
+
+    # batch 1: doc 2 is novel -> admitted, folded in
+    assert probe(standing, 2) == []
+    grown = extend_containment_standing(
+        standing, sh.filter(F.col("id") == 2), id_col="id"
+    )
+    # batch 2: doc 3 is contained in the ADMITTED doc 2 — rejected by
+    # the grown index, admitted by the stale one
+    stale = probe(standing, 3)
+    fresh = probe(grown, 3)
+    assert stale == []
+    assert [(r["incoming"], r["container"]) for r in fresh] == [(3, 2)]
+    assert fresh[0]["containment_in"] >= 0.8
+
+
 def test_containment_probe_floor_monotone_in_threshold(spark):
     """Lower admission thresholds must probe at least as many partitions,
     so the candidate set at t=0.5 contains the candidate set at t=0.8;

@@ -81,7 +81,10 @@ def test_staleness_invariant_enforced_at_close():
     import importlib.util
     from pathlib import Path
 
-    from goodreads_pyspark_spark.queries import GATE_WINDOW
+    from goodreads_pyspark_spark.queries import (
+        GATE_WINDOW,
+        POST_FREEZE_ADDITIONS,
+    )
 
     repo = Path(__file__).resolve().parent.parent
     spec = importlib.util.spec_from_file_location(
@@ -101,8 +104,19 @@ def test_staleness_invariant_enforced_at_close():
             continue  # re-certified this round by the driver gate
         lg = green.get(name)
         if lg is None:
-            ungated.append(name)
+            if name not in POST_FREEZE_ADDITIONS:
+                ungated.append(name)
         elif cur_round - lg > 6:
             stale.append(f"{name} (last green r{lg}, age {cur_round - lg})")
     assert not ungated, f"never-gated rows missing from the window: {ungated}"
+    # post-freeze additions must not linger: they are either brand-new
+    # (no green row) or already rotated into a window and out of this set
+    stale_exempt = [
+        n
+        for n in POST_FREEZE_ADDITIONS
+        if n in GATE_WINDOW or green.get(n) is not None
+    ]
+    assert not stale_exempt, (
+        f"rotate POST_FREEZE_ADDITIONS: already windowed/gated: {stale_exempt}"
+    )
     assert not stale, f"rows past the 6-round staleness floor: {stale}"
