@@ -8283,12 +8283,25 @@ def io22_containment_ingest_loop(
 
     rows = []
     caches: list = []
+    # all three batch cardinalities in ONE upfront job
+    n_batch_by_round = {
+        r["r"]: r["n"]
+        for r in all_sh.filter(F.col("id") % 7 == 0)
+        .select((F.col("id") % 3).alias("r"), "id")
+        .distinct()
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
     try:
         for rnd in (1, 2, 3):
             batch_sh = all_sh.filter(
                 (F.col("id") % 7 == 0) & (F.col("id") % 3 == rnd - 1)
             )
-            n_batch = batch_sh.select("id").distinct().count()
+            n_batch = int(n_batch_by_round.get(rnd - 1, 0))
+            # the LC truncates the probe pipeline out of everything
+            # downstream (the io21 lesson); rejected/by-admitted are
+            # shallow derivations over it, fingerprinted in one job
             matches = incremental_containment_matches(
                 None,
                 batch_sh,
@@ -8297,18 +8310,40 @@ def io22_containment_ingest_loop(
                 cache_registry=caches,
                 **kw,
             ).localCheckpoint()
-            rejected = (
-                matches.select(F.col("incoming").alias("id"))
-                .distinct()
-                .localCheckpoint()
+            rejected = matches.select(
+                F.col("incoming").alias("id")
+            ).distinct()
+            rej_int = F.conv(
+                F.substring(F.md5(F.col("id").cast("string")), 1, 15),
+                16,
+                10,
+            ).cast("bigint")
+            stats = (
+                rejected.agg(
+                    F.count(F.lit(1)).cast("bigint").alias("n"),
+                    F.coalesce(
+                        F.sum(rej_int.cast("decimal(38,0)")), F.lit(0)
+                    )
+                    .cast("decimal(38,0)")
+                    .cast("string")
+                    .alias("c"),
+                )
+                .select(F.lit("rej").alias("t"), "n", "c")
+                .unionByName(
+                    matches.filter(F.col("container") % 7 == 0)
+                    .select("incoming")
+                    .distinct()
+                    .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+                    .select(
+                        F.lit("byadm").alias("t"),
+                        "n",
+                        F.lit("").alias("c"),
+                    )
+                )
             )
-            n_rej, rej_ck = checksum_of(rejected, ["id"])
-            n_by_admitted = (
-                matches.filter(F.col("container") % 7 == 0)
-                .select("incoming")
-                .distinct()
-                .count()
-            )
+            st_rows = {r["t"]: (r["n"], r["c"]) for r in stats.collect()}
+            n_rej, rej_ck = st_rows["rej"]
+            n_by_admitted = st_rows["byadm"][0]
             admitted_sh = batch_sh.join(
                 F.broadcast(rejected), "id", "left_anti"
             )
