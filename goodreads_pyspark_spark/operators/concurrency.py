@@ -1,0 +1,56 @@
+"""Overlapping independent Spark jobs from driver threads (guide §2.6).
+
+Several audit-style queries run INDEPENDENT actions back-to-back — two
+equivalence probes, a per-config sweep, a batch of localCheckpoint
+materializations. Driver code calling actions sequentially leaves the
+cluster idle through every stage tail: as one job dwindles to its last
+straggler tasks, nothing back-fills the freed executors. Submitting the
+independent actions from a small thread pool lets the scheduler overlap
+them — FIFO scheduling gives exactly the back-fill behaviour we want
+(the earlier job keeps priority, later jobs use the leftovers).
+
+This changes WHEN each job runs, never what it computes: every helper
+here just evaluates the same thunks and preserves order of results.
+Exceptions propagate (the first one raised wins, after every thunk has
+settled, so partially-run pools never leak running jobs into the
+caller's cleanup path).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from concurrent.futures import ThreadPoolExecutor
+from typing import TypeVar
+
+T = TypeVar("T")
+
+#: Jobs in flight at once. 2-3 is enough to fill stage tails without the
+#: jobs fighting for executors (guide §2.6); sweeps of 3 configs use 3.
+DEFAULT_WORKERS = 3
+
+
+def run_concurrent(
+    thunks: Sequence[Callable[[], T]], max_workers: int | None = None
+) -> list[T]:
+    """Evaluate ``thunks`` on a driver thread pool; results in order.
+
+    All thunks are awaited even when one raises (so every Spark job
+    settles before the caller's finally-block cleanup runs); the first
+    exception by position is then re-raised.
+    """
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    n = min(max_workers or DEFAULT_WORKERS, len(thunks))
+    with ThreadPoolExecutor(max_workers=n) as pool:
+        futures = [pool.submit(t) for t in thunks]
+        results, first_err = [], None
+        for f in futures:
+            try:
+                results.append(f.result())
+            except BaseException as e:  # noqa: BLE001 — re-raised below
+                if first_err is None:
+                    first_err = e
+                results.append(None)
+        if first_err is not None:
+            raise first_err
+    return results

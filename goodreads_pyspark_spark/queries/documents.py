@@ -24,6 +24,7 @@ from goodreads_pyspark_spark.functions.text import (
     stopword_count,
     tokens,
 )
+from goodreads_pyspark_spark.operators.concurrency import run_concurrent
 from goodreads_pyspark_spark.queries import query, shared_kernel
 from goodreads_pyspark_spark.queries._helpers import tbl
 
@@ -7120,12 +7121,13 @@ def d69_ensemble_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .cache()
     )
-    parts = []
-    for rows_per_band in _D69_CONFIGS:
+    def run_config(rows_per_band) -> tuple[str, int, int]:
         # per-config caches (incl. the keyed band table inside
         # lsh_ensemble_candidate_pairs) are released once the config's
-        # counters are materialized — the sweep never holds more than
-        # one config's working set pinned
+        # counters are materialized. The candidate count and the
+        # recovered-pair count share the cached candidate frame, so a
+        # union of the two one-row aggregates materializes both in ONE
+        # job instead of two.
         caches: list = []
         cand = lsh_ensemble_candidate_pairs(
             None,
@@ -7140,14 +7142,33 @@ def d69_ensemble_tuning_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least("contained", "container").alias("doc_a"),
             F.greatest("contained", "container").alias("doc_b"),
         ).cache()
-        nc = cand.count()
-        nr = cont.join(cand, ["doc_a", "doc_b"]).count()
+        try:
+            counters = {
+                r["t"]: r["n"]
+                for r in cand.agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit("nc").alias("t"), "n")
+                .unionByName(
+                    cont.join(cand, ["doc_a", "doc_b"])
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .select(F.lit("nr").alias("t"), "n")
+                )
+                .collect()
+            }
+        finally:
+            cand.unpersist()
+            for c in caches:
+                c.unpersist()
         cfg = "/".join(str(r) for r in rows_per_band)
-        parts.append((cfg, nc, nr))
-        cand.unpersist()
-        for c in caches:
-            c.unpersist()
-    n_exact = cont.count()
+        return (cfg, counters["nc"], counters["nr"])
+
+    # the three configs (and the exact-pair denominator) are independent
+    # measurements off shared read-only kernels — overlap them on a
+    # driver pool (guide §2.6) instead of sweeping serially
+    *parts, n_exact = run_concurrent(
+        [(lambda cfg=cfg: run_config(cfg)) for cfg in _D69_CONFIGS]
+        + [cont.count],
+        max_workers=4,
+    )
     out = spark.createDataFrame(
         [
             (
@@ -7440,45 +7461,69 @@ def d71_containment_threshold_sweep(
         .join(sz_in, "incoming")
         .cache()
     )
-    rows = []
+    def run_threshold(t: int):
+        caches: list = []
+        ex = rec = None
+        try:
+            cand = containment_probe_candidates(
+                standing,
+                None,
+                id_col="id",
+                num_hashes=_D65_HASHES,
+                size_edges=_D65_EDGES,
+                rows_per_band=_D65_ROWS,
+                threshold=t / 100.0,
+                incoming_sig_sizes=sig_sizes,
+                cache_registry=caches,
+            )
+            ex = allp.filter(
+                F.col("n_common") * 100 >= F.lit(t) * F.col("sz_in")
+            ).cache()
+            rec = ex.join(cand, ["incoming", "container"]).cache()
+            # the five per-threshold counters are independent one-row
+            # aggregates over the three cached frames — union them into
+            # ONE job (the io21 side_fingerprints discipline) instead of
+            # five serial actions
+            counters = {
+                "n_exact": ex,
+                "n_cand": cand,
+                "n_rec": rec,
+                "n_rej_exact": ex.select("incoming").distinct(),
+                "n_rej_index": rec.select("incoming").distinct(),
+            }
+            merged = None
+            for tag, f in counters.items():
+                one = f.agg(F.count(F.lit(1)).alias("n")).select(
+                    F.lit(tag).alias("t"), "n"
+                )
+                merged = one if merged is None else merged.unionByName(one)
+            got = {r["t"]: r["n"] for r in merged.collect()}
+            n_exact, n_cand, n_rec = (
+                got["n_exact"], got["n_cand"], got["n_rec"],
+            )
+            n_rej_exact, n_rej_index = (
+                got["n_rej_exact"], got["n_rej_index"],
+            )
+            return (
+                t,
+                n_exact,
+                n_cand,
+                n_rec,
+                (n_rec / n_exact) if n_exact else None,
+                n_rej_exact,
+                n_rej_index,
+            )
+        finally:
+            for c in (ex, rec, *caches):
+                if c is not None:
+                    c.unpersist()
+
     try:
-        for t in _D71_THRESHOLDS:
-            caches: list = []
-            ex = rec = None
-            try:
-                cand = containment_probe_candidates(
-                    standing,
-                    None,
-                    id_col="id",
-                    num_hashes=_D65_HASHES,
-                    size_edges=_D65_EDGES,
-                    rows_per_band=_D65_ROWS,
-                    threshold=t / 100.0,
-                    incoming_sig_sizes=sig_sizes,
-                    cache_registry=caches,
-                )
-                ex = allp.filter(
-                    F.col("n_common") * 100 >= F.lit(t) * F.col("sz_in")
-                ).cache()
-                rec = ex.join(cand, ["incoming", "container"]).cache()
-                n_exact, n_cand, n_rec = ex.count(), cand.count(), rec.count()
-                n_rej_exact = ex.select("incoming").distinct().count()
-                n_rej_index = rec.select("incoming").distinct().count()
-                rows.append(
-                    (
-                        t,
-                        n_exact,
-                        n_cand,
-                        n_rec,
-                        (n_rec / n_exact) if n_exact else None,
-                        n_rej_exact,
-                        n_rej_index,
-                    )
-                )
-            finally:
-                for c in (ex, rec, *caches):
-                    if c is not None:
-                        c.unpersist()
+        # thresholds are independent re-filters of one signature table —
+        # overlap them on a driver pool (guide §2.6)
+        rows = run_concurrent(
+            [(lambda tt=t: run_threshold(tt)) for t in _D71_THRESHOLDS]
+        )
     finally:
         # the two biggest caches release even when a threshold pass
         # fails (the ADVICE r11 failure-path discipline)
@@ -7683,19 +7728,31 @@ def io18_containment_index_publish(
         # turns it into a scan-level prune — at 100 TB the low-size
         # partitions of the index are never read off disk for a batch
         # of large documents (plan test pins PartitionFilters).
-        standing["index"].write.mode("overwrite").partitionBy("p").parquet(
-            f"{stage}/index"
+        # the five staged tables are independent write jobs over
+        # localCheckpointed kernel state — submit them from a driver
+        # pool so their stage tails overlap (guide §2.6) instead of
+        # paying five serial write barriers
+        def write_one(name: str) -> None:
+            w = standing[name].write.mode("overwrite")
+            if name == "index":
+                w = w.partitionBy("p")
+            w.parquet(f"{stage}/{name}")
+
+        run_concurrent(
+            [(lambda n=name: write_one(n))
+             for name in ("index", "hot", "st", "counts", "dfreq")]
         )
-        for name in ("hot", "st", "counts", "dfreq"):
-            standing[name].write.mode("overwrite").parquet(f"{stage}/{name}")
 
         # -- audit on the READ-BACK staged tables only --------------------
         staged = {
             name: spark.read.parquet(f"{stage}/{name}")
             for name in ("index", "hot", "st", "counts", "dfreq")
         }
-        counts = {n: staged[n].count() for n in staged}
-        memo_counts = {n: standing[n].count() for n in staged}
+        # ONE audit job, not twelve: per-table row counts on both sides,
+        # the staged-index content checksum, and the batch's minimum doc
+        # size are independent one-row aggregates — a union of them lets
+        # the scheduler run all the underlying scans concurrently (the
+        # io21 side_fingerprints discipline)
         idx_int = F.conv(
             F.substring(
                 F.md5(F.concat_ws("|", "container", "p", "band", "key")),
@@ -7705,16 +7762,40 @@ def io18_containment_index_publish(
             16,
             10,
         ).cast("bigint")
-        index_checksum = (
-            staged["index"]
-            .agg(
-                F.coalesce(F.sum(idx_int.cast("decimal(38,0)")), F.lit(0))
-                .cast("decimal(38,0)")
-                .cast("string")
-                .alias("c")
-            )
-            .first()["c"]
+        idx_ck_col = (
+            F.coalesce(F.sum(idx_int.cast("decimal(38,0)")), F.lit(0))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("c")
         )
+        aggs = []
+        for side, tables in (("staged", staged), ("memo", standing)):
+            for n, f in tables.items():
+                agg_cols = [F.count(F.lit(1)).cast("bigint").alias("n")]
+                agg_cols.append(
+                    idx_ck_col
+                    if (side, n) == ("staged", "index")
+                    else F.lit("").alias("c")
+                )
+                aggs.append(
+                    f.agg(*agg_cols).select(
+                        F.lit(f"{side}.{n}").alias("t"), "n", "c"
+                    )
+                )
+        aggs.append(
+            incoming_sh.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("szq"))
+            .agg(F.min("szq").cast("bigint").alias("n"))
+            .select(F.lit("szq_min").alias("t"), "n", F.lit("").alias("c"))
+        )
+        merged = aggs[0]
+        for a in aggs[1:]:
+            merged = merged.unionByName(a)
+        audit_rows = {r["t"]: (r["n"], r["c"]) for r in merged.collect()}
+        counts = {n: audit_rows[f"staged.{n}"][0] for n in staged}
+        memo_counts = {n: audit_rows[f"memo.{n}"][0] for n in staged}
+        index_checksum = audit_rows["staged.index"][1]
+        szq_min = audit_rows["szq_min"][0]
         # the staged probe reads the index with the batch's GLOBAL probe
         # floor as a literal partition predicate (min over the batch of
         # each doc's pmin = the floor for the batch's smallest doc):
@@ -7722,12 +7803,6 @@ def io18_containment_index_publish(
         # global floor, so pruning partitions below it cannot drop a
         # match — probe_equals_memo certifies exactly that, against the
         # unpruned in-memory path.
-        szq_min = (
-            incoming_sh.groupBy("id")
-            .agg(F.count(F.lit(1)).alias("szq"))
-            .agg(F.min("szq").alias("m"))
-            .first()["m"]
-        )
         floor_sz = (
             0 if szq_min is None else (_D68_THRESHOLD_NUM * szq_min + 9) // 10
         )
@@ -7738,8 +7813,15 @@ def io18_containment_index_publish(
         )
         caches: list = []
         try:
-            memo_rc = rejected_checksum(probe(standing, caches))
-            staged_rc = rejected_checksum(probe(staged_probe, caches))
+            # the two probe replays (memo-backed and staged-backed) are
+            # independent by construction — that independence is the
+            # audit's point — so they overlap on the driver pool
+            memo_rc, staged_rc = run_concurrent(
+                [
+                    lambda: rejected_checksum(probe(standing, caches)),
+                    lambda: rejected_checksum(probe(staged_probe, caches)),
+                ]
+            )
         finally:
             # release in finally or a failed probe/write pins the
             # registered caches for the session (ADVICE r11)
@@ -8022,10 +8104,7 @@ def io21_containment_index_fold_in(
             "dfreq": ["sh", "df"],
         }
 
-        def side_fingerprints(state: dict) -> dict:
-            # one 5-row job per side (not five 1-row jobs): the table
-            # subtrees are independent, so a union of their one-row
-            # aggregates lets the scheduler run them concurrently
+        def side_aggs(side: str, state: dict) -> list[DataFrame]:
             aggs = []
             for n, cols in key_cols.items():
                 row_int = F.conv(
@@ -8042,17 +8121,45 @@ def io21_containment_index_fold_in(
                         .cast("decimal(38,0)")
                         .cast("string")
                         .alias("c"),
-                    ).select(F.lit(n).alias("t"), "n", "c")
+                    ).select(F.lit(f"{side}.{n}").alias("t"), "n", "c")
                 )
+            return aggs
+
+        # one 5-row union job per side (the subtrees within a side are
+        # independent, so the scheduler overlaps their scans), and the
+        # two sides plus the admitted count overlap on a driver pool
+        # (guide §2.6). A single 11-way union was measured SLOWER
+        # (11.4s vs 8.3s at sf0.1): the rebuilt side's deep build
+        # lineage repeated across that many union branches pushes
+        # Catalyst analysis past what the job overlap saves.
+        def side_job(side: str, state: dict) -> list:
+            aggs = side_aggs(side, state)
             merged = aggs[0]
             for a in aggs[1:]:
                 merged = merged.unionByName(a)
-            return {r["t"]: (r["n"], r["c"]) for r in merged.collect()}
+            return merged.collect()
 
-        ext_fp = side_fingerprints(extended)
-        reb_fp = side_fingerprints(rebuilt)
+        adm = (
+            admitted_sh.select("id")
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(F.lit("n_admitted").alias("t"), "n", F.lit("").alias("c"))
+        )
+        got = {
+            r["t"]: (r["n"], r["c"])
+            for rows_ in run_concurrent(
+                [
+                    lambda: side_job("ext", extended),
+                    lambda: side_job("reb", rebuilt),
+                    adm.collect,
+                ]
+            )
+            for r in rows_
+        }
+        ext_fp = {n: got[f"ext.{n}"] for n in key_cols}
+        reb_fp = {n: got[f"reb.{n}"] for n in key_cols}
         equals = {n: ext_fp[n] == reb_fp[n] for n in key_cols}
-        n_admitted = admitted_sh.select("id").distinct().count()
+        n_admitted = got["n_admitted"][0]
         return spark.createDataFrame(
             [
                 (
@@ -8341,9 +8448,6 @@ def io22_containment_ingest_loop(
                     )
                 )
             )
-            st_rows = {r["t"]: (r["n"], r["c"]) for r in stats.collect()}
-            n_rej, rej_ck = st_rows["rej"]
-            n_by_admitted = st_rows["byadm"][0]
             admitted_sh = batch_sh.join(
                 F.broadcast(rejected), "id", "left_anti"
             )
@@ -8351,10 +8455,25 @@ def io22_containment_ingest_loop(
                 standing, admitted_sh, cache_registry=caches, **kw
             )
             # truncate lineage between rounds: round k+1's plans must
-            # not embed round k's probe/fold pipeline (the io21 lesson)
-            standing = {
-                n: f.localCheckpoint() for n, f in extended.items()
-            }
+            # not embed round k's probe/fold pipeline (the io21 lesson).
+            # The five table materializations and the round's admission
+            # stats are mutually independent given the checkpointed
+            # matches frame — submit them from a driver pool so each
+            # job's stage tail back-fills with the next job's tasks
+            # (guide §2.6) instead of serializing six jobs per round.
+            names = list(extended)
+            results = run_concurrent(
+                [stats.collect]
+                + [
+                    (lambda f=extended[n]: f.localCheckpoint())
+                    for n in names
+                ],
+                max_workers=3,
+            )
+            st_rows = {r["t"]: (r["n"], r["c"]) for r in results[0]}
+            n_rej, rej_ck = st_rows["rej"]
+            n_by_admitted = st_rows["byadm"][0]
+            standing = dict(zip(names, results[1:]))
             for c in caches:
                 c.unpersist()
             caches.clear()

@@ -591,16 +591,31 @@ def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from goodreads_pyspark_spark.graph.pregel import personalized_pagerank_scaled
 
+    from goodreads_pyspark_spark.operators.concurrency import run_concurrent
+
     g = _graph(spark, sf_dir)
     seed_expr = f"id < {_OFFSET} AND id % {_PPR_SEED_MOD} = 0"
     ckpt_dir = f"spark-warehouse/_g10_ckpt_{uuid.uuid4().hex[:8]}"
     try:
-        reliable = personalized_pagerank_scaled(
-            g, seed_expr, n_iter=3, checkpoint_every=1, checkpoint_dir=ckpt_dir
+        # the two checkpoint-mode runs are independent by construction —
+        # that independence is what the equality gate certifies — so
+        # their per-superstep job chains overlap on a driver pool
+        # (guide §2.6) instead of running the same 3-round loop twice
+        # back-to-back
+        reliable, local = run_concurrent(
+            [
+                lambda: personalized_pagerank_scaled(
+                    g,
+                    seed_expr,
+                    n_iter=3,
+                    checkpoint_every=1,
+                    checkpoint_dir=ckpt_dir,
+                ),
+                lambda: personalized_pagerank_scaled(
+                    g, seed_expr, n_iter=3, checkpoint_every=1
+                ).localCheckpoint(),
+            ]
         )
-        local = personalized_pagerank_scaled(
-            g, seed_expr, n_iter=3, checkpoint_every=1
-        ).localCheckpoint()
         # bit-identity: same row count and zero (id, score) rows on one
         # side only — integer PPR is deterministic, so any divergence is
         # a checkpoint-path bug. Driver-side bounded action (two counts),

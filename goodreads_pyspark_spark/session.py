@@ -17,6 +17,33 @@ import os
 from pyspark.sql import SparkSession
 
 
+#: Measured tuning posture (OPTIMIZATION_r12.md carries the A/B numbers).
+#: canChangeCachedPlanOutputPartitioning=true extends AQE partition
+#: coalescing to plans that end in (or read) a cache() — iterative
+#: graph/dedup state is cached between rounds, and without this flag
+#: every cached round materializes at the static shuffle partition count
+#: instead of the byte-sized AQE layout. Interleaved same-session A/B at
+#: sf0.1: g14 0.68x, d65 0.64x, g05/g09/g16 ~0.98x, no regression beyond
+#: noise (order-bias control 0.94-1.00x). The candidate flags
+#: coalescePartitions.parallelismFirst=false + 16m advisory were REJECTED
+#: on measurement: compute-dense, byte-light stages (tokenize/shingle,
+#: LPA rounds) lost core coverage — g03 1.78x, d54 1.34x, d65 1.18x.
+_TUNED_CONFS: dict[str, str] = {
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+}
+
+
+def _env_conf_overrides() -> list[tuple[str, str]]:
+    """``SPARK_GRAFT_CONF="k=v,k=v"`` — deployment-specific overrides."""
+    raw = os.environ.get("SPARK_GRAFT_CONF", "")
+    out = []
+    for item in raw.split(","):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            out.append((k.strip(), v.strip()))
+    return out
+
+
 def get_spark(app_name: str = "goodreads_pyspark_spark", cpus: int | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine.
 
@@ -44,6 +71,15 @@ def get_spark(app_name: str = "goodreads_pyspark_spark", cpus: int | None = None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
+    # Scale-dependent tuning knobs (optimization guide §2.2/§9), each
+    # overridable via SPARK_GRAFT_CONF="k=v,k=v" so cluster deployments can
+    # re-size them without code edits. Values are BYTE-sized, not
+    # core-count-sized, so they adapt with data volume rather than
+    # encoding local[32] assumptions.
+    for k, v in _TUNED_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in _env_conf_overrides():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

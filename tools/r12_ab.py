@@ -1,0 +1,82 @@
+"""Interleaved same-session A/B of runtime-settable SQL confs.
+
+Usage:
+  python tools/r12_ab.py --confs "k=v;k=v" --reps 4 q1 q2 ...
+
+For each query, alternates rep-by-rep between the session's current
+config (A) and the override set (B), restoring A after each B rep.
+Interleaving makes host-noise bursts hit both arms roughly equally —
+the min-per-arm comparison is then meaningful where back-to-back
+process runs are not.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from goodreads_pyspark_spark.queries import (  # noqa: E402
+    REGISTRY,
+    SHARED_KERNELS,
+    _load_all,
+)
+from goodreads_pyspark_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--confs", required=True, help="B-side: k=v;k=v")
+    ap.add_argument("--reps", type=int, default=4)
+    args = ap.parse_args()
+
+    overrides = dict(kv.split("=", 1) for kv in args.confs.split(";"))
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _load_all()
+    spark = get_spark("r12_ab")
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    baseline = {k: spark.conf.get(k) for k in overrides}
+    print(f"# A = {baseline}", file=sys.stderr)
+    print(f"# B = {overrides}", file=sys.stderr)
+
+    wanted = set(args.queries)
+    for kname, spec in SHARED_KERNELS.items():
+        if wanted & set(spec["consumers"]):
+            spec["build"](spark, sf_dir)
+            spark.catalog.clearCache()
+
+    def run_once(q) -> float:
+        t0 = time.perf_counter()
+        q.spark_fn(spark, sf_dir).collect()
+        dt = time.perf_counter() - t0
+        spark.catalog.clearCache()
+        return dt
+
+    for name in args.queries:
+        q = REGISTRY[name]
+        a_times, b_times = [], []
+        for _ in range(args.reps):
+            a_times.append(run_once(q))
+            for k, v in overrides.items():
+                spark.conf.set(k, v)
+            try:
+                b_times.append(run_once(q))
+            finally:
+                for k, v in baseline.items():
+                    spark.conf.set(k, v)
+        a, b = min(a_times), min(b_times)
+        print(
+            f"{name}: A={a:.3f}s B={b:.3f}s  B/A={b / a:.2f}"
+            f"  (a={['%.2f' % t for t in a_times]},"
+            f" b={['%.2f' % t for t in b_times]})"
+        )
+
+
+if __name__ == "__main__":
+    main()

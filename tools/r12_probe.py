@@ -1,0 +1,95 @@
+"""Round-12 optimization probe: per-query timing + plan capture.
+
+Usage:
+  python tools/r12_probe.py [--reps N] [--plans DIR] [--suffix TAG] q1 q2 ...
+
+Times each named query exactly the way bench.py does (collect(),
+clearCache between runs, min of --reps samples) after force-building
+only the shared kernels that amortize it, and optionally writes
+``explain("formatted")`` for the query frame (plus its
+PRE_MATERIALIZATION twin when registered) to ``--plans`` as
+``<query>_<suffix>.txt``. Timing methodology is identical to bench.py
+so numbers here are comparable to BENCH_DETAIL.json entries given the
+same host calibration.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from goodreads_pyspark_spark.queries import (  # noqa: E402
+    PRE_MATERIALIZATION,
+    REGISTRY,
+    SHARED_KERNELS,
+    _load_all,
+)
+from goodreads_pyspark_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("queries", nargs="+")
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--plans", default=None, help="dir for explain output")
+    ap.add_argument("--suffix", default="before")
+    ap.add_argument("--all-kernels", action="store_true")
+    args = ap.parse_args()
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _load_all()
+    spark = get_spark("r12_probe")
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    wanted = set(args.queries)
+    for kname, spec in SHARED_KERNELS.items():
+        if args.all_kernels or wanted & set(spec["consumers"]):
+            t0 = time.perf_counter()
+            spec["build"](spark, sf_dir)
+            spark.catalog.clearCache()
+            print(
+                f"# kernel {kname}: {time.perf_counter() - t0:.3f}s",
+                file=sys.stderr,
+            )
+
+    for name in args.queries:
+        q = REGISTRY[name]
+        best, n = None, None
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            df = q.spark_fn(spark, sf_dir)
+            n = len(df.collect())
+            dt = time.perf_counter() - t0
+            spark.catalog.clearCache()
+            best = dt if best is None else min(best, dt)
+        print(f"{name}: {best:.3f}s ({n} rows, min of {args.reps})")
+        if args.plans:
+            os.makedirs(args.plans, exist_ok=True)
+            df = q.spark_fn(spark, sf_dir)
+            texts = [
+                "== returned frame ==",
+                df._sc._jvm.PythonSQLUtils.explainString(
+                    df._jdf.queryExecution(), "formatted"
+                ),
+            ]
+            pre = PRE_MATERIALIZATION.get(name)
+            if pre is not None:
+                texts += [
+                    "== pre-materialization frame ==",
+                    pre._sc._jvm.PythonSQLUtils.explainString(
+                        pre._jdf.queryExecution(), "formatted"
+                    ),
+                ]
+            out = Path(args.plans) / f"{name}_{args.suffix}.txt"
+            out.write_text("\n".join(texts) + "\n")
+            spark.catalog.clearCache()
+            print(f"# plan -> {out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
