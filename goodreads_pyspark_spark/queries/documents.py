@@ -307,9 +307,15 @@ def _c_pipeline_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]
             "cleaned": cleaned.select("doc_id"),
             "contam": contam,
         }
-        _C_STAGES_MEMO[key] = {
-            n: f.localCheckpoint() for n, f in stages.items()
-        }
+        # overlap the four stage materializations (guide §2.6); `gated`
+        # and `exact` fill the shared caches on first touch, and the
+        # deeper frames reuse them
+        names = list(stages)
+        checkpointed = run_concurrent(
+            [(lambda f=stages[n]: f.localCheckpoint()) for n in names],
+            max_workers=2,
+        )
+        _C_STAGES_MEMO[key] = dict(zip(names, checkpointed))
         exact.unpersist()
         all_sh.unpersist()
     return _C_STAGES_MEMO[key]
@@ -6772,9 +6778,14 @@ def _d68_standing_index(spark: SparkSession, sf_dir: str) -> dict:
                 F.col("id") % 7 != 0
             ),
         )
-        _D68_INDEX_MEMO[key] = {
-            n: f.localCheckpoint() for n, f in standing.items()
-        }
+        # the five standing tables are independent given the shared
+        # pinned subtrees — overlap their materializations (guide §2.6)
+        names = list(standing)
+        checkpointed = run_concurrent(
+            [(lambda f=standing[n]: f.localCheckpoint()) for n in names],
+            max_workers=3,
+        )
+        _D68_INDEX_MEMO[key] = dict(zip(names, checkpointed))
         corpus_sh.unpersist()
     return _D68_INDEX_MEMO[key]
 
@@ -8388,8 +8399,12 @@ def io22_containment_ingest_loop(
         ).first()
         return r["n"], r["c"]
 
+    from concurrent.futures import ThreadPoolExecutor
+
     rows = []
     caches: list = []
+    checksums: list = []
+    pool = ThreadPoolExecutor(max_workers=1)
     # all three batch cardinalities in ONE upfront job
     n_batch_by_round = {
         r["r"]: r["n"]
@@ -8477,8 +8492,15 @@ def io22_containment_ingest_loop(
             for c in caches:
                 c.unpersist()
             caches.clear()
-            n_idx, idx_ck = checksum_of(
-                standing["index"], ["container", "p", "band", "key"]
+            # the post-fold index checksum reads the already-checkpointed
+            # blocks, so it needs nothing from later rounds — defer it to
+            # the pool and let it overlap round k+1's probe (guide §2.6)
+            checksums.append(
+                pool.submit(
+                    checksum_of,
+                    standing["index"],
+                    ["container", "p", "band", "key"],
+                )
             )
             rows.append(
                 (
@@ -8488,17 +8510,21 @@ def io22_containment_ingest_loop(
                     n_batch - n_rej,
                     n_by_admitted,
                     rej_ck,
-                    n_idx,
-                    idx_ck,
                 )
             )
         return spark.createDataFrame(
-            rows,
+            [
+                r + f.result()
+                for r, f in zip(rows, checksums)
+            ],
             "round int, n_batch bigint, n_rejected bigint, "
             "n_admitted bigint, n_rejected_by_admitted bigint, "
             "rejected_checksum string, n_index_after bigint, "
             "index_checksum_after string",
         ).orderBy("round")
     finally:
+        for f in checksums:
+            f.cancel()
+        pool.shutdown(wait=True)
         for c in caches:
             c.unpersist()

@@ -72,16 +72,25 @@ def _ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m01_als_rmse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.ml.recommend import fit_als, rmse, train_test_split
 
+    from goodreads_pyspark_spark.operators.concurrency import run_concurrent
+
     ratings = _ratings(spark, sf_dir).cache()
     n_ratings = ratings.count()
     train, test = train_test_split(ratings, seed=42)
     model = fit_als(train, rank=8, maxIter=5, regParam=0.1, seed=42)
     err = rmse(model, test)
     assert 0.0 < err < 25.0, f"ALS RMSE {err} outside sanity band"
-    n_train, n_test = train.count(), test.count()
-    n_users_train = train.select("user_id").distinct().count()
-    n_factors = model.userFactors.count()
-    n_preds = model.transform(test).filter(~F.isnan("prediction")).count()
+    # the five post-fit invariant counts are independent bounded actions
+    # over cached/model-sized frames — overlap them (guide §2.6)
+    n_train, n_test, n_users_train, n_factors, n_preds = run_concurrent(
+        [
+            train.count,
+            test.count,
+            train.select("user_id").distinct().count,
+            model.userFactors.count,
+            model.transform(test).filter(~F.isnan("prediction")).count,
+        ]
+    )
     ratings.unpersist()
     return spark.createDataFrame(
         [
@@ -147,23 +156,33 @@ def m02_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(8)
         .cache()
     )
+    from goodreads_pyspark_spark.operators.concurrency import run_concurrent
+
     n_vectors = emb.count()
     clustered = kmeans_cluster(emb, k=8, seed=1, max_iter=_M02_MAX_ITER).cache()
-    sil = silhouette(clustered)
+
+    def sizes_of(frame):
+        return sorted(
+            (r["prediction"], r["n"])
+            for r in frame.groupBy("prediction")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+
+    # the silhouette, the first fit's size histogram, and the entire
+    # same-seed refit are mutually independent — overlap them
+    # (guide §2.6; seeded KMeans is deterministic per fit, so the refit
+    # result is unchanged by when it runs)
+    sil, sizes, sizes2 = run_concurrent(
+        [
+            lambda: silhouette(clustered),
+            lambda: sizes_of(clustered),
+            lambda: sizes_of(
+                kmeans_cluster(emb, k=8, seed=1, max_iter=_M02_MAX_ITER)
+            ),
+        ]
+    )
     assert -1.0 <= sil <= 1.0, f"silhouette {sil} out of bounds"
-    sizes = sorted(
-        (r["prediction"], r["n"])
-        for r in clustered.groupBy("prediction")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    sizes2 = sorted(
-        (r["prediction"], r["n"])
-        for r in kmeans_cluster(emb, k=8, seed=1, max_iter=_M02_MAX_ITER)
-        .groupBy("prediction")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
     clustered.unpersist()
     emb.unpersist()
     return spark.createDataFrame(
@@ -261,14 +280,22 @@ def m04_pic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("book_id") + 10_000_000).alias("dst"),
         F.col("rating"),
     )
-    n_vertices = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
-        .distinct()
-        .count()
+    from goodreads_pyspark_spark.operators.concurrency import run_concurrent
+
+    # the vertex count and the PIC fit+histogram are independent — the
+    # count's stage tail back-fills with the fit's first jobs (guide §2.6)
+    n_vertices, sizes = run_concurrent(
+        [
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+            .count,
+            lambda: power_iteration_clusters(edges, k=4, max_iter=8)
+            .groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect(),
+        ]
     )
-    assigned = power_iteration_clusters(edges, k=4, max_iter=8)
-    sizes = assigned.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
     return spark.createDataFrame(
         [(n_vertices, sum(r["n"] for r in sizes), len(sizes) <= 4)],
         "n_vertices bigint, assignments_total bigint, k_respected boolean",
