@@ -23,7 +23,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from goodreads_pyspark_spark.graph.frames import PropertyGraph, _truncate
+from goodreads_pyspark_spark.graph.frames import (
+    PropertyGraph,
+    _truncate,
+    coalesce_cached_state,
+)
 
 
 def _out_degrees(edges: DataFrame) -> DataFrame:
@@ -32,6 +36,7 @@ def _out_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
+@coalesce_cached_state
 def pagerank(
     graph: PropertyGraph,
     reset_probability: float = 0.15,
@@ -104,6 +109,7 @@ def pagerank(
     return out
 
 
+@coalesce_cached_state
 def pagerank_scaled(
     graph: PropertyGraph,
     n_iter: int = 3,
@@ -169,6 +175,29 @@ def pagerank_scaled(
     return ranks.select("id", F.col("pr").alias("pr_scaled"))
 
 
+@coalesce_cached_state
+def ppr_base(graph: PropertyGraph, seed_expr: str) -> dict:
+    """Cache the query-independent PPR inputs ONCE for several runs.
+
+    ADVICE r12 (medium): when two concurrent PPR runs each built and
+    cached their own ``edges``/``deg``/``seeds``, Spark's CacheManager
+    deduped the identical canonicalized plans into SHARED cache entries
+    — so the first run to finish unpersisted blocks the sibling was
+    still reading mid-job (correct via lineage recompute, but the
+    recompute silently eats the overlap win, nondeterministically by
+    thread timing). Orchestrators running >1 PPR over the same graph
+    build the base here, pass it to each run, and unpersist it once
+    after ALL runs settle.
+    """
+    edges = graph.edges.select("src", "dst").cache()
+    deg = _out_degrees(edges).cache()
+    seeds = graph.vertices.select(
+        "id", F.when(F.expr(seed_expr), 1).otherwise(0).alias("is_seed")
+    ).cache()
+    return {"edges": edges, "deg": deg, "seeds": seeds}
+
+
+@coalesce_cached_state
 def personalized_pagerank_scaled(
     graph: PropertyGraph,
     seed_expr: str,
@@ -178,6 +207,7 @@ def personalized_pagerank_scaled(
     reset_den: int = 100,
     checkpoint_every: int = 8,
     checkpoint_dir: str | None = None,
+    base: dict | None = None,
 ) -> DataFrame:
     """Topic-sensitive (personalized) PageRank in the same fixed-point
     integer arithmetic as :func:`pagerank_scaled`.
@@ -192,14 +222,17 @@ def personalized_pagerank_scaled(
 
     Overflow headroom is |seeds|·scale rather than |V|·scale, so the
     default 1e12 scale supports ~10^5 seeds at any graph size.
+
+    ``base`` — a :func:`ppr_base` dict — lets an orchestrator running
+    several PPRs over the same graph share ONE set of cached inputs;
+    the caller then owns their lifetime (see ppr_base docstring).
     """
-    edges = graph.edges.select("src", "dst").cache()
-    deg = _out_degrees(edges).cache()
+    own_base = base is None
+    if own_base:
+        base = ppr_base(graph, seed_expr)
+    edges, deg, seeds = base["edges"], base["deg"], base["seeds"]
     reset_scaled = (reset_num * scale) // reset_den
     keep_num = reset_den - reset_num
-    seeds = graph.vertices.select(
-        "id", F.when(F.expr(seed_expr), 1).otherwise(0).alias("is_seed")
-    ).cache()
     ranks = seeds.select(
         "id", (F.col("is_seed").cast("bigint") * scale).alias("pr")
     )
@@ -224,12 +257,14 @@ def personalized_pagerank_scaled(
         if (i + 1) % checkpoint_every == 0 or i == n_iter - 1:
             ranks = _truncate(ranks, checkpoint_dir=checkpoint_dir)
 
-    edges.unpersist()
-    deg.unpersist()
-    seeds.unpersist()
+    if own_base:
+        edges.unpersist()
+        deg.unpersist()
+        seeds.unpersist()
     return ranks.select("id", F.col("pr").alias("ppr_scaled"))
 
 
+@coalesce_cached_state
 def label_propagation(
     graph: PropertyGraph,
     max_iter: int = 4,
@@ -281,6 +316,7 @@ def label_propagation(
     return graph.vertices.join(labels, "id", "left")
 
 
+@coalesce_cached_state
 def bfs(
     graph: PropertyGraph,
     from_expr: str,
@@ -396,6 +432,7 @@ def bfs_paths(
     return out.select(*names)
 
 
+@coalesce_cached_state
 def connected_components(
     graph: PropertyGraph,
     max_iter: int = 20,
@@ -482,6 +519,7 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
+@coalesce_cached_state
 def connected_components_alternating(
     graph: PropertyGraph,
     max_rounds: int = 16,
@@ -567,6 +605,7 @@ def connected_components_alternating(
     return out
 
 
+@coalesce_cached_state
 def sssp_rounds(
     edges: DataFrame,
     source: DataFrame,
@@ -615,6 +654,7 @@ def sssp_rounds(
     return dist
 
 
+@coalesce_cached_state
 def hits_scaled(
     graph: PropertyGraph,
     n_iter: int = 2,
@@ -712,6 +752,7 @@ def hits_scaled(
     )
 
 
+@coalesce_cached_state
 def multi_source_bfs(
     edges: DataFrame,
     seeds: DataFrame,

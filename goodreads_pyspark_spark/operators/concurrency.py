@@ -38,6 +38,8 @@ def run_concurrent(
     settles before the caller's finally-block cleanup runs); the first
     exception by position is then re-raised.
     """
+    if not thunks:  # ADVICE r12: a filtered-empty list is a no-op, not
+        return []  # a ThreadPoolExecutor(max_workers=0) ValueError
     if len(thunks) == 1:
         return [thunks[0]()]
     n = min(max_workers or DEFAULT_WORKERS, len(thunks))

@@ -8360,10 +8360,14 @@ def _io22_oracle() -> str:
     "cells even when round 1 is perfect. Scale shape: per round, one "
     "batch-sized probe (broadcast band keys, d68's plan) + one DELTA "
     "fold-in (broadcast batch deltas, no standing shuffle — "
-    "test_fold_in_is_delta_only...); state is localCheckpointed "
-    "between rounds so lineage stays round-local (the io21 lesson: "
-    "driver re-planning of deep lineages, not executors, is what "
-    "compounds across iterations).",
+    "test_fold_in_is_delta_only...); the wholesale-rescanned state "
+    "(index/counts/dfreq) is localCheckpointed between rounds so "
+    "lineage stays round-local (the io21 lesson: driver re-planning "
+    "of deep lineages, not executors, is what compounds across "
+    "iterations), while the corpus-sized st and tiny hot stay lazy "
+    "delta-chains over the kernel's checkpointed base — copying the "
+    "full shingle table per round cost more than their filtered "
+    "scans ever save (r13).",
 )
 def io22_containment_ingest_loop(
     spark: SparkSession, sf_dir: str
@@ -8471,27 +8475,38 @@ def io22_containment_ingest_loop(
             )
             # truncate lineage between rounds: round k+1's plans must
             # not embed round k's probe/fold pipeline (the io21 lesson).
-            # The five table materializations and the round's admission
-            # stats are mutually independent given the checkpointed
-            # matches frame — submit them from a driver pool so each
-            # job's stage tail back-fills with the next job's tasks
-            # (guide §2.6) instead of serializing six jobs per round.
-            names = list(extended)
+            # r13 (VERDICT r12 item 4): only index/counts/dfreq are
+            # checkpointed — their next-round consumers re-SCAN them
+            # wholesale 2-3x per round, so lazy versions would double
+            # the base-scan count every round. st (corpus-sized: its
+            # per-round localCheckpoint copied the entire shingle
+            # table) and hot stay LAZY: each is a linear chain of
+            # union + batch-sized broadcast anti-joins over the
+            # kernel's checkpointed round-0 state, scanned only
+            # filtered (probe) or anti-joined (fold), so a scan of the
+            # lazy chain costs one base scan plus batch-sized deltas —
+            # strictly cheaper than copy-per-round. The feeding caches
+            # are therefore held until the loop ends (finally below)
+            # instead of freed per round; production loops with many
+            # rounds would re-truncate st/hot every K rounds to bound
+            # the chain. The three truncations and the round's
+            # admission stats are mutually independent given the
+            # checkpointed matches frame — submit them from a driver
+            # pool so each job's stage tail back-fills with the next
+            # job's tasks (guide §2.6).
+            lc_names = ("index", "counts", "dfreq")
             results = run_concurrent(
                 [stats.collect]
                 + [
                     (lambda f=extended[n]: f.localCheckpoint())
-                    for n in names
+                    for n in lc_names
                 ],
                 max_workers=3,
             )
             st_rows = {r["t"]: (r["n"], r["c"]) for r in results[0]}
             n_rej, rej_ck = st_rows["rej"]
             n_by_admitted = st_rows["byadm"][0]
-            standing = dict(zip(names, results[1:]))
-            for c in caches:
-                c.unpersist()
-            caches.clear()
+            standing = {**extended, **dict(zip(lc_names, results[1:]))}
             # the post-fold index checksum reads the already-checkpointed
             # blocks, so it needs nothing from later rounds — defer it to
             # the pool and let it overlap round k+1's probe (guide §2.6)

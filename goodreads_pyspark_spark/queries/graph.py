@@ -589,13 +589,25 @@ def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
 
-    from goodreads_pyspark_spark.graph.pregel import personalized_pagerank_scaled
+    from goodreads_pyspark_spark.graph.pregel import (
+        personalized_pagerank_scaled,
+        ppr_base,
+    )
 
     from goodreads_pyspark_spark.operators.concurrency import run_concurrent
 
     g = _graph(spark, sf_dir)
     seed_expr = f"id < {_OFFSET} AND id % {_PPR_SEED_MOD} = 0"
     ckpt_dir = f"spark-warehouse/_g10_ckpt_{uuid.uuid4().hex[:8]}"
+    # The edges/deg/seeds inputs are cached ONCE at this level and
+    # released after both runs settle (ADVICE r12: per-run caches with
+    # identical canonicalized plans are deduped by the CacheManager, so
+    # the first run's finally-unpersist evicted entries the sibling was
+    # still using — a silent nondeterministic recompute, never a wrong
+    # result). The checkpoint-path independence the equality gate
+    # certifies is untouched: both runs read identical base data by
+    # construction; what differs is the truncation path.
+    base = ppr_base(g, seed_expr)
     try:
         # the two checkpoint-mode runs are independent by construction —
         # that independence is what the equality gate certifies — so
@@ -610,9 +622,10 @@ def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_iter=3,
                     checkpoint_every=1,
                     checkpoint_dir=ckpt_dir,
+                    base=base,
                 ),
                 lambda: personalized_pagerank_scaled(
-                    g, seed_expr, n_iter=3, checkpoint_every=1
+                    g, seed_expr, n_iter=3, checkpoint_every=1, base=base
                 ).localCheckpoint(),
             ]
         )
@@ -629,6 +642,8 @@ def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         same = bool(n_diff == 0)
     finally:
+        for f in base.values():
+            f.unpersist()
         shutil.rmtree(ckpt_dir, ignore_errors=True)
     # return the local-mode frame (its blocks don't live in ckpt_dir)
     return local.select(

@@ -13,34 +13,61 @@ paths).
 from __future__ import annotations
 
 import os
+import threading
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 
-#: Measured tuning posture (OPTIMIZATION_r12.md carries the A/B numbers).
-#: canChangeCachedPlanOutputPartitioning=true extends AQE partition
-#: coalescing to plans that end in (or read) a cache() — iterative
-#: graph/dedup state is cached between rounds, and without this flag
-#: every cached round materializes at the static shuffle partition count
-#: instead of the byte-sized AQE layout. Interleaved same-session A/B at
-#: sf0.1: g14 0.68x, d65 0.64x, g05/g09/g16 ~0.98x, no regression beyond
-#: noise (order-bias control 0.94-1.00x). The candidate flags
-#: coalescePartitions.parallelismFirst=false + 16m advisory were REJECTED
-#: on measurement: compute-dense, byte-light stages (tokenize/shingle,
-#: LPA rounds) lost core coverage — g03 1.78x, d54 1.34x, d65 1.18x.
-_TUNED_CONFS: dict[str, str] = {
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
-}
+#: Measured tuning posture (r12 A/B: SCALING.md addendum 12 / commit
+#: 90aa1f3; r13 re-validation: OPTIMIZATION_r13.md).
+#: canChangeCachedPlanOutputPartitioning was GLOBAL=true in r12 — it
+#: extends AQE partition coalescing to plans that materialize a cache(),
+#: which is what iterative graph loops want (per-round cached state
+#: coalesces to byte-sized partitions; r12/r13 A/B: g14 1.39-1.47x,
+#: g05 1.23x faster with it). But the r13 final-tree A/B showed the
+#: same flag SERIALIZES the e33-e35 IVFPQ family (their small cached
+#: explode frames coalesce to ~1 partition and every downstream window
+#: runs single-task: e33 2.2x, e34 1.5x, e35 2.8x slower). The flag is
+#: therefore no longer global: :func:`scoped_conf` sets it around the
+#: iterative-loop materializations in graph/frames._truncate — the one
+#: surface where it measurably wins. The candidate flags
+#: coalescePartitions.parallelismFirst=false + 16m advisory were
+#: REJECTED on measurement in r12: compute-dense, byte-light stages
+#: (tokenize/shingle, LPA rounds) lost core coverage — g03 1.78x,
+#: d54 1.34x, d65 1.18x.
+_TUNED_CONFS: dict[str, str] = {}
+
+#: The cached-plan AQE-coalescing flag, scoped (see comment above).
+CACHED_PLAN_AQE_FLAG = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
 
 
 def _env_conf_overrides() -> list[tuple[str, str]]:
-    """``SPARK_GRAFT_CONF="k=v,k=v"`` — deployment-specific overrides."""
+    """``SPARK_GRAFT_CONF="k=v;k=v"`` — deployment-specific overrides.
+
+    ';'-separated (like tools/r12_ab.py --confs) so conf values that
+    legitimately contain commas (extraJavaOptions, list-valued confs)
+    stay expressible; ','-separated pairs are still accepted for
+    backwards compatibility when no ';' is present. Malformed items
+    (no '=') warn instead of vanishing (ADVICE r12).
+    """
+    import sys
+
     raw = os.environ.get("SPARK_GRAFT_CONF", "")
+    if not raw.strip():
+        return []
+    items = raw.split(";") if ";" in raw else raw.split(",")
     out = []
-    for item in raw.split(","):
+    for item in items:
         if "=" in item:
             k, v = item.split("=", 1)
             out.append((k.strip(), v.strip()))
+        elif item.strip():
+            print(
+                f"# SPARK_GRAFT_CONF: ignoring malformed item {item!r}"
+                " (expected key=value)",
+                file=sys.stderr,
+            )
     return out
 
 
@@ -71,11 +98,12 @@ def get_spark(app_name: str = "goodreads_pyspark_spark", cpus: int | None = None
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
-    # Scale-dependent tuning knobs (optimization guide §2.2/§9), each
-    # overridable via SPARK_GRAFT_CONF="k=v,k=v" so cluster deployments can
-    # re-size them without code edits. Values are BYTE-sized, not
-    # core-count-sized, so they adapt with data volume rather than
-    # encoding local[32] assumptions.
+    # Measured tuning knobs (optimization guide §2.2/§9), each overridable
+    # via SPARK_GRAFT_CONF="k=v;k=v" so cluster deployments can re-tune
+    # without code edits. The current set is one boolean AQE-scope flag —
+    # behavioral, not sized to local[32]; byte-sized candidates
+    # (advisoryPartitionSizeInBytes et al.) were A/B'd and rejected on
+    # measurement (see _TUNED_CONFS comment above).
     for k, v in _TUNED_CONFS.items():
         builder = builder.config(k, v)
     for k, v in _env_conf_overrides():
@@ -83,6 +111,55 @@ def get_spark(app_name: str = "goodreads_pyspark_spark", cpus: int | None = None
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+_SCOPED_LOCK = threading.Lock()
+#: (session id, conf key) -> [refcount, original value or None]
+_SCOPED_STATE: dict[tuple[int, str], list] = {}
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a runtime SQL conf for the duration of a block, refcounted.
+
+    SQL confs are session-global, and operators that overlap jobs from
+    driver threads (g10's two concurrent PPR runs both truncating
+    per-round state) can nest/interleave scopes for the same key — a
+    plain save/set/restore would let the first exiting thread restore
+    the original under the second, or the last exiting thread "restore"
+    the scoped value permanently. Refcount per (session, key): the first
+    enter saves+sets, the last exit restores/unsets. All scopes for a
+    key must use the SAME value (true here — the only current use is
+    the cached-plan AQE flag).
+    """
+    sk = (id(spark), key)
+    with _SCOPED_LOCK:
+        st = _SCOPED_STATE.get(sk)
+        if st is None:
+            orig = spark.conf.get(key, None)
+            spark.conf.set(key, value)
+            _SCOPED_STATE[sk] = st = [0, orig]
+        st[0] += 1
+    try:
+        yield
+    finally:
+        with _SCOPED_LOCK:
+            st[0] -= 1
+            if st[0] == 0:
+                orig = st[1]
+                if orig is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, orig)
+                _SCOPED_STATE.pop(sk, None)
+
+
+def cached_plan_coalescing(spark: SparkSession):
+    """Scope the cached-plan AQE-coalescing flag ON (see _TUNED_CONFS
+    comment: global=true serializes the IVFPQ family; the win lives in
+    iterative-loop state materialization, so only that surface —
+    graph/frames._truncate — opts in)."""
+    return scoped_conf(spark, CACHED_PLAN_AQE_FLAG, "true")
 
 
 def configure_for_oracle(spark: SparkSession) -> SparkSession:

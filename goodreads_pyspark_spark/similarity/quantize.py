@@ -449,14 +449,27 @@ def ivfpq_recall_curve(
 ) -> DataFrame:
     """Recall@k of IVFADC at several probe depths against the exact L2
     top-k — the nprobe dial for the combined index (e19's discipline:
-    ONE assignment pass and ONE encode pass serve the whole curve; each
-    probe depth adds only its own LUT build and ADC ranking). At
+    ONE assignment pass and ONE encode pass serve the whole curve). At
     ``nprobe == nlist`` routing loss vanishes and the remaining gap is
     pure code loss. Returns one row per probe depth:
-    (nprobe, k, n_hits, recall), ascending nprobe."""
+    (nprobe, k, n_hits, recall), ascending nprobe.
+
+    r13: the probe depths are nested prefixes of ONE cell ranking (the
+    query's coarse distances), and a candidate's per-cell LUT rows are
+    probe-depth-INDEPENDENT — so instead of one enc-join + ADC ranking
+    per depth (3x the encode-table window + scoring work), build the
+    LUT for all ``nlist`` cells once, score every candidate once, tag
+    each with its cell's probe rank, and derive every depth's top-k
+    from that single scored table with one rank-window partitioned by
+    depth. Per depth, the probe restriction ``cell_rank <= nprobe`` and
+    the (adc_d2, id) ordering are literally the original per-depth
+    semantics, so results are bit-identical (oracle-gated)."""
+    from pyspark.sql import Window
+
     acc = "decimal(38,12)"
     parts = _ivfpq_parts(df, nlist, n_sub, sub_dim, ksub, id_col, vec_col)
-    e = parts["e"]
+    e, cc, ad2 = parts["e"], parts["cc"], parts["ad2"]
+    enc, cw, sub, dsq = parts["enc"], parts["cw"], parts["sub"], parts["dsq"]
     q = e.filter(F.col(id_col) == query_id).select(
         "pos", F.col("v").alias("qv")
     )
@@ -473,22 +486,63 @@ def ivfpq_recall_curve(
         .limit(k)
         .select(id_col)
     )
-    exact = exact.cache()  # consumed once per probe depth
-    rows = []
-    for p in probes:
-        got = _ivfpq_search(parts, query_id, k, p, id_col).select(id_col)
-        hits = got.join(exact, id_col).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    # every cell with its probe rank: depth p probes ranks 1..p (the
+    # original per-depth orderBy(d2, ccid).limit(p) is exactly this
+    # ranking's prefix)
+    wq = Window.orderBy(F.col("d2").asc(), F.col("ccid"))
+    cell_rank = (
+        ad2.filter(F.col(id_col) == query_id)
+        .select("ccid", F.row_number().over(wq).alias("crank"))
+    )
+    # query residual and LUT against ALL cells, once (cell LUT rows do
+    # not depend on probe depth — shallower depths just use fewer cells)
+    qr = (
+        e.filter(F.col(id_col) == query_id)
+        .join(F.broadcast(cell_rank.select("ccid")), how="cross")
+        .join(F.broadcast(cc), ["ccid", "pos"])
+        .select("ccid", "pos", (F.col("v") - F.col("cval")).alias("qr"))
+    )
+    lut = (
+        qr.withColumn("sub", sub)
+        .join(F.broadcast(cw.withColumn("sub", sub)), ["pos", "sub"])
+        .groupBy("ccid", "sub", "cid")
+        .agg(dsq(F.col("qr"), F.col("cwv")).alias("lut_d2"))
+    )
+    # ONE ADC pass over the encoded table; each candidate lands in its
+    # assigned cell, tagged with that cell's probe rank
+    scored = (
+        enc.join(F.broadcast(lut), ["ccid", "sub", "cid"])
+        .filter(F.col(id_col) != query_id)
+        .groupBy(id_col, "ccid")
+        .agg(F.sum("lut_d2").cast("double").alias("adc_d2"))
+        .join(F.broadcast(cell_rank), "ccid")
+    )
+    depths = df.sparkSession.createDataFrame(
+        [(int(p),) for p in probes], "nprobe int"
+    )
+    wd = Window.partitionBy("nprobe").orderBy(
+        F.col("adc_d2").asc(), F.col(id_col).asc()
+    )
+    topk = (
+        scored.join(F.broadcast(depths), F.col("crank") <= F.col("nprobe"))
+        .withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= k)
+        .select("nprobe", id_col)
+    )
+    hits = topk.join(F.broadcast(exact), id_col).groupBy("nprobe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return (
+        depths.join(hits, "nprobe", "left")
+        .select(
+            F.col("nprobe").cast("int").alias("nprobe"),
+            F.lit(k).cast("int").alias("k"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("bigint")).alias(
+                "n_hits"
+            ),
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / k
+            ).alias("recall"),
         )
-        rows.append(
-            hits.select(
-                F.lit(p).cast("int").alias("nprobe"),
-                F.lit(k).cast("int").alias("k"),
-                "n_hits",
-                (F.col("n_hits").cast("double") / k).alias("recall"),
-            )
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+        .orderBy("nprobe")
+    )
