@@ -103,15 +103,27 @@ def main() -> None:
     # across a query is its executor task compute (plus JVM driver work;
     # Python-worker CPU of pandas-UDF paths is separate and excluded) —
     # cpu/wall >> 1 is direct evidence a query actually uses the cores.
-    _os_bean = (
-        spark._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
-        .getOperatingSystemMXBean()
-    )
+    # Read /proc/<jvm pid>/stat (utime+stime; Linux, process-only — child
+    # Python workers are excluded by definition): the MXBean route
+    # (getOperatingSystemMXBean().getProcessCpuTime()) is unreachable
+    # from py4j on JDK 17 — the implementing class lives in an
+    # unexported jdk.management module package, so reflection fails.
+    try:
+        _jvm_pid = int(
+            spark._jvm.java.lang.ProcessHandle.current().pid()  # noqa: SLF001
+        )
+        _clk_tck = float(os.sysconf("SC_CLK_TCK"))
+    except Exception:  # pragma: no cover - non-Linux / connect-mode
+        _jvm_pid = None
 
     def _jvm_cpu_sec() -> float:
+        if _jvm_pid is None:  # pragma: no cover
+            return 0.0
         try:
-            return _os_bean.getProcessCpuTime() / 1e9
-        except Exception:  # pragma: no cover - non-HotSpot JVMs
+            with open(f"/proc/{_jvm_pid}/stat", "rb") as f:
+                parts = f.read().rsplit(b")", 1)[1].split()
+            return (int(parts[11]) + int(parts[12])) / _clk_tck
+        except Exception:  # pragma: no cover
             return 0.0
 
     def run_once(q) -> tuple[float, int, float]:

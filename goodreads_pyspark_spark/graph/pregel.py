@@ -23,11 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from goodreads_pyspark_spark.graph.frames import (
-    PropertyGraph,
-    _truncate,
-    coalesce_cached_state,
-)
+from goodreads_pyspark_spark.graph.frames import PropertyGraph, _truncate
 
 
 def _out_degrees(edges: DataFrame) -> DataFrame:
@@ -36,7 +32,6 @@ def _out_degrees(edges: DataFrame) -> DataFrame:
     )
 
 
-@coalesce_cached_state
 def pagerank(
     graph: PropertyGraph,
     reset_probability: float = 0.15,
@@ -109,7 +104,6 @@ def pagerank(
     return out
 
 
-@coalesce_cached_state
 def pagerank_scaled(
     graph: PropertyGraph,
     n_iter: int = 3,
@@ -175,7 +169,6 @@ def pagerank_scaled(
     return ranks.select("id", F.col("pr").alias("pr_scaled"))
 
 
-@coalesce_cached_state
 def ppr_base(graph: PropertyGraph, seed_expr: str) -> dict:
     """Cache the query-independent PPR inputs ONCE for several runs.
 
@@ -197,7 +190,6 @@ def ppr_base(graph: PropertyGraph, seed_expr: str) -> dict:
     return {"edges": edges, "deg": deg, "seeds": seeds}
 
 
-@coalesce_cached_state
 def personalized_pagerank_scaled(
     graph: PropertyGraph,
     seed_expr: str,
@@ -264,7 +256,6 @@ def personalized_pagerank_scaled(
     return ranks.select("id", F.col("pr").alias("ppr_scaled"))
 
 
-@coalesce_cached_state
 def label_propagation(
     graph: PropertyGraph,
     max_iter: int = 4,
@@ -316,7 +307,6 @@ def label_propagation(
     return graph.vertices.join(labels, "id", "left")
 
 
-@coalesce_cached_state
 def bfs(
     graph: PropertyGraph,
     from_expr: str,
@@ -432,7 +422,6 @@ def bfs_paths(
     return out.select(*names)
 
 
-@coalesce_cached_state
 def connected_components(
     graph: PropertyGraph,
     max_iter: int = 20,
@@ -519,7 +508,6 @@ def _small_star(e: DataFrame) -> DataFrame:
     )
 
 
-@coalesce_cached_state
 def connected_components_alternating(
     graph: PropertyGraph,
     max_rounds: int = 16,
@@ -605,7 +593,6 @@ def connected_components_alternating(
     return out
 
 
-@coalesce_cached_state
 def sssp_rounds(
     edges: DataFrame,
     source: DataFrame,
@@ -654,7 +641,6 @@ def sssp_rounds(
     return dist
 
 
-@coalesce_cached_state
 def hits_scaled(
     graph: PropertyGraph,
     n_iter: int = 2,
@@ -752,7 +738,6 @@ def hits_scaled(
     )
 
 
-@coalesce_cached_state
 def multi_source_bfs(
     edges: DataFrame,
     seeds: DataFrame,

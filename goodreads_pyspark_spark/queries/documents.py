@@ -233,7 +233,10 @@ def _jac05_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cached (id, component) labeling of the Jaccard≥0.5 pair graph."""
-    from goodreads_pyspark_spark.graph.frames import PropertyGraph
+    from goodreads_pyspark_spark.graph.frames import (
+        PropertyGraph,
+        coalesce_cached_state,
+    )
     from goodreads_pyspark_spark.graph.pregel import (
         connected_components_alternating,
     )
@@ -249,7 +252,13 @@ def _neardup_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .union(edges.select(F.col("dst").alias("id")))
             .distinct()
         )
-        cc = connected_components_alternating(PropertyGraph(verts, edges))
+        # the CC input here is an LC'd pair table (cheap scan above the
+        # per-round caches) — the shape where cached-plan AQE coalescing
+        # measurably wins (interleaved A/B: 1.36s vs 1.66s; see
+        # frames.coalesce_cached_state for where it measurably LOSES)
+        cc = coalesce_cached_state(connected_components_alternating)(
+            PropertyGraph(verts, edges)
+        )
         # localCheckpoint for the same clearCache-survival reason as
         # _jac05_pairs; the labeling is clustered-vertex-sized.
         _NEARDUP_CC_MEMO[key] = cc.localCheckpoint()

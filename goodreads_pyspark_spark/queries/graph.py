@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from goodreads_pyspark_spark.graph.frames import PropertyGraph
+from goodreads_pyspark_spark.graph.frames import PropertyGraph, coalesce_cached_state
 from goodreads_pyspark_spark.graph.pregel import label_propagation, pagerank_scaled
 from goodreads_pyspark_spark.queries import PRE_MATERIALIZATION, query, shared_kernel
 from goodreads_pyspark_spark.queries._helpers import tbl
@@ -250,6 +250,7 @@ def _cc_oracle(rounds: int = 12) -> str:
     "(component = min reachable id), so the gate checks the labels "
     "exactly despite the different algorithms.",
 )
+@coalesce_cached_state
 def g05_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.pregel import (
         connected_components_alternating,
@@ -585,6 +586,7 @@ def _ppr_oracle(n_iter: int = 3, scale: int = 10**12) -> str:
     "checkpoint_every=1 forces a truncation every superstep so the "
     "reliable path is exercised three times, not just at the end.",
 )
+@coalesce_cached_state
 def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import uuid
@@ -686,6 +688,7 @@ def g10_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cc = 2*tri/(d*(d-1)) from exact integers through identical "
     "double ops.",
 )
+@coalesce_cached_state
 def g11_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.frames import clustering_coefficients
 
@@ -929,6 +932,7 @@ def _hits_oracle(n_iter: int = 2, scale: int = _HITS_SCALE) -> str:
     "normalization is exact and order-independent, so the unrolled "
     "DuckDB recurrence (HUGEINT rescale) matches bit-for-bit.",
 )
+@coalesce_cached_state
 def g14_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.pregel import hits_scaled
 
@@ -1153,6 +1157,7 @@ def _g17_oracle(rounds: int = 12) -> str:
     "the batch endpoints, CC rounds on a batch-sized graph, one "
     "map-side relabel join of the old assignment.",
 )
+@coalesce_cached_state
 def g17_incremental_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from goodreads_pyspark_spark.graph.pregel import (
         connected_components_alternating,

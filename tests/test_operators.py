@@ -1491,3 +1491,53 @@ def test_jsonlgz_append_adopts_legacy_dir_without_duplication(
         )
     )
     assert back == [(1, "legacy"), (2, "new")]
+
+
+# --- scoped runtime confs (r13: cached-plan AQE coalescing opt-in) ----------
+
+
+def test_scoped_conf_refcounts_and_restores(spark):
+    """scoped_conf must set on first enter, survive nested/overlapping
+    scopes for the same key (the g10 two-concurrent-PPR shape), and
+    restore the ORIGINAL value only when the last scope exits —
+    a plain save/set/restore would let the first exiting thread restore
+    under the second."""
+    from goodreads_pyspark_spark.session import scoped_conf
+
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    orig = spark.conf.get(key, None)
+    with scoped_conf(spark, key, "true"):
+        assert spark.conf.get(key) == "true"
+        with scoped_conf(spark, key, "true"):  # nested scope, same value
+            assert spark.conf.get(key) == "true"
+        # inner exit must NOT restore while the outer scope is live
+        assert spark.conf.get(key) == "true"
+    assert spark.conf.get(key, None) == orig
+
+
+def test_coalesce_cached_state_scopes_only_the_call(spark):
+    """The decorator must flip the cached-plan AQE flag ON exactly for
+    the duration of the wrapped call (where .cache() compiles cached
+    plans) and leave the session default untouched outside — the r13
+    posture: per-measured-caller opt-in, never global (globally the
+    flag cost e35 2.8x; scoped onto shared CC internals it cost e22
+    1.57x — see frames.coalesce_cached_state)."""
+    from goodreads_pyspark_spark.graph.frames import coalesce_cached_state
+    from goodreads_pyspark_spark.session import CACHED_PLAN_AQE_FLAG
+
+    seen = {}
+
+    @coalesce_cached_state
+    def probe(s, _sf_dir):
+        seen["inside"] = s.conf.get(CACHED_PLAN_AQE_FLAG)
+        return None
+
+    before = spark.conf.get(CACHED_PLAN_AQE_FLAG, None)
+    probe(spark, "unused")
+    assert seen["inside"] == "true"
+    assert spark.conf.get(CACHED_PLAN_AQE_FLAG, None) == before
+    # the registered winners opt in; the embedding-pair CC paths do not
+    from goodreads_pyspark_spark.queries import get_query
+
+    assert hasattr(get_query("g05_connected_components").spark_fn, "__wrapped__")
+    assert hasattr(get_query("g17_incremental_components").spark_fn, "__wrapped__")
